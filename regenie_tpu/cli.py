@@ -1,0 +1,242 @@
+"""Command-line interface mirroring the reference's flag surface
+(src/Regenie.cpp:146-458, cxxopts groups Main/Additional/Extra).
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from .config import BT, CT, QT, T2E, Params
+
+
+def _split_list(s: str) -> List[str]:
+    out = []
+    for tok in s.split(","):
+        # brace expansion {i:j} (Regenie.cpp:1743-1760)
+        m = re.match(r"^(.*)\{(\d+):(\d+)\}(.*)$", tok)
+        if m:
+            pre, lo, hi, post = m.group(1), int(m.group(2)), int(m.group(3)), m.group(4)
+            out.extend(f"{pre}{i}{post}" for i in range(lo, hi + 1))
+        else:
+            out.append(tok)
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="regenie_tpu",
+        description="TPU-native whole-genome regression (capabilities of regenie v4.1)",
+    )
+    g = p.add_argument_group("Main options")
+    g.add_argument("--step", type=int, required=True, help="specify if fitting null model (=1) or association testing (=2)")
+    g.add_argument("--bed", help="prefix to PLINK .bed/.bim/.fam files")
+    g.add_argument("--pgen", help="prefix to PLINK2 .pgen/.pvar/.psam files")
+    g.add_argument("--bgen", help="BGEN file")
+    g.add_argument("--sample", help="sample file for BGEN")
+    g.add_argument("--ref-first", action="store_true", help="first allele is the reference")
+    g.add_argument("--keep", action="append", default=[], help="file of samples to keep")
+    g.add_argument("--remove", action="append", default=[], help="file of samples to remove")
+    g.add_argument("--extract", action="append", default=[], help="file of variant IDs to keep")
+    g.add_argument("--exclude", action="append", default=[], help="file of variant IDs to remove")
+    g.add_argument("--phenoFile", required=True, help="phenotype file")
+    g.add_argument("--phenoCol", action="append", default=[], help="phenotype column to include")
+    g.add_argument("--phenoColList", default=None, help="comma-separated phenotype columns")
+    g.add_argument("--phenoExcludeList", default=None)
+    g.add_argument("--covarFile", help="covariate file")
+    g.add_argument("--covarCol", action="append", default=[])
+    g.add_argument("--covarColList", default=None)
+    g.add_argument("--catCovarList", default=None, help="categorical covariates")
+    g.add_argument("--covarExcludeList", default=None)
+    g.add_argument("--maxCatLevels", type=int, default=10)
+    g.add_argument("--bt", action="store_true", help="binary traits")
+    g.add_argument("--ct", action="store_true", help="count traits (Poisson)")
+    g.add_argument("--t2e", action="store_true", help="time-to-event traits (Cox)")
+    g.add_argument("--1", "--cc12", dest="cc12", action="store_true", help="1/2/NA coding")
+    g.add_argument("--out", "-o", required=True, help="output file prefix")
+    g.add_argument("--bsize", "-b", type=int, default=1000, help="block size")
+    g.add_argument("--cv", type=int, default=5, help="number of CV folds")
+    g.add_argument("--loocv", action="store_true", help="use LOOCV")
+    g.add_argument("--l0", type=int, default=5, help="number of level-0 ridge params")
+    g.add_argument("--l1", type=int, default=5, help="number of level-1 ridge params")
+    g.add_argument("--lowmem", action="store_true", help="reduce memory usage")
+    g.add_argument("--lowmem-prefix", default=None)
+    g.add_argument("--split-l0", default=None, help="PREFIX,N : split level 0 into N jobs")
+    g.add_argument("--run-l0", default=None, help="MASTER,i : run level 0 job i")
+    g.add_argument("--run-l1", default=None, help="MASTER : run level 1")
+    g.add_argument("--keep-l0", action="store_true")
+    g.add_argument("--strict", action="store_true")
+    g.add_argument("--print-prs", action="store_true")
+    g.add_argument("--gz", action="store_true", help="gzip output files")
+    g.add_argument("--apply-rint", action="store_true")
+    g.add_argument("--threads", type=int, default=0)
+    g.add_argument("--pred", help="_pred.list file from step 1")
+    g.add_argument("--ignore-pred", action="store_true")
+    g.add_argument("--use-prs", action="store_true")
+    g.add_argument("--write-samples", action="store_true")
+    g.add_argument("--minMAC", type=float, default=5.0)
+    g.add_argument("--minINFO", type=float, default=None)
+    g.add_argument("--no-split", dest="no_split", action="store_true", help="single output file for all traits")
+    g.add_argument("--firth", action="store_true")
+    g.add_argument("--approx", action="store_true")
+    g.add_argument("--firth-se", action="store_true")
+    g.add_argument("--spa", action="store_true")
+    g.add_argument("--pThresh", type=float, default=0.05)
+    g.add_argument("--test", choices=["additive", "dominant", "recessive"], default="additive")
+    g.add_argument("--chr", action="append", default=[])
+    g.add_argument("--chrList", default=None)
+    g.add_argument("--range", default=None)
+    g.add_argument("--htp", default=None, help="cohort name for HTPv4 output")
+    g.add_argument("--af-cc", action="store_true")
+    g.add_argument("--force-step1", action="store_true")
+    g.add_argument("--force-qt", action="store_true")
+    g.add_argument("--nb", type=int, default=None)
+    g.add_argument("--starting-block", type=int, default=1)
+    g.add_argument("--niter", type=int, default=30)
+    g.add_argument("--maxiter-null", type=int, default=1000)
+    g.add_argument("--maxstep-null", type=int, default=25)
+    g.add_argument("--write-null-firth", action="store_true")
+    g.add_argument("--use-null-firth", default=None)
+    g.add_argument("--verbose", "-v", action="store_true")
+    g.add_argument("--debug", action="store_true")
+    return p
+
+
+def args_to_params(args: argparse.Namespace) -> Params:
+    params = Params()
+    params.step = args.step
+    params.test_mode = args.step == 2
+    if args.bt:
+        params.trait_mode = BT
+    elif args.ct:
+        params.trait_mode = CT
+    elif args.t2e:
+        params.trait_mode = T2E
+    params.bed_prefix = args.bed
+    params.pgen_prefix = args.pgen
+    params.bgen_file = args.bgen
+    params.sample_file = args.sample
+    params.pheno_file = args.phenoFile
+    params.cov_file = args.covarFile
+    params.out_prefix = args.out
+    params.pred_list = args.pred
+    params.skip_blups = args.ignore_pred
+
+    pheno_cols = list(args.phenoCol)
+    if args.phenoColList:
+        pheno_cols += _split_list(args.phenoColList)
+    params.pheno_cols = pheno_cols
+    if args.phenoExcludeList:
+        params.pheno_cols_rm = _split_list(args.phenoExcludeList)
+    cov_cols = list(args.covarCol)
+    if args.covarColList:
+        cov_cols += _split_list(args.covarColList)
+    params.cov_cols = cov_cols
+    if args.catCovarList:
+        params.cat_cov_cols = _split_list(args.catCovarList)
+    if args.covarExcludeList:
+        params.cov_cols_rm = _split_list(args.covarExcludeList)
+    params.max_cat_levels = args.maxCatLevels
+    params.cc12 = args.cc12
+    params.strict_mode = args.strict
+    params.apply_rint = args.apply_rint
+
+    params.keep_files = args.keep
+    params.remove_files = args.remove
+    params.extract_files = args.extract
+    params.exclude_files = args.exclude
+
+    params.block_size = args.bsize
+    params.cv_folds = args.cv
+    params.use_loocv = args.loocv
+    params.n_ridge_l0 = args.l0
+    params.n_ridge_l1 = args.l1
+    params.write_l0_pred = args.lowmem
+    params.loco_tmp_prefix = args.lowmem_prefix
+    params.split_l0 = args.split_l0
+    params.run_l0 = args.run_l0
+    params.run_l1 = args.run_l1
+    params.keep_l0 = args.keep_l0
+    params.print_prs = args.print_prs
+    params.gz_out = args.gz
+    params.force_step1 = args.force_step1
+    params.niter_max_ridge = args.niter
+    params.niter_max_firth_null = args.maxiter_null
+    params.maxstep_null = args.maxstep_null
+
+    params.min_mac = args.minMAC
+    if args.minINFO is not None:
+        params.min_info = args.minINFO
+        params.set_min_info = True
+    params.firth = args.firth
+    params.firth_approx = args.firth and args.approx
+    params.use_spa = args.spa
+    params.alpha_pvalue = args.pThresh
+    params.split_by_pheno = not args.no_split
+    params.htp_out = args.htp is not None
+    params.af_cc = args.af_cc
+    params.write_samples = args.write_samples
+    params.test_type = {"additive": 0, "dominant": 1, "recessive": 2}[args.test]
+    chrs = list(args.chr)
+    if args.chrList:
+        chrs += _split_list(args.chrList)
+    params.chr_list = chrs
+    params.range_spec = args.range
+    params.nb = args.nb
+    params.starting_block = args.starting_block
+    params.write_null_firth = args.write_null_firth
+    params.use_null_firth = args.use_null_firth
+    params.verbose = args.verbose
+    params.debug = args.debug
+
+    if params.step not in (1, 2):
+        raise ValueError("--step must be 1 or 2")
+    if not (params.bed_prefix or params.pgen_prefix or params.bgen_file):
+        raise ValueError("must specify one of --bed/--pgen/--bgen")
+    if params.step == 2 and not params.pred_list and not params.skip_blups:
+        raise ValueError("step 2 requires --pred (or --ignore-pred)")
+    return params
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    params = args_to_params(args)
+
+    log_path = params.out_prefix + ".log"
+    log_fh = open(log_path, "w")
+
+    def log(msg=""):
+        print(msg)
+        log_fh.write(str(msg) + "\n")
+        log_fh.flush()
+
+    log("Start time: " + time.strftime("%a %b %d %H:%M:%S %Y"))
+    log("regenie_tpu — TPU-native whole-genome regression")
+    log("Options in effect: " + " ".join(sys.argv[1:] if argv is None else argv))
+    t0 = time.time()
+    try:
+        if params.step == 1:
+            from .run_step1 import run_step1
+
+            run_step1(params, log=log)
+        else:
+            from .run_step2 import run_step2
+
+            run_step2(params, log=log)
+    except Exception as e:
+        log(f"ERROR: {e}")
+        log_fh.close()
+        raise
+    log(f"Elapsed time : {time.time()-t0:.5g}s")
+    log("End time: " + time.strftime("%a %b %d %H:%M:%S %Y"))
+    log_fh.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

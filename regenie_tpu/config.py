@@ -1,0 +1,165 @@
+"""Run configuration for regenie_tpu.
+
+Mirrors the reference's `struct param` (src/Regenie.hpp:181-437) — one flat
+config object bound from CLI flags, validated once, then passed read-only
+through the pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+MISSING = -999.0  # internal missing code (reference uses -999)
+
+# trait modes (reference: params->trait_mode)
+QT = 0  # quantitative
+BT = 1  # binary
+CT = 2  # count/Poisson
+T2E = 3  # time-to-event / Cox
+
+
+@dataclass
+class Params:
+    # ---- run mode ----
+    step: int = 0  # 1 or 2
+    test_mode: bool = False  # step 2
+    trait_mode: int = QT
+
+    # ---- input files ----
+    bed_prefix: Optional[str] = None
+    pgen_prefix: Optional[str] = None
+    bgen_file: Optional[str] = None
+    sample_file: Optional[str] = None
+    bgi_file: Optional[str] = None
+    pheno_file: Optional[str] = None
+    cov_file: Optional[str] = None
+    pred_list: Optional[str] = None  # step 2: _pred.list from step 1
+    out_prefix: str = "regenie_tpu_out"
+
+    # ---- phenotype / covariate selection ----
+    pheno_cols: List[str] = field(default_factory=list)
+    pheno_cols_rm: List[str] = field(default_factory=list)
+    cov_cols: List[str] = field(default_factory=list)
+    cov_cols_rm: List[str] = field(default_factory=list)
+    cat_cov_cols: List[str] = field(default_factory=list)
+    max_cat_levels: int = 10  # reference Regenie.hpp:207
+    strict_mode: bool = False  # --strict
+    rm_missing_qt: bool = True  # step 2: drop missing QT obs (ref default)
+    cc12: bool = False  # 1/2/NA coding for BTs (default 0/1/NA => CC_ZeroOne)
+    apply_rint: bool = False
+
+    # ---- sample filters ----
+    keep_files: List[str] = field(default_factory=list)
+    remove_files: List[str] = field(default_factory=list)
+    extract_files: List[str] = field(default_factory=list)
+    exclude_files: List[str] = field(default_factory=list)
+
+    # ---- step 1 model ----
+    block_size: int = 1000  # --bsize
+    cv_folds: int = 5  # --cv
+    use_loocv: bool = False  # --loocv
+    n_ridge_l0: int = 5  # --l0
+    n_ridge_l1: int = 5  # --l1
+    user_lambda: Optional[np.ndarray] = None
+    user_tau: Optional[np.ndarray] = None
+    niter_max_ridge: int = 100  # --niter (l1 logistic IRLS)
+    l1_ridge_eps: float = 1e-5  # ref Regenie.hpp
+    force_step1: bool = False
+    make_loco: bool = True
+    print_prs: bool = False
+    write_l0_pred: bool = False  # --lowmem
+    loco_tmp_prefix: Optional[str] = None
+    split_l0: Optional[str] = None  # "PREFIX,N"
+    run_l0: Optional[str] = None  # "MASTER,i"
+    run_l1: Optional[str] = None  # "MASTER"
+    keep_l0: bool = False
+    gz_out: bool = False
+
+    # ---- step 2 test ----
+    test_type: int = 0  # 0=additive, 1=dominant, 2=recessive
+    min_mac: float = 5.0  # --minMAC
+    min_info: float = 0.0  # --minINFO
+    set_min_info: bool = False
+    firth: bool = False
+    firth_approx: bool = False  # --approx
+    use_spa: bool = False
+    alpha_pvalue: float = 0.05  # --pThresh
+    skip_blups: bool = False  # --ignore-pred
+    split_by_pheno: bool = True  # reference step-2 default writes per-pheno files
+    htp_out: bool = False
+    af_cc: bool = False
+    write_samples: bool = False
+    chr_list: List[str] = field(default_factory=list)
+    range_spec: Optional[str] = None
+    nb: Optional[int] = None
+    starting_block: int = 1
+    firth_se: bool = True  # back-correct SE using Firth LRT
+    write_null_firth: bool = False
+    use_null_firth: Optional[str] = None
+    uncapped_pvals: bool = False
+
+    # ---- numerics (reference Regenie.hpp defaults) ----
+    numtol: float = 1e-6
+    numtol_eps: float = 10.0 * np.finfo(np.float64).eps
+    qr_tol: float = 1e-7
+    eigen_val_rel_tol: float = 1e-16
+    niter_max: int = 30  # null GLM IRLS iterations
+    niter_max_firth: int = 250
+    niter_max_firth_null: int = 1000
+    niter_max_line_search: int = 5
+    maxstep: int = 5  # max step size in firth per-SNP
+    maxstep_null: int = 25
+    retry_maxstep_firth: int = 5
+    retry_niter_firth: int = 5000
+    tol_spa: float = 5e-5  # SPA root finding tolerance (ref: missing_value_double tol)
+    niter_max_spa: int = 1000
+    zcrit: float = 1.959963984540054  # qnorm(0.975)
+    prop_zero_thr: float = 0.995  # sparse G threshold (Regenie.hpp:311)
+    z_thr: float = 0.0
+    chunk_mb: float = 1000.0
+
+    # ---- misc ----
+    n_chrom: int = 23  # autosomes + X => nChrom in reference
+    threads: int = 0
+    verbose: bool = False
+    debug: bool = False
+    seed: int = 1
+
+    # ---- derived at runtime ----
+    n_samples: int = 0
+    n_analyzed: int = 0
+    n_pheno: int = 0
+    ncov: int = 0
+    ncov_analyzed: int = 0
+    n_variants: int = 0
+    total_n_block: int = 0
+
+    @property
+    def file_type(self) -> str:
+        if self.bgen_file:
+            return "bgen"
+        if self.pgen_prefix:
+            return "pgen"
+        return "bed"
+
+    @property
+    def dosage_mode(self) -> bool:
+        return self.file_type in ("bgen", "pgen")
+
+
+def ridge_h2_grid(n: int) -> np.ndarray:
+    """Heritability grid for ridge params.
+
+    Reference `set_ridge_params` (src/Regenie.cpp:1497-1508): n evenly
+    spaced points in [0,1] with endpoints replaced by 0.01 and 0.99.
+    """
+    if n < 2:
+        raise ValueError("number of ridge parameters must be at least 2")
+    step = 1.0 / (n - 1)
+    vec = np.arange(n, dtype=np.float64) * step
+    vec[0] = 0.01
+    vec[-1] = 0.99
+    return vec

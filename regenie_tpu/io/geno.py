@@ -1,0 +1,163 @@
+"""Unified genotype data model + block streaming.
+
+TPU-era equivalent of the reference's Geno.{hpp,cpp} front half: file
+metadata, sample/variant filters, chromosome map, and a block reader
+that yields [B, N] genotype arrays (the universal unit of work both
+steps consume; reference get_G, Geno.cpp:1498).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import Params
+from .bed import BedFile, SampleInfo, SnpInfo, open_bed
+from .files import iter_lines
+
+
+@dataclass
+class GenoData:
+    """Genotype file handle + metadata after filters."""
+
+    params: Params
+    snps: List[SnpInfo] = field(default_factory=list)  # kept variants, file order
+    samples: List[SampleInfo] = field(default_factory=list)  # kept samples
+    sample_keep_idx: np.ndarray = None  # indices into raw file sample order
+    chr_read: List[int] = field(default_factory=list)  # chroms in file order
+    chr_counts: Dict[int, int] = field(default_factory=dict)  # chrom -> #snps kept
+    sex: np.ndarray = None  # [N] 1=male 0=other
+    _bed: Optional[BedFile] = None
+    _keep_all_samples: bool = True
+
+    @property
+    def n_samples(self) -> int:
+        return len(self.samples)
+
+    @property
+    def n_variants(self) -> int:
+        return len(self.snps)
+
+    def sample_index(self) -> Dict[Tuple[str, str], int]:
+        return {(s.FID, s.IID): i for i, s in enumerate(self.samples)}
+
+    def read_block(self, block_snps: List[SnpInfo]) -> np.ndarray:
+        """Decode a list of (kept, consecutive-in-file) variants -> [B, N] int8."""
+        offsets = np.array([s.offset for s in block_snps])
+        start, stop = int(offsets[0]), int(offsets[-1]) + 1
+        raw = self._bed.read_block(start, stop - start)
+        G = raw[offsets - start]
+        if not self._keep_all_samples:
+            G = G[:, self.sample_keep_idx]
+        return G
+
+    def close(self):
+        if self._bed is not None:
+            self._bed.close()
+
+
+def _read_id_file(path: str) -> set:
+    ids = set()
+    for toks in iter_lines(path):
+        if len(toks) >= 2:
+            ids.add((toks[0], toks[1]))
+        else:
+            ids.add((toks[0], toks[0]))
+    return ids
+
+
+def _read_snp_file(path: str) -> set:
+    return {toks[0] for toks in iter_lines(path)}
+
+
+def open_geno(params: Params) -> GenoData:
+    """Open genotype files, apply sample/variant filters, build chr map.
+
+    Reference: file_read_initialization (Data.cpp:155) +
+    check_snps_include_exclude (Geno.cpp:1128) +
+    check_samples_include_exclude (Geno.cpp:1263).
+    """
+    if params.file_type == "bed":
+        bed = open_bed(params.bed_prefix)
+        raw_snps, raw_samples = bed.snps, bed.samples
+    elif params.file_type == "bgen":
+        from .bgen import open_bgen_geno
+
+        return open_bgen_geno(params)
+    else:
+        raise NotImplementedError(f"file type {params.file_type} not yet supported")
+
+    gd = GenoData(params=params)
+    gd._bed = bed
+
+    # ---- sample filters (keep/remove) ----
+    keep_mask = np.ones(len(raw_samples), dtype=bool)
+    if params.keep_files:
+        keep_ids = set()
+        for f in params.keep_files:
+            keep_ids |= _read_id_file(f)
+        for i, s in enumerate(raw_samples):
+            keep_mask[i] = (s.FID, s.IID) in keep_ids
+    if params.remove_files:
+        rm_ids = set()
+        for f in params.remove_files:
+            rm_ids |= _read_id_file(f)
+        for i, s in enumerate(raw_samples):
+            if (s.FID, s.IID) in rm_ids:
+                keep_mask[i] = False
+    gd.sample_keep_idx = np.flatnonzero(keep_mask)
+    gd._keep_all_samples = bool(keep_mask.all())
+    gd.samples = [raw_samples[i] for i in gd.sample_keep_idx]
+    gd.sex = np.array([1 if s.sex == 1 else 0 for s in gd.samples], dtype=np.int32)
+
+    # ---- variant filters (extract/exclude) ----
+    snp_keep = np.ones(len(raw_snps), dtype=bool)
+    if params.extract_files:
+        ids = set()
+        for f in params.extract_files:
+            ids |= _read_snp_file(f)
+        for i, s in enumerate(raw_snps):
+            snp_keep[i] = s.ID in ids
+    if params.exclude_files:
+        ids = set()
+        for f in params.exclude_files:
+            ids |= _read_snp_file(f)
+        for i, s in enumerate(raw_snps):
+            if s.ID in ids:
+                snp_keep[i] = False
+    # chromosome filters (step 2 --chr/--chrList)
+    if params.chr_list:
+        from .bed import chr_to_int
+
+        chrs = {chr_to_int(c) for c in params.chr_list}
+        for i, s in enumerate(raw_snps):
+            if s.chrom not in chrs:
+                snp_keep[i] = False
+    gd.snps = [s for s, k in zip(raw_snps, snp_keep) if k]
+
+    # ---- chromosome map, file order (reference chr_read) ----
+    for s in gd.snps:
+        if s.chrom not in gd.chr_counts:
+            gd.chr_counts[s.chrom] = 0
+            gd.chr_read.append(s.chrom)
+        gd.chr_counts[s.chrom] += 1
+
+    params.n_samples = gd.n_samples
+    params.n_variants = gd.n_variants
+    return gd
+
+
+def make_blocks(gd: GenoData, block_size: int) -> List[Tuple[int, List[SnpInfo]]]:
+    """Split kept variants into per-chromosome blocks of `block_size`
+    (reference set_blocks, Data.cpp:311). Returns [(chrom, snps)]."""
+    blocks = []
+    by_chr: Dict[int, List[SnpInfo]] = {}
+    for s in gd.snps:
+        by_chr.setdefault(s.chrom, []).append(s)
+    for chrom in gd.chr_read:
+        snps = by_chr[chrom]
+        for i in range(0, len(snps), block_size):
+            blocks.append((chrom, snps[i : i + block_size]))
+    return blocks

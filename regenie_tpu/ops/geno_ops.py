@@ -1,0 +1,96 @@
+"""Device-side genotype block preparation ops.
+
+The host ships raw int8 genotype blocks [B, N] (values {0,1,2,-3}); all
+per-variant statistics and cleanup (missing-mean imputation, masking,
+allele flip, per-trait AF/MAC) run batched on device — replacing the
+reference's per-SNP OpenMP loops (parseSnpfromBed, Geno.cpp:2414) with
+vectorized VPU/MXU work.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.dtypes import MATMUL_PRECISION as _PREC
+
+MISSING = -3
+
+
+@jax.jit
+def prepare_block_step1(G_int8, ind_in_analysis):
+    """Step-1 block prep: mask out-of-analysis samples and mean-impute
+    missing genotypes (reference get_G -> mean_impute_g path).
+
+    G_int8: [B, N] int8; ind_in_analysis: [N] bool.
+    Returns G: [B, N] float, imputed & masked.
+    """
+    compute_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    G = G_int8.astype(compute_dtype)
+    ind = ind_in_analysis.astype(compute_dtype)[None, :]
+    is_missing = G == MISSING
+    valid = (~is_missing) & ind_in_analysis[None, :]
+    total = jnp.where(valid, G, 0.0).sum(axis=1)
+    ns = valid.sum(axis=1).astype(compute_dtype)
+    mean = total / ns
+    G = jnp.where(is_missing, mean[:, None], G) * ind
+    return G
+
+
+@jax.jit
+def snp_stats_block(G_int8, ind_in_analysis, masked_indivs):
+    """Batched per-variant statistics for a block (step 2).
+
+    Replaces the per-SNP stat loop in parseSnpfromBed (Geno.cpp:2414-2500):
+    computes totals / ns over all analyzed samples and per-trait versions
+    via one mask matmul.
+
+    G_int8: [B, N]; ind_in_analysis: [N] bool; masked_indivs: [N, P] bool.
+    Returns dict: total [B], ns [B], af1 [B], af [B,P], mac [B,P], ns_t [B,P],
+    n_rr [B], n_aa [B] (counts over analyzed samples).
+    """
+    compute_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    G = G_int8.astype(compute_dtype)
+    is_missing = G == MISSING
+    valid = (~is_missing) & ind_in_analysis[None, :]
+    validf = valid.astype(compute_dtype)
+    Gv = jnp.where(valid, G, 0.0)
+
+    total = Gv.sum(axis=1)  # [B]
+    ns = validf.sum(axis=1)  # [B]
+
+    maskf = masked_indivs.astype(compute_dtype)  # [N,P]
+    # per-trait: restrict to each trait's mask
+    total_t = jnp.matmul(Gv, maskf, precision=_PREC)  # [B,P]
+    ns_t = jnp.matmul(validf, maskf, precision=_PREC)  # [B,P]
+
+    af1 = total / (2.0 * ns)
+    af_t = total_t / (2.0 * ns_t)
+    mac_t = jnp.minimum(total_t, 2.0 * ns_t - total_t)
+
+    n_rr = ((G < 0.5) & valid).sum(axis=1)
+    n_aa = ((G >= 1.5) & valid).sum(axis=1)
+    return dict(
+        total=total, ns=ns, af1=af1, af=af_t, mac=mac_t, ns_t=ns_t,
+        n_rr=n_rr, n_aa=n_aa,
+    )
+
+
+@jax.jit
+def finalize_block_step2(G_int8, ind_in_analysis, flip):
+    """Flip to minor allele (if requested per-variant) and mean-impute.
+
+    flip: [B] bool (reference flip_geno, Geno.cpp:3149).
+    Returns G [B, N] float.
+    """
+    compute_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    G = G_int8.astype(compute_dtype)
+    is_missing = G == MISSING
+    G = jnp.where(flip[:, None] & ~is_missing, 2.0 - G, G)
+    valid = (~is_missing) & ind_in_analysis[None, :]
+    total = jnp.where(valid, G, 0.0).sum(axis=1)
+    ns = valid.sum(axis=1).astype(compute_dtype)
+    mean = total / ns
+    G = jnp.where(is_missing, mean[:, None], G)
+    G = G * ind_in_analysis[None, :].astype(compute_dtype)
+    return G
