@@ -1,0 +1,200 @@
+"""Firth-penalized logistic regression for Step 2 BT tests.
+
+Re-implements the reference's approximate-Firth machinery:
+- multi-parameter null fit per chromosome (fit_firth_nr,
+  Step2_Models.cpp:1267; fit_approx_firth_null :899) — host f64.
+- single-parameter per-SNP LRT fit (fit_firth, Step2_Models.cpp:1649)
+  VECTORIZED over the batch of corrected SNPs, replacing the reference's
+  per-SNP serial solver: each Newton iteration is one [S, N] tensor pass
+  with per-element convergence masks.
+
+Penalized deviance: dev = -2 loglik - log|X'WX|; modified score adds the
+Firth term h*(0.5-pi).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .glm import get_pvec, get_logist_dev
+
+_EPS10 = 10 * np.finfo(np.float64).eps
+
+
+def _penalized_dev(y, pi, mask, XW):
+    """dev - log|X'WX| with XW = sqrt(w)*X (masked)."""
+    dev = get_logist_dev(y, pi, mask)
+    xtwx = XW.T @ XW
+    sign, logdet = np.linalg.slogdet(xtwx)
+    return dev - logdet
+
+
+def fit_firth_null(
+    y: np.ndarray,
+    X: np.ndarray,
+    offset: np.ndarray,
+    mask: np.ndarray,
+    beta0: Optional[np.ndarray] = None,
+    maxstep: int = 25,
+    niter: int = 1000,
+    tol: float = 5e-5,
+    niter_line_search: int = 5,
+) -> Tuple[np.ndarray, bool]:
+    """Multi-parameter Firth-penalized logistic fit (covariates only),
+    used for the per-chromosome approx-Firth null (fit_firth_nr,
+    Step2_Models.cpp:1267-1385 with cols_incl == ncols).
+
+    Returns (beta, converged)."""
+    maskf = mask.astype(np.float64)
+    beta = np.zeros(X.shape[1]) if beta0 is None else beta0.copy()
+
+    niter_cur = 0
+    while niter_cur < niter:
+        niter_cur += 1
+        eta = offset + X @ beta
+        pi = get_pvec(eta)
+        w = np.where(mask, pi * (1 - pi), 1.0)
+        sw = np.sqrt(w) * maskf
+        XW = X * sw[:, None]
+        xtwx = XW.T @ XW
+        sign, logdet = np.linalg.slogdet(xtwx)
+        dev_old = get_logist_dev(y, pi, mask) - logdet
+        # hat diag: h_i = u_i' (U'U)^-1 u_i, U = sqrt(w) X
+        try:
+            sol = np.linalg.solve(xtwx, XW.T)
+        except np.linalg.LinAlgError:
+            return beta, False
+        hvec = (sol * XW.T).sum(axis=0)
+        mod_score = X.T @ np.where(mask, y - pi + hvec * (0.5 - pi), 0.0)
+        step = np.linalg.solve(xtwx, mod_score)
+
+        if np.abs(mod_score).max() < tol and niter_cur >= 2:
+            return beta, True
+
+        mx = np.abs(step).max() / maxstep
+        if mx > 1:
+            step = step / mx
+
+        ok = False
+        for ls in range(niter_line_search):
+            if ls > 0:
+                step = step / 2
+            betanew = beta + step
+            eta = offset + X @ betanew
+            pi = get_pvec(eta)
+            w = np.where(mask, pi * (1 - pi), 1.0)
+            XWn = X * (np.sqrt(w) * maskf)[:, None]
+            sign, logdet = np.linalg.slogdet(XWn.T @ XWn)
+            dev_new = get_logist_dev(y, pi, mask) - logdet
+            if dev_new < dev_old:
+                ok = True
+                break
+        if not ok:
+            return beta, False
+        beta = betanew
+    return beta, False
+
+
+def firth_snp_batch(
+    y: np.ndarray,
+    G: np.ndarray,
+    offset: np.ndarray,
+    mask: np.ndarray,
+    maxstep: int = 5,
+    niter: int = 250,
+    tol: float = 2.5e-4,
+    niter_line_search: int = 5,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Single-parameter approx-Firth LRT, vectorized over S SNPs
+    (fit_firth single-param NR, Step2_Models.cpp:1649-1737).
+
+    y: [N] 0/1; G: [S, N] covariate-residualized genotypes on the X scale
+    (Gres / Gamma_sqrt); offset: [N] covariate+LOCO offset from the null
+    Firth fit; mask: [N] bool.
+
+    Returns (beta [S], se [S], lrt [S], converged [S])."""
+    S, N = G.shape
+    maskf = mask.astype(np.float64)
+    Gm = G * maskf[None, :]
+    G2 = Gm**2
+
+    # null deviance at beta=0 (same pi for all SNPs; SNP-specific logdet)
+    pi0 = get_pvec(offset)
+    w0 = np.where(mask, pi0 * (1 - pi0), 1.0)
+    dev_base = get_logist_dev(y, pi0, mask)
+    xtwx0 = G2 @ w0
+    dev0 = dev_base - np.log(xtwx0)
+
+    beta = np.zeros(S)
+    dev_old = dev0.copy()
+    active = xtwx0 > 0
+    converged = np.zeros(S, dtype=bool)
+    dev_cur = dev0.copy()
+
+    ym = np.where(mask, y, 0.0)
+
+    def eval_dev(b):
+        """penalized deviance + quantities at beta vector b: returns
+        (pi [S,N], w [S,N], xtwx [S], dev [S])."""
+        eta = offset[None, :] + Gm * b[:, None]
+        pi = get_pvec(eta)
+        w = np.where(mask[None, :], pi * (1 - pi), 1.0)
+        xtwx = (G2 * w).sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nll = np.where(y[None, :] == 0, -np.log1p(-pi), -np.log(pi))
+        dev = 2.0 * (nll * maskf[None, :]).sum(axis=1) - np.log(xtwx)
+        return pi, w, xtwx, dev
+
+    pi, w, xtwx, dev_old = eval_dev(beta)
+    niter_cur = 0
+    while niter_cur < niter and active.any():
+        niter_cur += 1
+        h = (G2 * w) / xtwx[:, None]
+        mod_score = (Gm * (y[None, :] - pi + h * (0.5 - pi)) * mask[None, :]).sum(axis=1)
+
+        done = (np.abs(mod_score) < tol) & (niter_cur >= 2) & active
+        converged |= done
+        active &= ~done
+        if not active.any():
+            break
+
+        step = mod_score / xtwx
+        mx = np.abs(step) / maxstep
+        step = np.where(mx > 1, step / np.where(mx > 1, mx, 1.0), step)
+
+        # step-halving on penalized deviance (active SNPs only)
+        beta_try = beta.copy()
+        improved = ~active  # inactive count as done
+        for ls in range(niter_line_search):
+            cand = np.where(active & ~improved, beta + step / (2**ls), beta_try)
+            pi_c, w_c, xtwx_c, dev_c = eval_dev(cand)
+            better = active & ~improved & (dev_c < dev_old)
+            beta_try = np.where(better, cand, beta_try)
+            # cache quantities for accepted
+            pi = np.where(better[:, None], pi_c, pi)
+            w = np.where(better[:, None], w_c, w_c * 0 + w)
+            xtwx = np.where(better, xtwx_c, xtwx)
+            dev_cur = np.where(better, dev_c, dev_cur)
+            improved |= better
+            if improved.all():
+                break
+        # reference behavior: if step-halving fails, nudge step by 1e-6
+        fail_ls = active & ~improved
+        if fail_ls.any():
+            cand = np.where(fail_ls, beta + step / (2 ** (niter_line_search - 1)) + 1e-6, beta_try)
+            pi_c, w_c, xtwx_c, dev_c = eval_dev(cand)
+            beta_try = np.where(fail_ls, cand, beta_try)
+            pi = np.where(fail_ls[:, None], pi_c, pi)
+            w = np.where(fail_ls[:, None], w_c, w)
+            xtwx = np.where(fail_ls, xtwx_c, xtwx)
+            dev_cur = np.where(fail_ls, dev_c, dev_cur)
+
+        beta = beta_try
+        dev_old = np.where(active, dev_cur, dev_old)
+
+    lrt = dev0 - dev_cur
+    se = np.sqrt(1.0 / np.maximum(xtwx, 1e-300))
+    converged &= lrt >= 0
+    return beta, se, lrt, converged

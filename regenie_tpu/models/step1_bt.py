@@ -1,0 +1,171 @@
+"""Step 1 level-1 ridge for non-QT traits (logistic / Poisson).
+
+Re-implements ridge_logistic_level_1_loocv + run_log_ridge_loocv
+(Step1_Models.cpp:1159-1377) and make_predictions_binary_loocv
+(Data.cpp:1484): penalized logistic Newton fit with step-halving on the
+penalized deviance, then closed-form leave-one-out estimates.
+
+Host f64 implementation; the [N, F] matmuls are the hot ops and move to
+device in the large-N path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import BT, CT, Params
+from .glm import get_pvec, get_logist_dev
+
+L1_RIDGE_EPS = 1e-5
+L1_RIDGE_TOL = 1e-4
+
+
+def run_log_ridge(
+    y: np.ndarray,
+    X: np.ndarray,
+    offset: np.ndarray,
+    mask: np.ndarray,
+    tau: float,
+    beta0: np.ndarray,
+    niter_max: int = 100,
+    niter_line_search: int = 5,
+    numtol: float = 1e-6,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
+    """Penalized logistic Newton fit (run_log_ridge_loocv,
+    Step1_Models.cpp:1288-1377). Returns (beta, pivec, wvec, converged)."""
+    maskf = mask.astype(np.float64)
+    beta = beta0.copy()
+    eta = offset + X @ beta
+    pi = get_pvec(eta)
+    fn_start = get_logist_dev(y, pi, mask) + tau * (beta**2).sum()
+    w = np.where(mask, pi * (1 - pi), 1.0)
+    w = np.where(mask & ((pi < L1_RIDGE_EPS) | (pi > 1 - L1_RIDGE_EPS)), w, w)
+    score = X.T @ np.where(mask, y - pi, 0.0) - tau * beta
+
+    niter_cur = 0
+    dev_conv = False
+    betanew = beta
+    fn_end = fn_start
+    F = X.shape[1]
+    while niter_cur < niter_max:
+        niter_cur += 1
+        XtWX = tau * np.eye(F) + (X.T * (maskf * w)) @ X
+        try:
+            step = np.linalg.solve(XtWX, score)
+        except np.linalg.LinAlgError:
+            return beta, pi, w, False
+        for ls in range(niter_line_search):
+            betanew = beta + step
+            eta = offset + X @ betanew
+            pi = get_pvec(eta)
+            fn_end = get_logist_dev(y, pi, mask) + tau * (betanew**2).sum()
+            w = np.where(mask, pi * (1 - pi), 1.0)
+            if fn_end < fn_start + numtol:
+                break
+            step = step / 2
+        score = X.T @ np.where(mask, y - pi, 0.0) - tau * betanew
+        dev_conv = abs(fn_end - fn_start) / (0.01 + abs(fn_end)) < numtol
+        if np.abs(score).max() < L1_RIDGE_TOL:
+            beta = betanew
+            return beta, pi, w, True
+        beta = betanew
+        fn_start = fn_end
+    return beta, pi, w, dev_conv
+
+
+def _loo_betas(X, y, pi, w, mask, beta, tau):
+    """Closed-form LOO coefficient matrix b_loo [F, N]
+    (ridge_logistic_level_1_loocv, Step1_Models.cpp:1238-1262)."""
+    maskf = mask.astype(np.float64)
+    F = X.shape[1]
+    XtWX = tau * np.eye(F) + (X.T * (maskf * w)) @ X
+    V1 = np.linalg.solve(XtWX, X.T)  # [F,N]
+    v2 = (X * V1.T).sum(axis=1) * w  # [N]
+    b_loo = beta[:, None] - V1 * ((y - pi) / (1 - v2))[None, :]
+    return b_loo
+
+
+def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans, fold_sizes, log):
+    """Level-1 ridge for one non-QT trait; returns (predictions [N, C],
+    converged)."""
+    if params.trait_mode != BT:
+        raise NotImplementedError("only BT level-1 implemented so far")
+    if fold_sizes is not None:
+        raise NotImplementedError("K-fold level-1 for BT not yet implemented (use --loocv)")
+
+    y = pd.phenotypes_raw[:, ph]
+    mask = pd.masked_indivs[:, ph]
+    offset = offsets[:, ph]
+    X = W_all[:, :, ph]  # [N, F]
+    N, F = X.shape
+    neff = pd.Neff[ph]
+
+    # CV over tau grid: warm-started penalized fits + closed-form LOO
+    cumsum = np.zeros((6, len(taus)))
+    beta = np.zeros(F)
+    not_converged = False
+    for j, tau in enumerate(taus):
+        beta, pi, w, ok = run_log_ridge(
+            y, X, offset, mask, float(tau), beta, params.niter_max_ridge,
+            params.niter_max_line_search, params.numtol,
+        )
+        if not ok:
+            log("WARNING: ridge logistic regression did not converge! (Increase --niter)")
+            not_converged = True
+            break
+        b_loo = _loo_betas(X, y, pi, w, mask, beta, float(tau))
+        eta_loo = (X * b_loo.T).sum(axis=1) + offset
+        p1 = 1.0 - 1.0 / (np.exp(np.clip(eta_loo, -30, 30)) + 1.0)
+        p1 = np.clip(p1, L1_RIDGE_EPS, 1 - L1_RIDGE_EPS)
+        m = mask
+        cumsum[0, j] = p1[m].sum()
+        cumsum[1, j] = y[m].sum()
+        cumsum[2, j] = (p1[m] ** 2).sum()
+        cumsum[3, j] = (y[m] ** 2).sum()
+        cumsum[4, j] = (p1[m] * y[m]).sum()
+        with np.errstate(divide="ignore"):
+            nll = np.where(y == 0, -np.log(1 - p1), -np.log(p1))
+        cumsum[5, j] = nll[m].sum()
+
+    if not_converged:
+        return None, False
+
+    best = int(np.argmin(cumsum[5] / neff))
+    _log_bt_tau_table(log, params, taus, cumsum, best, neff, F)
+    if params.debug:
+        log(f"  (selected tau = {taus[best]})")
+
+    # final fit at best tau + LOO predictions per chromosome
+    beta = np.zeros(F)
+    beta, pi, w, ok = run_log_ridge(
+        y, X, offset, mask, float(taus[best]), beta, params.niter_max_ridge,
+        params.niter_max_line_search, params.numtol,
+    )
+    if not ok:
+        return None, False
+    b_loo = _loo_betas(X, y, pi, w, mask, beta, float(taus[best]))  # [F,N]
+    predictions = np.zeros((N, len(chr_order)))
+    for ci, c in enumerate(chr_order):
+        st_, nn = spans[c]
+        predictions[:, ci] = (X[:, st_ : st_ + nn] * b_loo[st_ : st_ + nn, :].T).sum(axis=1)
+    return predictions, True
+
+
+def _log_bt_tau_table(log, params, taus, cumsum, best, neff, n_feats):
+    """CV metric table per ridge parameter (Data::output, Data.cpp:1043-1077)."""
+    from ..prep import fmt
+
+    Sx, Sy, Sx2, Sy2, Sxy, nLL = cumsum
+    for j in range(len(taus)):
+        h_eff = n_feats / (n_feats + (np.pi**2 / 3) * taus[j])
+        rsq_num = Sxy[j] - Sx[j] * Sy[j] / neff
+        rsq = rsq_num**2 / ((Sx2[j] - Sx[j] ** 2 / neff) * (Sy2[j] - Sy[j] ** 2 / neff))
+        line = (
+            f"  {fmt(h_eff):>5} : Rsq = {fmt(rsq)}, MSE = "
+            f"{fmt((Sx2[j] + Sy2[j] - 2 * Sxy[j]) / neff)}, -logLik/N = {fmt(nLL[j] / neff)}"
+        )
+        if j == best:
+            line += "<- min value"
+        log(line)

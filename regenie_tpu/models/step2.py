@@ -9,6 +9,7 @@ compute_score_bt (:470), residualize_geno (Geno.cpp:3242).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -35,7 +36,7 @@ def residualize_scale_block(G, cov, scale_denom):
     return G, scale_fac, low
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("strict",))
 def score_qt_block(G_res, res, maskf, n_analyzed_m_ncov, strict):
     """Linear score test for a block, all SNPs x phenos at once
     (compute_score_qt, Step2_Models.cpp:343-460).

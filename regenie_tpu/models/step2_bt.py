@@ -1,0 +1,235 @@
+"""Step 2 binary-trait path: null refits per chromosome, batched score
+tests, approximate/exact Firth and SPA corrections.
+
+Reference: compute_res_bin (Data.cpp:2440), fit_null_logistic
+(Step1_Models.cpp:54), fit_null_firth (Step2_Models.cpp:985),
+compute_score_bt (Step2_Models.cpp:470), check_pval_snp (:1988).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..config import Params
+from ..io.pheno import PhenoData, get_basis
+from ..utils.stats import chisq_neglog10
+from . import firth as firth_mod
+from . import spa as spa_mod
+from .glm import fit_logistic_irls, get_pvec
+
+
+@dataclass
+class BTChromState:
+    """Per-chromosome null-model state (reference `ests` + `f_ests`)."""
+
+    res: np.ndarray = None  # [N, P] (Y - pi)/sqrt(w) masked
+    Y_hat: np.ndarray = None  # [N, P]
+    gamma_sqrt: np.ndarray = None  # [N, P]
+    gamma_sqrt_mask: np.ndarray = None  # [N, P]
+    X_gamma: List[np.ndarray] = field(default_factory=list)  # per-pheno [N, K] orthonormal
+    firth_offset: np.ndarray = None  # [N, P] cov effects + LOCO (approx firth)
+    blups: np.ndarray = None  # [N, P]
+    bhat_start: np.ndarray = None  # [K, P] null logistic betas
+
+
+def prep_chromosome(params: Params, pd: PhenoData, blups: np.ndarray, log) -> BTChromState:
+    """Refit null logistic with LOCO offset per trait + null Firth
+    (compute_res_bin, Data.cpp:2440-2460)."""
+    N, P = pd.phenotypes_raw.shape
+    st = BTChromState()
+    st.blups = blups
+    st.res = np.zeros((N, P))
+    st.Y_hat = np.zeros((N, P))
+    st.gamma_sqrt = np.ones((N, P))
+    st.gamma_sqrt_mask = np.zeros((N, P))
+    st.X_gamma = [None] * P
+    st.firth_offset = np.zeros((N, P))
+    K = pd.new_cov.shape[1]
+    st.bhat_start = np.zeros((K, P))
+    l1_ridge_eps = 1e-5
+
+    for ph in range(P):
+        if not pd.pheno_pass[ph]:
+            continue
+        y = pd.phenotypes_raw[:, ph]
+        mask = pd.masked_indivs[:, ph]
+        offset = blups[:, ph] * mask
+
+        beta, ok = fit_logistic_irls(
+            y, pd.new_cov, offset, mask, params.niter_max, params.numtol, True
+        )
+        if not ok:
+            beta, ok = fit_logistic_irls(
+                y, pd.new_cov, offset, mask, params.niter_max, params.numtol, False
+            )
+        if not ok:
+            # retry with starting values from model without LOCO offset
+            # (fit_null_logistic, Step1_Models.cpp:88-105)
+            zero = np.zeros(N)
+            b0, ok0 = fit_logistic_irls(
+                y, pd.new_cov, zero, mask, params.niter_max, params.numtol, True
+            )
+            if ok0:
+                beta, ok = fit_logistic_irls(
+                    y, pd.new_cov, offset, mask, params.niter_max, params.numtol, True,
+                    beta0=b0,
+                )
+        if not ok:
+            log(f"WARNING: logistic regression did not converge for '{pd.pheno_names[ph]}'")
+            pd.pheno_pass[ph] = False
+            continue
+
+        st.bhat_start[:, ph] = beta
+        eta = offset + pd.new_cov @ beta
+        pi = get_pvec(eta)
+        w = np.where(mask, pi * (1 - pi), 1.0)
+        gs = np.sqrt(w)
+        st.Y_hat[:, ph] = pi
+        st.gamma_sqrt[:, ph] = gs
+        st.gamma_sqrt_mask[:, ph] = gs * mask
+        XW = pd.new_cov * st.gamma_sqrt_mask[:, ph][:, None]
+        XW, _ = get_basis(XW, params)
+        st.X_gamma[ph] = XW
+        st.res[:, ph] = np.where(mask, (y - pi) / gs, 0.0)
+
+        if params.firth_approx:
+            bvec = beta.copy()
+            bnull, okf = firth_mod.fit_firth_null(
+                y, pd.new_cov, offset, mask, bvec,
+                maxstep=params.maxstep_null, niter=params.niter_max_firth_null,
+                tol=50 * params.numtol,
+            )
+            if not okf:
+                # reference retries from 0 with smaller steps (fit_approx_firth_null)
+                b2 = np.zeros(K)
+                b2[0] = -offset[mask].mean()
+                bnull, okf = firth_mod.fit_firth_null(
+                    y, pd.new_cov, offset, mask, b2,
+                    maxstep=params.maxstep_null // 5,
+                    niter=params.niter_max_firth_null * 5,
+                    tol=50 * params.numtol,
+                )
+            if not okf:
+                log(f"WARNING: null Firth failed for '{pd.pheno_names[ph]}'")
+                pd.pheno_pass[ph] = False
+                continue
+            st.firth_offset[:, ph] = pd.new_cov @ bnull + blups[:, ph]
+
+    return st
+
+
+def score_block(
+    params: Params,
+    pd: PhenoData,
+    st: BTChromState,
+    G,
+    flipped: np.ndarray,
+    ignored: np.ndarray,
+    ignored_trait: np.ndarray,
+    log,
+):
+    """Batched BT score test + Firth/SPA corrections for one [B, N] block.
+
+    Follows compute_score_bt (Step2_Models.cpp:470) per trait, batched
+    over SNPs. Returns (bhat, se, chisq, logp, test_fail, n_corrected,
+    n_failed)."""
+    G = np.asarray(G)  # [B, N]
+    B, N = G.shape
+    P = params.n_pheno
+    bhat = np.zeros((B, P))
+    se = np.zeros((B, P))
+    chisq = np.full((B, P), -1.0)
+    logp = np.full((B, P), np.nan)
+    test_fail = np.zeros((B, P), dtype=bool)
+    n_corrected = 0
+    n_failed = 0
+    z_thr = np.sqrt(_chisq_thr(params.alpha_pvalue))
+
+    for ph in range(P):
+        if not pd.pheno_pass[ph]:
+            continue
+        mask = pd.masked_indivs[:, ph]
+        gsm = st.gamma_sqrt_mask[:, ph]
+        XW = st.X_gamma[ph]
+        GW = G * gsm[None, :]  # [B,N]
+        XtWG = GW @ XW  # [B,K]
+        Gres = GW - XtWG @ XW.T  # [B,N]
+        denum = (Gres**2).sum(axis=1)  # [B]
+        sqrt_denum = np.sqrt(np.maximum(denum, 0))
+        low = sqrt_denum < params.numtol
+        ignored_trait[:, ph] |= low
+        with np.errstate(divide="ignore", invalid="ignore"):
+            stats = (Gres @ st.res[:, ph]) / np.where(low, 1.0, sqrt_denum)
+
+        # default (uncorrected) sum stats
+        se_ph = 1.0 / np.where(low, 1.0, sqrt_denum)
+        bhat_ph = stats * se_ph
+        chisq_ph = stats**2
+        logp_ph = chisq_neglog10(chisq_ph)
+        fail_ph = np.zeros(B, dtype=bool)
+
+        # correction set: firth/spa enabled AND |stat| > z_thr (check_pval_snp)
+        if params.firth or params.use_spa:
+            corr = (~ignored) & (~ignored_trait[:, ph]) & (np.abs(stats) > z_thr)
+            n_corrected += int(corr.sum())
+            if corr.any():
+                idx = np.flatnonzero(corr)
+                if params.firth:
+                    if not params.firth_approx:
+                        raise NotImplementedError("exact Firth not yet implemented")
+                    y = pd.phenotypes_raw[:, ph]
+                    Gv = Gres[idx] / st.gamma_sqrt[:, ph][None, :]
+                    beta_f, se_f, lrt, conv = firth_mod.firth_snp_batch(
+                        y, Gv, st.firth_offset[:, ph], mask,
+                        maxstep=params.maxstep, niter=params.niter_max_firth,
+                        tol=2.5e-4,
+                    )
+                    fail_ph[idx] = ~conv
+                    # on failure keep score-based beta/se (get_sumstats(true))
+                    bhat_ph[idx] = np.where(conv, beta_f, bhat_ph[idx])
+                    se_sel = np.where(conv, se_f, se_ph[idx])
+                    chisq_ph[idx] = np.where(conv, lrt, chisq_ph[idx])
+                    lp = chisq_neglog10(np.where(conv, lrt, 0.0))
+                    logp_ph[idx] = np.where(conv, lp, logp_ph[idx])
+                    if params.firth_se:
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            se_sel = np.where(
+                                conv & (lrt > 0), np.abs(beta_f) / np.sqrt(np.maximum(lrt, 1e-300)), se_sel
+                            )
+                    se_ph[idx] = se_sel
+                    n_failed += int((~conv).sum())
+                else:  # SPA
+                    chisq_s, logp_s, fail_s = spa_mod.spa_batch(
+                        stats[idx], denum[idx], Gres[idx], st.Y_hat[:, ph],
+                        st.gamma_sqrt[:, ph], mask,
+                        tol=params.tol_spa, niter_max=params.niter_max_spa,
+                    )
+                    fail_ph[idx] = fail_s
+                    chisq_ph[idx] = np.where(~fail_s, chisq_s, chisq_ph[idx])
+                    logp_ph[idx] = np.where(~fail_s, logp_s, logp_ph[idx])
+                    se_ph[idx] = 1.0 / sqrt_denum[idx]
+                    bhat_ph[idx] = np.where(
+                        ~fail_s,
+                        np.sign(stats[idx]) * np.sqrt(np.maximum(chisq_s, 0)) * se_ph[idx],
+                        bhat_ph[idx],
+                    )
+                    n_failed += int(fail_s.sum())
+
+        # flip sign of effect for flipped (minor-allele) variants
+        bhat_ph = np.where(flipped, -bhat_ph, bhat_ph)
+        bhat[:, ph] = bhat_ph
+        se[:, ph] = se_ph
+        chisq[:, ph] = chisq_ph
+        logp[:, ph] = logp_ph
+        test_fail[:, ph] = fail_ph
+
+    return bhat, se, chisq, logp, test_fail, n_corrected, n_failed
+
+
+def _chisq_thr(alpha: float) -> float:
+    from scipy.stats import chi2
+
+    return float(chi2.isf(alpha, df=1))
