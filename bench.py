@@ -1,0 +1,98 @@
+"""Benchmark: Step-2 score-test throughput (SNPs/s/chip).
+
+Runs the fused Step-2 QT association pipeline (int8 genotype upload ->
+device cleanup/imputation -> covariate residualization -> batched score
+statistics for P traits) on synthetic UKB-shaped data and reports
+SNPs/s/chip.
+
+vs_baseline compares against the same math executed with numpy float64
+on this host's CPU (a proxy for the reference's Eigen/OpenMP path,
+reference hardware class: 16 vCPU, docs/performance.md:81).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from regenie_tpu.models import step2 as m2
+    from regenie_tpu.ops.geno_ops import finalize_block_step2
+
+    # UKB-shaped block workload (samples x traits); block of SNPs streamed
+    N = int(os.environ.get("BENCH_N", 50_000))
+    B = int(os.environ.get("BENCH_B", 2048))
+    P = int(os.environ.get("BENCH_P", 10))
+    K = 8
+    n_blocks = int(os.environ.get("BENCH_BLOCKS", 8))
+
+    rng = np.random.default_rng(0)
+    G_blocks = [
+        rng.integers(0, 3, size=(B, N), dtype=np.int8) for _ in range(n_blocks)
+    ]
+    ind = np.ones(N, dtype=bool)
+    flip = np.zeros(B, dtype=bool)
+    res = rng.normal(size=(N, P)).astype(np.float32)
+    maskf = np.ones((N, P), dtype=np.float32)
+    cov = np.linalg.qr(rng.normal(size=(N, K)))[0].astype(np.float32)
+
+    ind_j = jnp.asarray(ind)
+    flip_j = jnp.asarray(flip)
+    res_j = jnp.asarray(res)
+    maskf_j = jnp.asarray(maskf)
+    cov_j = jnp.asarray(cov)
+
+    @jax.jit
+    def score_block(G_raw):
+        G = finalize_block_step2(G_raw, ind_j, flip_j)
+        G = G.astype(jnp.float32)
+        G_res, scale_fac, _ = m2.residualize_scale_block(G, cov_j, float(N - K))
+        stats, denum = m2.score_qt_block(G_res, res_j, maskf_j, float(N - K), False)
+        return stats, denum, scale_fac
+
+    # warmup/compile
+    out = score_block(jnp.asarray(G_blocks[0]))
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for Gb in G_blocks:
+        out = score_block(jnp.asarray(Gb))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    snps_per_s = n_blocks * B / dt
+
+    # CPU numpy f64 baseline (same math), one block extrapolated
+    Gb = G_blocks[0].astype(np.float64)
+    t0 = time.perf_counter()
+    beta = Gb @ cov.astype(np.float64)
+    Gr = Gb - beta @ cov.T.astype(np.float64)
+    sf = np.linalg.norm(Gr, axis=1) / np.sqrt(N - K)
+    Gr /= sf[:, None]
+    num = Gr @ res.astype(np.float64)
+    denum = (Gr**2) @ maskf.astype(np.float64)
+    _stats = num / np.sqrt(denum)
+    dt_cpu = time.perf_counter() - t0
+    cpu_snps_per_s = B / dt_cpu
+
+    print(
+        json.dumps(
+            {
+                "metric": "step2_qt_score_snps_per_s_per_chip",
+                "value": round(snps_per_s, 1),
+                "unit": f"SNPs/s (N={N}, P={P}, incl. host->device int8 upload)",
+                "vs_baseline": round(snps_per_s / cpu_snps_per_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -121,6 +121,7 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.pgen_prefix = args.pgen
     params.bgen_file = args.bgen
     params.sample_file = args.sample
+    params.ref_first = args.ref_first
     params.pheno_file = args.phenoFile
     params.cov_file = args.covarFile
     params.out_prefix = args.out

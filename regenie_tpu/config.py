@@ -33,6 +33,7 @@ class Params:
     pgen_prefix: Optional[str] = None
     bgen_file: Optional[str] = None
     sample_file: Optional[str] = None
+    ref_first: bool = False
     bgi_file: Optional[str] = None
     pheno_file: Optional[str] = None
     cov_file: Optional[str] = None

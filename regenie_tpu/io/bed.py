@@ -52,6 +52,11 @@ class SampleInfo:
     FID: str
     IID: str
     sex: int = 0
+    key: str = ""  # "FID_IID" map key (getIndivIndex convention)
+
+    def __post_init__(self):
+        if not self.key:
+            self.key = f"{self.FID}_{self.IID}"
 
 
 @dataclass

@@ -30,7 +30,9 @@ class GenoData:
     chr_counts: Dict[int, int] = field(default_factory=dict)  # chrom -> #snps kept
     sex: np.ndarray = None  # [N] 1=male 0=other
     _bed: Optional[BedFile] = None
+    _bgen: Optional[object] = None
     _keep_all_samples: bool = True
+    last_info_num: Optional[np.ndarray] = None
 
     @property
     def n_samples(self) -> int:
@@ -40,31 +42,50 @@ class GenoData:
     def n_variants(self) -> int:
         return len(self.snps)
 
-    def sample_index(self) -> Dict[Tuple[str, str], int]:
-        return {(s.FID, s.IID): i for i, s in enumerate(self.samples)}
+    def sample_index(self) -> Dict[str, int]:
+        """Map "FID_IID" -> row index (reference FID_IID_to_ind)."""
+        return {s.key: i for i, s in enumerate(self.samples)}
 
     def read_block(self, block_snps: List[SnpInfo]) -> np.ndarray:
-        """Decode a list of (kept, consecutive-in-file) variants -> [B, N] int8."""
+        """Decode a list of (kept, consecutive-in-file) variants.
+
+        BED: [B, N] int8 hardcalls. BGEN: [B, N] float64 dosages; the
+        INFO numerator matrix is stored in .last_info_num."""
+        if self._bgen is not None:
+            from .bgen import decode_variant
+
+            keep = None if self._keep_all_samples else self.sample_keep_idx
+            ref_first = getattr(self.params, "ref_first", False)
+            B = len(block_snps)
+            G = np.empty((B, self.n_samples), dtype=np.float64)
+            ival = np.empty((B, self.n_samples), dtype=np.float64)
+            for k, s in enumerate(block_snps):
+                G[k], ival[k] = decode_variant(self._bgen, s.offset, keep, ref_first)
+            self.last_info_num = ival
+            return G
         offsets = np.array([s.offset for s in block_snps])
         start, stop = int(offsets[0]), int(offsets[-1]) + 1
         raw = self._bed.read_block(start, stop - start)
         G = raw[offsets - start]
         if not self._keep_all_samples:
             G = G[:, self.sample_keep_idx]
+        self.last_info_num = None
         return G
 
     def close(self):
         if self._bed is not None:
             self._bed.close()
+        if self._bgen is not None:
+            self._bgen.close()
 
 
 def _read_id_file(path: str) -> set:
     ids = set()
     for toks in iter_lines(path):
         if len(toks) >= 2:
-            ids.add((toks[0], toks[1]))
+            ids.add(f"{toks[0]}_{toks[1]}")
         else:
-            ids.add((toks[0], toks[0]))
+            ids.add(f"{toks[0]}_{toks[0]}")
     return ids
 
 
@@ -99,13 +120,13 @@ def open_geno(params: Params) -> GenoData:
         for f in params.keep_files:
             keep_ids |= _read_id_file(f)
         for i, s in enumerate(raw_samples):
-            keep_mask[i] = (s.FID, s.IID) in keep_ids
+            keep_mask[i] = s.key in keep_ids
     if params.remove_files:
         rm_ids = set()
         for f in params.remove_files:
             rm_ids |= _read_id_file(f)
         for i, s in enumerate(raw_samples):
-            if (s.FID, s.IID) in rm_ids:
+            if s.key in rm_ids:
                 keep_mask[i] = False
     gd.sample_keep_idx = np.flatnonzero(keep_mask)
     gd._keep_all_samples = bool(keep_mask.all())

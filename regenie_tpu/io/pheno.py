@@ -49,12 +49,12 @@ class PhenoData:
 
 def read_pheno(
     params: Params,
-    sample_index: Dict[Tuple[str, str], int],
+    sample_index: Dict[str, int],
     blup_pheno_names: Optional[List[str]] = None,
 ) -> PhenoData:
     """Read the phenotype table (reference pheno_read, Pheno.cpp:148).
 
-    sample_index maps (FID, IID) -> row in genotype sample order.
+    sample_index maps "FID_IID" -> row in genotype sample order.
     Returns PhenoData with phenotypes/masks; also an ind_in_pheno flag in
     .ind_in_analysis (further intersected by covariates later).
     """
@@ -91,7 +91,7 @@ def read_pheno(
                 continue
             if len(toks) != 2 + len(all_names):
                 raise ValueError("incorrectly formatted phenotype file")
-            key = (toks[0], toks[1])
+            key = f"{toks[0]}_{toks[1]}"
             if key not in sample_index:
                 continue
             idx = sample_index[key]
@@ -157,7 +157,7 @@ def read_pheno(
 
 def read_covariates(
     params: Params,
-    sample_index: Dict[Tuple[str, str], int],
+    sample_index: Dict[str, int],
     pheno_names: List[str],
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Read covariates -> design matrix [N, 1+C] with intercept + dummies.
@@ -205,7 +205,7 @@ def read_covariates(
                 continue
             if len(toks) != 2 + len(all_names):
                 raise ValueError("incorrectly formatted covariate file")
-            key = (toks[0], toks[1])
+            key = f"{toks[0]}_{toks[1]}"
             if key not in sample_index:
                 continue
             idx = sample_index[key]

@@ -1,0 +1,100 @@
+"""Device-mesh sharding for multi-chip execution.
+
+Replaces the reference's file-based multi-node protocols (split-L0
+master files, Data.cpp:244-309; manual per-chromosome step-2 sharding,
+docs/recommendations.md:128) with jax.sharding collectives:
+
+- Step 1: shard the SAMPLE axis. Per-block Gram matrices G G' and G'Y
+  are computed as partial sums on each chip's sample shard and reduced
+  with psum over ICI — the B x B eigen-solve then runs replicated.
+- Step 2: shard the VARIANT axis. Each chip scores its SNP shard
+  against the replicated residuals: embarrassingly parallel, outputs
+  concatenated in order.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..utils.dtypes import MATMUL_PRECISION as _PREC
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def sharded_gram(mesh: Mesh, G, Y):
+    """Sample-sharded Gram matrices for step-1 level 0.
+
+    G: [B, N] (sharded over N), Y: [N, P] (sharded over N).
+    Returns (GGt [B, B], GTY [B, P]) replicated — partial sums reduced
+    over the mesh's ICI links (the TPU-native replacement for the
+    reference's calc_cv_matrices, Data.cpp:729).
+    """
+    axis = mesh.axis_names[0]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis, None)),
+        out_specs=(P(None, None), P(None, None)),
+    )
+    def _gram(G_loc, Y_loc):
+        GGt = jax.lax.psum(
+            jnp.matmul(G_loc, G_loc.T, precision=_PREC), axis
+        )
+        GTY = jax.lax.psum(jnp.matmul(G_loc, Y_loc, precision=_PREC), axis)
+        return GGt, GTY
+
+    return _gram(G, Y)
+
+
+def sharded_score_qt(mesh: Mesh, G, res, maskf, cov, scale_denom):
+    """Variant-sharded step-2 QT score test.
+
+    G: [B, N] sharded over B (variants); res/maskf/cov replicated.
+    Each device residualizes and scores its SNP shard locally —
+    no collectives needed (reference analog: per-machine chromosome
+    jobs, docs/recommendations.md:128).
+    Returns (stats [B, P], denum [B, P], scale_fac [B]).
+    """
+    axis = mesh.axis_names[0]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, None), P(None, None), P(None, None)),
+        out_specs=(P(axis, None), P(axis, None), P(axis)),
+    )
+    def _score(G_loc, res_loc, maskf_loc, cov_loc):
+        beta = jnp.matmul(G_loc, cov_loc, precision=_PREC)
+        Gr = G_loc - jnp.matmul(beta, cov_loc.T, precision=_PREC)
+        scale_fac = jnp.linalg.norm(Gr, axis=1) / jnp.sqrt(scale_denom)
+        Gr = Gr / jnp.where(scale_fac < 1e-12, 1.0, scale_fac)[:, None]
+        num = jnp.matmul(Gr, res_loc, precision=_PREC)
+        denum = jnp.matmul(Gr**2, maskf_loc, precision=_PREC)
+        stats = num / jnp.sqrt(denum)
+        return stats, denum, scale_fac
+
+    return _score(G, res, maskf, cov)
+
+
+def shard_array(mesh: Mesh, x, axis_index: int):
+    """Place a host array on the mesh sharded along one axis."""
+    axis = mesh.axis_names[0]
+    spec = [None] * x.ndim
+    spec[axis_index] = axis
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def replicate(mesh: Mesh, x):
+    return jax.device_put(x, NamedSharding(mesh, P(*([None] * np.ndim(x)))))

@@ -123,7 +123,7 @@ def run_step1(params: Params, log=print) -> None:
         spans[c] = (ctr, nn)
         ctr += nn
 
-    sample_ids = [f"{s.FID}_{s.IID}" for s in gd.samples]
+    sample_ids = [s.key for s in gd.samples]
     order = sorted(range(N), key=lambda i: sample_ids[i])
     id_order = [i for i in order if ind[i]]
     header = "FID_IID " + " ".join(sample_ids[i] for i in id_order) + " \n"

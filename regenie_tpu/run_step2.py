@@ -105,7 +105,7 @@ def run_step2(params: Params, log=print) -> None:
     gd, pd = rd.geno, rd.pheno
     N, P = params.n_samples, params.n_pheno
 
-    id_to_ind = {f"{s.FID}_{s.IID}": i for i, s in enumerate(gd.samples)}
+    id_to_ind = {s.key: i for i, s in enumerate(gd.samples)}
     if blup_files is not None:
         mask_samples_missing_loco(params, pd, blup_files, id_to_ind)
         pd.Neff = pd.masked_indivs.sum(axis=0).astype(np.float64)
@@ -182,7 +182,7 @@ def run_step2(params: Params, log=print) -> None:
                 raise NotImplementedError("trait mode not yet implemented in step 2")
 
         B = len(bsnps)
-        G_raw = gd.read_block(bsnps)  # [B,N] int8 (or dosage variant)
+        G_raw = gd.read_block(bsnps)  # [B,N] int8 hardcalls or f64 dosages
         G_j = jnp.asarray(G_raw)
         stats_blk = snp_stats_block(G_j, ind_j, jnp.asarray(pd.masked_indivs))
         total = np.asarray(stats_blk["total"])
@@ -197,6 +197,17 @@ def run_step2(params: Params, log=print) -> None:
         ignored = mac1 < params.min_mac
         ignored_trait = mac_t < params.min_mac  # [B,P]
         n_ignored += int(ignored.sum())
+
+        # INFO score for dosage input (compute_aaf_info, Geno.cpp:2987)
+        info_t = None
+        if gd.last_info_num is not None:
+            ival = gd.last_info_num * pd.ind_in_analysis[None, :]
+            info_num_t = ival @ maskf  # [B,P]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                info_t = 1.0 - info_num_t / (2 * ns_t * af_t * (1 - af_t))
+            info_t = np.where((af_t == 0) | (af_t == 1), 1.0, info_t)
+            if params.set_min_info:
+                ignored_trait |= info_t < params.min_info
 
         # flip to minor allele for non-QT additive tests (Data.cpp:2108)
         with_flip = params.trait_mode != QT and params.test_type == 0
@@ -245,7 +256,9 @@ def run_step2(params: Params, log=print) -> None:
                         bsnps[b],
                         test_name,
                         af_t[b, ph],
-                        1.0 if params.dosage_mode else None,
+                        (info_t[b, ph] if info_t is not None else 1.0)
+                        if params.dosage_mode
+                        else None,
                         int(ns_t[b, ph]),
                         bhat[b, ph],
                         se[b, ph],
