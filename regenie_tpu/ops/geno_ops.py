@@ -9,6 +9,8 @@ vectorized VPU/MXU work.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -74,6 +76,28 @@ def snp_stats_block(G_int8, ind_in_analysis, masked_indivs):
         total=total, ns=ns, af1=af1, af=af_t, mac=mac_t, ns_t=ns_t,
         n_rr=n_rr, n_aa=n_aa,
     )
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def decode_bed_packed(raw, n_samples):
+    """Device-side PLINK 2-bit decode: [B, ceil(N/4)] uint8 -> [B, N]
+    int8 {0,1,2,-3}.
+
+    Ships 4 genotypes per byte over host->device (16x less traffic than
+    f32, 4x less than int8) and unpacks with VPU bit ops — replacing the
+    reference's host-side 256-entry LUT (buildLookupTable, Geno.cpp:2833).
+    ref-last coding: 00->2, 01->-3(missing), 10->1, 11->0.
+    """
+    B, nb = raw.shape
+    codes = jnp.stack(
+        [(raw >> (2 * j)) & 3 for j in range(4)], axis=2
+    ).reshape(B, nb * 4)[:, :n_samples]
+    codes = codes.astype(jnp.int8)
+    vals = jnp.where(
+        codes == 0, jnp.int8(2),
+        jnp.where(codes == 1, jnp.int8(-3), jnp.where(codes == 2, jnp.int8(1), jnp.int8(0))),
+    )
+    return vals
 
 
 @jax.jit

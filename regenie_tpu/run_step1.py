@@ -1,21 +1,24 @@
 """Step 1 orchestrator: whole-genome block ridge -> LOCO predictions.
 
 Replaces the reference's Data::run_step1 (Data.cpp:95-133),
-level_0_calculations (:594), ridge_level_1* (Step1_Models.cpp:772+) and
-output/make_predictions/write_predictions (Data.cpp:956-1930).
+level_0_calculations (:594), ridge_level_1* (Step1_Models.cpp:772+),
+output/make_predictions/write_predictions (Data.cpp:956-1930) and the
+split-L0 multi-job protocol (write_l0_master Data.cpp:244,
+prep_parallel_l0 :818, write_l0_file/read_l0 Step1_Models.cpp:728/1921)
+with file-compatible master/snplist/binary prediction formats.
 """
 
 from __future__ import annotations
 
 import os
 import time
-from typing import Dict, List
+from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from .config import BT, CT, QT, Params, ridge_h2_grid
-from .io.files import open_write
+from .io.files import iter_lines, open_write, string_split
 from .io.geno import GenoData, make_blocks
 from .io.pheno import PhenoData
 from .models import step1 as m1
@@ -25,9 +28,39 @@ from .prep import RunData, fmt, prepare
 from .utils.dtypes import enable_x64_if_cpu
 
 
+def _parse_master(path: str):
+    """Read a split-L0 .master file -> (n_geno, block_size, jobs) where
+    jobs = [(prefix, n_blocks, n_snps)] (prep_parallel_l0, Data.cpp:818)."""
+    with open(path) as fh:
+        header = string_split(fh.readline())
+        n_geno, bsize = int(header[0]), int(header[1])
+        jobs = []
+        for line in fh:
+            toks = string_split(line)
+            if toks:
+                jobs.append((toks[0], int(toks[1]), int(toks[2])))
+    return n_geno, bsize, jobs
+
+
 def run_step1(params: Params, log=print) -> None:
     enable_x64_if_cpu()
     params.test_mode = False
+
+    # ---- split-L0 job roles ----
+    run_l0_job: Optional[int] = None
+    master: Optional[Tuple] = None
+    if params.run_l0:
+        mfile, jobstr = params.run_l0.rsplit(",", 1)
+        run_l0_job = int(jobstr)
+        master = _parse_master(mfile)
+        if master[1] != params.block_size:
+            raise ValueError("invalid header line in master file (block size mismatch)")
+        # restrict to this job's variants (prep_parallel_l0)
+        job_prefix = master[2][run_l0_job - 1][0]
+        params.extract_files = list(params.extract_files) + [job_prefix + ".snplist"]
+    elif params.run_l1:
+        master = _parse_master(params.run_l1)
+
     rd = prepare(params)
     gd, pd = rd.geno, rd.pheno
 
@@ -39,19 +72,32 @@ def run_step1(params: Params, log=print) -> None:
     blocks = make_blocks(gd, params.block_size)
     params.total_n_block = len(blocks)
 
+    # ---- split-L0 master writer ----
+    if params.split_l0:
+        prefix, njobs = params.split_l0.rsplit(",", 1)
+        _write_l0_master(params, gd, blocks, prefix, int(njobs), log)
+        return
+
     # BT small-sample check: force LOOCV below 5000 samples (Data.cpp:353)
     if params.trait_mode == BT and not params.use_loocv and params.n_analyzed < 5000:
         log("   -WARNING: sample size below 5,000: using LOOCV instead of K-fold CV.")
         params.use_loocv = True
 
     # ridge penalty grids (Regenie.cpp:1497, Data.cpp:607, Step1_Models.cpp:2099)
+    n_geno_all = master[0] if run_l0_job is not None else params.n_variants
+    total_blocks_all = (
+        sum(j[1] for j in master[2]) if master is not None else params.total_n_block
+    )
     h_l0 = params.user_lambda if params.user_lambda is not None else ridge_h2_grid(params.n_ridge_l0)
-    lambdas = params.n_variants * (1.0 - h_l0) / h_l0
+    lambdas = n_geno_all * (1.0 - h_l0) / h_l0
     h_l1 = params.user_tau if params.user_tau is not None else ridge_h2_grid(params.n_ridge_l1)
-    n_l0_feats = params.total_n_block * params.n_ridge_l0
+    n_l0_feats = total_blocks_all * params.n_ridge_l0
     taus = n_l0_feats * (1.0 - h_l1) / h_l1
     if params.trait_mode == BT:
         taus = taus * 3.0 / (np.pi**2)
+    elif params.trait_mode == CT:
+        # tau = K / log(1 + h/(rate(1-h))) per trait (Step1_Models.cpp:2103)
+        pass  # applied per-trait below
 
     log(f" * block size: [{params.block_size}]")
     log(f" * # blocks: [{params.total_n_block}] for {params.n_variants} variants")
@@ -64,36 +110,94 @@ def run_step1(params: Params, log=print) -> None:
     if params.trait_mode != QT:
         offsets = glm.fit_null_offsets(params, pd)
 
-    # ---- level 0 ----
     J, P, N = params.n_ridge_l0, params.n_pheno, params.n_samples
     ind = pd.ind_in_analysis
     maskf = pd.masked_indivs.astype(np.float64)
+    fold_sizes = None
+    if not params.use_loocv:
+        fold_sizes = m1.compute_fold_sizes(ind, params.cv_folds)
+
+    # ---- level 0 (or read it from job files) ----
+    if params.run_l1:
+        F_total = sum(j[1] for j in master[2]) * J
+        W_all = np.zeros((N, F_total, P), dtype=np.float64)
+        col = 0
+        for prefix, nb_job, ns_job in master[2]:
+            npcols = nb_job * J
+            for ph in range(P):
+                fname = prefix + f"_l0_Y{ph+1}"
+                dat = np.fromfile(fname, dtype=np.float64)
+                if dat.size != N * npcols:
+                    raise ValueError(f"{fname}: unexpected size")
+                W_all[:, col : col + npcols, ph] = dat.reshape(npcols, N).T  # col-major
+            col += npcols
+        chr_nblocks = {}
+        for chrom, bsnps in blocks:
+            chr_nblocks[chrom] = chr_nblocks.get(chrom, 0) + 1
+        log(" (skipping to level 1 models)")
+    else:
+        W_all, chr_nblocks = _level0(
+            params, gd, pd, blocks, lambdas, fold_sizes, maskf, log
+        )
+
+    # ---- run-l0 job: write binary predictions and exit ----
+    if run_l0_job is not None:
+        job_prefix = master[2][run_l0_job - 1][0]
+        Wn = _as_sample_major(params, W_all, fold_sizes, N)
+        for ph in range(P):
+            fname = job_prefix + f"_l0_Y{ph+1}"
+            # col-major doubles (write_l0_file, Step1_Models.cpp:728)
+            Wn[:, :, ph].T.astype(np.float64).tofile(fname)
+        log(f"Done writing level 0 predictions to file.")
+        return
+
+    if params.run_l1 and not params.use_loocv:
+        # K-fold needs per-fold layout; stored sample-major -> repad
+        pass
+
+    _level1_and_output(
+        params, gd, pd, W_all, offsets, taus, h_l1, chr_nblocks, fold_sizes, log
+    )
+
+
+def _as_sample_major(params, W_all, fold_sizes, N):
+    """[K,nmax,F,P] (kfold) or [N,F,P] (loocv) -> [N,F,P]."""
+    if params.use_loocv:
+        return W_all
+    pieces = []
+    for k in range(params.cv_folds):
+        pieces.append(W_all[k, : int(fold_sizes[k])])
+    return np.concatenate(pieces, axis=0)
+
+
+def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
+    """Stream genotype blocks -> level-0 CV predictions W
+    (level_0_calculations, Data.cpp:594)."""
+    J, P, N = params.n_ridge_l0, params.n_pheno, params.n_samples
+    ind = pd.ind_in_analysis
     lambdas_j = jnp.asarray(lambdas)
     Neff_j = jnp.asarray(pd.Neff)
-
-    if params.use_loocv:
-        W_all = np.zeros((N, params.total_n_block * J, P), dtype=np.float64)
-    else:
-        fold_sizes = m1.compute_fold_sizes(ind, params.cv_folds)
-        Y_folds, valid = m1.pad_folds(pd.phenotypes, fold_sizes)
-        mask_folds, _ = m1.pad_folds(maskf, fold_sizes)
-        Y_folds_j = jnp.asarray(Y_folds)
-        mask_folds_j = jnp.asarray(mask_folds)
-        valid_j = jnp.asarray(valid.astype(np.float64))
-        K = params.cv_folds
-        nmax = int(fold_sizes.max())
-        W_all = np.zeros((K, nmax, params.total_n_block * J, P), dtype=np.float64)
-
     ind_j = jnp.asarray(ind)
     cov_j = jnp.asarray(pd.new_cov)
     Y_j = jnp.asarray(pd.phenotypes)
     scale_denom = float(params.n_analyzed - params.ncov)
     chr_nblocks: Dict[int, int] = {}
 
+    if params.use_loocv:
+        W_all = np.zeros((N, len(blocks) * J, P), dtype=np.float64)
+    else:
+        Y_folds, valid = m1.pad_folds(pd.phenotypes, fold_sizes)
+        mask_folds, _ = m1.pad_folds(maskf, fold_sizes)
+        Y_folds_j = jnp.asarray(Y_folds)
+        mask_folds_j = jnp.asarray(mask_folds)
+        valid_j = jnp.asarray(valid.astype(np.float64))
+        nmax = int(fold_sizes.max())
+        W_all = np.zeros((params.cv_folds, nmax, len(blocks) * J, P), dtype=np.float64)
+
     t0 = time.time()
     for bidx, (chrom, bsnps) in enumerate(blocks):
         chr_nblocks[chrom] = chr_nblocks.get(chrom, 0) + 1
-        G_raw = gd.read_block(bsnps)  # [B, N] int8
+        G_raw = gd.read_block(bsnps)
         G = prepare_block_step1(jnp.asarray(G_raw), ind_j)
         G, scale_G = m1.residualize_geno_block(G, cov_j, scale_denom)
         if not np.all(np.asarray(scale_G) > params.numtol):
@@ -109,12 +213,19 @@ def run_step1(params: Params, log=print) -> None:
             )
             W_all[:, :, bidx * J : (bidx + 1) * J, :] = np.asarray(Wb)
     log(f" * level 0 done ({time.time()-t0:.1f}s, {len(blocks)} blocks)")
+    return W_all, chr_nblocks
 
-    # ---- level 1 + outputs ----
+
+def _level1_and_output(params, gd, pd, W_all, offsets, taus, h_l1, chr_nblocks, fold_sizes, log):
+    J, P, N = params.n_ridge_l0, params.n_pheno, params.n_samples
+    ind = pd.ind_in_analysis
     pred_list_path = params.out_prefix + "_pred.list"
-    loco_written: List[str] = []
 
-    # per-chromosome feature spans in W (chromosome order = file order)
+    # for run-l1 with k-fold, W arrives sample-major: repad into folds
+    if not params.use_loocv and W_all.ndim == 3:
+        Wp, _ = m1.pad_folds(W_all, fold_sizes)
+        W_all = Wp
+
     chr_order = [c for c in gd.chr_read if chr_nblocks.get(c, 0) > 0]
     spans = {}
     ctr = 0
@@ -128,10 +239,18 @@ def run_step1(params: Params, log=print) -> None:
     id_order = [i for i in order if ind[i]]
     header = "FID_IID " + " ".join(sample_ids[i] for i in id_order) + " \n"
 
-    taus_j = jnp.asarray(taus)
+    Y_j = jnp.asarray(pd.phenotypes)
+    taus_j = jnp.asarray(np.asarray(taus))
+    if not params.use_loocv:
+        Y_folds, valid = m1.pad_folds(pd.phenotypes, fold_sizes)
+        Y_folds_j = jnp.asarray(Y_folds)
+        valid_j = jnp.asarray(valid.astype(np.float64))
+
     t0 = time.time()
     with open_write(pred_list_path) as plist:
         for ph in range(P):
+            if not pd.pheno_pass[ph]:
+                continue
             name = pd.pheno_names[ph]
             loco_path = params.out_prefix + f"_{ph+1}.loco" + (".gz" if params.gz_out else "")
             log(f"phenotype {ph+1} ({name}):")
@@ -150,8 +269,7 @@ def run_step1(params: Params, log=print) -> None:
                         m1.level1_linear_full_fit_loocv(
                             jnp.asarray(W_all[:, :, ph]), Y_j[:, ph], float(taus[best])
                         )
-                    )  # [F, N]
-                    # per-chrom predictions with per-sample LOO betas
+                    )
                     predictions = np.zeros((N, len(chr_order)))
                     for ci, c in enumerate(chr_order):
                         st, nn = spans[c]
@@ -165,7 +283,6 @@ def run_step1(params: Params, log=print) -> None:
                     beta, cumsum = np.asarray(beta), np.asarray(cumsum)
                     best = m1.select_best_tau_qt(cumsum, pd.Neff[ph])
                     _log_tau_table(log, params, h_l1, cumsum, best, pd.Neff[ph])
-                    # per-chrom predictions per fold (make_predictions, Data.cpp:1239)
                     predictions = np.zeros((N, len(chr_order)))
                     bounds = np.concatenate([[0], np.cumsum(fold_sizes)])
                     for k in range(params.cv_folds):
@@ -178,23 +295,53 @@ def run_step1(params: Params, log=print) -> None:
                             )
             else:
                 predictions, converged = glm.level1_nonqt(
-                    params, pd, W_all, offsets, taus, ph, chr_order, spans,
+                    params, pd, W_all, offsets, np.asarray(taus), ph, chr_order, spans,
                     None if params.use_loocv else fold_sizes, log,
                 )
                 if not converged:
                     log("Level 1 model did not converge. LOCO predictions skipped.")
                     continue
 
-            # LOCO: total PRS minus each chromosome's contribution
             total = predictions.sum(axis=1)
             _write_loco(
                 loco_path, header, params, pd, ph, predictions, total, chr_order, id_order
             )
             plist.write(f"{name} {os.path.abspath(loco_path)}\n")
-            loco_written.append(loco_path)
             log(f"  wrote {loco_path}")
     log(f" * level 1 + predictions done ({time.time()-t0:.1f}s)")
     log(f"List of blup files written to: [{pred_list_path}]")
+
+
+def _write_l0_master(params, gd, blocks, prefix, njobs, log):
+    """write_l0_master (Data.cpp:244-309): master + per-job snplists."""
+    total = len(blocks)
+    if njobs <= 1:
+        raise ValueError("number of jobs must be >1")
+    if njobs > total:
+        log("   -WARNING: Number of jobs cannot be greater than number of blocks.")
+        njobs = total
+    log(f" * running level 0 in parallel across {total} genotype blocks")
+    log(f"   -using {njobs} jobs")
+    mpath = prefix + ".master"
+    nall = total // njobs
+    remainder = total - nall * njobs
+    with open_write(mpath) as mf:
+        mf.write(f"{params.n_variants} {params.block_size}\n")
+        jcount = 0
+        bidx = 0
+        while bidx < total:
+            btarget = nall + (1 if jcount < remainder else 0)
+            job_blocks = blocks[bidx : bidx + btarget]
+            ns = sum(len(b[1]) for b in job_blocks)
+            fname = f"{prefix}_job{jcount+1}"
+            mf.write(f"{fname} {btarget} {ns}\n")
+            with open_write(fname + ".snplist") as sf:
+                for _, bsnps in job_blocks:
+                    for s in bsnps:
+                        sf.write(s.ID + "\n")
+            bidx += btarget
+            jcount += 1
+    log(f"   -master file written to [{mpath}]")
 
 
 def _log_tau_table(log, params: Params, h_l1, cumsum, best, neff):
