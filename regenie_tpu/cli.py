@@ -104,6 +104,31 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--use-null-firth", default=None)
     g.add_argument("--verbose", "-v", action="store_true")
     g.add_argument("--debug", action="store_true")
+
+    gb = p.add_argument_group("Gene-based tests")
+    gb.add_argument("--set-list", default=None, help="set list file (gene sets)")
+    gb.add_argument("--anno-file", default=None, help="variant annotation file")
+    gb.add_argument("--anno-labels", default=None, help="annotation labels file")
+    gb.add_argument("--mask-def", default=None, help="mask definition file")
+    gb.add_argument("--aaf-bins", default=None, help="comma-separated AAF cutoffs")
+    gb.add_argument("--build-mask", default="max", choices=["max", "sum", "comphet"])
+    gb.add_argument("--singleton-carrier", action="store_true")
+    gb.add_argument("--write-mask", action="store_true")
+    gb.add_argument("--write-mask-snplist", action="store_true")
+    gb.add_argument("--write-setlist", default=None)
+    gb.add_argument("--check-burden-files", action="store_true")
+    gb.add_argument("--strict-check-burden", action="store_true")
+    gb.add_argument("--aaf-file", default=None)
+    gb.add_argument("--extract-sets", default=None)
+    gb.add_argument("--exclude-sets", default=None)
+    gb.add_argument("--extract-setlist", default=None)
+    gb.add_argument("--exclude-setlist", default=None)
+    gb.add_argument("--vc-tests", default=None, help="skat,skato,skato-acat,acatv,acato,acato-full")
+    gb.add_argument("--vc-maxAAF", type=float, default=1.0)
+    gb.add_argument("--vc-MACthr", type=float, default=10.0)
+    gb.add_argument("--joint", default=None, help="minp,acat,ftest,gates,sbat,gene_p")
+    gb.add_argument("--mask-lovo", default=None)
+    gb.add_argument("--mask-lodo", action="store_true")
     return p
 
 
@@ -194,6 +219,39 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.use_null_firth = args.use_null_firth
     params.verbose = args.verbose
     params.debug = args.debug
+
+    # gene-based tests
+    params.set_list = args.set_list
+    params.anno_file = args.anno_file
+    params.anno_labels_file = args.anno_labels
+    params.mask_def = args.mask_def
+    if args.aaf_bins:
+        params.aaf_bins = _split_list(args.aaf_bins)
+    params.mask_rule = args.build_mask
+    params.build_mask = params.set_list is not None and params.mask_def is not None
+    params.singleton_carriers = args.singleton_carrier
+    params.write_masks = args.write_mask
+    params.write_mask_snplist = args.write_mask_snplist
+    params.write_setlist = args.write_setlist
+    params.check_burden_files = args.check_burden_files
+    params.set_aaf_file = args.aaf_file
+    params.extract_sets = args.extract_sets
+    params.exclude_sets = args.exclude_sets
+    if args.extract_setlist:
+        params.extract_setlist = _split_list(args.extract_setlist)
+    if args.exclude_setlist:
+        params.exclude_setlist = _split_list(args.exclude_setlist)
+    if args.vc_tests:
+        params.vc_tests = [t.lower() for t in _split_list(args.vc_tests)]
+    params.vc_maxAAF = args.vc_maxAAF
+    params.skat_collapse_MAC = args.vc_MACthr
+    if args.joint:
+        params.joint_tests = [t.lower() for t in _split_list(args.joint)]
+    params.mask_lovo = args.mask_lovo
+    params.mask_lodo = args.mask_lodo
+    if params.build_mask:
+        params.min_mac_mask = params.min_mac
+        params.min_mac = 0.5  # retain singletons (Masks.cpp:51)
 
     if params.step not in (1, 2):
         raise ValueError("--step must be 1 or 2")

@@ -102,6 +102,36 @@ class Params:
     use_null_firth: Optional[str] = None
     uncapped_pvals: bool = False
 
+    # ---- gene-based tests (Masks.cpp / SKAT.cpp / Joint_Tests.cpp) ----
+    set_list: Optional[str] = None  # --set-list
+    anno_file: Optional[str] = None  # --anno-file
+    anno_labels_file: Optional[str] = None  # --anno-labels
+    mask_def: Optional[str] = None  # --mask-def
+    aaf_bins: List[str] = field(default_factory=list)  # --aaf-bins
+    mask_rule: str = "max"  # max | sum | comphet (Regenie.hpp:381)
+    build_mask: bool = False
+    min_mac_mask: float = 5.0  # mask-level MAC filter (set from min_mac)
+    write_masks: bool = False
+    write_mask_snplist: bool = False
+    write_setlist: Optional[str] = None
+    check_burden_files: bool = False
+    singleton_carriers: bool = False  # --singleton-carrier
+    set_aaf_file: Optional[str] = None  # --aaf-file
+    extract_sets: Optional[str] = None
+    exclude_sets: Optional[str] = None
+    extract_setlist: List[str] = field(default_factory=list)
+    exclude_setlist: List[str] = field(default_factory=list)
+    vc_tests: List[str] = field(default_factory=list)  # --vc-tests skat,skato,...
+    vc_maxAAF: float = 1.0  # --vc-maxAAF (default: "all" bin)
+    skat_collapse_MAC: float = 10.0  # ultra-rare collapse threshold
+    skat_a1: float = 1.0  # Beta(a1,a2) weights (Regenie.hpp:394)
+    skat_a2: float = 25.0
+    skato_rho: Optional[np.ndarray] = None  # default grid set in SKAT module
+    joint_tests: List[str] = field(default_factory=list)  # --joint minp,acat,...
+    mask_lovo: Optional[str] = None  # --mask-lovo SET,MASK,BIN
+    mask_lodo: bool = False
+    use_max_bsize: bool = False
+
     # ---- numerics (reference Regenie.hpp defaults) ----
     numtol: float = 1e-6
     numtol_eps: float = 10.0 * np.finfo(np.float64).eps

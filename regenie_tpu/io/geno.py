@@ -72,6 +72,20 @@ class GenoData:
         self.last_info_num = None
         return G
 
+    def read_block_scattered(self, block_snps: List[SnpInfo]) -> np.ndarray:
+        """Decode an arbitrary (possibly non-contiguous) variant list.
+
+        Used by the gene-based path (getMask readChunk, Data.cpp:2944)
+        and conditional/interaction SNP extraction."""
+        if self._bgen is not None:
+            return self.read_block(block_snps)
+        out = np.empty((len(block_snps), self.n_samples), dtype=np.int8)
+        for k, s in enumerate(block_snps):
+            raw = self._bed.read_block(s.offset, 1)
+            out[k] = raw[0, self.sample_keep_idx] if not self._keep_all_samples else raw[0]
+        self.last_info_num = None
+        return out
+
     def close(self):
         if self._bed is not None:
             self._bed.close()

@@ -1,0 +1,219 @@
+"""Burden-mask construction (annotation x AAF-bin collapse).
+
+Re-implements the reference's GenoMask engine (Masks.cpp): setBins (:71),
+set_snp_masks (:330), set_snp_aafs (:360), updateMasks/tally_masks
+(:184/:560), buildMask (:948) — vectorized over the set's [M, N]
+genotype matrix instead of per-variant sparse loops.
+
+Rules: max (default), sum, comphet (sum clipped at 2). Bins: AAF
+cutoffs + a singleton bin. Masks become pseudo-variants tested by the
+shared Step-2 engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import Params
+from ..io.bed import SnpInfo
+from ..io.setfiles import MaskDef, VariantSet
+from ..prep import fmt
+
+
+@dataclass
+class BuiltMask:
+    snp: SnpInfo  # pseudo-variant metadata
+    mask_name: str
+    bin_name: str
+    G: np.ndarray  # [N] imputed genotype vector
+    af_t: np.ndarray  # [P]
+    ns_t: np.ndarray  # [P]
+    mac_t: np.ndarray  # [P]
+    af1: float
+    ignored_trait: np.ndarray  # [P] bool
+    flipped: bool
+    raw_vec: Optional[np.ndarray] = None  # pre-imputation (for --write-mask)
+    vc_col: int = -1  # index into the (mask x bin) grid for VC tests
+    in_vc_bin: bool = False
+    sel_idx: Optional[np.ndarray] = None  # variant indices (within set) in the mask
+
+
+def aaf_bin_values(params: Params) -> np.ndarray:
+    """Sorted unique AAF cutoffs (setBins, Masks.cpp:71): default 0.01;
+    'all' -> 1; vc_maxAAF appended when VC tests requested."""
+    vals = []
+    if params.aaf_bins:
+        for b in params.aaf_bins:
+            vals.append(1.0 if b == "all" else float(b))
+    else:
+        vals.append(0.01)
+    if params.vc_tests:
+        vals.append(params.vc_maxAAF)
+    return np.unique(np.array(vals, dtype=np.float64))
+
+
+def bin_name(aafs: np.ndarray, j: int) -> str:
+    """j=0 is the singleton bin; j>=1 maps to aafs[j-1] (computeMasks)."""
+    if j == 0:
+        return "singleton"
+    if aafs[j - 1] == 1:
+        return "all"
+    return fmt(aafs[j - 1])
+
+
+def build_masks_for_set(
+    params: Params,
+    vset: VariantSet,
+    G: np.ndarray,  # [M, N] float, missing=-3, NOT imputed
+    af1: np.ndarray,  # [M] alt allele freq over analyzed samples
+    mac1: np.ndarray,  # [M] minor allele count
+    ignored: np.ndarray,  # [M] bool (failed variant filters)
+    anno_bits: np.ndarray,  # [M] uint64 category bits for this set
+    mask_defs: List[MaskDef],
+    aafs: np.ndarray,
+    masked_indivs: np.ndarray,  # [N, P] bool
+    ind_in_analysis: np.ndarray,  # [N] bool
+    aaf_custom: Optional[np.ndarray] = None,
+    singleton_custom: Optional[np.ndarray] = None,
+) -> Tuple[List[BuiltMask], List[List[str]]]:
+    """Build all (mask x aaf-bin) burden masks for one set.
+
+    Returns (kept masks, snplists per built mask in grid order)."""
+    M, N = G.shape
+    P = masked_indivs.shape[1]
+    n_bins = len(aafs) + 1  # + singleton bin
+    take_max = params.mask_rule == "max"
+    take_comphet = params.mask_rule == "comphet"
+    ind = ind_in_analysis
+    maskf = masked_indivs.astype(np.float64)
+
+    # singleton flag: rounded MAC == 1 (compute_mac, Geno.cpp:2961)
+    if singleton_custom is not None:
+        singleton = singleton_custom
+    else:
+        singleton = np.floor(mac1 + 0.5) == 1
+
+    afs_for_bins = aaf_custom if aaf_custom is not None else af1
+
+    # membership grids
+    keepmask = np.zeros((M, len(mask_defs)), dtype=bool)
+    for mi, md in enumerate(mask_defs):
+        keepmask[:, mi] = ((anno_bits & md.bits) != 0) & ~ignored
+    keep_bin_cum = np.zeros((M, n_bins), dtype=bool)  # cumulative incl. singletons
+    keep_bin_cum[:, 0] = singleton & ~ignored
+    for j in range(1, n_bins):
+        keep_bin_cum[:, j] = ((afs_for_bins <= aafs[j - 1]) | singleton) & ~ignored
+
+    built: List[BuiltMask] = []
+    snplists: List[List[str]] = []
+    G_nonmiss = G >= 0
+
+    for mi, md in enumerate(mask_defs):
+        nsites_cum = 0
+        for j in range(n_bins):
+            sel = keepmask[:, mi] & keep_bin_cum[:, j]
+            vc_col = mi * n_bins + j
+            in_vc_bin = bool(
+                params.vc_tests and j > 0 and aafs[j - 1] == params.vc_maxAAF
+            )
+            if not sel.any():
+                snplists.append([])
+                continue
+            Gs = G[sel]  # [m, N]
+            if take_max:
+                mv = Gs.max(axis=0)
+            else:
+                any_nm = G_nonmiss[sel].any(axis=0)
+                s = np.where(G_nonmiss[sel], Gs, 0.0).sum(axis=0)
+                mv = np.where(any_nm, s, -3.0)
+                if take_comphet:
+                    mv = np.minimum(mv, 2.0)
+            nsites = int(sel.sum())
+
+            bm = _finalize_mask(
+                params, vset, md, j, aafs, mv, nsites, maskf, ind, P,
+                take_max or take_comphet,
+            )
+            snplists.append([])
+            if bm is not None:
+                bm.vc_col = vc_col
+                bm.in_vc_bin = in_vc_bin
+                bm.sel_idx = np.flatnonzero(sel)
+                built.append(bm)
+    return built, snplists
+
+
+def _finalize_mask(
+    params, vset, md, j, aafs, mv, nsites, maskf, ind, P, mac_capped
+) -> Optional[BuiltMask]:
+    """Per-mask stats + MAC filter + imputation (buildMask, Masks.cpp:948)."""
+    mv = np.where(ind, mv, 0.0)  # non-analysis entries forced to 0
+    valid = ind & (mv >= 0)
+    validf = valid.astype(np.float64)
+    vals = np.where(valid, mv, 0.0)
+    total = vals.sum()
+    ns1 = int(valid.sum())
+    if ns1 == 0:
+        return None
+
+    total_t = vals @ maskf  # [P]
+    ns_t = validf @ maskf
+
+    ignored_trait = np.zeros(P, dtype=bool)
+    ignored_all = False
+    if mac_capped:
+        mac = min(total, 2 * ns1 - total)
+        mac_t = np.minimum(total_t, 2 * ns_t - total_t)
+        if mac < params.min_mac_mask:
+            ignored_all = True
+    else:
+        mac = total
+        mac_t = total_t
+    ignored_trait = mac_t < params.min_mac_mask
+    if ignored_all:
+        return None
+
+    mean = total / ns1
+    af1 = mean / 2.0
+    af_t = total_t / (2.0 * ns_t)
+    if not mac_capped:  # sum rule: average AAF across sites
+        af1 /= nsites
+        af_t = af_t / nsites
+
+    flipped = False
+    if params.use_spa and mac_capped and params.test_type == 0 and mean > 1:
+        flipped = True
+        mv = np.where(mv >= 0, 2.0 - mv, mv)
+        mean = 2.0 - mean
+
+    if params.test_type == 1:
+        mv = np.where(mv == 2.0, 1.0, mv)
+    elif params.test_type == 2:
+        mv = np.where(mv >= 1.0, mv - 1.0, mv)
+    if params.test_type > 0:
+        sum_pos = np.where((mv >= 0) & ind, mv, 0.0).sum()
+        mean = sum_pos / ns1
+        if mean < params.numtol:
+            return None
+
+    raw_vec = mv.copy()
+    # mean-impute missing, zero non-analysis (mean_impute_g)
+    mv = np.where(~ind, 0.0, np.where(mv == -3.0, mean, mv))
+
+    bname = bin_name(aafs, j)
+    snp = SnpInfo(
+        chrom=vset.chrom,
+        ID=f"{vset.ID}.{md.name}.{bname}",
+        genpos=0.0,
+        physpos=vset.physpos,
+        allele1="ref",
+        allele2=f"{md.name}.{bname}",
+    )
+    return BuiltMask(
+        snp=snp, mask_name=md.name, bin_name=bname, G=mv,
+        af_t=af_t, ns_t=ns_t, mac_t=mac_t, af1=af1,
+        ignored_trait=ignored_trait, flipped=flipped, raw_vec=raw_vec,
+    )

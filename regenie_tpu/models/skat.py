@@ -1,0 +1,439 @@
+"""SKAT family of variance-component gene-based tests (QT path).
+
+Re-implements SKAT.cpp: update_vc_gmat (:70), prep_ultra_rare_mask
+(:237), compute_vc_masks_qt (:290-643), SKATO moments/integration
+(:1727-1935), with the [N x M] weighted-genotype algebra as dense
+matmuls. Tests: SKAT, SKATO, SKATO-ACAT, ACATV, ACATO.
+
+P-values of chi-square mixtures via utils.quadforms (Davies/Kuonen/Liu
+chain); SKATO integration via scipy.integrate.quad (replacing quadpack
+dqags, SKAT.hpp:86-110).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+from scipy import integrate
+from scipy.stats import beta as beta_dist
+from scipy.stats import cauchy, chi2
+
+from ..config import QT, Params
+from ..utils.quadforms import chisq_mix_logp, chisq_mix_pv, liu_params
+from ..utils.stats import chisq_neglog10, neglog10_to_chisq
+
+VALID_TESTS = ("skat", "skato", "skato-acat", "acatv", "acato", "acato-full")
+DEFAULT_RHO = np.array([0.0, 0.01, 0.04, 0.09, 0.16, 0.25, 0.5, 1.0])
+SKAT_LAMBDA_TOL = 1e-5  # reference skat_tol
+_DBL_DMIN = 10.0 * np.finfo(np.float64).tiny
+
+
+def check_tests(tests: List[str]):
+    for t in tests:
+        if t not in VALID_TESTS:
+            raise ValueError(f"unknown VC test '{t}'")
+
+
+def get_acat(logpvals: np.ndarray, weights: Optional[np.ndarray] = None) -> float:
+    """Cauchy combination -log10 p, robust to tiny p-values
+    (get_acat_robust, Joint_Tests.cpp:284). logpvals are -log10 p;
+    entries < 0 (failed) are skipped. Returns -1 on failure."""
+    lp = np.asarray(logpvals, dtype=np.float64)
+    w = np.ones_like(lp) if weights is None else np.asarray(weights, dtype=np.float64)
+    ok = (w != 0) & (lp >= 0)
+    n_pv = int(ok.sum())
+    if n_pv == 0:
+        return -1.0
+    if n_pv == 1:
+        return float(np.where(ok, lp, 0).max())
+
+    lpv_thr = 15.0
+    A = ok & (lp >= lpv_thr)
+    Bm = ok & (lp < lpv_thr)
+    wsum = np.where(lp >= 0, w, 0).sum()
+    l_TA, TB = 0.0, 0.0
+    if A.any():
+        z = lp[A] * np.log(10.0) + np.log(w[A] / wsum) - np.log(np.pi)
+        zmax = z.max()
+        l_TA = zmax + np.log(np.exp(z - zmax).sum())
+    if Bm.any():
+        pv = np.minimum(10.0 ** (-lp[Bm]), 0.999)
+        TB = (w[Bm] / wsum * np.tan(np.pi * (0.5 - pv))).sum()
+
+    def cauchy_sf_log(T):
+        # log SF of standard cauchy at T (one-sided upper)
+        if T >= 8886111:
+            return -np.log(T) - np.log(np.pi)
+        return np.log(cauchy.sf(T))
+
+    if not A.any():
+        lpval = cauchy_sf_log(TB)
+    elif (not Bm.any()) or TB == 0:
+        lpval = (-l_TA - np.log(np.pi)) if l_TA >= 16 else np.log(cauchy.sf(np.exp(l_TA)))
+    else:
+        if TB < 0:
+            l_abs = np.log(abs(TB))
+            if l_abs < l_TA:
+                lsum = l_TA + np.log1p(-np.exp(l_abs - l_TA))
+                lpval = (-lsum - np.log(np.pi)) if lsum >= 16 else np.log(cauchy.sf(np.exp(lsum)))
+            else:
+                lsum = l_abs + np.log1p(-np.exp(l_TA - l_abs))
+                if lsum >= 16:
+                    lpval = np.log1p(-np.exp(-lsum - np.log(np.pi)))
+                else:
+                    lpval = np.log(cauchy.sf(-np.exp(lsum)))
+        else:
+            l_TB = np.log(TB)
+            hi, lo = max(l_TA, l_TB), min(l_TA, l_TB)
+            lsum = hi + np.log1p(np.exp(lo - hi))
+            lpval = (-lsum - np.log(np.pi)) if lsum >= 16 else np.log(cauchy.sf(np.exp(lsum)))
+    return float(-lpval / np.log(10.0))
+
+
+def get_lambdas(K: np.ndarray) -> np.ndarray:
+    """Nonzero eigenvalues, R-SKAT filter (get_lambdas, SKAT.cpp:1425)."""
+    if K.shape[0] == 1:
+        return np.array([K[0, 0]])
+    ev = np.linalg.eigvalsh(K)
+    nng = (ev >= 0).sum()
+    thr = np.where(ev >= 0, ev, 0).sum() / nng * SKAT_LAMBDA_TOL
+    return ev[ev > thr]
+
+
+def rskrs(K: np.ndarray, rho: float) -> np.ndarray:
+    """R(rho)^1/2 K R(rho)^1/2 (get_RsKRs, SKAT.cpp:1397)."""
+    m = K.shape[0]
+    c1 = np.sqrt(1 - rho)
+    c2 = np.sqrt(1 - rho + m * rho)
+    b = K.sum(axis=1)
+    gamma1 = b.sum()
+    outer_sum = b[:, None] + b[None, :]
+    return (1 - rho) * K + c1 * (c2 - c1) / m * outer_sum + ((c2 - c1) / m) ** 2 * gamma1
+
+
+def fixed_skato_p(q: float, rho: float, lambdas: np.ndarray):
+    """(logp, chival) for Q at fixed rho (compute_fixed_skato_p)."""
+    if rho == 1 or len(lambdas) == 1:
+        chival = q / lambdas[-1]
+        logp = float(chisq_neglog10(np.array([chival]))[0])
+        return logp, chival
+    return chisq_mix_logp(q, lambdas)
+
+
+def run_vc_tests(params: Params, eng, vset, snps, G, sb, ignored, built, writers, log):
+    """Compute SKAT-family tests for one set and write rows.
+
+    G: [M, N] raw genotypes (missing=-3); sb: block stats dict from the
+    engine; built: BuiltMask list (provides the per-mask variant sets via
+    sel_idx and vc bin flags).
+    """
+    if params.trait_mode != QT:
+        # BT path with case-control calibration lands in a later round
+        log("WARNING: VC tests for non-QT traits not yet implemented; skipping")
+        return
+    M, N = G.shape
+    P = params.n_pheno
+    af1 = sb["af1"]
+    mac1 = np.minimum(sb["total"], 2 * sb["ns"] - sb["total"])
+    ind = eng.pd.ind_in_analysis
+
+    # identify masks with a VC column (mask built at the vc_maxAAF bin)
+    vc_masks = [bm for bm in built if bm.in_vc_bin]
+    if not vc_masks:
+        return
+
+    # variants eligible for VC: union over vc masks, minus ultra-rare
+    ur = (mac1 <= params.skat_collapse_MAC) & ~ignored
+    weights = np.zeros(M)
+    weights_acat = np.zeros(M)
+    maf = np.minimum(af1, 1 - af1)
+
+    GW = np.zeros((N, M))
+    used = np.zeros(M, dtype=bool)
+    for bm in vc_masks:
+        used[bm.sel_idx] = True
+    used &= ~ignored
+
+    for i in np.flatnonzero(used & ~ur):
+        g = G[i].astype(np.float64)
+        if af1[i] > 0.5:
+            g = np.where(g == -3, -3, 2 - g)
+        g = np.where(g == -3, 2 * maf[i], g)
+        g = g * ind
+        w = beta_dist.pdf(maf[i], params.skat_a1, params.skat_a2)
+        weights[i] = w
+        weights_acat[i] = w * w * maf[i] * (1 - maf[i])
+        GW[:, i] = g * w
+
+    # ultra-rare collapse per vc mask (prep_ultra_rare_mask, SKAT.cpp:237)
+    ur_cols: Dict[int, int] = {}  # bm.vc_col -> column in GW_ur
+    GW_ur = []
+    w_ur, w_ur_acat = [], []
+    for bm in vc_masks:
+        sel_ur = [i for i in bm.sel_idx if ur[i]]
+        if not sel_ur:
+            continue
+        cols = []
+        nonmiss = np.zeros(N, dtype=bool)
+        for i in sel_ur:
+            g = G[i].astype(np.float64)
+            if af1[i] > 0.5:
+                g = np.where(g == -3, 0.0, 2 - g)
+            else:
+                g = np.where(g < 0, 0.0, g)
+            cols.append(g)
+            nonmiss |= G[i] >= 0
+        gv = np.max(np.stack(cols), axis=0) * ind
+        if not (gv > 0).any():
+            continue
+        nonmiss &= ind
+        mean = gv.sum() / max(nonmiss.sum(), 1)
+        maf_ur = min(mean / 2, 1 - mean / 2)
+        w = beta_dist.pdf(maf_ur, params.skat_a1, params.skat_a2)
+        gv = np.where(~ind | nonmiss, gv, mean)
+        ur_cols[bm.vc_col] = len(GW_ur)
+        GW_ur.append(gv * w)
+        w_ur.append(w)
+        w_ur_acat.append(w * w * maf_ur * (1 - maf_ur))
+
+    # assemble per-mask column lists
+    X = eng.pd.new_cov
+    yres = eng.res  # [N, P] scaled residuals
+    cols_all = np.flatnonzero(weights > 0)
+    if len(cols_all) == 0 and not GW_ur:
+        return
+    GW_full = np.concatenate(
+        [GW[:, cols_all]] + ([np.stack(GW_ur, axis=1)] if GW_ur else []), axis=1
+    )
+    col_of = {int(c): k for k, c in enumerate(cols_all)}
+    n_main = len(cols_all)
+
+    # score stats + kernel (compute_vc_mats_qt, SKAT.cpp:643)
+    WGtX = GW_full.T @ X  # [Mt, K]
+    Svals = yres.T @ GW_full - (yres.T @ X) @ WGtX.T  # [P, Mt]
+    Kmat = GW_full.T @ GW_full - WGtX @ WGtX.T  # [Mt, Mt]
+
+    w_acat_full = np.concatenate([weights_acat[cols_all], np.array(w_ur_acat)]) if GW_ur else weights_acat[cols_all]
+
+    # single-variant p-values for ACAT-V
+    with np.errstate(divide="ignore", invalid="ignore"):
+        chisq_sv = Svals**2 / np.where(np.diag(Kmat) > 0, np.diag(Kmat), 1.0)[None, :]
+    logp_sv = np.stack([chisq_neglog10(chisq_sv[ph]) for ph in range(P)])  # [P, Mt]
+
+    rho_vec = params.skato_rho if params.skato_rho is not None else DEFAULT_RHO
+    with_acatv = "acatv" in params.vc_tests or "acato" in params.vc_tests
+    with_skat = "skat" in params.vc_tests
+    with_skato = "skato" in params.vc_tests
+    with_skato_acat = "skato-acat" in params.vc_tests
+    with_acato = "acato" in params.vc_tests or "acato-full" in params.vc_tests
+    with_omnibus = with_skato or with_skato_acat or with_acato or with_skat
+
+    for bm in vc_masks:
+        results: Dict[str, np.ndarray] = {}  # test -> [P, 2] (chisq, logp)
+        m_idx = [col_of[int(i)] for i in bm.sel_idx if int(i) in col_of]
+        if bm.vc_col in ur_cols:
+            m_idx = m_idx + [n_main + ur_cols[bm.vc_col]]
+        if not m_idx:
+            continue
+        m_idx = np.array(m_idx)
+        Km = Kmat[np.ix_(m_idx, m_idx)]
+        nnz = len(m_idx)
+
+        if with_acatv and (w_acat_full[m_idx] > 0).any():
+            ss = np.full((P, 2), -1.0)
+            for ph in range(P):
+                lp = get_acat(logp_sv[ph, m_idx], w_acat_full[m_idx])
+                if lp >= 0:
+                    ss[ph, 1] = lp
+                    ss[ph, 0] = float(neglog10_to_chisq(np.array([lp]))[0])
+            results["ACATV"] = ss
+
+        if with_omnibus:
+            _skato_tests(
+                params, results, Svals[:, m_idx], Km, rho_vec, nnz, P,
+                with_skat, with_skato, with_skato_acat, with_acato,
+                results.get("ACATV"),
+            )
+
+        _write_vc_rows(params, eng, writers, bm, results)
+
+
+def _skato_tests(params, results, Sm, Km, rho_vec, nnz, P, with_skat, with_skato,
+                 with_skato_acat, with_acato, acatv_ss):
+    """SKAT/SKATO family for one mask (compute_vc_masks_qt, SKAT.cpp:500+)."""
+    Qs = (Sm**2).sum(axis=1)  # [P]
+    Qb = (Sm.sum(axis=1)) ** 2  # [P]
+    nrho = len(rho_vec)
+
+    # SKATO moments
+    b = Km.sum(axis=1)
+    gamma1 = b.sum()
+    gamma2 = (b**2).sum()
+    gamma3 = b @ (Km @ b)
+    if gamma1 <= 0:
+        return
+    skato_lambdas = get_lambdas(Km - np.outer(b, b / gamma1))
+    if len(skato_lambdas) == 0:
+        return
+    mu = skato_lambdas.sum()
+    v0 = 2 * (skato_lambdas**2).sum()
+    ve = 4 * (gamma3 / gamma1 - gamma2**2 / gamma1**2)
+    vq = v0 + ve
+    if vq < 0:
+        return
+    sdQ = np.sqrt(vq)
+    fdavies = np.sqrt(v0 / vq)
+    tau = gamma1 * rho_vec + gamma2 / gamma1 * (1 - rho_vec)
+
+    pvs = np.full((P, nrho), -1.0)
+    chis = np.full((P, nrho), -1.0)
+    cvals = np.zeros((nrho, 5))
+    lambdas_by_rho = []
+    for j, rho in enumerate(rho_vec):
+        lam = get_lambdas(rskrs(Km, rho))
+        lambdas_by_rho.append(lam)
+        if len(lam) == 0:
+            return
+        cvals[j, 0] = lam.sum()
+        cvals[j, 1] = (lam**2).sum()
+        cvals[j, 2] = (lam**3).sum()
+        cvals[j, 3] = (lam**4).sum()
+        s1 = cvals[j, 2] / cvals[j, 1] / np.sqrt(cvals[j, 1])
+        s2 = cvals[j, 3] / cvals[j, 1] ** 2
+        if s1**2 <= s2:
+            cvals[j, 4] = 1 / s2
+        else:
+            a = 1 / (s1 - np.sqrt(s1**2 - s2))
+            dlt = (s1 * a - 1) * a * a
+            cvals[j, 4] = a * a - 2 * dlt
+        for ph in range(P):
+            q = (1 - rho) * Qs[ph] + rho * Qb[ph]
+            lp, cv = fixed_skato_p(q, rho, lam)
+            pvs[ph, j], chis[ph, j] = lp, cv
+        if rho == 0 and with_skat:
+            ss = np.stack([chis[:, j], pvs[:, j]], axis=1)
+            if (ss[:, 1] >= 0).any():
+                results["SKAT"] = ss.copy()
+        if nnz == 1:
+            break
+
+    if nnz == 1:
+        ss = np.stack([chis[:, 0], pvs[:, 0]], axis=1)
+        if (ss[:, 1] >= 0).any():
+            for name, flag in (("ACATO", with_acato), ("SKATO-ACAT", with_skato_acat), ("SKATO", with_skato)):
+                if flag:
+                    results[name] = ss.copy()
+        return
+
+    pvs_skato_acat = np.full((P, 2), -1.0)
+    pvs_acato = np.full((P, 2), -1.0)
+    pvs_skato = np.full((P, 2), -1.0)
+    for ph in range(P):
+        if (pvs[ph] < 0).any():
+            continue
+        if with_skato_acat:
+            lp = get_acat(pvs[ph])
+            pvs_skato_acat[ph] = [float(neglog10_to_chisq(np.array([lp]))[0]), lp]
+        if with_acato:
+            lp_list = [acatv_ss[ph, 1]] if acatv_ss is not None else [-1.0]
+            lps = np.concatenate([np.array(lp_list), pvs[ph]])
+            lp = get_acat(lps)
+            pvs_acato[ph] = [float(neglog10_to_chisq(np.array([lp]))[0]), lp]
+        if with_skato:
+            minp = max(_DBL_DMIN, 10.0 ** (-pvs[ph].max()))
+            lp, cv = _skato_integral(
+                minp, nrho, cvals, tau, rho_vec, mu, fdavies, skato_lambdas
+            )
+            pvs_skato[ph] = [cv, lp]
+
+    if with_skato_acat and (pvs_skato_acat[:, 1] >= 0).any():
+        results["SKATO-ACAT"] = pvs_skato_acat
+    if with_acato and (pvs_acato[:, 1] >= 0).any():
+        results["ACATO"] = pvs_acato
+    if with_skato and (pvs_skato[:, 1] >= 0).any():
+        results["SKATO"] = pvs_skato
+
+
+_DBL_DMIN = 10.0 * np.finfo(np.float64).tiny
+
+
+def _skato_integral(minp, nrho, cvals, tau, rho_vec, muQ, fdavies, skato_lambdas):
+    """SKAT-O omnibus p by 1-dim integration (get_skato_pv + SKATO_integral_fn,
+    SKAT.cpp:1836-1935). Returns (logp, chival)."""
+    # Qmin per rho at pmin
+    qmin = np.empty(nrho)
+    for j in range(nrho):
+        df = cvals[j, 4]
+        qmin[j] = cvals[j, 0] + (chi2.isf(minp, df) - df) * np.sqrt(cvals[j, 1] / df)
+    flip = 1 - rho_vec
+    with np.errstate(divide="ignore"):
+        upper = np.min((qmin + flip * muQ * (1 - fdavies) / fdavies) / tau)
+    if minp >= 1 - 1e-7:
+        return 0.0, 0.0
+
+    state = {"failed": False}
+
+    def integrand(x):
+        if state["failed"] or x == 0:
+            return 0.0
+        with np.errstate(divide="ignore"):
+            val = np.min((qmin - tau * x) / flip)
+        if val > muQ * 1e4:
+            S = 0.0
+        else:
+            dlt = (val - muQ) * fdavies + muQ
+            if dlt <= 0:
+                S = 1.0
+            else:
+                S = chisq_mix_pv(dlt, skato_lambdas)
+                if S <= 0:
+                    state["failed"] = True
+                    return 0.0
+                S = min(S, 1.0)
+        return S * chi2.pdf(x, 1)
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        try:
+            a, _err = integrate.quad(integrand, 0, upper, epsabs=1e-25,
+                                     epsrel=np.finfo(np.float64).eps ** 0.25, limit=1000)
+        except Exception:
+            state["failed"] = True
+            a = -1.0
+    tstar = chi2.sf(upper, 1)
+    p_bc = minp * nrho
+    if not state["failed"] and np.isfinite(a):
+        a += tstar
+    else:
+        a = -1.0
+    if p_bc < a:
+        a = p_bc
+    elif a <= 0 and p_bc <= 1:
+        a = p_bc
+    if a <= 0:
+        return -1.0, -1.0
+    a = max(a, _DBL_DMIN)
+    lp = -np.log10(a)
+    return lp, float(neglog10_to_chisq(np.array([lp]))[0])
+
+
+def _write_vc_rows(params, eng, writers, bm, results):
+    """Emit one row per (test, pheno) (print_vc_sumstats, SKAT.cpp:1940)."""
+    from ..io.output import sumstat_line_single
+
+    pd = eng.pd
+    for test_name in sorted(results):
+        ss = results[test_name]
+        for ph in range(params.n_pheno):
+            if not pd.pheno_pass[ph] or ss[ph, 1] < 0:
+                continue
+            writers[ph].write(
+                sumstat_line_single(
+                    params, bm.snp, f"ADD-{test_name}",
+                    -1.0, None, int(pd.Neff[ph]),
+                    -1.0, -1.0, ss[ph, 0], ss[ph, 1], True,
+                )
+            )

@@ -1,0 +1,188 @@
+"""Gene-based testing driver: burden masks (+ SKAT/ACAT family and joint
+tests) per variant set.
+
+Replaces the reference's Data::test_joint (Data.cpp:2629),
+set_groups_for_testing (:2819), get_sum_stats/getMask (:2906/:2975).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .config import QT, Params
+from .io.bed import SnpInfo, chr_to_int
+from .io.files import open_write
+from .io.setfiles import (
+    read_anno_labels,
+    read_annotations,
+    read_mask_defs,
+    read_setlist,
+)
+from .models.masks import BuiltMask, aaf_bin_values, build_masks_for_set
+from .run_step2 import Step2Engine, setup_writers, write_block_rows, BlockResult
+
+
+def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
+    gd, pd = eng.gd, eng.pd
+    t0 = time.time()
+
+    snp_id_to_idx = {s.ID: i for i, s in enumerate(gd.snps)}
+    snp_chroms = np.array([s.chrom for s in gd.snps])
+
+    cat_bit = read_anno_labels(params.anno_labels_file) if params.anno_labels_file else None
+    anno, cat_bit, with_domains, domains = read_annotations(
+        params.anno_file, snp_id_to_idx, cat_bit
+    )
+    if with_domains:
+        log("WARNING: 4-column annotation domains not fully supported yet; ignoring domains")
+    mask_defs = read_mask_defs(params.mask_def, cat_bit, log)
+    all_bits = 0
+    for md in mask_defs:
+        all_bits |= md.bits
+
+    chr_filter = None
+    if params.chr_list:
+        chr_filter = {chr_to_int(c, params.n_chrom) for c in params.chr_list}
+    sets = read_setlist(
+        params, params.set_list, snp_id_to_idx, snp_chroms, anno, all_bits,
+        chr_filter, log,
+    )
+    aafs = aaf_bin_values(params)
+    log(f" * set file: [{params.set_list}] n_sets = {len(sets)}")
+    log(f" * masks: {[m.name for m in mask_defs]}")
+    log(f" * aaf cutoffs: [ {len(aafs)} : " + " ".join(str(a) for a in aafs) + " ] + singletons")
+
+    writers, out_paths = setup_writers(params, pd.pheno_names)
+    vc_writers = None
+    if params.vc_tests:
+        from .models import skat as skat_mod
+
+        skat_mod.check_tests(params.vc_tests)
+
+    mask_bed = _MaskBedWriter(params, gd) if params.write_masks else None
+    snplist_fh = (
+        open_write(params.out_prefix + "_masks.snplist")
+        if params.write_mask_snplist
+        else None
+    )
+
+    # order sets by chromosome (file order), then set position
+    sets.sort(key=lambda s: (s.chrom, s.physpos))
+
+    for vset in sets:
+        eng.prep_chrom(vset.chrom)
+        snps = [gd.snps[i] for i in vset.snp_indices]
+        G = gd.read_block_scattered(snps)  # [M, N], missing=-3, no imputation
+
+        sb = eng.block_stats(G)
+        total, ns = sb["total"], sb["ns"]
+        mac1 = np.minimum(total, 2 * ns - total)
+        ignored = mac1 < params.min_mac  # 0.5 in mask mode: drops monomorphic
+        af1 = total / (2.0 * ns)
+
+        anno_bits = np.array(
+            [anno.get((i, vset.ID), 1) for i in vset.snp_indices], dtype=np.uint64
+        )
+
+        built, _ = build_masks_for_set(
+            params, vset, G.astype(np.float64), af1, mac1, ignored, anno_bits,
+            mask_defs, aafs, pd.masked_indivs, pd.ind_in_analysis,
+        )
+
+        if mask_bed is not None:
+            for bm in built:
+                mask_bed.add(bm)
+        if snplist_fh is not None:
+            # maskID chrom pos v1,v2,... (make_snplist, Masks.cpp:1350)
+            for bm in built:
+                sel_ids = [snps[k].ID for k in bm.sel_idx]
+                snplist_fh.write(
+                    f"{bm.snp.ID}\t{bm.snp.chrom}\t{bm.snp.physpos}\t" + ",".join(sel_ids) + "\n"
+                )
+
+        if built:
+            r = _test_masks(eng, built)
+            write_block_rows(params, pd, writers, [bm.snp for bm in built], r)
+
+        # SKAT / ACAT family on the weighted variant matrix
+        if params.vc_tests:
+            from .models import skat as skat_mod
+
+            skat_mod.run_vc_tests(
+                params, eng, vset, snps, G, sb, ignored, built, writers, log
+            )
+
+        # joint tests on burden p-values
+        if params.joint_tests:
+            from .models import joint as joint_mod
+
+            joint_mod.run_joint_tests(params, eng, vset, built, writers, log)
+
+    for fh in writers:
+        fh.close()
+    if mask_bed is not None:
+        mask_bed.close()
+    if snplist_fh is not None:
+        snplist_fh.close()
+    log("\nAssociation results stored separately for each trait in files:")
+    for p_ in out_paths:
+        log(f"* [{p_}]")
+    if mask_bed is not None:
+        log(f"Masks written to : [{params.out_prefix}_masks.{{bed,bim,fam}}]")
+    log(f" * done ({time.time()-t0:.1f}s)")
+
+
+def _test_masks(eng: Step2Engine, built: List[BuiltMask]) -> BlockResult:
+    """Run the association engine on built masks as pseudo-variants."""
+    P = eng.params.n_pheno
+    B = len(built)
+    G = np.stack([bm.G for bm in built])
+    af_t = np.stack([bm.af_t for bm in built])
+    ns_t = np.stack([bm.ns_t for bm in built])
+    mac_t = np.stack([bm.mac_t for bm in built])
+    ignored = np.zeros(B, dtype=bool)
+    ignored_trait = np.stack([bm.ignored_trait for bm in built])
+    flipped = np.array([bm.flipped for bm in built])
+    return eng.test_prepared_block(
+        G, af_t, ns_t, mac_t, ignored, ignored_trait, flipped, is_mask=True
+    )
+
+
+class _MaskBedWriter:
+    """Write built masks as PLINK bed/bim/fam (make_genovec/write_genovec/
+    write_genobim, Masks.cpp:1177-1349)."""
+
+    def __init__(self, params: Params, gd):
+        self.params = params
+        self.n = params.n_samples
+        self.bed = open(params.out_prefix + "_masks.bed", "wb")
+        self.bed.write(b"\x6c\x1b\x01")
+        self.bim = open_write(params.out_prefix + "_masks.bim")
+        with open_write(params.out_prefix + "_masks.fam") as fam:
+            for s in gd.samples:
+                fam.write(f"{s.FID}\t{s.IID}\t0\t0\t{s.sex}\t0\n")
+
+    def add(self, bm: BuiltMask):
+        v = bm.raw_vec
+        hc = np.where(v < 0, -3, np.round(np.clip(v, 0, 2))).astype(np.int8)
+        # plink 2-bit codes, ref-last: 2->00, missing->01, 1->10, 0->11
+        codes = np.where(hc == 2, 0, np.where(hc == -3, 1, np.where(hc == 1, 2, 3))).astype(
+            np.uint8
+        )
+        pad = (-len(codes)) % 4
+        if pad:
+            codes = np.concatenate([codes, np.zeros(pad, dtype=np.uint8)])
+        codes = codes.reshape(-1, 4)
+        byts = (
+            codes[:, 0] | (codes[:, 1] << 2) | (codes[:, 2] << 4) | (codes[:, 3] << 6)
+        ).astype(np.uint8)
+        self.bed.write(byts.tobytes())
+        s = bm.snp
+        self.bim.write(f"{s.chrom}\t{s.ID}\t0\t{s.physpos}\t{s.allele2}\t{s.allele1}\n")
+
+    def close(self):
+        self.bed.close()
+        self.bim.close()

@@ -3,12 +3,14 @@
 Replaces the reference's Data::test_snps_fast (Data.cpp:2230),
 compute_res* (:2386-2475), analyze_block/compute_tests_mt (:2363-2551)
 and the .regenie writers. The per-SNP OpenMP loop becomes whole-block
-batched device computation.
+batched device computation. The gene-based driver (test_joint,
+Data.cpp:2629) shares this engine via Step2Engine.
 """
 
 from __future__ import annotations
 
 import time
+from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
@@ -84,11 +86,210 @@ def mask_samples_missing_loco(params, pd, blup_files, id_to_ind):
             key = header[col]
             if key in id_to_ind and vals[col] != "NA":
                 present[id_to_ind[key]] = True
-        n_prior = pd.masked_indivs[:, ph].sum()
         pd.masked_indivs[:, ph] &= present
-        n_post = pd.masked_indivs[:, ph].sum()
-        if n_post < 1:
+        if pd.masked_indivs[:, ph].sum() < 1:
             pd.pheno_pass[ph] = False
+
+
+@dataclass
+class BlockResult:
+    """Per-variant test outputs for a block, all phenos."""
+
+    bhat: np.ndarray
+    se: np.ndarray
+    chisq: np.ndarray
+    logp: np.ndarray
+    test_fail: np.ndarray
+    ignored: np.ndarray
+    ignored_trait: np.ndarray
+    af_t: np.ndarray
+    ns_t: np.ndarray
+    info_t: Optional[np.ndarray]
+
+
+class Step2Engine:
+    """Shared association-test state and per-block scoring for single
+    variants and burden masks."""
+
+    def __init__(self, params: Params, gd, pd, blup_files, log):
+        self.params = params
+        self.gd = gd
+        self.pd = pd
+        self.blup_files = blup_files
+        self.log = log
+        self.id_to_ind = {s.key: i for i, s in enumerate(gd.samples)}
+        self.ind_j = jnp.asarray(pd.ind_in_analysis)
+        self.cov_j = jnp.asarray(pd.new_cov)
+        self.maskf = pd.masked_indivs.astype(np.float64)
+        self.maskf_j = jnp.asarray(self.maskf)
+        self.strict = bool(params.strict_mode)
+        self.scale_denom = float(params.n_analyzed - params.ncov)
+        self.cur_chrom = None
+        self.res = None
+        self.p_sd_yres = None
+        self.scf_sv = None
+        self.bt_state = None
+        self.n_ignored = 0
+        self.n_corrected = 0
+        self.n_failed = 0
+
+    def prep_chrom(self, chrom: int):
+        if chrom == self.cur_chrom:
+            return
+        self.cur_chrom = chrom
+        params, pd, N, P = self.params, self.pd, self.params.n_samples, self.params.n_pheno
+        blups = np.zeros((N, P))
+        if self.blup_files is not None:
+            for ph, name in enumerate(pd.pheno_names):
+                if not pd.pheno_pass[ph]:
+                    continue
+                blups[:, ph] = read_loco_chr(
+                    self.blup_files[name], chrom, self.id_to_ind, N,
+                    pd.masked_indivs[:, ph],
+                )
+        if params.trait_mode == QT:
+            res = (pd.phenotypes - blups) * pd.masked_indivs
+            self.p_sd_yres = np.linalg.norm(res, axis=0) / np.sqrt(
+                pd.Neff - params.ncov_analyzed
+            )
+            self.res = res / self.p_sd_yres[None, :]
+            self.scf_sv = pd.scale_Y * self.p_sd_yres
+        elif params.trait_mode == BT:
+            from .models import step2_bt
+
+            self.bt_state = step2_bt.prep_chromosome(params, pd, blups, self.log)
+            self.res = self.bt_state.res
+        elif params.trait_mode == CT:
+            from .models import step2_ct
+
+            self.bt_state = step2_ct.prep_chromosome(params, pd, blups, self.log)
+            self.res = self.bt_state.res
+        else:
+            raise NotImplementedError("trait mode not yet implemented in step 2")
+
+    def block_stats(self, G_raw) -> dict:
+        """Per-variant stats for a raw block (hardcalls or dosages)."""
+        blk = snp_stats_block(jnp.asarray(G_raw), self.ind_j, jnp.asarray(self.pd.masked_indivs))
+        return {k: np.asarray(v) for k, v in blk.items()}
+
+    def test_prepared_block(
+        self, G, af_t, ns_t, mac_t, ignored, ignored_trait, flipped, info_t=None,
+        is_mask: bool = False,
+    ) -> BlockResult:
+        """Score a block whose genotypes are already imputed/encoded.
+
+        G: [B, N] float (jnp or np); flipped: [B] bool.
+        """
+        params, pd = self.params, self.pd
+        B = G.shape[0]
+        P = params.n_pheno
+        self.n_ignored += int(ignored.sum())
+
+        if params.trait_mode == QT:
+            G_res, scale_fac, low_var = m2.residualize_scale_block(
+                jnp.asarray(G), self.cov_j, self.scale_denom
+            )
+            stats, denum = m2.score_qt_block(
+                G_res, jnp.asarray(self.res), self.maskf_j, self.scale_denom, self.strict
+            )
+            bhat, se, chisq = m2.finalize_qt(stats, denum, scale_fac, self.scf_sv, flipped)
+            logp = chisq_neglog10(chisq)
+            test_fail = np.zeros((B, P), dtype=bool)
+            ignored = ignored | np.asarray(low_var)
+        else:
+            from .models import step2_bt
+
+            bhat, se, chisq, logp, test_fail, ncorr, nfail = step2_bt.score_block(
+                params, pd, self.bt_state, G, flipped, ignored, ignored_trait, self.log
+            )
+            self.n_corrected += ncorr
+            self.n_failed += nfail
+
+        return BlockResult(
+            bhat=bhat, se=se, chisq=chisq, logp=logp, test_fail=test_fail,
+            ignored=ignored, ignored_trait=ignored_trait, af_t=af_t, ns_t=ns_t,
+            info_t=info_t,
+        )
+
+    def test_raw_block(self, G_raw, bsnps) -> Tuple[BlockResult, np.ndarray]:
+        """Full pipeline for a raw genotype block (stats, filters, flip,
+        imputation, encoding, scoring). Returns (result, flipped)."""
+        params = self.params
+        sb = self.block_stats(G_raw)
+        total, ns = sb["total"], sb["ns"]
+        mac1 = np.minimum(total, 2 * ns - total)
+        ignored = mac1 < params.min_mac
+        ignored_trait = sb["mac"] < params.min_mac
+
+        info_t = None
+        if self.gd.last_info_num is not None:
+            ival = self.gd.last_info_num * self.pd.ind_in_analysis[None, :]
+            info_num_t = ival @ self.maskf
+            with np.errstate(divide="ignore", invalid="ignore"):
+                info_t = 1.0 - info_num_t / (2 * sb["ns_t"] * sb["af"] * (1 - sb["af"]))
+            info_t = np.where((sb["af"] == 0) | (sb["af"] == 1), 1.0, info_t)
+            if params.set_min_info:
+                ignored_trait |= info_t < params.min_info
+
+        with_flip = params.trait_mode != QT and params.test_type == 0
+        mean_g = total / ns
+        flipped = (mean_g > 1.0) & with_flip
+
+        G = finalize_block_step2(jnp.asarray(G_raw), self.ind_j, jnp.asarray(flipped))
+        if params.test_type == 1:
+            G = jnp.where(G == 2.0, 1.0, G)
+        elif params.test_type == 2:
+            G = jnp.where(G >= 1.0, G - 1.0, G)
+
+        result = self.test_prepared_block(
+            G, sb["af"], sb["ns_t"], sb["mac"], ignored, ignored_trait, flipped, info_t
+        )
+        return result, flipped
+
+
+def setup_writers(params: Params, pheno_names: List[str]):
+    writers, out_paths = [], []
+    if params.htp_out:
+        from .io.output import header_htp
+
+        hdr = header_htp()
+    else:
+        hdr = header_single(params)
+    for name in pheno_names:
+        suffix = ".regenie" + (".gz" if params.gz_out else "")
+        path = f"{params.out_prefix}_{name}{suffix}"
+        fh = open_write(path, gz=params.gz_out)
+        fh.write(hdr)
+        writers.append(fh)
+        out_paths.append(path)
+    return writers, out_paths
+
+
+def write_block_rows(params, pd, writers, bsnps, r: BlockResult, test_name="ADD"):
+    B = len(bsnps)
+    for b in range(B):
+        if r.ignored[b]:
+            continue
+        for ph in range(params.n_pheno):
+            if not pd.pheno_pass[ph] or r.ignored_trait[b, ph]:
+                continue
+            writers[ph].write(
+                sumstat_line_single(
+                    params,
+                    bsnps[b],
+                    test_name,
+                    r.af_t[b, ph],
+                    (r.info_t[b, ph] if r.info_t is not None else 1.0)
+                    if params.dosage_mode
+                    else None,
+                    int(r.ns_t[b, ph]),
+                    r.bhat[b, ph],
+                    r.se[b, ph],
+                    r.chisq[b, ph],
+                    r.logp[b, ph],
+                    test_pass=not r.test_fail[b, ph],
+                )
+            )
 
 
 def run_step2(params: Params, log=print) -> None:
@@ -103,170 +304,36 @@ def run_step2(params: Params, log=print) -> None:
 
     rd = prepare(params, blup_pheno_names=blup_names)
     gd, pd = rd.geno, rd.pheno
-    N, P = params.n_samples, params.n_pheno
 
-    id_to_ind = {s.key: i for i, s in enumerate(gd.samples)}
+    eng = Step2Engine(params, gd, pd, blup_files, log)
     if blup_files is not None:
-        mask_samples_missing_loco(params, pd, blup_files, id_to_ind)
+        mask_samples_missing_loco(params, pd, blup_files, eng.id_to_ind)
         pd.Neff = pd.masked_indivs.sum(axis=0).astype(np.float64)
+
+    if getattr(params, "set_list", None):
+        from .run_genebased import run_genebased
+
+        return run_genebased(params, eng, log)
 
     blocks = make_blocks(gd, params.block_size)
     params.total_n_block = len(blocks)
-    log(f" * # threads: [jax/{params.threads or 'auto'}]")
     log(f" * block size: [{params.block_size}]")
     log(f" * # blocks: [{params.total_n_block}]")
     log(f" * # tested variants: [{params.n_variants}]")
 
-    # output files (setup_output; split by pheno is the reference default)
     test_name = {0: "ADD", 1: "DOM", 2: "REC"}[params.test_type]
-    writers = []
-    out_paths = []
-    if params.split_by_pheno:
-        for ph in range(P):
-            path = f"{params.out_prefix}_{pd.pheno_names[ph]}.regenie"
-            if params.gz_out:
-                path += ".gz"
-            fh = open_write(path, gz=params.gz_out)
-            fh.write(header_single(params))
-            writers.append(fh)
-            out_paths.append(path)
-    else:
-        raise NotImplementedError("--no-split merged output not yet implemented")
+    writers, out_paths = setup_writers(params, pd.pheno_names)
 
-    ind_j = jnp.asarray(pd.ind_in_analysis)
-    cov_j = jnp.asarray(pd.new_cov)
-    maskf = pd.masked_indivs.astype(np.float64)
-    maskf_j = jnp.asarray(maskf)
-    strict = bool(params.strict_mode)
-    scale_denom = float(params.n_analyzed - params.ncov)
-
-    n_ignored = 0
-    n_corrected = 0
-    n_failed = 0
     t0 = time.time()
-
-    # group blocks by chromosome preserving order
-    from .models import glm
-    cur_chrom = None
-    res = None
-    p_sd_yres = None
-    scf_sv = None
-    bt_state = None
-
+    block_idx = 0
     for chrom, bsnps in blocks:
-        if chrom != cur_chrom:
-            cur_chrom = chrom
-            # load LOCO predictions for this chromosome
-            blups = np.zeros((N, P))
-            if blup_files is not None:
-                for ph, name in enumerate(pd.pheno_names):
-                    if not pd.pheno_pass[ph]:
-                        continue
-                    blups[:, ph] = read_loco_chr(
-                        blup_files[name], chrom, id_to_ind, N, pd.masked_indivs[:, ph]
-                    )
-            if params.trait_mode == QT:
-                # compute_res (Data.cpp:2386)
-                res = (pd.phenotypes - blups) * pd.masked_indivs
-                p_sd_yres = np.linalg.norm(res, axis=0) / np.sqrt(
-                    pd.Neff - params.ncov_analyzed
-                )
-                res = res / p_sd_yres[None, :]
-                scf_sv = pd.scale_Y * p_sd_yres
-            elif params.trait_mode == BT:
-                from .models import step2_bt
-
-                bt_state = step2_bt.prep_chromosome(params, pd, blups, log)
-                res = bt_state.res
-            else:
-                raise NotImplementedError("trait mode not yet implemented in step 2")
-
-        B = len(bsnps)
-        G_raw = gd.read_block(bsnps)  # [B,N] int8 hardcalls or f64 dosages
-        G_j = jnp.asarray(G_raw)
-        stats_blk = snp_stats_block(G_j, ind_j, jnp.asarray(pd.masked_indivs))
-        total = np.asarray(stats_blk["total"])
-        ns = np.asarray(stats_blk["ns"])
-        af1 = np.asarray(stats_blk["af1"])
-        af_t = np.asarray(stats_blk["af"])
-        mac_t = np.asarray(stats_blk["mac"])
-        ns_t = np.asarray(stats_blk["ns_t"])
-
-        # MAC filter (compute_mac, Geno.cpp:2955): all-trait MAC
-        mac1 = np.minimum(total, 2 * ns - total)
-        ignored = mac1 < params.min_mac
-        ignored_trait = mac_t < params.min_mac  # [B,P]
-        n_ignored += int(ignored.sum())
-
-        # INFO score for dosage input (compute_aaf_info, Geno.cpp:2987)
-        info_t = None
-        if gd.last_info_num is not None:
-            ival = gd.last_info_num * pd.ind_in_analysis[None, :]
-            info_num_t = ival @ maskf  # [B,P]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                info_t = 1.0 - info_num_t / (2 * ns_t * af_t * (1 - af_t))
-            info_t = np.where((af_t == 0) | (af_t == 1), 1.0, info_t)
-            if params.set_min_info:
-                ignored_trait |= info_t < params.min_info
-
-        # flip to minor allele for non-QT additive tests (Data.cpp:2108)
-        with_flip = params.trait_mode != QT and params.test_type == 0
-        mean_g = total / ns
-        flipped = (mean_g > 1.0) & with_flip
-        af1 = np.where(flipped, 1 - af1, af1)  # af reported post-flip? (no: kept raw)
-        af1 = np.asarray(stats_blk["af1"])  # A1FREQ is pre-flip alt freq
-
-        G = finalize_block_step2(G_j, ind_j, jnp.asarray(flipped))
-
-        # dominant/recessive recoding (parseSnpfromBed tail, Geno.cpp:2515)
-        if params.test_type == 1:
-            G = jnp.where(G == 2.0, 1.0, G)
-        elif params.test_type == 2:
-            G = jnp.where(G >= 1.0, G - 1.0, G)
-
-        if params.trait_mode == QT:
-            G_res, scale_fac, low_var = m2.residualize_scale_block(G, cov_j, scale_denom)
-            stats, denum = m2.score_qt_block(
-                G_res, jnp.asarray(res), maskf_j, scale_denom, strict
-            )
-            bhat, se, chisq = m2.finalize_qt(stats, denum, scale_fac, scf_sv, flipped)
-            logp = chisq_neglog10(chisq)
-            test_fail = np.zeros((B, P), dtype=bool)
-            ignored = ignored | np.asarray(low_var)
-        else:
-            from .models import step2_bt
-
-            bhat, se, chisq, logp, test_fail, ncorr, nfail = step2_bt.score_block(
-                params, pd, bt_state, G, np.asarray(flipped), ignored, ignored_trait, log
-            )
-            n_corrected += ncorr
-            n_failed += nfail
-
-        # write rows
-        for b in range(B):
-            if ignored[b]:
-                continue
-            for ph in range(P):
-                if not pd.pheno_pass[ph] or ignored_trait[b, ph]:
-                    n_ignored += 0
-                    continue
-                writers[ph].write(
-                    sumstat_line_single(
-                        params,
-                        bsnps[b],
-                        test_name,
-                        af_t[b, ph],
-                        (info_t[b, ph] if info_t is not None else 1.0)
-                        if params.dosage_mode
-                        else None,
-                        int(ns_t[b, ph]),
-                        bhat[b, ph],
-                        se[b, ph],
-                        chisq[b, ph],
-                        logp[b, ph],
-                        test_pass=not test_fail[b, ph],
-                    )
-                )
+        block_idx += 1
+        if block_idx < params.starting_block:
+            continue
+        eng.prep_chrom(chrom)
+        G_raw = gd.read_block(bsnps)
+        result, _ = eng.test_raw_block(G_raw, bsnps)
+        write_block_rows(params, pd, writers, bsnps, result, test_name)
 
     for fh in writers:
         fh.close()
@@ -274,7 +341,9 @@ def run_step2(params: Params, log=print) -> None:
     for p_ in out_paths:
         log(f"* [{p_}]")
     if params.firth or params.use_spa:
-        log(f"Number of tests with {'Firth' if params.firth else 'SPA'} correction : {n_corrected}")
-        log(f"Number of failed tests : ({n_failed}/{n_corrected})")
-    log(f"Number of ignored tests due to low MAC : {n_ignored * P}")
+        log(
+            f"Number of tests with {'Firth' if params.firth else 'SPA'} correction : {eng.n_corrected}"
+        )
+        log(f"Number of failed tests : ({eng.n_failed}/{eng.n_corrected})")
+    log(f"Number of ignored tests due to low MAC : {eng.n_ignored * params.n_pheno}")
     log(f" * done ({time.time()-t0:.1f}s)")

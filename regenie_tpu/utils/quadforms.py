@@ -1,0 +1,218 @@
+"""P-values for mixtures of chi-square_1 variables: Q ~ sum lambda_i X_i.
+
+Replacement for the reference's vendored native libs (SURVEY.md §2.2):
+qf/qfc.cpp (Davies) -> Imhof-type numerical inversion via scipy quad;
+Kuonen saddlepoint (SKAT.cpp:1566-1688) and Liu moment-matching
+(SKAT.cpp:1625) reimplemented directly. Host scalar code — per variant
+set, never per sample (SURVEY.md §2.2 replacement strategy).
+
+Fallback chain mirrors get_chisq_mix_logp (SKAT.cpp:1500): davies ->
+kuonen (if p<=1e-5) -> strict davies -> liu.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+from scipy import integrate
+from scipy.stats import chi2, ncx2, norm
+
+_DBL_DMIN = 10.0 * np.finfo(np.float64).tiny
+
+
+def davies_pv(q: float, lambdas: np.ndarray, strict: bool = False) -> float:
+    """P(Q > q) by numerical inversion of the characteristic function
+    (Imhof 1961; equivalent to Davies' qf for central chi2_1 mixtures).
+    Returns -1 on failure."""
+    lam = np.asarray(lambdas, dtype=np.float64)
+    if len(lam) == 1:  # exact: scaled chi2_1
+        return float(chi2.sf(q / lam[0], df=1))
+
+    def theta(u):
+        return 0.5 * (np.sum(np.arctan(lam[:, None] * u[None, :]), axis=0)) - 0.5 * q * u
+
+    def rho(u):
+        return np.exp(0.25 * np.sum(np.log1p((lam[:, None] * u[None, :]) ** 2), axis=0))
+
+    def integrand(u):
+        u = np.atleast_1d(u)
+        return np.sin(theta(u)) / (u * rho(u))
+
+    import warnings
+
+    try:
+        epsabs = 1e-10 if strict else 1e-7
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            val, err = integrate.quad(
+                lambda u: float(integrand(np.array([u]))[0]),
+                0, np.inf, epsabs=epsabs, epsrel=epsabs,
+                limit=2000 if strict else 800,
+            )
+    except Exception:
+        return -1.0
+    pv = 0.5 + val / np.pi
+    if not np.isfinite(pv) or pv <= 0 or pv > 1:
+        return -1.0
+    return pv
+
+
+def _K(t, lam):
+    return -0.5 * np.log1p(-2.0 * t * lam).sum()
+
+
+def _Kp(t, lam):
+    return (lam / (1.0 - 2.0 * t * lam)).sum()
+
+
+def _Kpp(t, lam):
+    return ((2.0 * lam**2) / (1.0 - 2.0 * t * lam) ** 2).sum()
+
+
+def kuonen_pv(q: float, lambdas: np.ndarray) -> float:
+    """Saddlepoint p-value (get_kuonen_pv, SKAT.cpp:1566). Lambdas must
+    be scaled so max == 1. Returns -1 on failure."""
+    lam = np.asarray(lambdas, dtype=np.float64)
+    # root bounds (get_tmin_lambda / get_tmax_lambda)
+    if lam[0] < 0:
+        tmin = 1.0 / (2.0 * lam[0])
+    elif q > lam.sum():
+        tmin = 0.0
+    else:
+        tmin = -0.5 * len(lam) / q
+    tmax = 0.5 - 1e-8
+    if tmax < tmin:
+        return -1.0
+
+    fmin = _Kp(tmin, lam) - q
+    fmax = _Kp(tmax, lam) - q
+    if not (fmin <= 0 and fmax >= 0):
+        return -1.0
+
+    # Newton + bisection (solve_kp, SKAT.cpp:1604)
+    min_x, max_x = tmin, tmax
+    t_old, f_old = tmin, fmin
+    t_new = tmin
+    ok = False
+    for _ in range(1000):
+        hess = _Kpp(t_old, lam)
+        t_new = t_old - f_old / hess
+        f_new = _Kp(t_new, lam) - q
+        if abs(f_new) < 1e-8:
+            ok = True
+            break
+        if min_x < t_new < max_x:
+            if f_new > 0:
+                max_x = t_new
+            else:
+                min_x = t_new
+        else:
+            t_new = 0.5 * (min_x + max_x)
+            f_new = _Kp(t_new, lam) - q
+            if f_new <= 0:
+                min_x = t_new
+            else:
+                max_x = t_new
+        t_old, f_old = t_new, f_new
+    if not ok:
+        return -1.0
+
+    # tail approximation (get_spa_pv, SKAT.cpp:1667)
+    tmp = 2.0 * (q * t_new - _K(t_new, lam))
+    if tmp <= 0:
+        return -1.0
+    w = np.sign(t_new) * np.sqrt(tmp)
+    tmp = _Kpp(t_new, lam)
+    if tmp <= 0:
+        return -1.0
+    u = t_new * np.sqrt(tmp)
+    if abs(u) < 1e-4:
+        return -1.0
+    r = w + np.log(u / w) / w
+    pv = norm.sf(r)
+    if pv <= 0 or pv > 1:
+        return -1.0
+    return float(pv)
+
+
+def liu_params(lambdas: np.ndarray) -> np.ndarray:
+    """[muQ, invsQ, muX, sX, df, ncp] (get_cvals, SKAT.cpp:1767)."""
+    lam = np.asarray(lambdas, dtype=np.float64)
+    c1, c2 = lam.sum(), (lam**2).sum()
+    c3, c4 = (lam**3).sum(), (lam**4).sum()
+    s1 = c3 / c2 / np.sqrt(c2)
+    s2 = c4 / c2**2
+    if s1**2 <= s2:
+        df = 1.0 / s2
+        a = np.sqrt(df)
+        ncp = 0.0
+    else:
+        a = 1.0 / (s1 - np.sqrt(s1**2 - s2))
+        ncp = (s1 * a - 1.0) * a * a
+        df = a * a - 2.0 * ncp
+    return np.array([c1, 1.0 / np.sqrt(2 * c2), df + ncp, np.sqrt(2) * a, df, ncp])
+
+
+def liu_logp(q: float, lambdas: np.ndarray) -> Tuple[float, float]:
+    """Modified-Liu -log10 p (get_liu_pv variant, SKAT.cpp:1625).
+    Returns (logp, chival); logp=-1 on failure."""
+    c = liu_params(lambdas)
+    tstar = (q - c[0]) * c[1]
+    val = tstar * c[3] + c[2]
+    if val < 0 or not np.isfinite(c[4]) or c[4] <= 0:
+        return -1.0, -1.0
+    if c[5] == 0:
+        with np.errstate(divide="ignore"):
+            logpv = -chi2.logsf(val, df=c[4]) / np.log(10.0)
+    else:
+        pv = ncx2.sf(val, df=c[4], nc=c[5])
+        logpv = -1.0 if (pv <= 0 or pv > 1) else -np.log10(pv)
+    return float(logpv), float(val)
+
+
+def chisq_mix_pv(q: float, lambdas: np.ndarray) -> float:
+    """Raw p-value chain (get_chisq_mix_pv, SKAT.cpp:1468).
+    Used inside the SKATO integrand. Returns -1 on failure."""
+    lam = np.sort(np.asarray(lambdas, dtype=np.float64))
+    newQ = q / lam[-1]
+    newL = lam / lam[-1]
+    pv = davies_pv(newQ, newL)
+    if pv <= 1e-5:
+        pv = kuonen_pv(newQ, newL)
+        if pv <= 0:
+            pv = davies_pv(newQ, newL, strict=True)
+            if pv <= 0:
+                logp, _ = liu_logp(newQ, newL)
+                pv = 10 ** (-logp) if logp >= 0 else -1.0
+    if not np.isfinite(pv):
+        return -1.0
+    return pv
+
+
+def chisq_mix_logp(q: float, lambdas: np.ndarray) -> Tuple[float, float]:
+    """-log10 p for the mixture + equivalent 1-df chisq (get_chisq_mix_logp,
+    SKAT.cpp:1500). Returns (logp, chival); logp=-1 on failure."""
+    from .stats import neglog10_to_chisq
+
+    lam = np.sort(np.asarray(lambdas, dtype=np.float64))
+    newQ = q / lam[-1]
+    newL = lam / lam[-1]
+    pv = davies_pv(newQ, newL)
+    logp = None
+    if pv <= 1e-5:
+        pv = kuonen_pv(newQ, newL)
+        if pv <= 0:
+            pv = davies_pv(newQ, newL, strict=True)
+            if pv <= 0:
+                logp, chival = liu_logp(newQ, newL)
+                if logp < 0:
+                    return -1.0, -1.0
+                chival = float(neglog10_to_chisq(np.array([logp]))[0])
+                return logp, chival
+    if pv <= 0 or pv > 1:
+        return -1.0, -1.0
+    pv = max(pv, _DBL_DMIN)
+    logp = -np.log10(pv)
+    chival = float(neglog10_to_chisq(np.array([logp]))[0])
+    return float(logp), chival
