@@ -105,6 +105,7 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
 
         if built:
             r = _test_masks(eng, built)
+            eng._last_mask_result = r
             write_block_rows(params, pd, writers, [bm.snp for bm in built], r)
 
         # SKAT / ACAT family on the weighted variant matrix

@@ -196,6 +196,7 @@ class Step2Engine:
             logp = chisq_neglog10(chisq)
             test_fail = np.zeros((B, P), dtype=bool)
             ignored = ignored | np.asarray(low_var)
+            self.last_G_res = np.asarray(G_res)  # for joint tests (compute_qr_G)
         else:
             from .models import step2_bt
 
@@ -204,6 +205,7 @@ class Step2Engine:
             )
             self.n_corrected += ncorr
             self.n_failed += nfail
+            self.last_G_res = np.asarray(G)
 
         return BlockResult(
             bhat=bhat, se=se, chisq=chisq, logp=logp, test_fail=test_fail,
