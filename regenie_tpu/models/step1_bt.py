@@ -87,11 +87,48 @@ def _loo_betas(X, y, pi, w, mask, beta, tau):
     return b_loo
 
 
+def run_ct_ridge(
+    y: np.ndarray,
+    X: np.ndarray,
+    offset: np.ndarray,
+    mask: np.ndarray,
+    tau: float,
+    beta0: np.ndarray,
+    niter_max: int = 100,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
+    """Penalized Poisson IRLS (run_ct_ridge_loocv, Step1_Models.cpp:1680).
+    Returns (beta, mu, w, converged) with w = mu."""
+    maskf = mask.astype(np.float64)
+    beta = beta0.copy()
+    F = X.shape[1]
+    for _ in range(niter_max):
+        eta = offset + X @ beta
+        mu = np.where(mask, np.exp(np.clip(eta, -30, 30)), 0.0)
+        if (mu[mask] == 0).any():
+            return beta, mu, mu, False
+        z = np.where(mask, (eta - offset) + (y - mu) / mu, 0.0)
+        XtW = X.T * (maskf * mu)
+        XtWX = tau * np.eye(F) + XtW @ X
+        try:
+            betanew = np.linalg.solve(XtWX, XtW @ z)
+        except np.linalg.LinAlgError:
+            return beta, mu, mu, False
+        eta = offset + X @ betanew
+        mu = np.where(mask, np.exp(np.clip(eta, -30, 30)), 0.0)
+        score = X.T @ np.where(mask, y - mu, 0.0) - tau * betanew
+        beta = betanew
+        if np.abs(score).max() < L1_RIDGE_TOL:
+            return beta, mu, mu, True
+    return beta, mu, mu, False
+
+
 def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans, fold_sizes, log):
     """Level-1 ridge for one non-QT trait; returns (predictions [N, C],
     converged)."""
+    if params.trait_mode == CT:
+        return _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log)
     if params.trait_mode != BT:
-        raise NotImplementedError("only BT level-1 implemented so far")
+        raise NotImplementedError("only BT/CT level-1 implemented so far")
     if fold_sizes is not None:
         raise NotImplementedError("K-fold level-1 for BT not yet implemented (use --loocv)")
 
@@ -169,3 +206,64 @@ def _log_bt_tau_table(log, params, taus, cumsum, best, neff, n_feats):
         if j == best:
             line += "<- min value"
         log(line)
+
+
+def _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log):
+    """Level-1 Poisson ridge LOOCV (ridge_poisson_level_1_loocv,
+    Step1_Models.cpp:1585)."""
+    if fold_sizes is not None:
+        raise NotImplementedError("K-fold level-1 for CT not yet implemented (use --loocv)")
+    y = pd.phenotypes_raw[:, ph]
+    mask = pd.masked_indivs[:, ph]
+    offset = offsets[:, ph]
+    X = W_all[:, :, ph]
+    N, F = X.shape
+    neff = pd.Neff[ph]
+    rate = y[mask].sum() / neff
+
+    # CT tau: K / log(1 + h/(rate(1-h))) (Step1_Models.cpp:2103)
+    from ..config import ridge_h2_grid
+
+    h = ridge_h2_grid(params.n_ridge_l1)
+    taus_ct = F / np.log1p(h / (rate * (1 - h)))
+
+    cumsum = np.zeros((6, len(taus_ct)))
+    beta = np.zeros(F)
+    maskf = mask.astype(np.float64)
+    for j, tau in enumerate(taus_ct):
+        beta, mu, w, ok = run_ct_ridge(y, X, offset, mask, float(tau), beta, params.niter_max_ridge)
+        if not ok:
+            log("WARNING: ridge poisson regression did not converge! (Increase --niter)")
+            return None, False
+        b_loo = _loo_betas(X, y, mu, w, mask, beta, float(tau))
+        eta_loo = (X * b_loo.T).sum(axis=1) + offset
+        p1 = np.exp(np.clip(eta_loo, -30, 30))
+        m = mask
+        cumsum[0, j] = p1[m].sum()
+        cumsum[1, j] = y[m].sum()
+        cumsum[2, j] = (p1[m] ** 2).sum()
+        cumsum[3, j] = (y[m] ** 2).sum()
+        cumsum[4, j] = (p1[m] * y[m]).sum()
+        cumsum[5, j] = (-(y[m] * np.log(np.maximum(p1[m], 1e-300)) - p1[m])).sum()
+
+    best = int(np.argmin(cumsum[5] / neff))
+    from ..prep import fmt
+
+    for j in range(len(taus_ct)):
+        zv = np.exp(F / taus_ct[j]) - 1
+        h_eff = rate * zv / (1 + rate * zv)
+        line = f"  {fmt(h_eff):>5} : -logLik/N = {fmt(cumsum[5, j] / neff)}"
+        if j == best:
+            line += "<- min value"
+        log(line)
+
+    beta = np.zeros(F)
+    beta, mu, w, ok = run_ct_ridge(y, X, offset, mask, float(taus_ct[best]), beta, params.niter_max_ridge)
+    if not ok:
+        return None, False
+    b_loo = _loo_betas(X, y, mu, w, mask, beta, float(taus_ct[best]))
+    predictions = np.zeros((N, len(chr_order)))
+    for ci, c in enumerate(chr_order):
+        st_, nn = spans[c]
+        predictions[:, ci] = (X[:, st_ : st_ + nn] * b_loo[st_ : st_ + nn, :].T).sum(axis=1)
+    return predictions, True

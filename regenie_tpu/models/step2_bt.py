@@ -33,6 +33,7 @@ class BTChromState:
     firth_offset: np.ndarray = None  # [N, P] cov effects + LOCO (approx firth)
     blups: np.ndarray = None  # [N, P]
     bhat_start: np.ndarray = None  # [K, P] null logistic betas
+    allow_correction: bool = True  # Firth/SPA only for BT
 
 
 def prep_chromosome(params: Params, pd: PhenoData, blups: np.ndarray, log) -> BTChromState:
@@ -172,7 +173,7 @@ def score_block(
         fail_ph = np.zeros(B, dtype=bool)
 
         # correction set: firth/spa enabled AND |stat| > z_thr (check_pval_snp)
-        if params.firth or params.use_spa:
+        if (params.firth or params.use_spa) and st.allow_correction:
             corr = (~ignored) & (~ignored_trait[:, ph]) & (np.abs(stats) > z_thr)
             n_corrected += int(corr.sum())
             if corr.any():
