@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--bt", action="store_true", help="binary traits")
     g.add_argument("--ct", action="store_true", help="count traits (Poisson)")
     g.add_argument("--t2e", action="store_true", help="time-to-event traits (Cox)")
+    g.add_argument("--eventColList", default=None, help="event status columns (paired with --phenoColList)")
+    g.add_argument("--coxscore-exact", action="store_true")
+    g.add_argument("--coxnofirth", action="store_true")
     g.add_argument("--1", "--cc12", dest="cc12", action="store_true", help="1/2/NA coding")
     g.add_argument("--out", "-o", required=True, help="output file prefix")
     g.add_argument("--bsize", "-b", type=int, default=1000, help="block size")
@@ -249,6 +252,20 @@ def args_to_params(args: argparse.Namespace) -> Params:
         params.joint_tests = [t.lower() for t in _split_list(args.joint)]
     params.mask_lovo = args.mask_lovo
     params.mask_lodo = args.mask_lodo
+
+    # time-to-event
+    params.coxscore_exact = args.coxscore_exact
+    params.cox_nofirth = args.coxnofirth
+    if args.eventColList:
+        params.event_cols = _split_list(args.eventColList)
+        if params.trait_mode != T2E:
+            raise ValueError("--eventColList must be used with --t2e")
+        if len(params.event_cols) != len(params.pheno_cols):
+            raise ValueError("--phenoColList and --eventColList must have same length")
+        params.t2e_map = dict(zip(params.pheno_cols, params.event_cols))
+        params.pheno_cols = params.pheno_cols + params.event_cols
+    elif params.trait_mode == T2E:
+        raise ValueError("must specify both --phenoColList and --eventColList for --t2e")
     if params.build_mask:
         params.min_mac_mask = params.min_mac
         params.min_mac = 0.5  # retain singletons (Masks.cpp:51)

@@ -132,6 +132,14 @@ class Params:
     mask_lodo: bool = False
     use_max_bsize: bool = False
 
+    # ---- time-to-event (Cox) ----
+    event_cols: List[str] = field(default_factory=list)  # --eventColList
+    t2e_map: Dict[str, str] = field(default_factory=dict)  # time -> event
+    coxscore_exact: bool = False
+    cox_nofirth: bool = False
+    t2e_event_l0: bool = False
+    t2e_l1_pi6: bool = False
+
     # ---- numerics (reference Regenie.hpp defaults) ----
     numtol: float = 1e-6
     numtol_eps: float = 10.0 * np.finfo(np.float64).eps

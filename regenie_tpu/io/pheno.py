@@ -71,7 +71,9 @@ def read_pheno(
             elif params.pheno_cols:
                 keep_cols[i] = name in params.pheno_cols
             if keep_cols[i] and blup_pheno_names is not None:
-                keep_cols[i] = name in blup_pheno_names
+                # T2E: event columns have no step-1 predictions (Pheno.cpp:183)
+                if not (params.trait_mode == T2E and name in params.event_cols):
+                    keep_cols[i] = name in blup_pheno_names
         names = [nm for nm, k in zip(all_names, keep_cols) if k]
         n_pheno = len(names)
         if n_pheno < 1:
@@ -111,7 +113,9 @@ def read_pheno(
                 if params.trait_mode == BT and params.cc12 and v != MISSING:
                     v -= 1.0  # 1/2/NA coding
                 Y[idx, ip] = v
-                if params.trait_mode == BT and v not in (0.0, 1.0):
+                if params.trait_mode == T2E:
+                    pass  # validated after read (time/event pairing)
+                elif params.trait_mode == BT and v not in (0.0, 1.0):
                     if v != MISSING:
                         raise ValueError(
                             f"phenotype value not 0/1/NA for FID={toks[0]} IID={toks[1]}"
@@ -150,6 +154,19 @@ def read_pheno(
     pd.pheno_names = names
     pd.ind_in_analysis = ind_in_pheno
     pd.pheno_pass = np.ones(n_pheno, dtype=bool)
+    if params.trait_mode == T2E:
+        # pair time/event columns; event columns are not tested themselves
+        # and missing time masks both (pheno_read T2E branch, Pheno.cpp:236)
+        name_idx = {nm: i for i, nm in enumerate(names)}
+        for tname, ename in params.t2e_map.items():
+            ti, ei = name_idx[tname], name_idx[ename]
+            pd.pheno_pass[ei] = False
+            bad_time = (Y[:, ti] == MISSING) | (Y[:, ti] < 0)
+            pd.masked_indivs[bad_time, ti] = False
+            pd.masked_indivs[bad_time, ei] = False
+            bad_ev = (Y[:, ei] == MISSING)
+            pd.masked_indivs[bad_ev, ti] = False
+            pd.masked_indivs[bad_ev, ei] = False
     params.n_pheno = n_pheno
     params.strict_mode = strict
     return pd

@@ -11,7 +11,7 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from ..config import BT, CT, QT, Params
+from ..config import BT, CT, QT, T2E, Params
 from ..io.pheno import PhenoData
 
 
@@ -155,8 +155,26 @@ def fit_null_offsets(params: Params, pd: PhenoData) -> np.ndarray:
                 )
         elif params.trait_mode == CT:
             beta, ok = fit_poisson_irls(y, pd.new_cov, zero_off, mask, params.niter_max, params.numtol)
+        elif params.trait_mode == T2E:
+            # Cox null: cox_ridge at lambda=0 on covariates (fit_null_cox
+            # step-1 branch, Step1_Models.cpp:353); offset = linear predictor
+            from .survival import CoxRidge, SurvivalData
+
+            if pd.pheno_names[ph] not in params.t2e_map:
+                continue  # event columns handled with their time column
+            ename = params.t2e_map[pd.pheno_names[ph]]
+            ei = pd.pheno_names.index(ename)
+            sd = SurvivalData()
+            sd.setup(y, pd.phenotypes_raw[:, ei], mask, norm_weights=True)
+            cr = CoxRidge(sd, pd.new_cov, zero_off, mask, 0.0, params.niter_max,
+                          params.niter_max_line_search, 2.5e-4)
+            cr.fit()
+            ok = cr.converge
+            if ok:
+                offsets[:, ph] = cr.eta
+                continue
         else:
-            raise NotImplementedError("T2E null fit not yet implemented")
+            raise NotImplementedError("unknown trait mode")
         if not ok:
             pd.pheno_pass[ph] = False
             continue

@@ -127,6 +127,10 @@ def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
     converged)."""
     if params.trait_mode == CT:
         return _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log)
+    from ..config import T2E
+
+    if params.trait_mode == T2E:
+        return _level1_t2e(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log)
     if params.trait_mode != BT:
         raise NotImplementedError("only BT/CT level-1 implemented so far")
     if fold_sizes is not None:
@@ -266,4 +270,92 @@ def _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log
     for ci, c in enumerate(chr_order):
         st_, nn = spans[c]
         predictions[:, ci] = (X[:, st_ : st_ + nn] * b_loo[st_ : st_ + nn, :].T).sum(axis=1)
+    return predictions, True
+
+
+def _level1_t2e(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log):
+    """Level-1 Cox ridge with K-fold CV (ridge_cox_level_1,
+    Step1_Models.cpp:2228): per-fold lambda-path fits with warm starts,
+    deviance evaluated on the held-out fold, per-fold predictions."""
+    from ..config import ridge_h2_grid
+    from .survival import CoxRidge, SurvivalData
+
+    ename = params.t2e_map[pd.pheno_names[ph]]
+    ei = pd.pheno_names.index(ename)
+    time = pd.phenotypes_raw[:, ph]
+    status = pd.phenotypes_raw[:, ei]
+    mask = pd.masked_indivs[:, ph]
+    offset = offsets[:, ph]
+    N = len(time)
+    K = params.cv_folds
+    ntau = params.n_ridge_l1
+
+    # sample-major W
+    if W_all.ndim == 4:
+        pieces = [W_all[k, : int(fold_sizes[k]), :, ph] for k in range(K)]
+        X = np.concatenate(pieces, axis=0)
+    else:
+        X = W_all[:, :, ph]
+    F = X.shape[1]
+
+    # lambda_max from gradient at beta=0 (getCoxLambdaMax, Step1_Models.cpp:446)
+    sd_all = SurvivalData()
+    sd_all.setup(time, status, mask, norm_weights=True)
+    cr0 = CoxRidge(sd_all, X, offset, mask, 0.0, params.niter_max,
+                   params.niter_max_line_search, 2.5e-4)
+    grad, _ = cr0._grad(cr0.eta, sd_all.to_order(cr0.eta))
+    lambda_max = np.abs(X.T @ grad).max() / 1e-3
+    # tau grid: exp-spaced from lambda_max down by 1e-6 (Step1_Models.cpp:2112)
+    idx = np.arange(ntau, dtype=np.float64)
+    taus_t2e = np.exp(idx / (ntau - 1) * np.log(1e-6) + np.log(lambda_max))
+
+    # fold ids (contiguous sample ranges)
+    fold_id = np.zeros(N, dtype=int)
+    bounds = np.concatenate([[0], np.cumsum(fold_sizes)])
+    for k in range(K):
+        fold_id[bounds[k] : bounds[k + 1]] = k
+
+    dev = np.zeros(ntau)
+    beta_folds = np.zeros((K, ntau, F))
+    not_conv = False
+    for k in range(K):
+        train = (fold_id != k) & mask
+        test = (fold_id == k) & mask
+        sd_tr = SurvivalData()
+        sd_tr.setup(time, status, train, norm_weights=True)
+        beta_init = np.zeros(F)
+        for l, tau in enumerate(taus_t2e):  # path with warm starts
+            cr = CoxRidge(sd_tr, X, offset, train, float(tau),
+                          params.niter_max_ridge, params.niter_max_line_search,
+                          1e-4, beta_init=beta_init)
+            cr.fit()
+            if not cr.converge:
+                not_conv = True
+            beta_init = cr.beta.copy()
+            beta_folds[k, l] = cr.beta
+            # held-out deviance at the trained beta
+            sd_te = SurvivalData()
+            sd_te.setup(time, status, test, norm_weights=True)
+            cr_te = CoxRidge(sd_te, X, offset, test, float(tau),
+                             beta_init=cr.beta)
+            eta_te = np.where(test, X @ cr.beta + offset, 0.0)
+            dev[l] += cr_te._deviance(sd_te.to_order(eta_te))
+
+    if not_conv:
+        log("WARNING: Cox ridge did not fully converge across folds")
+    best = int(np.argmin(dev))
+    from ..prep import fmt
+
+    for l in range(ntau):
+        line = f"  {fmt(taus_t2e[l]):>9} : Deviance = {fmt(dev[l])}"
+        if l == best:
+            line += "<- min value"
+        log(line)
+
+    predictions = np.zeros((N, len(chr_order)))
+    for k in range(K):
+        rows = slice(bounds[k], bounds[k + 1])
+        for ci, c in enumerate(chr_order):
+            st_, nn = spans[c]
+            predictions[rows, ci] = X[rows, st_ : st_ + nn] @ beta_folds[k, best, st_ : st_ + nn]
     return predictions, True

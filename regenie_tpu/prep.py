@@ -12,7 +12,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from .config import QT, Params
+from .config import QT, T2E, Params
 from .io.geno import GenoData, open_geno
 from .io.pheno import (
     PhenoData,
@@ -49,9 +49,21 @@ def prepare(params: Params, blup_pheno_names: Optional[List[str]] = None) -> Run
             m = (pd.phenotypes[:, j] != -999.0) & pd.masked_indivs[:, j]
             pd.phenotypes[:, j] = rint_values(pd.phenotypes[:, j], m)
 
-    pheno_impute_miss(params, pd)
+    if not (params.trait_mode == T2E and params.test_mode):
+        pheno_impute_miss(params, pd)
 
     # orthonormal covariate basis (prep_run, Pheno.cpp:1060-1117)
+    if params.trait_mode == T2E:
+        # Cox: drop constant covariates (incl. intercept) and center/scale
+        # (prep_run T2E branch, Pheno.cpp:1080-1105; getBasis :1663-1667)
+        ind = pd.ind_in_analysis
+        mu = pd.new_cov[ind].mean(axis=0)
+        sds = np.linalg.norm(pd.new_cov[ind] - mu[None, :], axis=0) / np.sqrt(
+            params.n_analyzed
+        )
+        keep = sds > 1e-9
+        pd.new_cov = (pd.new_cov[:, keep] - mu[None, keep]) / sds[None, keep]
+        pd.new_cov *= ind[:, None]
     basis, ncov = get_basis(pd.new_cov, params)
     pd.new_cov = basis * pd.ind_in_analysis[:, None]
     params.ncov = ncov

@@ -77,6 +77,8 @@ def mask_samples_missing_loco(params, pd, blup_files, id_to_ind):
     """Mask samples absent (or NA) in each trait's .loco file
     (blup_read, Pheno.cpp:1241-1330)."""
     for ph, name in enumerate(pd.pheno_names):
+        if name not in blup_files:
+            continue  # T2E event columns have no predictions
         path = blup_files[name]
         with open_read(path) as fh:
             header = string_split(fh.readline())
@@ -141,7 +143,7 @@ class Step2Engine:
         blups = np.zeros((N, P))
         if self.blup_files is not None:
             for ph, name in enumerate(pd.pheno_names):
-                if not pd.pheno_pass[ph]:
+                if not pd.pheno_pass[ph] or name not in self.blup_files:
                     continue
                 blups[:, ph] = read_loco_chr(
                     self.blup_files[name], chrom, self.id_to_ind, N,
@@ -163,6 +165,11 @@ class Step2Engine:
             from .models import step2_ct
 
             self.bt_state = step2_ct.prep_chromosome(params, pd, blups, self.log)
+            self.res = self.bt_state.res
+        elif params.trait_mode == T2E:
+            from .models import step2_t2e
+
+            self.bt_state = step2_t2e.prep_chromosome(params, pd, blups, self.log)
             self.res = self.bt_state.res
         else:
             raise NotImplementedError("trait mode not yet implemented in step 2")
@@ -197,6 +204,16 @@ class Step2Engine:
             test_fail = np.zeros((B, P), dtype=bool)
             ignored = ignored | np.asarray(low_var)
             self.last_G_res = np.asarray(G_res)  # for joint tests (compute_qr_G)
+        elif params.trait_mode == T2E:
+            from .models import step2_t2e
+
+            bhat, se, chisq, logp, test_fail, ncorr, nfail = step2_t2e.score_block(
+                params, pd, self.bt_state, np.asarray(G), flipped, ignored,
+                ignored_trait, self.log,
+            )
+            self.n_corrected += ncorr
+            self.n_failed += nfail
+            self.last_G_res = np.asarray(G)
         else:
             from .models import step2_bt
 
@@ -249,7 +266,7 @@ class Step2Engine:
         return result, flipped
 
 
-def setup_writers(params: Params, pheno_names: List[str]):
+def setup_writers(params: Params, pheno_names: List[str], pheno_pass=None):
     writers, out_paths = [], []
     if params.htp_out:
         from .io.output import header_htp
@@ -257,7 +274,10 @@ def setup_writers(params: Params, pheno_names: List[str]):
         hdr = header_htp()
     else:
         hdr = header_single(params)
-    for name in pheno_names:
+    for ip, name in enumerate(pheno_names):
+        if pheno_pass is not None and not pheno_pass[ip]:
+            writers.append(None)
+            continue
         suffix = ".regenie" + (".gz" if params.gz_out else "")
         path = f"{params.out_prefix}_{name}{suffix}"
         fh = open_write(path, gz=params.gz_out)
@@ -273,7 +293,7 @@ def write_block_rows(params, pd, writers, bsnps, r: BlockResult, test_name="ADD"
         if r.ignored[b]:
             continue
         for ph in range(params.n_pheno):
-            if not pd.pheno_pass[ph] or r.ignored_trait[b, ph]:
+            if not pd.pheno_pass[ph] or r.ignored_trait[b, ph] or writers[ph] is None:
                 continue
             writers[ph].write(
                 sumstat_line_single(
@@ -324,7 +344,7 @@ def run_step2(params: Params, log=print) -> None:
     log(f" * # tested variants: [{params.n_variants}]")
 
     test_name = {0: "ADD", 1: "DOM", 2: "REC"}[params.test_type]
-    writers, out_paths = setup_writers(params, pd.pheno_names)
+    writers, out_paths = setup_writers(params, pd.pheno_names, pd.pheno_pass)
 
     t0 = time.time()
     block_idx = 0
@@ -338,7 +358,8 @@ def run_step2(params: Params, log=print) -> None:
         write_block_rows(params, pd, writers, bsnps, result, test_name)
 
     for fh in writers:
-        fh.close()
+        if fh is not None:
+            fh.close()
     log("\nAssociation results stored separately for each trait in files:")
     for p_ in out_paths:
         log(f"* [{p_}]")
