@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--eventColList", default=None, help="event status columns (paired with --phenoColList)")
     g.add_argument("--coxscore-exact", action="store_true")
     g.add_argument("--coxnofirth", action="store_true")
+    g.add_argument("--interaction", default=None, help="covariate for GxE interaction test")
+    g.add_argument("--interaction-snp", default=None, help="variant for GxG interaction test")
+    g.add_argument("--rare-mac", type=float, default=1000.0)
+    g.add_argument("--force-robust", action="store_true")
+    g.add_argument("--force-robust-hc4", action="store_true")
+    g.add_argument("--no-robust", action="store_true")
     g.add_argument("--1", "--cc12", dest="cc12", action="store_true", help="1/2/NA coding")
     g.add_argument("--out", "-o", required=True, help="output file prefix")
     g.add_argument("--bsize", "-b", type=int, default=1000, help="block size")
@@ -252,6 +258,19 @@ def args_to_params(args: argparse.Namespace) -> Params:
         params.joint_tests = [t.lower() for t in _split_list(args.joint)]
     params.mask_lovo = args.mask_lovo
     params.mask_lodo = args.mask_lodo
+
+    # interaction tests
+    if args.interaction and args.interaction_snp:
+        raise ValueError("cannot use both --interaction and --interaction-snp")
+    if args.interaction:
+        params.interaction_var = args.interaction
+    elif args.interaction_snp:
+        params.interaction_var = args.interaction_snp
+        params.interaction_snp = True
+    params.rare_mac_inter = args.rare_mac
+    params.force_robust = args.force_robust or args.force_robust_hc4
+    params.force_hc4 = args.force_robust_hc4
+    params.no_robust = args.no_robust
 
     # time-to-event
     params.coxscore_exact = args.coxscore_exact

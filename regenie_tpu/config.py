@@ -140,6 +140,17 @@ class Params:
     t2e_event_l0: bool = False
     t2e_l1_pi6: bool = False
 
+    # ---- interaction tests (Interaction.cpp / HLM.cpp) ----
+    interaction_var: Optional[str] = None  # --interaction / --interaction-snp
+    interaction_snp: bool = False
+    interaction_file: Optional[str] = None  # --interaction-file FORMAT,FILE
+    rare_mac_inter: float = 1000.0  # --rare-mac (Regenie.hpp:322)
+    force_robust: bool = False
+    force_hc4: bool = False
+    no_robust: bool = False
+    ncov_interaction: int = 1
+    interaction_istart: int = 0
+
     # ---- numerics (reference Regenie.hpp defaults) ----
     numtol: float = 1e-6
     numtol_eps: float = 10.0 * np.finfo(np.float64).eps

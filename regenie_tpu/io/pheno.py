@@ -195,13 +195,22 @@ def read_covariates(
         all_names = header[2:]
         keep_cols = np.ones(len(all_names), dtype=bool)
         is_cat: Dict[str, bool] = {}
+        inter_name = (
+            params.interaction_var
+            if (params.interaction_var and not params.interaction_snp)
+            else None
+        )
         select = bool(params.cov_cols)  # --covarColList given => explicit selection
         for i, name in enumerate(all_names):
             if params.cov_cols_rm and name in params.cov_cols_rm:
                 keep_cols[i] = False
                 continue
             if select:
-                keep_cols[i] = (name in params.cov_cols) or (name in params.cat_cov_cols)
+                keep_cols[i] = (
+                    (name in params.cov_cols)
+                    or (name in params.cat_cov_cols)
+                    or (name == inter_name)
+                )
             if name in pheno_names:
                 keep_cols[i] = False
             if keep_cols[i]:
@@ -257,9 +266,28 @@ def read_covariates(
 
     X *= ind_in_cov[:, None]
 
-    # build design: intercept + quantitative cols + dummies for categorical
+    # build design: intercept + quantitative cols + dummies for categorical;
+    # the interaction covariate is stashed separately (covariate_read,
+    # Pheno.cpp:673-700)
     cols = [np.ones(n, dtype=np.float64)]
+    inter_cov = None
+    inter_is_cat = False
+    inter_lvls: List[str] = []
     for ic, nm in enumerate(names):
+        if inter_name is not None and nm == inter_name:
+            if is_cat[nm]:
+                nd = int(X[:, ic].max())
+                inter_cov = np.stack(
+                    [(X[:, ic] == lev).astype(np.float64) for lev in range(1, nd + 1)],
+                    axis=1,
+                )
+                inter_is_cat = True
+                lv = sorted(cat_maps[nm], key=cat_maps[nm].get)
+                inter_lvls = lv[1:]
+            else:
+                inter_cov = X[:, ic : ic + 1].copy()
+                inter_lvls = [nm]
+            continue
         if not is_cat[nm]:
             cols.append(X[:, ic])
         else:
@@ -270,6 +298,9 @@ def read_covariates(
             for lev in range(1, nd + 1):
                 cols.append((X[:, ic] == lev).astype(np.float64))
     new_cov = np.column_stack(cols)
+    if inter_name is not None and inter_cov is None:
+        raise ValueError("cannot find the interaction covariate in the covariate file")
+    read_covariates.interaction = (inter_cov, inter_is_cat, inter_lvls)
     return new_cov, ind_in_cov
 
 

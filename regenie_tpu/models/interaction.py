@@ -1,0 +1,329 @@
+"""GxE / GxG interaction tests (QT path: HC3/HC4 robust sandwich or HLM
+for rare variants) — reference Interaction.cpp (get_interaction_terms
+:44, apply_interaction_tests_qt :109, apply_interaction_tests_HLM :289)
+and HLM.cpp (heteroskedastic linear model Var(y)=sigma^2 exp(Vb)).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+from scipy.optimize import minimize
+
+from ..config import QT, Params
+from ..utils.stats import chisq_neglog10, chisq_neglog10_df
+from ..prep import fmt
+
+
+@dataclass
+class HLMNull:
+    """Null heteroskedastic LM per trait (HLM.cpp)."""
+
+    V: np.ndarray = None  # [N, 1+K] variance covariates (1, E...)
+    Vlin: np.ndarray = None  # [N, 1+K] (1, E) un-normalized
+    X: np.ndarray = None  # [N, C(+1)] mean covariates (+ blup)
+    Dinv_sqrt: np.ndarray = None  # [N, P]
+    Px: List[np.ndarray] = field(default_factory=list)
+    yres: np.ndarray = None  # [N, P]
+
+
+@dataclass
+class InteractionState:
+    evar_name: str = ""
+    E: np.ndarray = None  # [N, K] interaction variable(s)
+    E_res: np.ndarray = None  # [N, K] residualized+scaled
+    scl_E: np.ndarray = None  # [K]
+    lvl_names: List[str] = field(default_factory=list)
+    is_cat: bool = False
+    hlm: Optional[HLMNull] = None
+    interaction_snp_name: Optional[str] = None
+
+
+def residualize_matrix(mat, X, n, numtol=1e-6):
+    """Project X out of mat columns and scale (residualize_matrix,
+    Pheno.cpp:1843). Returns (mat_res, scf) or (None, None) if sd=0."""
+    beta = mat.T @ X
+    m = mat - X @ beta.T
+    scf = np.linalg.norm(m, axis=0) / np.sqrt(n - X.shape[1])
+    if scf.min() < numtol:
+        return None, None
+    return m / scf[None, :], scf
+
+
+def prep_interaction(params: Params, pd, gd, log) -> InteractionState:
+    """Load the interaction variable and residualize it (prep_run
+    interaction section, Pheno.cpp:1126-1165)."""
+    st = InteractionState()
+    st.evar_name = params.interaction_var
+    N = params.n_samples
+
+    if params.interaction_snp:
+        # GxG: extract the SNP from the genotype file (extract_interaction_snp)
+        idx = [i for i, s in enumerate(gd.snps) if s.ID == params.interaction_var]
+        if not idx:
+            raise ValueError(f"interaction SNP '{params.interaction_var}' not found")
+        G = gd.read_block_scattered([gd.snps[idx[0]]]).astype(np.float64)[0]
+        miss = G == -3
+        ok = pd.ind_in_analysis & ~miss
+        G = np.where(miss, 0.0, G)  # no mean imputation (mean_impute=false)
+        st.E = (G * pd.ind_in_analysis)[:, None]
+        st.interaction_snp_name = params.interaction_var
+        st.lvl_names = [params.interaction_var]
+    else:
+        # E from the covariate file: the column was excluded from new_cov
+        # at read time and stashed on pd
+        st.E = pd.interaction_cov
+        st.is_cat = getattr(pd, "interaction_is_cat", False)
+        st.lvl_names = getattr(pd, "interaction_lvl_names", [params.interaction_var])
+
+    ncov_i = st.E.shape[1]
+    params.ncov_interaction = ncov_i
+    # residualize E on the covariate basis
+    E_res, scf = residualize_matrix(st.E, pd.new_cov, params.n_analyzed, params.numtol)
+    if E_res is None:
+        raise ValueError("Var=0 for the interaction risk factor")
+    st.E_res = E_res
+    st.scl_E = scf
+    params.interaction_istart = ncov_i  # main-effect columns in M
+
+    if params.trait_mode == QT and not params.no_robust and not params.force_robust:
+        st.hlm = _hlm_prep(params, pd, st)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# HLM null model
+# ---------------------------------------------------------------------------
+
+def _hlm_prep(params, pd, st) -> HLMNull:
+    h = HLMNull()
+    N = params.n_samples
+    h.Vlin = np.column_stack([np.ones(N), st.E])
+    # V = (1, centered+scaled E)
+    V = h.Vlin.copy()
+    ind = pd.ind_in_analysis
+    for k in range(1, V.shape[1]):
+        mu = V[:, k].sum() / N
+        V[:, k] = V[:, k] - mu
+        sc = np.linalg.norm(V[:, k]) / np.sqrt(N - 1)
+        V[:, k] /= sc
+    h.V = V
+    h.X = pd.new_cov.copy()
+    return h
+
+
+def hlm_fit_null(params, pd, st, blups, log):
+    """Fit the null HLM per trait (HLM_fitNull, HLM.cpp:100)."""
+    h = st.hlm
+    N, P = pd.phenotypes.shape
+    X = h.X if params.skip_blups else np.column_stack([h.X, np.zeros(N)])
+    h.Dinv_sqrt = np.zeros((N, P))
+    h.Px = [None] * P
+    h.yres = np.zeros((N, P))
+
+    for ph in range(P):
+        if not pd.pheno_pass[ph]:
+            continue
+        mask = pd.masked_indivs[:, ph]
+        maskf = mask.astype(np.float64)
+        y = pd.phenotypes[:, ph]  # QT: residualized+scaled (phenotypes_raw alias)
+        if not params.skip_blups:
+            X[:, -1] = blups[:, ph]
+        n = pd.Neff[ph]
+
+        def get_alpha(beta):
+            Vb = h.V @ beta
+            Dinv = np.exp(-Vb) * maskf
+            Xd = (X * Dinv[:, None]).T
+            alpha = np.linalg.lstsq(Xd @ X, Xd @ y, rcond=None)[0]
+            return Vb, Dinv, alpha
+
+        def obj(beta):
+            Vb, Dinv, alpha = get_alpha(beta)
+            esq = (y - X @ alpha) ** 2
+            fval = ((Vb + Dinv * esq) * maskf).sum() / n
+            grad = h.V.T @ (((1 - esq * Dinv) * maskf) / n)
+            return fval, grad
+
+        beta0 = np.zeros(h.V.shape[1])
+        _, _, alpha = get_alpha(beta0)
+        esq = ((y - X @ alpha) * maskf) ** 2
+        try:
+            beta0 = np.linalg.lstsq(
+                h.V.T @ (h.V * esq[:, None]), h.V.T @ ((esq - 1) * maskf), rcond=None
+            )[0]
+        except np.linalg.LinAlgError:
+            pass
+        res = minimize(obj, beta0, jac=True, method="L-BFGS-B",
+                       options={"maxiter": 100})
+        beta = res.x
+        Vb, Dinv, alpha = get_alpha(beta)
+        h.Dinv_sqrt[:, ph] = np.sqrt(Dinv)
+        Xd = X * h.Dinv_sqrt[:, ph][:, None]
+        D, Vv = np.linalg.eigh(Xd.T @ Xd)
+        nz = D > D[-1] * 1e-12
+        h.Px[ph] = (Xd @ Vv[:, nz]) / np.sqrt(D[nz])[None, :]
+        ym = y * h.Dinv_sqrt[:, ph]
+        h.yres[:, ph] = ym - h.Px[ph] @ (h.Px[ph].T @ ym)
+
+
+# ---------------------------------------------------------------------------
+# per-block interaction tests
+# ---------------------------------------------------------------------------
+
+def apply_interaction_block(params, eng, bsnps, G_raw, G_res, result, writers, test_name):
+    """Run interaction tests for every SNP in a tested block (QT).
+
+    G_raw: [B, N] imputed unresidualized genotypes; G_res: [B, N]
+    residualized+scaled (engine stash). result: BlockResult for stats.
+    """
+    st = eng.interaction
+    pd = eng.pd
+    P = params.n_pheno
+    B = len(bsnps)
+    mac_t = np.minimum(result.ns_t * 2 - 0, np.inf)  # per-trait mac via af
+    for b in range(B):
+        if result.ignored[b]:
+            continue
+        if st.interaction_snp_name and bsnps[b].ID == st.interaction_snp_name:
+            continue
+        g_raw = np.asarray(G_raw[b], dtype=np.float64)
+        g_res = G_res[b]
+        mac_b = result.af_t[b] * 2 * result.ns_t[b]
+        mac_b = np.minimum(mac_b, 2 * result.ns_t[b] - mac_b)
+        use_hlm = (
+            st.hlm is not None
+            and (mac_b < params.rare_mac_inter).any()
+        )
+        if use_hlm:
+            _test_snp_hlm(params, eng, bsnps[b], b, g_raw, result, writers, test_name)
+        else:
+            _test_snp_robust(params, eng, bsnps[b], b, g_raw, g_res, result, writers, test_name)
+
+
+def _test_snp_robust(params, eng, snp, b, g_raw, g_res, result, writers, test_name):
+    """HC3/model-based sandwich test (apply_interaction_tests_qt)."""
+    st, pd = eng.interaction, eng.pd
+    K = params.ncov_interaction
+    beg = params.interaction_istart
+    iMat = st.E * g_raw[:, None]
+    iMat_res, scf_i = residualize_matrix(iMat, pd.new_cov, params.n_analyzed, params.numtol)
+    if iMat_res is None:
+        return
+    M = np.column_stack([st.E_res, g_res, iMat_res])
+    MtM = M.T @ M
+    D, V = np.linalg.eigh(MtM)
+    if D.min() < params.numtol:
+        return
+    Z = (V / D[None, :]) @ V.T
+    hvec = ((M @ Z) * M).sum(axis=1)
+    res = eng.res  # [N, P]
+    tau = Z @ (M.T @ res)  # [ncols, P]
+    e_sq = ((res - M @ tau) ** 2) * pd.masked_indivs
+    hc3 = (1 - hvec) ** 2
+
+    scale_fac = getattr(result, "scale_fac", None)
+    for ph in range(params.n_pheno):
+        if not pd.pheno_pass[ph] or result.ignored_trait[b, ph] or writers[ph] is None:
+            continue
+        bhat = tau[:, ph]
+        gscale = pd.scale_Y[ph] * eng.p_sd_yres[ph] / (scale_fac[b] if scale_fac is not None else 1.0)
+        iscale = pd.scale_Y[ph] * eng.p_sd_yres[ph] / scf_i
+        cscale = pd.scale_Y[ph] * eng.p_sd_yres[ph] / st.scl_E
+        if params.no_robust:
+            s2 = e_sq[:, ph].sum() / (pd.Neff[ph] - params.ncov_analyzed - M.shape[1])
+            Vmat = s2 * Z
+        else:
+            Vmat = Z @ (M.T * (e_sq[:, ph] / hc3)[None, :]) @ M @ Z
+        _write_int_rows(params, eng, writers, snp, b, ph, bhat, Vmat, beg, K,
+                        gscale, iscale, cscale, result, test_name)
+
+
+def _test_snp_hlm(params, eng, snp, b, g_raw, result, writers, test_name):
+    """HLM-based test for rare variants (apply_interaction_tests_HLM)."""
+    st, pd = eng.interaction, eng.pd
+    h = st.hlm
+    K = params.ncov_interaction
+    beg = params.interaction_istart
+    # M = [E, G*Vlin] = [E, G, G*E]
+    M = np.column_stack([st.E, h.Vlin * g_raw[:, None]])
+    for ph in range(params.n_pheno):
+        if not pd.pheno_pass[ph] or result.ignored_trait[b, ph] or writers[ph] is None:
+            continue
+        Ds = h.Dinv_sqrt[:, ph]
+        Mm = M * Ds[:, None]
+        Xres = Mm - h.Px[ph] @ (h.Px[ph].T @ Mm)
+        D, V = np.linalg.eigh(Xres.T @ Xres)
+        if D.min() < params.numtol:
+            return
+        Vmat = (V / D[None, :]) @ V.T
+        bhat = Vmat @ (Xres.T @ h.yres[:, ph])
+        ones = np.ones(M.shape[1])
+        _write_int_rows(params, eng, writers, snp, b, ph, bhat, Vmat, beg, K,
+                        1.0, ones[:K], ones[:K], result, test_name)
+
+
+def _write_int_rows(params, eng, writers, snp, b, ph, bhat, Vmat, beg, K,
+                    gscale, iscale, cscale, result, test_name):
+    from ..io.output import sumstat_line_single
+
+    pd = eng.pd
+    iscale = np.atleast_1d(iscale)
+    cscale = np.atleast_1d(cscale)
+    rows = []
+    evar = eng.interaction.evar_name
+    # main effect(s) of E
+    for j in range(beg):
+        t = bhat[j] ** 2 / Vmat[j, j]
+        se = np.sqrt(Vmat[j, j]) * cscale[min(j, len(cscale) - 1)]
+        lp = float(chisq_neglog10(np.array([t]))[0])
+        sfx = f"-INT_{evar}" + (f"={eng.interaction.lvl_names[j]}" if eng.interaction.is_cat else "")
+        rows.append((sfx, bhat[j] * cscale[min(j, len(cscale) - 1)], se, t, lp))
+    # marginal G
+    t = bhat[beg] ** 2 / Vmat[beg, beg]
+    se = np.sqrt(Vmat[beg, beg]) * gscale
+    rows.append(("-INT_SNP", bhat[beg] * gscale, se, t,
+                 float(chisq_neglog10(np.array([t]))[0])))
+    # interaction terms
+    if K > 1:
+        for j in range(K):
+            jj = beg + 1 + j
+            t = bhat[jj] ** 2 / Vmat[jj, jj]
+            se = np.sqrt(Vmat[jj, jj]) * iscale[j]
+            rows.append((f"-INT_SNPx{evar}={eng.interaction.lvl_names[j]}",
+                         bhat[jj] * iscale[j], se, t,
+                         float(chisq_neglog10(np.array([t]))[0])))
+        Vinv = np.linalg.inv(Vmat[beg + 1 :, beg + 1 :][:K, :K])
+        bi = bhat[beg + 1 : beg + 1 + K]
+        t = abs(bi @ Vinv @ bi)
+        lp = float(chisq_neglog10_df(np.array([t]), K)[0])
+        rows.append((f"-INT_SNPx{evar}", None, None, t, lp))
+    else:
+        jj = beg + 1
+        t = bhat[jj] ** 2 / Vmat[jj, jj]
+        se = np.sqrt(Vmat[jj, jj]) * iscale[0]
+        rows.append((f"-INT_SNPx{evar}", bhat[jj] * iscale[0], se, t,
+                     float(chisq_neglog10(np.array([t]))[0])))
+    # joint df=1+K
+    sub = Vmat[beg : beg + 1 + K, beg : beg + 1 + K]
+    Vinv = np.linalg.inv(sub)
+    bj = bhat[beg : beg + 1 + K]
+    t = abs(bj @ Vinv @ bj)
+    lp = float(chisq_neglog10_df(np.array([t]), 1 + K)[0])
+    rows.append((f"-INT_{1+K}DF", None, None, t, lp))
+
+    for sfx, beta, se, chisq, lp in rows:
+        writers[ph].write(
+            sumstat_line_single(
+                params, snp, test_name + sfx,
+                result.af_t[b, ph],
+                (result.info_t[b, ph] if result.info_t is not None else 1.0)
+                if params.dosage_mode else None,
+                int(result.ns_t[b, ph]),
+                beta if beta is not None else -1.0,
+                se if se is not None else -1.0,
+                chisq, lp, True,
+            )
+        )

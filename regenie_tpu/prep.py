@@ -39,6 +39,12 @@ def prepare(params: Params, blup_pheno_names: Optional[List[str]] = None) -> Run
     pd = read_pheno(params, sample_index, blup_pheno_names)
     new_cov, ind_in_cov = read_covariates(params, sample_index, pd.pheno_names)
     pd.new_cov = new_cov
+    inter = getattr(read_covariates, "interaction", None)
+    if inter is not None and inter[0] is not None:
+        pd.interaction_cov = inter[0] * ind_in_cov[:, None]
+        pd.interaction_is_cat = inter[1]
+        pd.interaction_lvl_names = inter[2]
+        read_covariates.interaction = (None, False, [])
 
     ind = pd.ind_in_analysis & ind_in_cov
     pd.masked_indivs &= ind[:, None]

@@ -107,6 +107,7 @@ class BlockResult:
     af_t: np.ndarray
     ns_t: np.ndarray
     info_t: Optional[np.ndarray]
+    scale_fac: Optional[np.ndarray] = None  # QT per-SNP scaling (gsc)
 
 
 class Step2Engine:
@@ -134,6 +135,11 @@ class Step2Engine:
         self.n_ignored = 0
         self.n_corrected = 0
         self.n_failed = 0
+        self.interaction = None
+        if params.interaction_var:
+            from .models.interaction import prep_interaction
+
+            self.interaction = prep_interaction(params, pd, gd, log)
 
     def prep_chrom(self, chrom: int):
         if chrom == self.cur_chrom:
@@ -156,6 +162,10 @@ class Step2Engine:
             )
             self.res = res / self.p_sd_yres[None, :]
             self.scf_sv = pd.scale_Y * self.p_sd_yres
+            if self.interaction is not None and self.interaction.hlm is not None:
+                from .models.interaction import hlm_fit_null
+
+                hlm_fit_null(params, pd, self.interaction, blups, self.log)
         elif params.trait_mode == BT:
             from .models import step2_bt
 
@@ -204,6 +214,7 @@ class Step2Engine:
             test_fail = np.zeros((B, P), dtype=bool)
             ignored = ignored | np.asarray(low_var)
             self.last_G_res = np.asarray(G_res)  # for joint tests (compute_qr_G)
+            self.last_scale_fac = np.asarray(scale_fac)
         elif params.trait_mode == T2E:
             from .models import step2_t2e
 
@@ -228,6 +239,7 @@ class Step2Engine:
             bhat=bhat, se=se, chisq=chisq, logp=logp, test_fail=test_fail,
             ignored=ignored, ignored_trait=ignored_trait, af_t=af_t, ns_t=ns_t,
             info_t=info_t,
+            scale_fac=getattr(self, "last_scale_fac", None) if params.trait_mode == QT else None,
         )
 
     def test_raw_block(self, G_raw, bsnps) -> Tuple[BlockResult, np.ndarray]:
@@ -260,6 +272,7 @@ class Step2Engine:
         elif params.test_type == 2:
             G = jnp.where(G >= 1.0, G - 1.0, G)
 
+        self.last_G_imputed = np.asarray(G)
         result = self.test_prepared_block(
             G, sb["af"], sb["ns_t"], sb["mac"], ignored, ignored_trait, flipped, info_t
         )
@@ -356,6 +369,13 @@ def run_step2(params: Params, log=print) -> None:
         G_raw = gd.read_block(bsnps)
         result, _ = eng.test_raw_block(G_raw, bsnps)
         write_block_rows(params, pd, writers, bsnps, result, test_name)
+        if eng.interaction is not None:
+            from .models.interaction import apply_interaction_block
+
+            apply_interaction_block(
+                params, eng, bsnps, eng.last_G_imputed, eng.last_G_res, result,
+                writers, test_name,
+            )
 
     for fh in writers:
         if fh is not None:
