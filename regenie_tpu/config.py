@@ -195,9 +195,17 @@ class Params:
             return "pgen"
         return "bed"
 
+    pgen_dosage_present: bool = False  # set at open (PgrGetRawSampleCt path)
+
     @property
     def dosage_mode(self) -> bool:
-        return self.file_type in ("bgen", "pgen")
+        """INFO column presence (Geno.cpp:175,1101): bgen in test mode, or
+        pgen files that contain dosage tracks."""
+        if self.file_type == "bgen":
+            return self.test_mode
+        if self.file_type == "pgen":
+            return self.pgen_dosage_present
+        return False
 
 
 def ridge_h2_grid(n: int) -> np.ndarray:

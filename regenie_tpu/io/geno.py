@@ -31,6 +31,7 @@ class GenoData:
     sex: np.ndarray = None  # [N] 1=male 0=other
     _bed: Optional[BedFile] = None
     _bgen: Optional[object] = None
+    _pgen: Optional[object] = None
     _keep_all_samples: bool = True
     last_info_num: Optional[np.ndarray] = None
 
@@ -63,6 +64,14 @@ class GenoData:
                 G[k], ival[k] = decode_variant(self._bgen, s.offset, keep, ref_first)
             self.last_info_num = ival
             return G
+        if self._pgen is not None:
+            B = len(block_snps)
+            G = np.empty((B, self.n_samples), dtype=np.float64)
+            for k, s in enumerate(block_snps):
+                g = self._pgen.dosages(s.offset)
+                G[k] = g if self._keep_all_samples else g[self.sample_keep_idx]
+            self.last_info_num = None
+            return G
         offsets = np.array([s.offset for s in block_snps])
         start, stop = int(offsets[0]), int(offsets[-1]) + 1
         raw = self._bed.read_block(start, stop - start)
@@ -77,7 +86,7 @@ class GenoData:
 
         Used by the gene-based path (getMask readChunk, Data.cpp:2944)
         and conditional/interaction SNP extraction."""
-        if self._bgen is not None:
+        if self._bgen is not None or self._pgen is not None:
             return self.read_block(block_snps)
         out = np.empty((len(block_snps), self.n_samples), dtype=np.int8)
         for k, s in enumerate(block_snps):
@@ -121,12 +130,29 @@ def open_geno(params: Params) -> GenoData:
         from .bgen import open_bgen_geno
 
         return open_bgen_geno(params)
+    elif params.file_type == "pgen":
+        from .pgen import PgenDecoder, open_pgen, read_psam, read_pvar
+
+        pf = open_pgen(params.pgen_prefix + ".pgen")
+        raw_snps = read_pvar(params.pgen_prefix + ".pvar", params.n_chrom)
+        raw_samples = read_psam(params.pgen_prefix + ".psam")
+        if len(raw_snps) != pf.n_variants or len(raw_samples) != pf.n_samples_file:
+            raise ValueError("pvar/psam do not match pgen dimensions")
+        gd = GenoData(params=params)
+        gd._pgen = PgenDecoder(pf)
+        params.pgen_dosage_present = bool((pf.vrtypes & 0x60).any())
+        _apply_filters(params, gd, raw_snps, raw_samples)
+        return gd
     else:
         raise NotImplementedError(f"file type {params.file_type} not yet supported")
 
     gd = GenoData(params=params)
     gd._bed = bed
+    _apply_filters(params, gd, raw_snps, raw_samples)
+    return gd
 
+
+def _apply_filters(params, gd, raw_snps, raw_samples):
     # ---- sample filters (keep/remove) ----
     keep_mask = np.ones(len(raw_samples), dtype=bool)
     if params.keep_files:
@@ -181,7 +207,6 @@ def open_geno(params: Params) -> GenoData:
 
     params.n_samples = gd.n_samples
     params.n_variants = gd.n_variants
-    return gd
 
 
 def make_blocks(gd: GenoData, block_size: int) -> List[Tuple[int, List[SnpInfo]]]:
