@@ -60,6 +60,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--eventColList", default=None, help="event status columns (paired with --phenoColList)")
     g.add_argument("--coxscore-exact", action="store_true")
     g.add_argument("--coxnofirth", action="store_true")
+    g.add_argument("--condition-list", default=None, help="file with variant IDs to condition on")
+    g.add_argument("--condition-file", default=None, help="FORMAT,FILE with conditioning variants")
     g.add_argument("--interaction", default=None, help="covariate for GxE interaction test")
     g.add_argument("--interaction-snp", default=None, help="variant for GxG interaction test")
     g.add_argument("--rare-mac", type=float, default=1000.0)
@@ -214,6 +216,8 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.alpha_pvalue = args.pThresh
     params.split_by_pheno = not args.no_split
     params.htp_out = args.htp is not None
+    if args.htp:
+        params.cohort_name = args.htp
     params.af_cc = args.af_cc
     params.write_samples = args.write_samples
     params.test_type = {"additive": 0, "dominant": 1, "recessive": 2}[args.test]
@@ -258,6 +262,9 @@ def args_to_params(args: argparse.Namespace) -> Params:
         params.joint_tests = [t.lower() for t in _split_list(args.joint)]
     params.mask_lovo = args.mask_lovo
     params.mask_lodo = args.mask_lodo
+
+    params.condition_list = args.condition_list
+    params.condition_file = args.condition_file
 
     # interaction tests
     if args.interaction and args.interaction_snp:

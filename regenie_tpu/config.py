@@ -91,6 +91,7 @@ class Params:
     skip_blups: bool = False  # --ignore-pred
     split_by_pheno: bool = True  # reference step-2 default writes per-pheno files
     htp_out: bool = False
+    cohort_name: str = "NULL"
     af_cc: bool = False
     write_samples: bool = False
     chr_list: List[str] = field(default_factory=list)
@@ -139,6 +140,11 @@ class Params:
     cox_nofirth: bool = False
     t2e_event_l0: bool = False
     t2e_l1_pi6: bool = False
+
+    # ---- conditional analysis (extract_condition_snps, Pheno.cpp:940) ----
+    condition_list: Optional[str] = None  # file of variant IDs
+    condition_file: Optional[str] = None  # FORMAT,FILE external genotypes
+    max_condition_vars: int = 10000
 
     # ---- interaction tests (Interaction.cpp / HLM.cpp) ----
     interaction_var: Optional[str] = None  # --interaction / --interaction-snp

@@ -92,3 +92,138 @@ def sumstat_line_single(
         extra.append("TEST_FAIL")
     parts.append(";".join(extra) if extra else "NA")
     return " ".join(parts) + "\n"
+
+
+def header_htp() -> str:
+    """HTPv4 header (print_header_output_htp, Step2_Models.cpp:2400)."""
+    cols = [
+        "Name", "Chr", "Pos", "Ref", "Alt", "Trait", "Cohort", "Model",
+        "Effect", "LCI_Effect", "UCI_Effect", "Pval", "AAF",
+        "Num_Cases", "Cases_Ref", "Cases_Het", "Cases_Alt",
+        "Num_Controls", "Controls_Ref", "Controls_Het", "Controls_Alt", "Info",
+    ]
+    return "\t".join(cols) + "\n"
+
+
+def sumstat_line_htp(
+    params: Params,
+    snp: SnpInfo,
+    pheno_name: str,
+    model: str,
+    beta: float,
+    se: float,
+    chisq: float,
+    logp: float,
+    af: float,
+    info: Optional[float],
+    mac: float,
+    genocounts,  # [6] ints (cases RR/RA/AA, controls RR/RA/AA) or None
+    test_pass: bool = True,
+    neff=None,
+) -> str:
+    """One HTPv4 row (print_sum_stats_htp, Step2_Models.cpp:2548-2646)."""
+    from ..utils.stats import convert_logp_raw
+    from ..config import BT, QT, T2E
+
+    zcrit = params.zcrit
+    print_beta = test_pass and se >= 0 and not np.isnan(se)
+    print_pv = test_pass and chisq >= 0 and not np.isnan(logp)
+    outp = "NA"
+    if print_pv:
+        cap = 308.0  # -log10(dbl_min)-ish cap
+        if not params.uncapped_pvals and logp > cap:
+            outp = convert_logp_raw(cap)
+        elif logp > 0:
+            outp = convert_logp_raw(logp)
+        else:
+            outp = "0.9999999"
+
+    parts = [snp.ID, str(snp.chrom), str(snp.physpos), snp.allele1, snp.allele2,
+             pheno_name, params.cohort_name, model]
+
+    is_bt = params.trait_mode == BT
+    if print_pv and not print_beta:
+        parts += ["NA", "NA", "NA", outp]
+    elif not print_pv and not print_beta:
+        parts += ["NA", "NA", "NA", "NA"]
+    elif (params.trait_mode != BT) or (is_bt and params.firth and test_pass):
+        if params.trait_mode == QT:
+            parts += [fmt(beta), fmt(beta - zcrit * se), fmt(beta + zcrit * se)]
+        else:
+            parts += [fmt(np.exp(beta)), fmt(np.exp(beta - zcrit * se)),
+                      fmt(np.exp(beta + zcrit * se))]
+        parts.append(outp if print_pv else "NA")
+    else:  # BT spa/logistic: allelic OR from genocounts
+        if print_pv and genocounts is not None:
+            g = genocounts
+            eff = (2 * g[3] + g[4] + 0.5) * (2 * g[2] + g[1] + 0.5) / (
+                (2 * g[5] + g[4] + 0.5) * (2 * g[0] + g[1] + 0.5)
+            )
+            outse = abs(np.log(eff)) / np.sqrt(max(chisq, 1e-300))
+            parts += [fmt(eff), fmt(eff * np.exp(-zcrit * outse)),
+                      fmt(eff * np.exp(zcrit * outse)), outp]
+        else:
+            parts += ["NA", "NA", "NA", "NA"]
+
+    parts.append(fmt(af) if af >= 0 else "NA")
+
+    if mac > 0 and genocounts is not None:
+        g = genocounts
+        parts += [str(g[0] + g[1] + g[2]), str(g[0]), str(g[1]), str(g[2])]
+        if params.trait_mode in (BT, T2E):
+            parts += [str(g[3] + g[4] + g[5]), str(g[3]), str(g[4]), str(g[5])]
+        else:
+            parts += ["NA", "NA", "NA", "NA"]
+    else:
+        parts += [str(int(neff)) if neff is not None else "NA", "NA", "NA", "NA",
+                  "NA", "NA", "NA", "NA"]
+
+    infoCol = []
+    if print_beta:
+        if params.trait_mode != QT and test_pass:
+            infoCol.append(f"REGENIE_BETA={fmt(beta)}")
+            infoCol.append(f"REGENIE_SE={fmt(se)}")
+        elif params.trait_mode != QT:
+            infoCol.append("REGENIE_BETA=NA")
+            infoCol.append("REGENIE_SE=NA")
+        else:
+            infoCol.append(f"REGENIE_SE={fmt(se)}")
+    if params.dosage_mode and info is not None and info >= 0:
+        infoCol.append(f"INFO={fmt(info)}")
+    if mac >= 0:
+        infoCol.append(f"MAC={fmt(mac)}")
+    infoCol.append(f"LOG10P={fmt(logp)}" if print_pv else "LOG10P=NA")
+    parts.append(";".join(infoCol) if infoCol else "NA")
+    return "\t".join(parts) + "\n"
+
+
+def sumstat_line_all(
+    params: Params,
+    snp: SnpInfo,
+    test: str,
+    af1: float,
+    info1: Optional[float],
+    ns1: int,
+    n_rr: int,
+    n_aa: int,
+    per_pheno: list,  # [(beta, se, chisq, logp, test_pass)] per pheno
+) -> str:
+    """One merged-format row, all phenos (print_sum_stats_all,
+    Step2_Models.cpp:2457-2500)."""
+    parts = [str(snp.chrom), str(snp.physpos), snp.ID, snp.allele1, snp.allele2]
+    parts.append(fmt(af1) if af1 >= 0 else "NA")
+    if params.dosage_mode:
+        parts.append(fmt(info1) if info1 is not None and info1 >= 0 else "NA")
+    parts.append(str(ns1))
+    if n_rr >= 0:
+        parts += [str(n_rr), str(ns1 - n_rr - n_aa), str(n_aa)]
+    else:
+        parts += ["NA", "NA", "NA"]
+    parts.append(test)
+    for beta, se, chisq, logp, test_pass in per_pheno:
+        print_se = (se >= 0) and not np.isnan(se)
+        print_pv = (chisq >= 0) and test_pass and not np.isnan(logp)
+        parts += ([fmt(beta), fmt(se)] if print_se else ["NA", "NA"])
+        parts += ([fmt(chisq), fmt(logp)] if print_pv else ["NA", "NA"])
+    parts.append("NA")
+    return " ".join(parts) + "\n"

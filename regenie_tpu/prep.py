@@ -46,6 +46,12 @@ def prepare(params: Params, blup_pheno_names: Optional[List[str]] = None) -> Run
         pd.interaction_lvl_names = inter[2]
         read_covariates.interaction = (None, False, [])
 
+    # conditional analysis: add conditioning variants as covariates
+    # (extract_condition_snps, Pheno.cpp:940-987), mean-imputed
+    if params.condition_list or params.condition_file:
+        cond = _extract_condition_genotypes(params, gd)
+        pd.new_cov = np.concatenate([pd.new_cov, cond], axis=1)
+
     ind = pd.ind_in_analysis & ind_in_cov
     pd.masked_indivs &= ind[:, None]
     set_masks(params, pd, ind)
@@ -80,6 +86,51 @@ def prepare(params: Params, blup_pheno_names: Optional[List[str]] = None) -> Run
         residualize_phenotypes(params, pd)
 
     return RunData(geno=gd, pheno=pd)
+
+
+def _extract_condition_genotypes(params: Params, gd) -> np.ndarray:
+    """Read conditioning variants (from the main file via --condition-list,
+    or an external file via --condition-file FORMAT,FILE)."""
+    from .io.files import iter_lines
+
+    if params.condition_file:
+        fmt_name, path = params.condition_file.split(",", 1)
+        sub = Params(
+            step=params.step, pheno_file=params.pheno_file,
+            bed_prefix=path if fmt_name == "bed" else None,
+            bgen_file=path if fmt_name == "bgen" else None,
+            pgen_prefix=path if fmt_name == "pgen" else None,
+            n_chrom=params.n_chrom,
+        )
+        if params.condition_list:
+            want = {t[0] for t in iter_lines(params.condition_list)}
+        else:
+            want = None
+        gd2 = open_geno(sub)
+        snps = [s for s in gd2.snps if want is None or s.ID in want]
+        # map external samples onto main sample order by FID_IID key
+        G_ext = gd2.read_block_scattered(snps).astype(np.float64)
+        idx_ext = gd2.sample_index()
+        G = np.full((len(snps), gd.n_samples), -3.0)
+        for j, smp in enumerate(gd.samples):
+            k = idx_ext.get(smp.key)
+            if k is not None:
+                G[:, j] = G_ext[:, k]
+        gd2.close()
+    else:
+        want = {t[0] for t in iter_lines(params.condition_list)}
+        snps = [s for s in gd.snps if s.ID in want]
+        if not snps:
+            raise ValueError("no conditioning variants found in genotype file")
+        G = gd.read_block_scattered(snps).astype(np.float64)
+    if len(snps) > params.max_condition_vars:
+        raise ValueError("too many conditioning variants")
+    # mean-impute missing
+    for k in range(G.shape[0]):
+        m = G[k] != -3
+        mu = G[k][m].mean() if m.any() else 0.0
+        G[k] = np.where(m, G[k], mu)
+    return G.T
 
 
 def fmt(x: float) -> str:

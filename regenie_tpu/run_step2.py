@@ -108,6 +108,13 @@ class BlockResult:
     ns_t: np.ndarray
     info_t: Optional[np.ndarray]
     scale_fac: Optional[np.ndarray] = None  # QT per-SNP scaling (gsc)
+    mac_t: Optional[np.ndarray] = None  # [B, P]
+    genocounts: Optional[np.ndarray] = None  # [B, 6, P] (htp mode)
+    af1: Optional[np.ndarray] = None
+    info1: Optional[np.ndarray] = None
+    ns1: Optional[np.ndarray] = None
+    n_rr: Optional[np.ndarray] = None
+    n_aa: Optional[np.ndarray] = None
 
 
 class Step2Engine:
@@ -189,6 +196,60 @@ class Step2Engine:
         blk = snp_stats_block(jnp.asarray(G_raw), self.ind_j, jnp.asarray(self.pd.masked_indivs))
         return {k: np.asarray(v) for k, v in blk.items()}
 
+    def model_type(self) -> str:
+        """HTP Model string (Data.cpp:2093-2102)."""
+        params = self.params
+        test = {0: "ADD", 1: "DOM", 2: "REC"}[params.test_type]
+        wgr = "" if params.skip_blups else "-WGR"
+        if params.trait_mode == BT and params.firth:
+            corr = "-FIRTH"
+        elif params.trait_mode == BT and params.use_spa:
+            corr = "-SPA"
+        elif params.trait_mode == BT:
+            corr = "-LOG"
+        elif params.trait_mode == CT:
+            corr = "-POISSON"
+        elif params.trait_mode == T2E:
+            corr = "-COX-FIRTH" if params.firth else "-COX"
+        else:
+            corr = "-LR"
+        return test + wgr + corr
+
+    def compute_genocounts(self, G_raw) -> np.ndarray:
+        """[B, 6, P] genotype counts (compute_genocounts, Geno.cpp:2898):
+        rows 0-2 = cases (or all samples for QT) RR/RA/AA, 3-5 controls."""
+        params, pd = self.params, self.pd
+        G = np.asarray(G_raw, dtype=np.float64)
+        B, N = G.shape
+        P = params.n_pheno
+        valid = (G != -3) & pd.ind_in_analysis[None, :]
+        hc = [
+            (G < 0.5) & valid,
+            (G >= 0.5) & (G < 1.5) & valid,
+            (G >= 1.5) & valid,
+        ]
+        out = np.zeros((B, 6, P))
+        if params.trait_mode in (BT, T2E):
+            if params.trait_mode == BT:
+                ymat = pd.phenotypes_raw
+                case = (ymat == 1) & pd.masked_indivs
+                ctrl = (ymat == 0) & pd.masked_indivs
+            else:
+                case = np.zeros_like(pd.masked_indivs)
+                ctrl = np.zeros_like(pd.masked_indivs)
+                for tname, ename in params.t2e_map.items():
+                    ti = pd.pheno_names.index(tname)
+                    ei = pd.pheno_names.index(ename)
+                    case[:, ti] = (pd.phenotypes_raw[:, ei] == 1) & pd.masked_indivs[:, ti]
+                    ctrl[:, ti] = (pd.phenotypes_raw[:, ei] == 0) & pd.masked_indivs[:, ti]
+            for k in range(3):
+                out[:, k, :] = hc[k] @ case.astype(np.float64)
+                out[:, 3 + k, :] = hc[k] @ ctrl.astype(np.float64)
+        else:
+            for k in range(3):
+                out[:, k, :] = hc[k] @ pd.masked_indivs.astype(np.float64)
+        return out.astype(np.int64)
+
     def test_prepared_block(
         self, G, af_t, ns_t, mac_t, ignored, ignored_trait, flipped, info_t=None,
         is_mask: bool = False,
@@ -240,6 +301,7 @@ class Step2Engine:
             ignored=ignored, ignored_trait=ignored_trait, af_t=af_t, ns_t=ns_t,
             info_t=info_t,
             scale_fac=getattr(self, "last_scale_fac", None) if params.trait_mode == QT else None,
+            mac_t=mac_t,
         )
 
     def test_raw_block(self, G_raw, bsnps) -> Tuple[BlockResult, np.ndarray]:
@@ -276,11 +338,28 @@ class Step2Engine:
         result = self.test_prepared_block(
             G, sb["af"], sb["ns_t"], sb["mac"], ignored, ignored_trait, flipped, info_t
         )
+        result.af1 = sb["af1"]
+        result.ns1 = ns.astype(np.int64)
+        result.n_rr = sb["n_rr"].astype(np.int64)
+        result.n_aa = sb["n_aa"].astype(np.int64)
+        if params.htp_out:
+            result.genocounts = self.compute_genocounts(G_raw)
         return result, flipped
 
 
 def setup_writers(params: Params, pheno_names: List[str], pheno_pass=None):
     writers, out_paths = [], []
+    if not params.split_by_pheno and not params.htp_out:
+        from .io.output import header_all
+
+        path = f"{params.out_prefix}.regenie" + (".gz" if params.gz_out else "")
+        fh = open_write(path, gz=params.gz_out)
+        fh.write(header_all(params))
+        # Ydict maps trait numbers to names (print_summary, Step2_Models.cpp:2655)
+        with open_write(params.out_prefix + ".regenie.Ydict") as yd:
+            for ip, name in enumerate(pheno_names):
+                yd.write(f"Y{ip+1} {name}\n")
+        return [fh] * len(pheno_names), [path]
     if params.htp_out:
         from .io.output import header_htp
 
@@ -300,8 +379,61 @@ def setup_writers(params: Params, pheno_names: List[str], pheno_pass=None):
     return writers, out_paths
 
 
-def write_block_rows(params, pd, writers, bsnps, r: BlockResult, test_name="ADD"):
+def write_block_rows(params, pd, writers, bsnps, r: BlockResult, test_name="ADD",
+                     model_type=None):
     B = len(bsnps)
+    if params.htp_out:
+        from .io.output import sumstat_line_htp
+
+        for b in range(B):
+            if r.ignored[b]:
+                continue
+            for ph in range(params.n_pheno):
+                if not pd.pheno_pass[ph] or r.ignored_trait[b, ph] or writers[ph] is None:
+                    continue
+                writers[ph].write(
+                    sumstat_line_htp(
+                        params, bsnps[b], pd.pheno_names[ph],
+                        model_type or test_name,
+                        r.bhat[b, ph], r.se[b, ph], r.chisq[b, ph], r.logp[b, ph],
+                        r.af_t[b, ph],
+                        (r.info_t[b, ph] if r.info_t is not None else 1.0)
+                        if params.dosage_mode else None,
+                        r.mac_t[b, ph] if r.mac_t is not None else -1,
+                        r.genocounts[b, :, ph] if r.genocounts is not None else None,
+                        test_pass=not r.test_fail[b, ph],
+                        neff=pd.Neff[ph],
+                    )
+                )
+        return
+    if not params.split_by_pheno:
+        from .io.output import sumstat_line_all
+
+        for b in range(B):
+            if r.ignored[b]:
+                continue
+            per_pheno = []
+            for ph in range(params.n_pheno):
+                bad = not pd.pheno_pass[ph] or r.ignored_trait[b, ph]
+                per_pheno.append(
+                    (-1.0, -1.0, -1.0, -1.0, False) if bad else (
+                        r.bhat[b, ph], r.se[b, ph], r.chisq[b, ph], r.logp[b, ph],
+                        not r.test_fail[b, ph],
+                    )
+                )
+            writers[0].write(
+                sumstat_line_all(
+                    params, bsnps[b], test_name,
+                    r.af1[b] if r.af1 is not None else -1.0,
+                    (r.info1[b] if r.info1 is not None else 1.0)
+                    if params.dosage_mode else None,
+                    int(r.ns1[b]) if r.ns1 is not None else 0,
+                    int(r.n_rr[b]) if r.n_rr is not None else -1,
+                    int(r.n_aa[b]) if r.n_aa is not None else -1,
+                    per_pheno,
+                )
+            )
+        return
     for b in range(B):
         if r.ignored[b]:
             continue
@@ -368,7 +500,7 @@ def run_step2(params: Params, log=print) -> None:
         eng.prep_chrom(chrom)
         G_raw = gd.read_block(bsnps)
         result, _ = eng.test_raw_block(G_raw, bsnps)
-        write_block_rows(params, pd, writers, bsnps, result, test_name)
+        write_block_rows(params, pd, writers, bsnps, result, test_name, eng.model_type())
         if eng.interaction is not None:
             from .models.interaction import apply_interaction_block
 
@@ -377,9 +509,11 @@ def run_step2(params: Params, log=print) -> None:
                 writers, test_name,
             )
 
+    closed = set()
     for fh in writers:
-        if fh is not None:
+        if fh is not None and id(fh) not in closed:
             fh.close()
+            closed.add(id(fh))
     log("\nAssociation results stored separately for each trait in files:")
     for p_ in out_paths:
         log(f"* [{p_}]")

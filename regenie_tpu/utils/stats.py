@@ -74,11 +74,18 @@ def ttest_neglog10(tstat, df):
 
 
 def convert_logp_raw(logp) -> str:
-    """-log10 p -> p-value string like the reference convert_logp_raw
-    (Regenie.cpp:1700): manual mantissa/exponent split to go below
-    double-min."""
-    ep = np.floor(logp)
-    mantissa = np.power(10.0, -(logp - ep))
-    if mantissa == 10.0:
-        mantissa, ep = 1.0, ep - 1
-    return f"{mantissa:g}e-{int(ep):02d}"
+    """-log10 p -> p-value string (convert_logp_raw, Regenie.cpp:1700):
+    %f for p >= 1e-3, %g down to double-min, then manual
+    mantissa/exponent split to go below double-min."""
+    log_dbl_min = -np.log10(np.finfo(np.float64).tiny) - 1
+    if logp <= 3:
+        return "%f" % (10.0 ** (-logp))
+    if logp <= log_dbl_min:
+        return "%g" % (10.0 ** (-logp))
+    thr = np.log(9.95) / np.log(10.0)
+    base = int(np.ceil(logp))
+    res = base - logp
+    if res >= thr:
+        res = 0.0
+        base += 1
+    return "%.1fe-%d" % (10.0**res, base)
