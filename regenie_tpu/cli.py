@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--eventColList", default=None, help="event status columns (paired with --phenoColList)")
     g.add_argument("--coxscore-exact", action="store_true")
     g.add_argument("--coxnofirth", action="store_true")
+    g.add_argument("--compute-corr", action="store_true", help="compute LD matrix")
+    g.add_argument("--output-corr-text", action="store_true")
+    g.add_argument("--skip-scaleG", action="store_true")
+    g.add_argument("--ld-sparse-thr", type=float, default=0.0)
     g.add_argument("--condition-list", default=None, help="file with variant IDs to condition on")
     g.add_argument("--condition-file", default=None, help="FORMAT,FILE with conditioning variants")
     g.add_argument("--interaction", default=None, help="covariate for GxE interaction test")
@@ -163,6 +167,8 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.out_prefix = args.out
     params.pred_list = args.pred
     params.skip_blups = args.ignore_pred
+    params.use_prs = args.use_prs
+    params.print_prs = args.print_prs
 
     pheno_cols = list(args.phenoCol)
     if args.phenoColList:
@@ -265,6 +271,17 @@ def args_to_params(args: argparse.Namespace) -> Params:
 
     params.condition_list = args.condition_list
     params.condition_file = args.condition_file
+
+    # LD matrix mode (Regenie.cpp:522-530)
+    if args.compute_corr or args.output_corr_text:
+        params.get_cor_mat = True
+        params.cor_out_txt = args.output_corr_text or args.skip_scaleG
+        params.skip_scaleG = args.skip_scaleG
+        params.ld_sparse_thr = args.ld_sparse_thr
+        params.skip_blups = True
+        params.strict_mode = True
+        params.trait_mode = QT
+        params.min_mac = 0.5
 
     # interaction tests
     if args.interaction and args.interaction_snp:

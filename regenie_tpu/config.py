@@ -71,6 +71,7 @@ class Params:
     force_step1: bool = False
     make_loco: bool = True
     print_prs: bool = False
+    use_prs: bool = False
     write_l0_pred: bool = False  # --lowmem
     loco_tmp_prefix: Optional[str] = None
     split_l0: Optional[str] = None  # "PREFIX,N"
@@ -140,6 +141,12 @@ class Params:
     cox_nofirth: bool = False
     t2e_event_l0: bool = False
     t2e_l1_pi6: bool = False
+
+    # ---- LD matrix mode (ld_comp, Data.cpp:3807) ----
+    get_cor_mat: bool = False  # --compute-corr
+    cor_out_txt: bool = False  # --output-corr-text
+    skip_scaleG: bool = False
+    ld_sparse_thr: float = 0.0
 
     # ---- conditional analysis (extract_condition_snps, Pheno.cpp:940) ----
     condition_list: Optional[str] = None  # file of variant IDs

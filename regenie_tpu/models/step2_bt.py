@@ -36,7 +36,26 @@ class BTChromState:
     allow_correction: bool = True  # Firth/SPA only for BT
 
 
-def prep_chromosome(params: Params, pd: PhenoData, blups: np.ndarray, log) -> BTChromState:
+def _load_null_firth_start(files_map, pheno_name, chrom, K):
+    """Starting values from a _firth.list checkpoint (get_beta_start_firth,
+    Step2_Models.cpp:1893)."""
+    import numpy as _np
+
+    path = files_map.get(pheno_name)
+    if path is None:
+        return None
+    from ..io.files import iter_lines
+
+    for toks in iter_lines(path):
+        if int(toks[0]) == chrom:
+            vals = _np.array([float(x) for x in toks[1:]])
+            if len(vals) >= K:
+                return vals[:K]
+    return None
+
+
+def prep_chromosome(params: Params, pd: PhenoData, blups: np.ndarray, log,
+                    null_firth_files=None, chrom=None) -> BTChromState:
     """Refit null logistic with LOCO offset per trait + null Firth
     (compute_res_bin, Data.cpp:2440-2460)."""
     N, P = pd.phenotypes_raw.shape
@@ -98,6 +117,10 @@ def prep_chromosome(params: Params, pd: PhenoData, blups: np.ndarray, log) -> BT
 
         if params.firth_approx:
             bvec = beta.copy()
+            if null_firth_files is not None and chrom is not None:
+                saved = _load_null_firth_start(null_firth_files, pd.pheno_names[ph], chrom, K)
+                if saved is not None:
+                    bvec = saved
             bnull, okf = firth_mod.fit_firth_null(
                 y, pd.new_cov, offset, mask, bvec,
                 maxstep=params.maxstep_null, niter=params.niter_max_firth_null,

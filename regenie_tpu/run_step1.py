@@ -250,6 +250,8 @@ def _level1_and_output(params, gd, pd, W_all, offsets, taus, h_l1, chr_nblocks, 
         valid_j = jnp.asarray(valid.astype(np.float64))
 
     t0 = time.time()
+    prs_list = open_write(params.out_prefix + "_prs.list") if params.print_prs else None
+    firth_list = open_write(params.out_prefix + "_firth.list") if params.write_null_firth else None
     with open_write(pred_list_path) as plist:
         for ph in range(P):
             if not pd.pheno_pass[ph]:
@@ -311,8 +313,73 @@ def _level1_and_output(params, gd, pd, W_all, offsets, taus, h_l1, chr_nblocks, 
             )
             plist.write(f"{name} {os.path.abspath(loco_path)}\n")
             log(f"  wrote {loco_path}")
+            if prs_list is not None:
+                # whole-genome PRS: single chr-0 row (write_predictions,
+                # Data.cpp:1905-1925)
+                prs_path = params.out_prefix + f"_{ph+1}.prs" + (".gz" if params.gz_out else "")
+                mask = pd.masked_indivs[:, ph]
+                with open_write(prs_path, gz=params.gz_out) as fh:
+                    fh.write(header)
+                    row = ["0"] + [
+                        fmt(total[i]) if mask[i] else "NA" for i in id_order
+                    ]
+                    fh.write(" ".join(row) + " \n")
+                prs_list.write(f"{name} {os.path.abspath(prs_path)}\n")
+            if firth_list is not None and params.trait_mode == BT:
+                fpath = _write_null_firth_step1(
+                    params, pd, ph, predictions, total, chr_order, log
+                )
+                if fpath:
+                    firth_list.write(f"{name} {os.path.abspath(fpath)}\n")
+    if prs_list is not None:
+        prs_list.close()
+        log(f"List of files with whole genome PRS written to: [{params.out_prefix}_prs.list]")
+    if firth_list is not None:
+        firth_list.close()
+        log(f"List of files with null Firth estimates written to: [{params.out_prefix}_firth.list]")
     log(f" * level 1 + predictions done ({time.time()-t0:.1f}s)")
     log(f"List of blup files written to: [{pred_list_path}]")
+
+
+def _write_null_firth_step1(params, pd, ph, predictions, total, chr_order, log):
+    """Per-chromosome approx-Firth null coefficients (write_predictions
+    firth branch, Data.cpp:1875-1902)."""
+    from .models import firth as firth_mod
+    from .models.glm import fit_logistic_irls
+
+    fpath = params.out_prefix + f"_{ph+1}.firth" + (".gz" if params.gz_out else "")
+    y = pd.phenotypes_raw[:, ph]
+    mask = pd.masked_indivs[:, ph]
+    chr_idx = {c: i for i, c in enumerate(chr_order)}
+    zero = np.zeros(len(y))
+    bstart, _ = fit_logistic_irls(y, pd.new_cov, zero, mask, params.niter_max, params.numtol)
+    lines = []
+    for chrom in range(1, params.n_chrom + 1):
+        loco = total.copy()
+        if chrom in chr_idx:
+            loco -= predictions[:, chr_idx[chrom]]
+        bnull, ok = firth_mod.fit_firth_null(
+            y, pd.new_cov, loco * mask, mask, bstart.copy(),
+            maxstep=params.maxstep_null, niter=params.niter_max_firth_null,
+            tol=50 * params.numtol,
+        )
+        if not ok:  # retry from 0 with smaller steps (fit_approx_firth_null)
+            b2 = np.zeros(pd.new_cov.shape[1])
+            b2[0] = -(loco * mask)[mask].mean()
+            bnull, ok = firth_mod.fit_firth_null(
+                y, pd.new_cov, loco * mask, mask, b2,
+                maxstep=params.maxstep_null // 5,
+                niter=params.niter_max_firth_null * 5,
+                tol=50 * params.numtol,
+            )
+        if not ok:
+            log("WARNING: Firth failed to converge; skipping null-firth file")
+            return None
+        bstart = bnull  # warm start next chromosome
+        lines.append(f"{chrom} " + " ".join(fmt(b) for b in bnull))
+    with open_write(fpath, gz=params.gz_out) as fh:
+        fh.write("\n".join(lines) + "\n")
+    return fpath
 
 
 def _write_l0_master(params, gd, blocks, prefix, njobs, log):

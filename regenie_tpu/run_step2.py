@@ -143,6 +143,7 @@ class Step2Engine:
         self.n_corrected = 0
         self.n_failed = 0
         self.interaction = None
+        self.null_firth_files = None
         if params.interaction_var:
             from .models.interaction import prep_interaction
 
@@ -176,7 +177,9 @@ class Step2Engine:
         elif params.trait_mode == BT:
             from .models import step2_bt
 
-            self.bt_state = step2_bt.prep_chromosome(params, pd, blups, self.log)
+            self.bt_state = step2_bt.prep_chromosome(
+                params, pd, blups, self.log, self.null_firth_files, chrom
+            )
             self.res = self.bt_state.res
         elif params.trait_mode == CT:
             from .models import step2_ct
@@ -477,6 +480,26 @@ def run_step2(params: Params, log=print) -> None:
         mask_samples_missing_loco(params, pd, blup_files, eng.id_to_ind)
         pd.Neff = pd.masked_indivs.sum(axis=0).astype(np.float64)
 
+    if params.write_samples:
+        # per-trait analyzed-sample lists (write_ids, Pheno.cpp:1539)
+        log(" * user specified to write sample IDs for each trait")
+        for ph, name in enumerate(pd.pheno_names):
+            if not pd.pheno_pass[ph]:
+                continue
+            with open_write(f"{params.out_prefix}_{name}.regenie.ids") as fh:
+                rows = [
+                    f"{s.FID}\t{s.IID}"
+                    for i, s in enumerate(gd.samples)
+                    if pd.masked_indivs[i, ph]
+                ]
+                fh.write("\n".join(rows))
+
+    if params.use_null_firth:
+        eng.null_firth_files = read_pred_list(params.use_null_firth)
+
+    if params.get_cor_mat:
+        return run_ldcomp(params, eng, log)
+
     if getattr(params, "set_list", None):
         from .run_genebased import run_genebased
 
@@ -524,3 +547,46 @@ def run_step2(params: Params, log=print) -> None:
         log(f"Number of failed tests : ({eng.n_failed}/{eng.n_corrected})")
     log(f"Number of ignored tests due to low MAC : {eng.n_ignored * params.n_pheno}")
     log(f" * done ({time.time()-t0:.1f}s)")
+
+
+def run_ldcomp(params: Params, eng: Step2Engine, log=print) -> None:
+    """LD-matrix mode (--compute-corr): scaled G'G over the extracted
+    variant list (ld_comp, Data.cpp:3807; print_ld :4350)."""
+    gd, pd = eng.gd, eng.pd
+    snps = gd.snps
+    M = len(snps)
+    log(f"** Computing LD matrix ** ({M} variants)")
+    G = gd.read_block_scattered(snps).astype(np.float64)
+    ind = pd.ind_in_analysis
+    # mean-impute, mask, residualize on covariates (no scaling if skip_scaleG)
+    for k in range(M):
+        m = (G[k] != -3) & ind
+        mu = G[k][m].mean() if m.any() else 0.0
+        G[k] = np.where((G[k] == -3) | ~ind, np.where(~ind, 0.0, mu), G[k])
+        G[k] = np.where(~ind, 0.0, np.where(G[k] == -3, mu, G[k]))
+    beta = G @ pd.new_cov
+    G = G - beta @ pd.new_cov.T
+    LD = G @ G.T
+
+    # snplist
+    with open_write(params.out_prefix + ".corr.snplist") as fh:
+        for s_ in snps:
+            fh.write(s_.ID + "\n")
+
+    if not params.skip_scaleG:
+        sds = np.sqrt(np.where(np.diag(LD) <= 0, params.numtol, np.diag(LD)))
+        LD = LD / sds[:, None] / sds[None, :]
+    if params.cor_out_txt:
+        with open_write(params.out_prefix + ".corr") as fh:
+            for i in range(M):
+                fh.write(" ".join(fmt(LD[i, j]) for j in range(M)))
+                if i < M - 1:
+                    fh.write("\n")
+    else:
+        # binary: uint16-quantized r^2, upper triangle (print_ld, Data.cpp:4440)
+        mult = (1 << 16) - 1
+        iu = np.triu_indices(M, k=1)
+        vals = (LD[iu] ** 2 * mult + 0.5).astype(np.uint16)
+        with open(params.out_prefix + ".corr", "wb") as fh:
+            fh.write(vals.tobytes())
+    log(f" * wrote [{params.out_prefix}.corr]")
