@@ -108,6 +108,17 @@ def run_joint_tests(params: Params, eng, vset, built, writers, log):
                 if lp >= 0:
                     rows.append(("GATES", lp, df_test))
 
+            if "sbat" in params.joint_tests and params.trait_mode == QT and df_test > 0:
+                ns = int(mask.sum()) - params.ncov_analyzed
+                df_ur = ns - df_test
+                if df_ur > 0:
+                    out = _sbat(Gt, yres * mask, df_ur, rng_seed=params.seed)
+                    if out is not None:
+                        lp_pos, lp_neg = out
+                        lp = get_acat(np.array([lp_pos, lp_neg]))
+                        if lp >= 0:
+                            rows.append(("SBAT", lp, df_test))
+
         for row in rows:
             name, lp, df = row[0], row[1], row[2]
             zval = row[3] if len(row) > 3 else float(neglog10_to_chisq(np.array([lp]))[0])
@@ -179,3 +190,66 @@ def _joint_line(params, vset, tname, logp, zval, df, n):
     parts.append(fmt(logp) if logp >= 0 else "NA")
     parts.append(f"DF={df}")
     return " ".join(parts) + "\n"
+
+
+
+def _nnls_kkt(XtX, Xty, tol=1e-10, maxit=1000):
+    """Active-set NNLS on normal equations; returns bhat >= 0."""
+    from scipy.optimize import nnls as scipy_nnls
+
+    # use a Cholesky square root so scipy.nnls works on the summary form
+    L = np.linalg.cholesky(XtX + 1e-12 * np.eye(XtX.shape[0]))
+    # solve min ||L^T b - z||^2 with z = L^-1 Xty
+    z = np.linalg.solve(L, Xty)
+    b, _ = scipy_nnls(L.T, z)
+    return b
+
+
+def _chibar_weights_mc(V, n_sims=5000, seed=1):
+    """Chi-bar-square weights by Monte Carlo: simulate z ~ N(0, V), count
+    positive components of the NNLS projection (the MC analog of
+    jburden_wts_adapt, NNLS.cpp:864)."""
+    p = V.shape[0]
+    rng = np.random.default_rng(seed)
+    Vinv = np.linalg.pinv(V)
+    L = np.linalg.cholesky(V + 1e-12 * np.eye(p))
+    counts = np.zeros(p + 1)
+    Z = rng.standard_normal((n_sims, p)) @ L.T
+    for z in Z:
+        b = _nnls_kkt(Vinv, Vinv @ z)
+        counts[(b > 1e-12).sum()] += 1
+    return counts / n_sims
+
+
+def _sbat(Gt, y, df_ur, rng_seed=1):
+    """SBAT / NNLS joint burden test (compute_nnls, Joint_Tests.cpp:495;
+    NNLS.cpp fit_nnls_sign + jburden_pchisq_bar).
+
+    Returns (-log10 p_pos, -log10 p_neg) or None on failure."""
+    from scipy.stats import chi2 as _chi2
+
+    n, p = Gt.shape
+    XtX = Gt.T @ Gt
+    Xty = Gt.T @ y
+    try:
+        bhat_ols = np.linalg.solve(XtX, Xty)
+    except np.linalg.LinAlgError:
+        return None
+    rss = ((y - Gt @ bhat_ols) ** 2).sum()
+    sigma2 = rss / df_ur
+    V = sigma2 * np.linalg.pinv(XtX)
+
+    wts = _chibar_weights_mc(V, seed=rng_seed)
+
+    def one_sided(sign):
+        b = _nnls_kkt(XtX, sign * Xty)
+        stat = b @ (XtX @ b) / sigma2
+        # P(chibar > stat) = sum_k w_k P(chi2_k > stat), chi2_0 has mass at 0
+        pv = sum(
+            wts[k] * _chi2.sf(stat, k) for k in range(1, p + 1) if wts[k] > 0
+        )
+        return max(pv, 5e-324)
+
+    p_pos = one_sided(+1)
+    p_neg = one_sided(-1)
+    return -np.log10(p_pos), -np.log10(p_neg)
