@@ -31,24 +31,33 @@ def _penalized_dev(y, pi, mask, XW):
     return dev - logdet
 
 
-def fit_firth_null(
+def fit_firth_multi(
     y: np.ndarray,
     X: np.ndarray,
     offset: np.ndarray,
     mask: np.ndarray,
     beta0: Optional[np.ndarray] = None,
+    cols_incl: Optional[int] = None,
     maxstep: int = 25,
     niter: int = 1000,
     tol: float = 5e-5,
     niter_line_search: int = 5,
-) -> Tuple[np.ndarray, bool]:
-    """Multi-parameter Firth-penalized logistic fit (covariates only),
-    used for the per-chromosome approx-Firth null (fit_firth_nr,
-    Step2_Models.cpp:1267-1385 with cols_incl == ncols).
+    comp_lrt: bool = False,
+):
+    """Multi-parameter Firth-penalized logistic fit (fit_firth_nr,
+    Step2_Models.cpp:1267-1385): Newton on the modified score with only
+    the first cols_incl coefficients free; the penalty determinant uses
+    ALL columns of X.
 
-    Returns (beta, converged)."""
+    Returns (beta, se, dev, dev0, converged); dev0 is the penalized
+    deviance at the starting beta (the exact-Firth null deviance when
+    comp_lrt)."""
     maskf = mask.astype(np.float64)
-    beta = np.zeros(X.shape[1]) if beta0 is None else beta0.copy()
+    nc = X.shape[1]
+    ci = nc if cols_incl is None else cols_incl
+    beta = np.zeros(nc) if beta0 is None else beta0.copy()
+    dev0 = None
+    se = np.zeros(nc)
 
     niter_cur = 0
     while niter_cur < niter:
@@ -61,17 +70,23 @@ def fit_firth_null(
         xtwx = XW.T @ XW
         sign, logdet = np.linalg.slogdet(xtwx)
         dev_old = get_logist_dev(y, pi, mask) - logdet
-        # hat diag: h_i = u_i' (U'U)^-1 u_i, U = sqrt(w) X
+        if comp_lrt and dev0 is None:
+            dev0 = dev_old
         try:
             sol = np.linalg.solve(xtwx, XW.T)
         except np.linalg.LinAlgError:
-            return beta, False
+            return beta, se, dev_old, dev0, False
         hvec = (sol * XW.T).sum(axis=0)
-        mod_score = X.T @ np.where(mask, y - pi + hvec * (0.5 - pi), 0.0)
-        step = np.linalg.solve(xtwx, mod_score)
+        resid_mod = np.where(mask, y - pi + hvec * (0.5 - pi), 0.0)
+        mod_score = X[:, :ci].T @ resid_mod
+        try:
+            step = np.linalg.solve(xtwx[:ci, :ci], mod_score)
+        except np.linalg.LinAlgError:
+            return beta, se, dev_old, dev0, False
 
         if np.abs(mod_score).max() < tol and niter_cur >= 2:
-            return beta, True
+            se = np.sqrt(np.abs(np.diag(np.linalg.pinv(xtwx))))
+            return beta, se, dev_old, dev0, True
 
         mx = np.abs(step).max() / maxstep
         if mx > 1:
@@ -81,7 +96,8 @@ def fit_firth_null(
         for ls in range(niter_line_search):
             if ls > 0:
                 step = step / 2
-            betanew = beta + step
+            betanew = beta.copy()
+            betanew[:ci] = beta[:ci] + step
             eta = offset + X @ betanew
             pi = get_pvec(eta)
             w = np.where(mask, pi * (1 - pi), 1.0)
@@ -92,9 +108,26 @@ def fit_firth_null(
                 ok = True
                 break
         if not ok:
-            return beta, False
+            # reference nudges the step by 1e-6 on line-search failure when
+            # computing the LRT; otherwise fail
+            if comp_lrt:
+                betanew = beta.copy()
+                betanew[:ci] = beta[:ci] + step + 1e-6
+            else:
+                return beta, se, dev_old, dev0, False
         beta = betanew
-    return beta, False
+    return beta, se, dev_old, dev0, False
+
+
+def fit_firth_null(
+    y, X, offset, mask, beta0=None, maxstep=25, niter=1000, tol=5e-5,
+    niter_line_search=5,
+) -> Tuple[np.ndarray, bool]:
+    """Covariates-only approx-Firth null (fit_approx_firth_null wrapper)."""
+    beta, _se, _dev, _dev0, ok = fit_firth_multi(
+        y, X, offset, mask, beta0, None, maxstep, niter, tol, niter_line_search
+    )
+    return beta, ok
 
 
 def firth_snp_batch(

@@ -201,9 +201,27 @@ def score_block(
             n_corrected += int(corr.sum())
             if corr.any():
                 idx = np.flatnonzero(corr)
-                if params.firth:
-                    if not params.firth_approx:
-                        raise NotImplementedError("exact Firth not yet implemented")
+                if params.firth and not params.firth_approx:
+                    # exact Firth: full covariate+SNP penalized fit per SNP
+                    # (fit_firth_logistic_snp, Step2_Models.cpp:1062)
+                    y = pd.phenotypes_raw[:, ph]
+                    offset = st.blups[:, ph] * mask
+                    for b in idx:
+                        ok, beta1, se1, lrt = _exact_firth_snp(
+                            params, pd, y, G[b], offset, mask, st, ph
+                        )
+                        if not ok:
+                            fail_ph[b] = True
+                            n_failed += 1
+                            continue
+                        bhat_ph[b] = beta1
+                        chisq_ph[b] = lrt
+                        logp_ph[b] = float(chisq_neglog10(np.array([lrt]))[0])
+                        if params.firth_se and lrt > 0:
+                            se_ph[b] = abs(beta1) / np.sqrt(lrt)
+                        else:
+                            se_ph[b] = se1
+                elif params.firth:
                     y = pd.phenotypes_raw[:, ph]
                     Gv = Gres[idx] / st.gamma_sqrt[:, ph][None, :]
                     beta_f, se_f, lrt, conv = firth_mod.firth_snp_batch(
@@ -251,6 +269,31 @@ def score_block(
         test_fail[:, ph] = fail_ph
 
     return bhat, se, chisq, logp, test_fail, n_corrected, n_failed
+
+
+def _exact_firth_snp(params, pd, y, g, offset, mask, st, ph):
+    """Exact Firth LRT for one SNP: penalized null (SNP coef fixed at 0)
+    then full fit started from the null estimates."""
+    X1 = np.column_stack([pd.new_cov, g])
+    K = pd.new_cov.shape[1]
+    b0 = np.zeros(K + 1)
+    b0[:K] = st.bhat_start[:, ph]
+    bn, _se, dev_null, _d0, ok = firth_mod.fit_firth_multi(
+        y, X1, offset, mask, b0, K, params.maxstep_null,
+        params.niter_max_firth_null, 10 * params.numtol,
+    )
+    if not ok:
+        return False, 0.0, 0.0, 0.0
+    bf, se, dev_full, dev0, ok = firth_mod.fit_firth_multi(
+        y, X1, offset, mask, bn, None, params.maxstep,
+        params.niter_max_firth, 2.5e-4, comp_lrt=True,
+    )
+    if not ok:
+        return False, 0.0, 0.0, 0.0
+    lrt = dev0 - dev_full
+    if lrt < 0:
+        return False, 0.0, 0.0, 0.0
+    return True, bf[-1], se[-1], lrt
 
 
 def _chisq_thr(alpha: float) -> float:
