@@ -128,9 +128,10 @@ def run_vc_tests(params: Params, eng, vset, snps, G, sb, ignored, built, writers
     engine; built: BuiltMask list (provides the per-mask variant sets via
     sel_idx and vc bin flags).
     """
-    if params.trait_mode != QT:
-        # BT path with case-control calibration lands in a later round
-        log("WARNING: VC tests for non-QT traits not yet implemented; skipping")
+    from ..config import BT
+
+    if params.trait_mode not in (QT, BT):
+        log("WARNING: VC tests only implemented for QT/BT traits; skipping")
         return
     M, N = G.shape
     P = params.n_pheno
@@ -208,6 +209,18 @@ def run_vc_tests(params: Params, eng, vset, snps, G, sb, ignored, built, writers
     )
     col_of = {int(c): k for k, c in enumerate(cols_all)}
     n_main = len(cols_all)
+
+    weights_full = np.concatenate(
+        [weights[cols_all], np.array(w_ur)]
+    ) if GW_ur else weights[cols_all]
+    if params.trait_mode == BT:
+        return _run_vc_bt(
+            params, eng, vset, vc_masks, GW_full, col_of, n_main, ur_cols,
+            weights_full,
+            np.concatenate([weights_acat[cols_all], np.array(w_ur_acat)])
+            if GW_ur else weights_acat[cols_all],
+            writers, log,
+        )
 
     # score stats + kernel (compute_vc_mats_qt, SKAT.cpp:643)
     WGtX = GW_full.T @ X  # [Mt, K]
@@ -374,6 +387,30 @@ def _skato_integral(minp, nrho, cvals, tau, rho_vec, muQ, fdavies, skato_lambdas
 
     state = {"failed": False}
 
+    # Precompute the mixture survival function on a grid of dlt values and
+    # interpolate inside the integrand (the lambdas are fixed; the
+    # reference calls native Davies per evaluation, SKAT.cpp:1836).
+    with np.errstate(divide="ignore"):
+        ratio0 = np.where(flip > 0, qmin / np.where(flip > 0, flip, 1.0), np.inf)
+        val0 = float(np.min(ratio0))
+    dlt_hi = max((val0 - muQ) * fdavies + muQ, muQ * 4, 1.0)
+    if not np.isfinite(dlt_hi):
+        dlt_hi = muQ * 100
+    grid = np.linspace(1e-8, dlt_hi, 80)
+    sf_grid = np.array([chisq_mix_pv(d, skato_lambdas) for d in grid])
+    ok_grid = sf_grid > 0
+    if ok_grid.sum() < 4:
+        return -1.0, -1.0
+    log_sf = np.log(np.maximum(sf_grid[ok_grid], 5e-324))
+    gx = grid[ok_grid]
+
+    def mix_sf(dlt):
+        if dlt <= gx[0]:
+            return 1.0
+        if dlt >= gx[-1]:
+            return float(np.exp(log_sf[-1]))
+        return float(np.exp(np.interp(dlt, gx, log_sf)))
+
     def integrand(x):
         if state["failed"] or x == 0:
             return 0.0
@@ -386,11 +423,7 @@ def _skato_integral(minp, nrho, cvals, tau, rho_vec, muQ, fdavies, skato_lambdas
             if dlt <= 0:
                 S = 1.0
             else:
-                S = chisq_mix_pv(dlt, skato_lambdas)
-                if S <= 0:
-                    state["failed"] = True
-                    return 0.0
-                S = min(S, 1.0)
+                S = min(mix_sf(dlt), 1.0)
         return S * chi2.pdf(x, 1)
 
     import warnings
@@ -437,3 +470,143 @@ def _write_vc_rows(params, eng, writers, bm, results):
                     -1.0, -1.0, ss[ph, 0], ss[ph, 1], True,
                 )
             )
+
+
+
+def _run_vc_bt(params, eng, vset, vc_masks, GW_full, col_of, n_main, ur_cols,
+               weights_full, w_acat_full, writers, log):
+    """BT VC tests with Firth/SPA case-control calibration
+    (compute_vc_masks_bt, SKAT.cpp:701; apply_correction_cc :1209)."""
+    from scipy.stats import chi2 as _chi2
+
+    from . import firth as firth_mod
+    from . import spa as spa_mod
+
+    pd = eng.pd
+    st = eng.bt_state
+    P = params.n_pheno
+    N, Mt = GW_full.shape
+    apply_corr = params.firth or params.use_spa
+    z_thr = np.sqrt(_chi2.isf(params.alpha_pvalue, df=1)) if apply_corr else np.inf
+    rho_vec = params.skato_rho if params.skato_rho is not None else DEFAULT_RHO
+    with_acatv = "acatv" in params.vc_tests or "acato" in params.vc_tests
+    with_skat = "skat" in params.vc_tests
+    with_skato = "skato" in params.vc_tests
+    with_skato_acat = "skato-acat" in params.vc_tests
+    with_acato = "acato" in params.vc_tests or "acato-full" in params.vc_tests
+
+    results_by_mask = {id(bm): {} for bm in vc_masks}
+    for ph in range(P):
+        if not pd.pheno_pass[ph]:
+            continue
+        gsm = st.gamma_sqrt_mask[:, ph]
+        XW = st.X_gamma[ph]
+        mask = pd.masked_indivs[:, ph]
+        y = pd.phenotypes_raw[:, ph]
+        GWp = GW_full * gsm[:, None]  # [N, Mt]
+        GtWX = XW.T @ GWp  # [K, Mt]
+        Svals = GWp.T @ st.res[:, ph]  # [Mt]
+        Kmat = GWp.T @ GWp - GtWX.T @ GtWX
+
+        Rvec = np.ones(Mt)
+        var_score = np.diag(Kmat).copy()
+        if apply_corr:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tstat = Svals / np.sqrt(np.where(var_score > 0, var_score, 1.0))
+            corr_idx = np.flatnonzero((np.abs(tstat) > z_thr) & (var_score > 0))
+            if len(corr_idx):
+                Gres = (GWp[:, corr_idx] - XW @ GtWX[:, corr_idx]).T  # [S, N]
+                if params.firth:
+                    Gv = Gres / st.gamma_sqrt[:, ph][None, :] / weights_full[corr_idx][:, None]
+                    _b, _se, lrt, conv = firth_mod.firth_snp_batch(
+                        y, Gv, st.firth_offset[:, ph], mask,
+                        maxstep=params.maxstep, niter=params.niter_max_firth,
+                        tol=2.5e-4,
+                    )
+                    chisq_c = np.where(conv, lrt, 0.0)
+                else:
+                    chisq_c, _lp, fail = spa_mod.spa_batch(
+                        tstat[corr_idx], var_score[corr_idx], Gres,
+                        st.Y_hat[:, ph], st.gamma_sqrt[:, ph], mask,
+                        tol=params.tol_spa, niter_max=params.niter_max_spa,
+                    )
+                    chisq_c = np.where(~fail, chisq_c, 0.0)
+                for k, i in enumerate(corr_idx):
+                    if chisq_c[k] <= 0:
+                        Rvec[i] = 0.0
+                    else:
+                        corrected_var = Svals[i] ** 2 / chisq_c[k]
+                        Rvec[i] = np.sqrt(corrected_var / var_score[i])
+            Kmat = Kmat * Rvec[:, None] * Rvec[None, :]
+        masked_sites = Rvec > 0
+
+        # single-variant logp for ACAT-V (corrected kernel diag)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            chisq_sv = np.where(
+                masked_sites, Svals**2 / np.where(np.diag(Kmat) > 0, np.diag(Kmat), 1.0), 1.0
+            )
+        logp_sv = chisq_neglog10(chisq_sv)
+
+        for bm in vc_masks:
+            res = results_by_mask[id(bm)]
+            m_idx = [col_of[int(i)] for i in bm.sel_idx if int(i) in col_of]
+            if bm.vc_col in ur_cols:
+                m_idx.append(n_main + ur_cols[bm.vc_col])
+            m_idx = np.array([i for i in m_idx if masked_sites[i]], dtype=int)
+            if len(m_idx) == 0:
+                continue
+            Km = Kmat[np.ix_(m_idx, m_idx)]
+            Sm = Svals[m_idx]
+            nnz = len(m_idx)
+
+            if with_acatv and (w_acat_full[m_idx] > 0).any():
+                lp = get_acat(logp_sv[m_idx], w_acat_full[m_idx])
+                if lp >= 0:
+                    res.setdefault("ACATV", np.full((P, 2), -1.0))[ph] = [
+                        float(neglog10_to_chisq(np.array([lp]))[0]), lp,
+                    ]
+
+            if not (with_skat or with_skato or with_skato_acat or with_acato):
+                continue
+
+            Qs = float((Sm**2).sum())
+            Qb = float(Sm.sum() ** 2)
+
+            # burden-based kernel inflation (correct_vcov_burden, SKAT.cpp:1151)
+            rfrac = 1.0
+            if apply_corr and nnz > 1 and Qb > 0:
+                var_qb = Km.sum()
+                tb = np.sqrt(Qb / max(var_qb, 1e-300))
+                if abs(tb) > z_thr:
+                    gres_b = GWp[:, m_idx].sum(axis=1) - XW @ GtWX[:, m_idx].sum(axis=1)
+                    if params.firth:
+                        _b, _se, lrt, conv = firth_mod.firth_snp_batch(
+                            y, (gres_b / st.gamma_sqrt[:, ph])[None, :],
+                            st.firth_offset[:, ph], mask,
+                            maxstep=params.maxstep, niter=params.niter_max_firth,
+                            tol=2.5e-4,
+                        )
+                        cb = lrt[0] if conv[0] else 0.0
+                    else:
+                        cb_arr, _lp, fail = spa_mod.spa_batch(
+                            np.array([tb]), np.array([var_qb]), gres_b[None, :],
+                            st.Y_hat[:, ph], st.gamma_sqrt[:, ph], mask,
+                            tol=params.tol_spa, niter_max=params.niter_max_spa,
+                        )
+                        cb = cb_arr[0] if not fail[0] else 0.0
+                    if cb <= 0:
+                        continue
+                    rfrac = max(1.0, tb * tb / cb)
+
+            res_ph = {}
+            _skato_tests(
+                params, res_ph, Sm[None, :], rfrac * Km, rho_vec, nnz, 1,
+                with_skat, with_skato, with_skato_acat, with_acato,
+                res.get("ACATV", np.full((P, 2), -1.0))[ph : ph + 1]
+                if "ACATV" in res else None,
+            )
+            for name, ss in res_ph.items():
+                res.setdefault(name, np.full((P, 2), -1.0))[ph] = ss[0]
+
+    for bm in vc_masks:
+        _write_vc_rows(params, eng, writers, bm, results_by_mask[id(bm)])
