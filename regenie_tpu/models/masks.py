@@ -217,3 +217,80 @@ def _finalize_mask(
         af_t=af_t, ns_t=ns_t, mac_t=mac_t, af1=af1,
         ignored_trait=ignored_trait, flipped=flipped, raw_vec=raw_vec,
     )
+
+
+def build_lovo_masks(
+    params: Params,
+    vset: VariantSet,
+    G: np.ndarray,
+    af1: np.ndarray,
+    mac1: np.ndarray,
+    ignored: np.ndarray,
+    anno_bits: np.ndarray,
+    mask_def: MaskDef,
+    bin_spec: str,
+    snp_ids: List[str],
+    masked_indivs: np.ndarray,
+    ind_in_analysis: np.ndarray,
+) -> List[BuiltMask]:
+    """Leave-one-variant-out masks for one (set, mask, aaf-bin)
+    (computeMasks_loo, Masks.cpp:739): the full mask plus one mask per
+    variant with that variant excluded. Max rule only (reference
+    restriction for LOVO with max)."""
+    M, N = G.shape
+    P = masked_indivs.shape[1]
+    take_max = params.mask_rule == "max"
+    ind = ind_in_analysis
+    maskf = masked_indivs.astype(np.float64)
+    singleton = np.floor(mac1 + 0.5) == 1
+    if bin_spec == "singleton":
+        keep_bin = singleton
+        aafs = np.array([])
+        j = 0
+    else:
+        thr = 1.0 if bin_spec == "all" else float(bin_spec)
+        keep_bin = (af1 <= thr) | singleton
+        aafs = np.array([thr])
+        j = 1
+    sel = ((anno_bits & mask_def.bits) != 0) & ~ignored & keep_bin
+    sel_idx = np.flatnonzero(sel)
+    if len(sel_idx) == 0:
+        return []
+    Gs = G[sel]
+    built: List[BuiltMask] = []
+
+    def collapse(rows):
+        if len(rows) == 0:
+            return None
+        sub = Gs[rows]
+        if take_max:
+            return sub.max(axis=0)
+        nm = (sub >= 0).any(axis=0)
+        sm = np.where(sub >= 0, sub, 0.0).sum(axis=0)
+        mv = np.where(nm, sm, -3.0)
+        if params.mask_rule == "comphet":
+            mv = np.minimum(mv, 2.0)
+        return mv
+
+    # full mask
+    all_rows = list(range(len(sel_idx)))
+    mv = collapse(all_rows)
+    bm = _finalize_mask(params, vset, mask_def, j, aafs, mv, len(all_rows), maskf,
+                        ind, P, take_max or params.mask_rule == "comphet")
+    if bm is not None:
+        bm.sel_idx = sel_idx
+        built.append(bm)
+    bname = bin_name(aafs, j)
+    for k in range(len(sel_idx)):
+        rows = [r for r in all_rows if r != k]
+        mv = collapse(rows)
+        if mv is None:
+            continue
+        bm = _finalize_mask(params, vset, mask_def, j, aafs, mv, len(rows), maskf,
+                            ind, P, take_max or params.mask_rule == "comphet")
+        if bm is None:
+            continue
+        bm.snp.ID = f"{vset.ID}.{mask_def.name}.{bname}_{snp_ids[sel_idx[k]]}"
+        bm.sel_idx = np.array([r for r in sel_idx if r != sel_idx[k]])
+        built.append(bm)
+    return built

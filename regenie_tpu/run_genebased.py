@@ -69,6 +69,21 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
         else None
     )
 
+    # LOVO mode: restrict to the specified set/mask/bin (mask_loo,
+    # Geno.cpp:3913; computeMasks_loo)
+    lovo_spec = None
+    if params.mask_lovo:
+        toks = params.mask_lovo.split(",")
+        if len(toks) < 3:
+            raise ValueError("--mask-lovo expects SET,MASK,AAF_BIN")
+        lovo_spec = toks
+        sets = [s for s in sets if s.ID == toks[0]]
+        if not sets:
+            raise ValueError(f"set '{toks[0]}' not found for LOVO")
+        mask_defs = [m for m in mask_defs if m.name == toks[1]]
+        if not mask_defs:
+            raise ValueError(f"mask '{toks[1]}' not found for LOVO")
+
     # order sets by chromosome (file order), then set position
     sets.sort(key=lambda s: (s.chrom, s.physpos))
 
@@ -87,10 +102,19 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
             [anno.get((i, vset.ID), 1) for i in vset.snp_indices], dtype=np.uint64
         )
 
-        built, _ = build_masks_for_set(
-            params, vset, G.astype(np.float64), af1, mac1, ignored, anno_bits,
-            mask_defs, aafs, pd.masked_indivs, pd.ind_in_analysis,
-        )
+        if lovo_spec is not None:
+            from .models.masks import build_lovo_masks
+
+            built = build_lovo_masks(
+                params, vset, G.astype(np.float64), af1, mac1, ignored,
+                anno_bits, mask_defs[0], lovo_spec[2],
+                [s.ID for s in snps], pd.masked_indivs, pd.ind_in_analysis,
+            )
+        else:
+            built, _ = build_masks_for_set(
+                params, vset, G.astype(np.float64), af1, mac1, ignored, anno_bits,
+                mask_defs, aafs, pd.masked_indivs, pd.ind_in_analysis,
+            )
 
         if mask_bed is not None:
             for bm in built:
