@@ -120,7 +120,15 @@ class BedFile:
 
 
 def decode_bed_bytes(raw: np.ndarray, n_samples: int) -> np.ndarray:
-    """[B, bytes] uint8 -> [B, N] int8 via the 256x4 LUT."""
+    """[B, bytes] uint8 -> [B, N] int8 via the 256x4 LUT.
+
+    Uses the native OpenMP decoder (native/decoder.cpp) when built,
+    falling back to the numpy LUT path otherwise."""
+    from .native import bed_decode_native
+
+    out = bed_decode_native(raw, n_samples)
+    if out is not None:
+        return out
     block = _LUT[raw].reshape(raw.shape[0], -1)
     return block[:, :n_samples]
 

@@ -248,6 +248,44 @@ def _decode_layout1(data: bytes, Nf: int, keep_idx, ref_first: bool):
     return ds, ival
 
 
+def decode_block_native(
+    bf: BgenFile, indices, keep_idx: Optional[np.ndarray], ref_first: bool
+):
+    """Batch decompress+decode a block of variants via the native OpenMP
+    decoder (native/decoder.cpp). Returns (dosage [B, N_kept],
+    info_num [B, N_kept]) or None when the native library is missing or
+    the block uses a layout the native path does not cover (it then
+    falls back to the pure-python per-variant decoder)."""
+    from .native import bgen12_decode_native
+
+    if bf.layout != 2 or bf.compression not in (1, 2):
+        return None
+    chunks, offs, cs, us = [], [], [], []
+    pos = 0
+    for idx in indices:
+        v = bf.variants[idx]
+        bf._fh.seek(v.geno_offset)
+        raw = bf._fh.read(v.geno_size)
+        (D,) = struct.unpack("<I", raw[:4])
+        payload = raw[4:]
+        chunks.append(payload)
+        offs.append(pos)
+        cs.append(len(payload))
+        us.append(D)
+        pos += len(payload)
+    res = bgen12_decode_native(
+        b"".join(chunks), np.array(offs, dtype=np.int64),
+        np.array(cs, dtype=np.int64), np.array(us, dtype=np.int64),
+        bf.n_samples_file, bf.compression, not ref_first,
+    )
+    if res is None:
+        return None
+    ds, iv = res
+    if keep_idx is not None:
+        ds, iv = ds[:, keep_idx], iv[:, keep_idx]
+    return ds, iv
+
+
 def _unpack_bits(body: np.ndarray, n_values: int, bits: int) -> np.ndarray:
     """General B-bit unpacking (rare path)."""
     bitarr = np.unpackbits(body[: (n_values * bits + 7) // 8], bitorder="little")

@@ -53,10 +53,16 @@ class GenoData:
         BED: [B, N] int8 hardcalls. BGEN: [B, N] float64 dosages; the
         INFO numerator matrix is stored in .last_info_num."""
         if self._bgen is not None:
-            from .bgen import decode_variant
+            from .bgen import decode_block_native, decode_variant
 
             keep = None if self._keep_all_samples else self.sample_keep_idx
             ref_first = getattr(self.params, "ref_first", False)
+            res = decode_block_native(
+                self._bgen, [s.offset for s in block_snps], keep, ref_first
+            )
+            if res is not None:
+                self.last_info_num = res[1]
+                return res[0]
             B = len(block_snps)
             G = np.empty((B, self.n_samples), dtype=np.float64)
             ival = np.empty((B, self.n_samples), dtype=np.float64)

@@ -1,0 +1,97 @@
+"""ctypes bindings for the native decode library (native/decoder.cpp).
+
+Auto-builds libregenie_native.so on first use if a toolchain is
+available; all callers fall back to the pure-numpy decoders when the
+library is missing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native")
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    so = os.path.join(_NATIVE_DIR, "libregenie_native.so")
+    if not os.path.isfile(so):
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], capture_output=True, timeout=120, check=True
+            )
+        except Exception:
+            return None
+    if not os.path.isfile(so):
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    lib.bed_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+    ]
+    lib.bgen12_decode.restype = ctypes.c_int64
+    lib.bgen12_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def bed_decode_native(raw: np.ndarray, n_samples: int) -> Optional[np.ndarray]:
+    """[B, nbytes] packed -> [B, N] int8, or None if lib unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw)
+    B, nb = raw.shape
+    out = np.empty((B, n_samples), dtype=np.int8)
+    lib.bed_decode(
+        raw.ctypes.data, ctypes.c_int64(B), ctypes.c_int64(nb),
+        ctypes.c_int64(n_samples), out.ctypes.data,
+    )
+    return out
+
+
+def bgen12_decode_native(
+    comp: bytes,
+    offsets: np.ndarray,
+    csizes: np.ndarray,
+    usizes: np.ndarray,
+    n_samples: int,
+    compression: int,
+    ref_last: bool,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Batch-decompress+decode BGEN v1.2 genotype blocks.
+    Returns (dosage [B, N], info_num [B, N]) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_var = len(offsets)
+    dosage = np.empty((n_var, n_samples), dtype=np.float64)
+    info_num = np.empty((n_var, n_samples), dtype=np.float64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    csizes = np.ascontiguousarray(csizes, dtype=np.int64)
+    usizes = np.ascontiguousarray(usizes, dtype=np.int64)
+    nfail = lib.bgen12_decode(
+        comp, offsets.ctypes.data, csizes.ctypes.data, usizes.ctypes.data,
+        ctypes.c_int64(n_var), ctypes.c_int64(n_samples),
+        ctypes.c_int(compression), ctypes.c_int(1 if ref_last else 0),
+        dosage.ctypes.data, info_num.ctypes.data,
+    )
+    if nfail > 0:
+        return None  # caller falls back to python path for exotic layouts
+    return dosage, info_num
