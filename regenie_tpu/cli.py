@@ -101,6 +101,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--approx", action="store_true")
     g.add_argument("--firth-se", action="store_true")
     g.add_argument("--spa", action="store_true")
+    g.add_argument("--mcc", action="store_true", help="MCC (DKAT) test for skewed QTs")
+    g.add_argument("--mcc-skew", type=float, default=0.0)
+    g.add_argument("--mcc-thr", type=float, default=0.01)
     g.add_argument("--pThresh", type=float, default=0.05)
     g.add_argument("--test", choices=["additive", "dominant", "recessive"], default="additive")
     g.add_argument("--chr", action="append", default=[])
@@ -219,6 +222,19 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.firth = args.firth
     params.firth_approx = args.firth and args.approx
     params.use_spa = args.spa
+    params.mcc_test = args.mcc
+    params.mcc_skew = args.mcc_skew
+    if params.mcc_skew < 0:
+        raise SystemExit("ERROR: absolute phenotypic skewness must be positive")
+    if params.mcc_skew > 0 and not params.mcc_test:
+        raise SystemExit("ERROR: --mcc must be on when specifying --mcc-skew")
+    if params.mcc_test:
+        # Regenie.cpp:1270-1276: thr < 1 gates MCC behind the score test
+        if not (0 < args.mcc_thr <= 1):
+            raise SystemExit("ERROR: --mcc-thr must be in (0; 1]")
+        params.mcc_thr = args.mcc_thr
+        params.mcc_apply_thr = params.mcc_thr < 1
+        params.mcc_thr_nlog10 = -np.log10(params.mcc_thr)
     params.alpha_pvalue = args.pThresh
     params.split_by_pheno = not args.no_split
     params.htp_out = args.htp is not None

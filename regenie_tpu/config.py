@@ -104,6 +104,13 @@ class Params:
     use_null_firth: Optional[str] = None
     uncapped_pvals: bool = False
 
+    # ---- MCC test for skewed QTs (--mcc, Regenie.cpp:343-345) ----
+    mcc_test: bool = False
+    mcc_skew: float = 0.0  # abs skewness threshold to flag a trait
+    mcc_thr: float = 0.01  # raw p threshold; ==1 => MCC everywhere
+    mcc_apply_thr: bool = False  # derived: mcc_thr < 1
+    mcc_thr_nlog10: float = 2.0
+
     # ---- gene-based tests (Masks.cpp / SKAT.cpp / Joint_Tests.cpp) ----
     set_list: Optional[str] = None  # --set-list
     anno_file: Optional[str] = None  # --anno-file

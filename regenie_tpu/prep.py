@@ -61,6 +61,23 @@ def prepare(params: Params, blup_pheno_names: Optional[List[str]] = None) -> Run
             m = (pd.phenotypes[:, j] != -999.0) & pd.masked_indivs[:, j]
             pd.phenotypes[:, j] = rint_values(pd.phenotypes[:, j], m)
 
+    # phenotype skewness gate for --mcc (compute_skew, Pheno.cpp:117-131):
+    # computed on pre-imputation values under each trait's mask
+    if params.mcc_test:
+        skew = np.zeros(params.n_pheno)
+        for j in range(params.n_pheno):
+            m = (pd.phenotypes[:, j] != -999.0) & pd.masked_indivs[:, j]
+            y = pd.phenotypes[m, j]
+            mu = y.mean()
+            skew[j] = ((y - mu) ** 3).mean() / ((y - mu) ** 2).mean() ** 1.5
+        pd.skew_Y = skew
+        if params.mcc_skew == 0.0:
+            pd.mcc_Y = np.ones(params.n_pheno, dtype=bool)
+        else:
+            pd.mcc_Y = np.abs(skew) > params.mcc_skew
+            if not pd.mcc_Y.any():
+                params.mcc_test = False
+
     if not (params.trait_mode == T2E and params.test_mode):
         pheno_impute_miss(params, pd)
 

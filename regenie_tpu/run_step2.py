@@ -276,6 +276,13 @@ class Step2Engine:
             bhat, se, chisq = m2.finalize_qt(stats, denum, scale_fac, self.scf_sv, flipped)
             logp = chisq_neglog10(chisq)
             test_fail = np.zeros((B, P), dtype=bool)
+            if params.mcc_test:
+                from .models.mcc import apply_mcc_qt
+
+                bhat, se, chisq = np.array(bhat), np.array(se), np.array(chisq)
+                test_fail = apply_mcc_qt(
+                    params, pd, np.asarray(G_res), self.res, logp, se, chisq
+                )
             ignored = ignored | np.asarray(low_var)
             self.last_G_res = np.asarray(G_res)  # for joint tests (compute_qr_G)
             self.last_scale_fac = np.asarray(scale_fac)
