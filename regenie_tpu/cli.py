@@ -101,6 +101,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--approx", action="store_true")
     g.add_argument("--firth-se", action="store_true")
     g.add_argument("--spa", action="store_true")
+    g.add_argument("--mt", action="store_true", help="run multi-trait tests")
     g.add_argument("--mcc", action="store_true", help="MCC (DKAT) test for skewed QTs")
     g.add_argument("--mcc-skew", type=float, default=0.0)
     g.add_argument("--mcc-thr", type=float, default=0.01)
@@ -222,6 +223,13 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.firth = args.firth
     params.firth_approx = args.firth and args.approx
     params.use_spa = args.spa
+    params.trait_set = args.mt
+    if params.trait_set:
+        # Regenie.cpp:1255-1260: strict + merged output required
+        if not args.strict:
+            raise SystemExit("ERROR: --strict mode is required for multi-trait tests")
+        if not args.no_split:
+            raise SystemExit("ERROR: --no-split mode is required for multi-trait tests")
     params.mcc_test = args.mcc
     params.mcc_skew = args.mcc_skew
     if params.mcc_skew < 0:

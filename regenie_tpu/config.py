@@ -104,6 +104,9 @@ class Params:
     use_null_firth: Optional[str] = None
     uncapped_pvals: bool = False
 
+    # ---- multi-trait tests (--mt, Regenie.cpp:342) ----
+    trait_set: bool = False
+
     # ---- MCC test for skewed QTs (--mcc, Regenie.cpp:343-345) ----
     mcc_test: bool = False
     mcc_skew: float = 0.0  # abs skewness threshold to flag a trait

@@ -512,6 +512,9 @@ def run_step2(params: Params, log=print) -> None:
 
         return run_genebased(params, eng, log)
 
+    if params.trait_set:
+        return run_multitrait(params, eng, log)
+
     blocks = make_blocks(gd, params.block_size)
     params.total_n_block = len(blocks)
     log(f" * block size: [{params.block_size}]")
@@ -553,6 +556,61 @@ def run_step2(params: Params, log=print) -> None:
         )
         log(f"Number of failed tests : ({eng.n_failed}/{eng.n_corrected})")
     log(f"Number of ignored tests due to low MAC : {eng.n_ignored * params.n_pheno}")
+    log(f" * done ({time.time()-t0:.1f}s)")
+
+
+def run_multitrait(params: Params, eng: Step2Engine, log=print) -> None:
+    """Multi-trait testing mode (--mt): 14 joint tests per variant
+    (test_multitrait, Data.cpp:3289; compute_tests_mt_multitrait :3436).
+    QT only; one merged output file."""
+    from .models import step2 as _m2
+    from .models.multitrait import mt_header, mt_line, run_mt_block, setup_mt
+
+    if params.trait_mode != QT:
+        raise ValueError("multi-trait tests are only supported for QTs")
+    gd, pd = eng.gd, eng.pd
+    blocks = make_blocks(gd, params.block_size)
+    params.total_n_block = len(blocks)
+    log(f"Association testing mode (multi-trait tests): {params.n_pheno} traits")
+    log(f" * # blocks: [{params.total_n_block}]")
+
+    path = f"{params.out_prefix}.regenie" + (".gz" if params.gz_out else "")
+    fh = open_write(path, gz=params.gz_out)
+    fh.write(mt_header(params.n_pheno))
+
+    t0 = time.time()
+    mt_state = None
+    cur_chrom = None
+    n_ignored = 0
+    for chrom, bsnps in blocks:
+        eng.prep_chrom(chrom)
+        if chrom != cur_chrom:
+            cur_chrom = chrom
+            mt_state = setup_mt(eng.res, pd.masked_indivs)
+        G_raw = gd.read_block(bsnps)
+        sb = eng.block_stats(G_raw)
+        total, ns = sb["total"], sb["ns"]
+        mac1 = np.minimum(total, 2 * ns - total)
+        ignored = mac1 < params.min_mac
+        G = finalize_block_step2(
+            jnp.asarray(G_raw), eng.ind_j, jnp.zeros(len(bsnps), dtype=bool)
+        )
+        G_res, scale_fac, low_var = m2.residualize_scale_block(
+            G, eng.cov_j, eng.scale_denom
+        )
+        ignored = ignored | np.asarray(low_var)
+        r = run_mt_block(mt_state, np.asarray(G_res), params)
+        for b in range(len(bsnps)):
+            if ignored[b]:
+                n_ignored += 1
+                continue
+            fh.write(
+                mt_line(bsnps[b], sb["mac"][b, 0], sb["af"][b, 0],
+                        mt_state.neff0, r, b)
+            )
+    fh.close()
+    log(f"Results written to [{path}]")
+    log(f"Number of ignored tests due to low MAC : {n_ignored}")
     log(f" * done ({time.time()-t0:.1f}s)")
 
 
