@@ -179,17 +179,21 @@ def apply_interaction_block(params, eng, bsnps, G_raw, G_res, result, writers, t
     G_raw: [B, N] imputed unresidualized genotypes; G_res: [B, N]
     residualized+scaled (engine stash). result: BlockResult for stats.
     """
+    from ..config import BT
+
     st = eng.interaction
     pd = eng.pd
     P = params.n_pheno
     B = len(bsnps)
-    mac_t = np.minimum(result.ns_t * 2 - 0, np.inf)  # per-trait mac via af
     for b in range(B):
         if result.ignored[b]:
             continue
         if st.interaction_snp_name and bsnps[b].ID == st.interaction_snp_name:
             continue
         g_raw = np.asarray(G_raw[b], dtype=np.float64)
+        if params.trait_mode == BT:
+            _test_snp_bt(params, eng, bsnps[b], b, g_raw, result, writers, test_name)
+            continue
         g_res = G_res[b]
         mac_b = result.af_t[b] * 2 * result.ns_t[b]
         mac_b = np.minimum(mac_b, 2 * result.ns_t[b] - mac_b)
@@ -263,6 +267,209 @@ def _test_snp_hlm(params, eng, snp, b, g_raw, result, writers, test_name):
         ones = np.ones(M.shape[1])
         _write_int_rows(params, eng, writers, snp, b, ph, bhat, Vmat, beg, K,
                         1.0, ones[:K], ones[:K], result, test_name)
+
+
+def _test_snp_bt(params, eng, snp, b, g_raw, result, writers, test_name):
+    """BT interaction tests: full logistic refit of [E, G, GxE] with the
+    null eta as offset, model-based or HC3-robust covariance, Firth LRT
+    fallback for significant interactions (apply_interaction_tests_bt,
+    Interaction.cpp:441-664)."""
+    from .glm import fit_logistic_irls, get_pvec
+
+    st, pd, bt = eng.interaction, eng.pd, eng.bt_state
+    K = params.ncov_interaction
+    beg = params.interaction_istart
+    np_ = 1 + K
+    flipped = bool(getattr(eng, "last_flipped", np.zeros(1, dtype=bool))[b])
+
+    g_res, scale_g = residualize_matrix(
+        g_raw[:, None], pd.new_cov, params.n_analyzed, params.numtol
+    )
+    if g_res is None:
+        return
+    iMat = st.E * g_raw[:, None]
+    iMat_res, scf_i = residualize_matrix(iMat, pd.new_cov, params.n_analyzed, params.numtol)
+    if iMat_res is None:
+        return
+    H = np.column_stack([st.E_res, g_res[:, 0], iMat_res])
+    lpfirth = -np.log10(params.alpha_pvalue)
+    lpbase = -np.log10(0.05)
+    bsign = -1.0 if flipped else 1.0
+
+    for ph in range(params.n_pheno):
+        if not pd.pheno_pass[ph] or result.ignored_trait[b, ph] or writers[ph] is None:
+            continue
+        y = pd.phenotypes_raw[:, ph]
+        mask = pd.masked_indivs[:, ph]
+        offset = bt.eta_null[:, ph]
+
+        beta, ok = fit_logistic_irls(
+            y, H, offset, mask, params.niter_max, params.numtol, True
+        )
+        if not ok:
+            beta, ok = fit_logistic_irls(
+                y, H, offset, mask, params.niter_max, params.numtol, False
+            )
+        if not ok:
+            continue
+        pi = get_pvec(offset + H @ beta)
+        w = np.where(mask, pi * (1 - pi), 0.0)
+        WX = H * np.sqrt(w)[:, None]
+        D, V = np.linalg.eigh(WX.T @ WX)
+        if D.min() < params.numtol:
+            continue
+        Vmat = (V / D[None, :]) @ V.T
+
+        # robust sandwich when a main/interaction effect is significant
+        # and the variant is not too rare (Interaction.cpp:506-521)
+        mac_b = result.mac_t[b, ph] if result.mac_t is not None else np.inf
+        use_robust = params.force_robust
+        if not params.no_robust and mac_b > params.rare_mac_inter:
+            for j in range(beg, beg + np_):
+                t = beta[j] ** 2 / Vmat[j, j]
+                if chisq_neglog10(np.array([t]))[0] > lpbase:
+                    use_robust = True
+        if use_robust:
+            hvec = ((WX @ Vmat) * WX).sum(axis=1)
+            r = np.where(mask, (y - pi) / (1 - hvec), 0.0)
+            Vr = H.T @ (H * (r**2)[:, None])
+            Vmat = Vmat @ Vr @ Vmat
+            if np.diag(Vmat).min() < 0:
+                continue
+        bhat = beta * bsign
+
+        # Firth gate: any interaction Wald p below alpha threshold
+        use_firth = False
+        if params.firth:
+            for j in range(beg + 1, beg + 1 + K):
+                t = abs(beta[j] ** 2 / Vmat[j, j])
+                if chisq_neglog10(np.array([t]))[0] >= lpfirth:
+                    use_firth = True
+        if use_firth:
+            _bt_firth_rows(params, eng, writers, snp, b, ph, H, y, mask,
+                           beg, K, scale_g[0], scf_i, result, test_name, bsign)
+            continue
+
+        gscale = 1.0 / scale_g[0]
+        iscale = 1.0 / scf_i
+        cscale = 1.0 / st.scl_E
+        _write_int_rows(params, eng, writers, snp, b, ph, bhat, Vmat, beg, K,
+                        gscale, iscale, cscale, result, test_name)
+
+
+def _bt_firth_rows(params, eng, writers, snp, b, ph, H, y, mask, beg, K,
+                   scale_g, scf_i, result, test_name, bsign):
+    """Firth LRT fallback (apply_interaction_tests_firth,
+    Interaction.cpp:664-864): full fit + one reduced fit per test."""
+    from ..io.output import sumstat_line_single
+    from . import firth as firth_mod
+
+    st, pd, bt = eng.interaction, eng.pd, eng.bt_state
+    np_ = 1 + K
+    ncols = H.shape[1]
+    offset = (
+        bt.firth_offset[:, ph] if params.firth_approx else bt.eta_null[:, ph]
+    )
+
+    # full model
+    beta_f, se_f, dev, dev0, okf = firth_mod.fit_firth_multi(
+        y, H, offset, mask, None, None, params.maxstep,
+        params.niter_max_firth, 2.5e-4, comp_lrt=True,
+    )
+    if not okf:
+        return
+
+    def reduced_drop(j, warm):
+        """LRT fit excluding column j (swap-to-last trick,
+        Interaction.cpp:769-780): penalty keeps all columns."""
+        order = [c for c in range(ncols) if c != j] + [j]
+        b0 = warm[order].copy()
+        b0[-1] = 0.0
+        _b, _s, dev_s, _d0, ok = firth_mod.fit_firth_multi(
+            y, H[:, order], offset, mask, b0, ncols - 1, params.maxstep,
+            params.niter_max_firth, 2.5e-4,
+        )
+        return dev_s, ok
+
+    rows = []
+    evar = st.evar_name
+    # E main effects (betas from the full fit, no p-value)
+    for j in range(beg):
+        sfx = f"-INT_{evar}" + (f"={st.lvl_names[j]}" if st.is_cat else "")
+        rows.append((sfx, beta_f[j] / st.scl_E[j], se_f[j] / st.scl_E[j], -1.0, -1.0))
+
+    # joint (1+K df): null = E-only (or penalized dev at 0 when beg==0)
+    if beg > 0:
+        _b, _s, dev_j, _d0, okj = firth_mod.fit_firth_multi(
+            y, H, offset, mask, None, beg, params.maxstep_null,
+            params.niter_max_firth_null, 2.5e-4,
+        )
+        t_joint = (dev_j - dev) if okj else -1.0
+    else:
+        t_joint = dev0 - dev
+    joint_row = None
+    if t_joint >= 0:
+        lp = float(chisq_neglog10_df(np.array([t_joint]), np_)[0])
+        joint_row = (f"-INT_{np_}DF", None, None, t_joint, lp)
+
+    # marginal G LRT
+    dev_m, okm = reduced_drop(beg, beta_f)
+    if not okm:
+        return
+    t = dev_m - dev
+    if t < 0:
+        return
+    se_val = abs(beta_f[beg]) / np.sqrt(t) if (params.firth_se and t > 0) else se_f[beg]
+    lp = float(chisq_neglog10(np.array([t]))[0])
+    rows.append(("-INT_SNP", bsign * beta_f[beg] / scale_g, se_val / scale_g, t, lp))
+
+    if K > 1:
+        for j in range(K):
+            jj = beg + 1 + j
+            rows.append((f"-INT_SNPx{evar}={st.lvl_names[j]}",
+                         bsign * beta_f[jj] / scf_i[j], se_f[jj] / scf_i[j],
+                         -1.0, -1.0))
+        b0 = beta_f.copy()
+        b0[beg + 1 :] = 0.0
+        _b, _s, dev_i, _d0, oki = firth_mod.fit_firth_multi(
+            y, H, offset, mask, b0, beg + 1, params.maxstep,
+            params.niter_max_firth, 2.5e-4,
+        )
+        if not oki:
+            return
+        t = dev_i - dev
+        if t < 0:
+            return
+        lp = float(chisq_neglog10_df(np.array([t]), np_ - 1)[0])
+        rows.append((f"-INT_SNPx{evar}", None, None, t, lp))
+    else:
+        dev_i, oki = reduced_drop(ncols - 1, beta_f)
+        if not oki:
+            return
+        t = dev_i - dev
+        if t < 0:
+            return
+        jj = beg + 1
+        se_val = abs(beta_f[jj]) / np.sqrt(t) if (params.firth_se and t > 0) else se_f[jj]
+        lp = float(chisq_neglog10(np.array([t]))[0])
+        sfx = f"-INT_SNPx{evar}" + (f"={st.lvl_names[0]}" if st.is_cat else "")
+        rows.append((sfx, bsign * beta_f[jj] / scf_i[0], se_val / scf_i[0], t, lp))
+    if joint_row is not None:
+        rows.append(joint_row)
+
+    for sfx, beta, se, chisq, lp in rows:
+        writers[ph].write(
+            sumstat_line_single(
+                params, snp, test_name + sfx,
+                result.af_t[b, ph],
+                (result.info_t[b, ph] if result.info_t is not None else 1.0)
+                if params.dosage_mode else None,
+                int(result.ns_t[b, ph]),
+                beta if beta is not None else -1.0,
+                se if se is not None else -1.0,
+                chisq, lp, True,
+            )
+        )
 
 
 def _write_int_rows(params, eng, writers, snp, b, ph, bhat, Vmat, beg, K,

@@ -33,6 +33,7 @@ class BTChromState:
     firth_offset: np.ndarray = None  # [N, P] cov effects + LOCO (approx firth)
     blups: np.ndarray = None  # [N, P]
     bhat_start: np.ndarray = None  # [K, P] null logistic betas
+    eta_null: np.ndarray = None  # [N, P] null eta (offset_nullreg)
     allow_correction: bool = True  # Firth/SPA only for BT
 
 
@@ -67,6 +68,7 @@ def prep_chromosome(params: Params, pd: PhenoData, blups: np.ndarray, log,
     st.gamma_sqrt_mask = np.zeros((N, P))
     st.X_gamma = [None] * P
     st.firth_offset = np.zeros((N, P))
+    st.eta_null = np.zeros((N, P))
     K = pd.new_cov.shape[1]
     st.bhat_start = np.zeros((K, P))
     l1_ridge_eps = 1e-5
@@ -104,6 +106,7 @@ def prep_chromosome(params: Params, pd: PhenoData, blups: np.ndarray, log,
 
         st.bhat_start[:, ph] = beta
         eta = offset + pd.new_cov @ beta
+        st.eta_null[:, ph] = eta
         pi = get_pvec(eta)
         w = np.where(mask, pi * (1 - pi), 1.0)
         gs = np.sqrt(w)

@@ -345,6 +345,7 @@ class Step2Engine:
             G = jnp.where(G >= 1.0, G - 1.0, G)
 
         self.last_G_imputed = np.asarray(G)
+        self.last_flipped = flipped
         result = self.test_prepared_block(
             G, sb["af"], sb["ns_t"], sb["mac"], ignored, ignored_trait, flipped, info_t
         )
