@@ -146,6 +146,11 @@ def build_parser() -> argparse.ArgumentParser:
     gb.add_argument("--vc-maxAAF", type=float, default=1.0)
     gb.add_argument("--vc-MACthr", type=float, default=10.0)
     gb.add_argument("--joint", default=None, help="minp,acat,ftest,gates,sbat,gene_p")
+    gb.add_argument("--rgc-gene-p", action="store_true",
+                    help="optimal strategy for a single p-value per gene")
+    gb.add_argument("--rgc-gene-def", default=None,
+                    help="file with mask groups for the GENE_P strategy")
+    gb.add_argument("--skip-sbat", action="store_true")
     gb.add_argument("--mask-lovo", default=None)
     gb.add_argument("--mask-lodo", action="store_true")
     return p
@@ -290,6 +295,27 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.skat_collapse_MAC = args.vc_MACthr
     if args.joint:
         params.joint_tests = [t.lower() for t in _split_list(args.joint)]
+    # GENE_P strategy setup (Regenie.cpp:787-803): forces burden ACAT
+    # (+SBAT for QT), ACATV/SKATO-ACAT VC tests, 0.01 max AAF and the
+    # RGC default AAF bins
+    if args.rgc_gene_p and args.anno_file and args.mask_def:
+        params.apply_gene_pval_strategy = True
+        params.skip_sbat = args.skip_sbat
+        params.genep_mask_sets_file = args.rgc_gene_def
+        if args.vc_maxAAF == 1.0:
+            params.vc_maxAAF = 0.01
+        if "acat" not in params.joint_tests:
+            params.joint_tests.append("acat")
+        if not (args.bt or args.ct or args.t2e) and not args.skip_sbat and "sbat" not in params.joint_tests:
+            params.joint_tests.append("sbat")
+        if args.test == "additive":
+            for t in ("acatv", "skato-acat"):
+                if t not in params.vc_tests:
+                    params.vc_tests.append(t)
+        else:
+            params.vc_tests = []
+        if not args.aaf_bins:
+            params.aaf_bins = ["0.00001", "0.0001", "0.001", "0.01"]
     params.mask_lovo = args.mask_lovo
     params.mask_lodo = args.mask_lodo
 

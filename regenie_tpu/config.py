@@ -140,6 +140,10 @@ class Params:
     skat_a2: float = 25.0
     skato_rho: Optional[np.ndarray] = None  # default grid set in SKAT module
     joint_tests: List[str] = field(default_factory=list)  # --joint minp,acat,...
+    # GENE_P strategy (--rgc-gene-p/--rgc-gene-def, Regenie.cpp:330-332,787)
+    apply_gene_pval_strategy: bool = False
+    genep_mask_sets_file: Optional[str] = None
+    skip_sbat: bool = False
     mask_lovo: Optional[str] = None  # --mask-lovo SET,MASK,BIN
     mask_lodo: bool = False
     use_max_bsize: bool = False

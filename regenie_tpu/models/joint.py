@@ -193,6 +193,158 @@ def _joint_line(params, vset, tname, logp, zval, df, n):
 
 
 
+def _genep_classes(params, mask_names):
+    """Mask groups for the GENE_P strategy (check_class_genep,
+    Joint_Tests.cpp:1084). Returns (all_masks, all_sfx, {sfx: set})."""
+    classes: Dict[str, set] = {}
+    all_masks, all_sfx = True, ""
+
+    def add_class(sfx, masks):
+        nonlocal all_masks, all_sfx
+        valid = {m for m in masks if m in mask_names}
+        if not valid:
+            return
+        if valid == set(mask_names):
+            all_masks, all_sfx = True, sfx
+        else:
+            classes[sfx] = valid
+
+    if params.genep_mask_sets_file:
+        all_masks = False
+        from ..io.files import iter_lines
+
+        for toks in iter_lines(params.genep_mask_sets_file):
+            if len(toks) < 2:
+                raise ValueError(f"invalid --rgc-gene-def line: {toks}")
+            if toks[0] in classes:
+                raise ValueError(f"GENE_P_'{toks[0]}' defined twice")
+            add_class(toks[0], toks[1].split(","))
+    else:
+        for nm in ("M1", "pLoF", "LoF"):
+            add_class(nm, [nm])
+    return all_masks, all_sfx, classes
+
+
+def run_gene_p(params: Params, eng, vset, built, writers, log):
+    """GENE_P strategy (run_single_p_acat, Joint_Tests.cpp:684-860): per
+    mask group, ACAT-combine BURDEN-ACAT, SBAT, ACATV-ACAT and
+    SKATO-ACAT into one gene p-value; track the strongest mask."""
+    pd = eng.pd
+    r = getattr(eng, "_last_mask_result", None)
+    if r is None or not built:
+        return
+    B = len(built)
+    vc_res = getattr(eng, "_last_vc_results", {})
+    mask_names = {bm.mask_name for bm in built}
+    all_masks, all_sfx, classes = _genep_classes(params, mask_names)
+    routes = []
+    if all_masks:
+        routes.append((all_sfx, mask_names))
+    routes += sorted(classes.items())
+    G = eng.last_G_res.T if params.trait_mode == QT else None  # [N, B]
+    run_sbat = (
+        "sbat" in params.joint_tests and params.trait_mode == QT
+        and not params.skip_sbat
+    )
+
+    for ph in range(params.n_pheno):
+        if not pd.pheno_pass[ph]:
+            continue
+        mask = pd.masked_indivs[:, ph]
+        yres = eng.res[:, ph] if params.trait_mode == QT else None
+
+        for sfx, members in routes:
+            tag = "" if sfx == "" else "_" + sfx
+            good = np.array([
+                (bm.mask_name in members) and not r.ignored[b]
+                and not r.ignored_trait[b, ph] and not r.test_fail[b, ph]
+                for b, bm in enumerate(built)
+            ])
+            overall, rows = {}, []
+            max_logp, max_mask = -1.0, ""
+            acatv, skato = [], []
+            for b, bm in enumerate(built):
+                if bm.mask_name not in members:
+                    continue
+                if good[b] and r.logp[b, ph] > max_logp and r.logp[b, ph] > 0:
+                    max_logp, max_mask = r.logp[b, ph], bm.mask_name
+                res = vc_res.get(id(bm))
+                if res is None:
+                    continue
+                for tname, dest in (("ACATV", acatv), ("SKATO-ACAT", skato)):
+                    if tname in res and res[tname][ph, 1] >= 0:
+                        pv = res[tname][ph, 1]
+                        if pv > max_logp:
+                            max_logp, max_mask = pv, bm.mask_name
+                        dest.append(pv)
+
+            n_good = int(good.sum())
+            if n_good > 0:
+                lp = get_acat(np.where(good, r.logp[:, ph], 0.0),
+                              good.astype(np.float64))
+                if lp >= 0:
+                    overall["BURDEN-ACAT"] = lp
+                    zv = float(neglog10_to_chisq(np.array([lp]))[0])
+                    rows.append((f"ADD-BURDEN-ACAT{tag}", lp, zv, n_good, ""))
+
+                if run_sbat:
+                    keep = np.flatnonzero(good)
+                    Gm = G[:, keep] * mask[:, None]
+                    _q, _rr, piv = _qr_colperm(Gm, params.qr_tol)
+                    df = len(piv)
+                    ns = int(mask.sum()) - params.ncov_analyzed
+                    if df > 0 and ns - df > 0:
+                        out = _sbat(Gm[:, piv], yres * mask, ns - df,
+                                    rng_seed=params.seed)
+                        if out is not None:
+                            lp_p, lp_n = out
+                            lp = get_acat(np.array([lp_p, lp_n]))
+                            if lp >= 0:
+                                overall["SBAT"] = lp
+                                zv = float(neglog10_to_chisq(np.array([lp]))[0])
+                                rows.append((f"ADD-BURDEN-SBAT{tag}", lp, zv, df, ""))
+                                zv = float(neglog10_to_chisq(np.array([lp_p]))[0])
+                                rows.append((f"ADD-BURDEN-SBAT_POS{tag}", lp_p, zv, df, ""))
+                                zv = float(neglog10_to_chisq(np.array([lp_n]))[0])
+                                rows.append((f"ADD-BURDEN-SBAT_NEG{tag}", lp_n, zv, df, ""))
+
+            for name, vals in (("ACATV-ACAT", acatv), ("SKATO-ACAT", skato)):
+                if vals:
+                    lp = get_acat(np.array(vals))
+                    if lp >= 0:
+                        overall[name] = lp
+                        zv = float(neglog10_to_chisq(np.array([lp]))[0])
+                        rows.append((f"ADD-{name}{tag}", lp, zv, len(vals), ""))
+
+            if overall:
+                pv_all = np.array(list(overall.values()))
+                lp = get_acat(pv_all)
+                zv = float(neglog10_to_chisq(np.array([lp]))[0])
+                rows.append((f"GENE_P{tag}", lp, zv, len(pv_all), max_mask))
+
+            for tname, lp, zv, df, strongest in rows:
+                extra = f"DF={df}"
+                if strongest:
+                    extra += f";STRONGEST_MASK={strongest}"
+                writers[ph].write(
+                    _gene_line(params, vset, tname, lp, zv, int(pd.Neff[ph]), extra)
+                )
+
+
+def _gene_line(params, vset, tname, logp, zval, n, extra):
+    """GENE_P-family row (print_sum_stats_gene, Joint_Tests.cpp:974)."""
+    parts = [str(vset.chrom), str(vset.physpos), vset.ID, "NA", "NA", "NA"]
+    if params.dosage_mode:
+        parts.append("NA")
+    parts.append(str(n))
+    parts.append(tname)
+    parts += ["NA", "NA"]
+    parts.append(fmt(zval) if zval >= 0 else "NA")
+    parts.append(fmt(logp) if logp >= 0 else "NA")
+    parts.append(extra)
+    return " ".join(parts) + "\n"
+
+
 def _nnls_kkt(XtX, Xty, tol=1e-10, maxit=1000):
     """Active-set NNLS on normal equations; returns bhat >= 0."""
     from scipy.optimize import nnls as scipy_nnls

@@ -135,6 +135,7 @@ def run_vc_tests(params: Params, eng, vset, snps, G, sb, ignored, built, writers
         return
     M, N = G.shape
     P = params.n_pheno
+    eng._last_vc_results = {}
     af1 = sb["af1"]
     mac1 = np.minimum(sb["total"], 2 * sb["ns"] - sb["total"])
     ind = eng.pd.ind_in_analysis
@@ -454,8 +455,13 @@ def _skato_integral(minp, nrho, cvals, tau, rho_vec, muQ, fdavies, skato_lambdas
 
 
 def _write_vc_rows(params, eng, writers, bm, results):
-    """Emit one row per (test, pheno) (print_vc_sumstats, SKAT.cpp:1940)."""
+    """Emit one row per (test, pheno) (print_vc_sumstats, SKAT.cpp:1940).
+    Results are also stashed on the engine for the GENE_P strategy."""
     from ..io.output import sumstat_line_single
+
+    if not hasattr(eng, "_last_vc_results"):
+        eng._last_vc_results = {}
+    eng._last_vc_results[id(bm)] = results
 
     pd = eng.pd
     for test_name in sorted(results):

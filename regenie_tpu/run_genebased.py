@@ -141,7 +141,11 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
             )
 
         # joint tests on burden p-values
-        if params.joint_tests:
+        if params.apply_gene_pval_strategy:
+            from .models import joint as joint_mod
+
+            joint_mod.run_gene_p(params, eng, vset, built, writers, log)
+        elif params.joint_tests:
             from .models import joint as joint_mod
 
             joint_mod.run_joint_tests(params, eng, vset, built, writers, log)

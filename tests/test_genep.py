@@ -1,0 +1,74 @@
+"""GENE_P strategy (--rgc-gene-p): output structure and the ACAT
+combination identity over its component tests."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from regenie_tpu.models.skat import get_acat
+
+EX = "/root/reference/example"
+
+
+@pytest.fixture(scope="module")
+def genep_out(tmp_path_factory):
+    d = tmp_path_factory.mktemp("genep")
+    out = str(d / "genep")
+    env = dict(os.environ)
+    env["REGENIE_TPU_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "regenie_tpu", "--step", "2",
+         "--bed", f"{EX}/example_3chr", "--covarFile", f"{EX}/covariates.txt",
+         "--phenoFile", f"{EX}/phenotype.txt", "--bsize", "200",
+         "--ignore-pred", "--set-list", f"{EX}/example_3chr.setlist",
+         "--anno-file", f"{EX}/example_3chr.annotations",
+         "--mask-def", f"{EX}/example_3chr.masks",
+         "--rgc-gene-p", "--aaf-bins", "0.2,0.5", "--vc-maxAAF", "0.5",
+         "--out", out],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    rows = {}
+    for line in open(out + "_Y1.regenie"):
+        t = line.split()
+        if t[0] == "CHROM":
+            continue
+        rows.setdefault(t[2], {})[t[7]] = t
+    return rows
+
+
+def test_genep_is_acat_of_components(genep_out):
+    for set_id in ("SET1", "SET2"):
+        r = genep_out[set_id]
+        comp = []
+        for name in ("ADD-BURDEN-ACAT", "ADD-BURDEN-SBAT", "ADD-ACATV-ACAT",
+                     "ADD-SKATO-ACAT"):
+            if name in r and r[name][11] != "NA":
+                comp.append(float(r[name][11]))
+        assert len(comp) >= 3, set_id
+        lp = get_acat(np.array(comp))
+        assert abs(float(r["GENE_P"][11]) - lp) < 2e-5, set_id
+        assert "STRONGEST_MASK=" in r["GENE_P"][12]
+
+
+def test_genep_class_routes_present(genep_out):
+    """Default classes: M1 exists among the masks -> per-class rows."""
+    r = genep_out["SET1"]
+    assert "GENE_P_M1" in r
+    assert "ADD-BURDEN-ACAT_M1" in r
+    # class DF smaller than overall DF
+    df_all = int(r["GENE_P"][12].split(";")[0].split("=")[1])
+    df_m1 = int(r["GENE_P_M1"][12].split(";")[0].split("=")[1])
+    assert df_all >= df_m1
+
+
+def test_genep_sbat_pos_neg_combination(genep_out):
+    """SBAT = ACAT(pos, neg) one-sided p-values."""
+    r = genep_out["SET2"]
+    lp = get_acat(np.array([
+        float(r["ADD-BURDEN-SBAT_POS"][11]), float(r["ADD-BURDEN-SBAT_NEG"][11])
+    ]))
+    assert abs(float(r["ADD-BURDEN-SBAT"][11]) - lp) < 2e-5
