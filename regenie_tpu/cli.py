@@ -101,6 +101,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--approx", action="store_true")
     g.add_argument("--firth-se", action="store_true")
     g.add_argument("--spa", action="store_true")
+    g.add_argument("--par-region", default="hg38",
+                   help="build code for chrX PAR bounds (b36/b37/b38/hg18/hg19/hg38 or start,end)")
+    g.add_argument("--skip-dosage-comp", action="store_true",
+                   help="no dosage compensation for chrX non-PAR males")
     g.add_argument("--mt", action="store_true", help="run multi-trait tests")
     g.add_argument("--mcc", action="store_true", help="MCC (DKAT) test for skewed QTs")
     g.add_argument("--mcc-skew", type=float, default=0.0)
@@ -228,6 +232,26 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.firth = args.firth
     params.firth_approx = args.firth and args.approx
     params.use_spa = args.spa
+    # chrX PAR bounds (check_build_code, Regenie.cpp:1643-1660)
+    params.build_code = args.par_region
+    bc = args.par_region
+    if bc in ("b36", "hg18"):
+        params.par1_max_bound, params.par2_min_bound = 2709520, 154584238
+    elif bc in ("b37", "hg19"):
+        params.par1_max_bound, params.par2_min_bound = 2699520, 154931044
+    elif bc in ("b38", "hg38"):
+        params.par1_max_bound, params.par2_min_bound = 2781479, 155701383
+    else:
+        try:
+            lo, hi = (int(x) for x in bc.split(","))
+        except ValueError:
+            raise SystemExit(f"ERROR: invalid --par-region '{bc}'")
+        if lo < 1 or hi < lo:
+            raise SystemExit(f"ERROR: invalid --par-region '{bc}'")
+        params.par1_max_bound, params.par2_min_bound = lo - 1, hi + 1
+    params.skip_dosage_comp = args.skip_dosage_comp
+    if params.skip_dosage_comp and args.test != "additive":
+        raise SystemExit("ERROR: cannot use --skip-dosage-comp with --test.")
     params.trait_set = args.mt
     if params.trait_set:
         # Regenie.cpp:1255-1260: strict + merged output required

@@ -104,6 +104,13 @@ class Params:
     use_null_firth: Optional[str] = None
     uncapped_pvals: bool = False
 
+    # ---- chrX non-PAR handling (--par-region/--skip-dosage-comp,
+    # Regenie.cpp:253,275; in_non_par Geno.cpp:2802) ----
+    build_code: str = "hg38"
+    par1_max_bound: int = 2781479
+    par2_min_bound: int = 155701383
+    skip_dosage_comp: bool = False
+
     # ---- multi-trait tests (--mt, Regenie.cpp:342) ----
     trait_set: bool = False
 

@@ -39,15 +39,22 @@ def prepare_block_step1(G_int8, ind_in_analysis):
     return G
 
 
-@jax.jit
-def snp_stats_block(G_int8, ind_in_analysis, masked_indivs):
+@partial(jax.jit, static_argnames=("skip_comp",))
+def snp_stats_block(G_int8, ind_in_analysis, masked_indivs, non_par=None,
+                    sex=None, skip_comp=False):
     """Batched per-variant statistics for a block (step 2).
 
-    Replaces the per-SNP stat loop in parseSnpfromBed (Geno.cpp:2414-2500):
-    computes totals / ns over all analyzed samples and per-trait versions
-    via one mask matmul.
+    Replaces the per-SNP stat loop in parseSnpfromBed (Geno.cpp:2414-2500)
+    and its chrX non-PAR male handling (compute_mac :3077,
+    compute_aaf_info :3110): totals / ns over all analyzed samples and
+    per-trait versions via one mask matmul. For non-PAR chrX variants
+    males (diploid-coded 0/2) count 0.5*g toward MAC and the mirrored
+    minor count subtracts the male alleles; with --skip-dosage-comp the
+    caller halves male genotypes and the AF denominator drops one allele
+    per male.
 
-    G_int8: [B, N]; ind_in_analysis: [N] bool; masked_indivs: [N, P] bool.
+    G_int8: [B, N]; ind_in_analysis: [N] bool; masked_indivs: [N, P] bool;
+    non_par: [B] bool or None; sex: [N] int (1=male) or None.
     Returns dict: total [B], ns [B], af1 [B], af [B,P], mac [B,P], ns_t [B,P],
     n_rr [B], n_aa [B] (counts over analyzed samples).
     """
@@ -66,15 +73,55 @@ def snp_stats_block(G_int8, ind_in_analysis, masked_indivs):
     total_t = jnp.matmul(Gv, maskf, precision=_PREC)  # [B,P]
     ns_t = jnp.matmul(validf, maskf, precision=_PREC)  # [B,P]
 
-    af1 = total / (2.0 * ns)
-    af_t = total_t / (2.0 * ns_t)
-    mac_t = jnp.minimum(total_t, 2.0 * ns_t - total_t)
+    if non_par is None or sex is None:
+        af1 = total / (2.0 * ns)
+        af_t = total_t / (2.0 * ns_t)
+        mac_t = jnp.minimum(total_t, 2.0 * ns_t - total_t)
+        n_rr = ((G < 0.5) & valid).sum(axis=1)
+        n_aa = ((G >= 1.5) & valid).sum(axis=1)
+        return dict(
+            total=total, ns=ns, af1=af1, af=af_t, mac=mac_t, ns_t=ns_t,
+            n_rr=n_rr, n_aa=n_aa,
+            mac1=jnp.minimum(total, 2.0 * ns - total),
+        )
 
-    n_rr = ((G < 0.5) & valid).sum(axis=1)
-    n_aa = ((G >= 1.5) & valid).sum(axis=1)
+    male = (sex == 1)[None, :] & valid  # [B, N]
+    half = non_par[:, None] & male
+    malef = male.astype(compute_dtype)
+    nmales = jnp.where(non_par, malef.sum(axis=1), 0.0)  # [B]
+    nmales_t = jnp.matmul(malef, maskf, precision=_PREC) * non_par[:, None]
+
+    # male allele count: g/2 unless the caller already halved (skip_comp)
+    mval = Gv if skip_comp else jnp.where(half, Gv * 0.5, Gv)
+    mac1 = mval.sum(axis=1)
+    mac_t_raw = jnp.matmul(mval, maskf, precision=_PREC)
+
+    denom_adj = nmales if skip_comp else jnp.zeros_like(nmales)
+    denom_adj_t = nmales_t if skip_comp else jnp.zeros_like(nmales_t)
+    af1 = total / (2.0 * ns - denom_adj)
+    af_t = total_t / (2.0 * ns_t - denom_adj_t)
+    mac_t = jnp.where(
+        non_par[:, None],
+        jnp.minimum(mac_t_raw, 2.0 * ns_t - nmales_t - mac_t_raw),
+        jnp.minimum(total_t, 2.0 * ns_t - total_t),
+    )
+
+    # genotype class counts: non-PAR males are hemizygous 0/1; with
+    # skip_comp the genotypes were already halved so standard thresholds
+    # apply (Geno.cpp:2479-2486)
+    hemi = half if not skip_comp else jnp.zeros_like(half)
+    thr_rr = jnp.where(hemi, 1.0, 0.5)
+    thr_aa = jnp.where(hemi, 1.0 - 1e-9, 1.5)
+    n_rr = ((G < thr_rr) & valid).sum(axis=1)
+    n_aa = ((G >= thr_aa) & valid).sum(axis=1)
+    mac1_m = jnp.where(
+        non_par,
+        jnp.minimum(mac1, 2.0 * ns - nmales - mac1),
+        jnp.minimum(total, 2.0 * ns - total),
+    )
     return dict(
         total=total, ns=ns, af1=af1, af=af_t, mac=mac_t, ns_t=ns_t,
-        n_rr=n_rr, n_aa=n_aa,
+        n_rr=n_rr, n_aa=n_aa, mac1=mac1_m,
     )
 
 

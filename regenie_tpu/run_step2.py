@@ -194,9 +194,30 @@ class Step2Engine:
         else:
             raise NotImplementedError("trait mode not yet implemented in step 2")
 
-    def block_stats(self, G_raw) -> dict:
+    def non_par_flags(self, bsnps) -> np.ndarray:
+        """[B] bool: variant on chrX outside PAR1/PAR2 (in_non_par,
+        Geno.cpp:2802)."""
+        p = self.params
+        return np.array([
+            (s.chrom == p.n_chrom)
+            and (p.par1_max_bound < s.physpos < p.par2_min_bound)
+            for s in bsnps
+        ])
+
+    def block_stats(self, G_raw, bsnps=None) -> dict:
         """Per-variant stats for a raw block (hardcalls or dosages)."""
-        blk = snp_stats_block(jnp.asarray(G_raw), self.ind_j, jnp.asarray(self.pd.masked_indivs))
+        kw = {}
+        if bsnps is not None and self.gd.sex is not None and self.params.test_mode:
+            non_par = self.non_par_flags(bsnps)
+            if non_par.any():
+                kw = dict(
+                    non_par=jnp.asarray(non_par),
+                    sex=jnp.asarray(self.gd.sex),
+                    skip_comp=bool(self.params.skip_dosage_comp),
+                )
+        blk = snp_stats_block(
+            jnp.asarray(G_raw), self.ind_j, jnp.asarray(self.pd.masked_indivs), **kw
+        )
         return {k: np.asarray(v) for k, v in blk.items()}
 
     def model_type(self) -> str:
@@ -218,18 +239,26 @@ class Step2Engine:
             corr = "-LR"
         return test + wgr + corr
 
-    def compute_genocounts(self, G_raw) -> np.ndarray:
+    def compute_genocounts(self, G_raw, bsnps=None) -> np.ndarray:
         """[B, 6, P] genotype counts (compute_genocounts, Geno.cpp:2898):
-        rows 0-2 = cases (or all samples for QT) RR/RA/AA, 3-5 controls."""
+        rows 0-2 = cases (or all samples for QT) RR/RA/AA, 3-5 controls.
+        Non-PAR chrX males are hemizygous: g>=1 counts as hom
+        (update_genocounts, Geno.cpp:2922)."""
         params, pd = self.params, self.pd
         G = np.asarray(G_raw, dtype=np.float64)
         B, N = G.shape
         P = params.n_pheno
         valid = (G != -3) & pd.ind_in_analysis[None, :]
+        lo, hi = np.full((B, N), 0.5), np.full((B, N), 1.5)
+        if bsnps is not None and self.gd.sex is not None and not params.skip_dosage_comp:
+            non_par = self.non_par_flags(bsnps)
+            hemi = non_par[:, None] & (self.gd.sex == 1)[None, :]
+            lo = np.where(hemi, 1.0, lo)
+            hi = np.where(hemi, 1.0, hi)
         hc = [
-            (G < 0.5) & valid,
-            (G >= 0.5) & (G < 1.5) & valid,
-            (G >= 1.5) & valid,
+            (G < lo) & valid,
+            (G >= lo) & (G < hi) & valid,
+            (G >= hi) & valid,
         ]
         out = np.zeros((B, 6, P))
         if params.trait_mode in (BT, T2E):
@@ -318,9 +347,17 @@ class Step2Engine:
         """Full pipeline for a raw genotype block (stats, filters, flip,
         imputation, encoding, scoring). Returns (result, flipped)."""
         params = self.params
-        sb = self.block_stats(G_raw)
+        # --skip-dosage-comp: non-PAR chrX males (diploid-coded) become
+        # 0/1 before any statistics (parseSnpfromBed, Geno.cpp:2459)
+        if params.skip_dosage_comp and self.gd.sex is not None:
+            non_par = self.non_par_flags(bsnps)
+            if non_par.any():
+                Gf = np.asarray(G_raw, dtype=np.float64)
+                hemi = non_par[:, None] & (self.gd.sex == 1)[None, :] & (Gf != -3)
+                G_raw = np.where(hemi, Gf / 2.0, Gf)
+        sb = self.block_stats(G_raw, bsnps)
         total, ns = sb["total"], sb["ns"]
-        mac1 = np.minimum(total, 2 * ns - total)
+        mac1 = sb["mac1"]
         ignored = mac1 < params.min_mac
         ignored_trait = sb["mac"] < params.min_mac
 
@@ -354,7 +391,7 @@ class Step2Engine:
         result.n_rr = sb["n_rr"].astype(np.int64)
         result.n_aa = sb["n_aa"].astype(np.int64)
         if params.htp_out:
-            result.genocounts = self.compute_genocounts(G_raw)
+            result.genocounts = self.compute_genocounts(G_raw, bsnps)
         return result, flipped
 
 
