@@ -106,6 +106,13 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--skip-dosage-comp", action="store_true",
                    help="no dosage compensation for chrX non-PAR males")
     g.add_argument("--mt", action="store_true", help="run multi-trait tests")
+    g.add_argument("--multiphen", action="store_true",
+                   help="MultiPhen reverse-ordinal multi-trait test")
+    g.add_argument("--multiphen-thr", type=float, default=0.001)
+    g.add_argument("--multiphen-tol", type=float, default=2.5e-4)
+    g.add_argument("--multiphen-firth-mult", type=float, default=1.0)
+    g.add_argument("--multiphen-maxstep", type=float, default=200.0)
+    g.add_argument("--multiphen-maxit", type=int, default=150)
     g.add_argument("--mcc", action="store_true", help="MCC (DKAT) test for skewed QTs")
     g.add_argument("--mcc-skew", type=float, default=0.0)
     g.add_argument("--mcc-thr", type=float, default=0.01)
@@ -252,6 +259,17 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.skip_dosage_comp = args.skip_dosage_comp
     if params.skip_dosage_comp and args.test != "additive":
         raise SystemExit("ERROR: cannot use --skip-dosage-comp with --test.")
+    params.multiphen = args.multiphen
+    if params.multiphen:
+        if not args.strict:
+            raise SystemExit("ERROR: --strict mode is required for MultiPhen test")
+        if not (0 < args.multiphen_thr <= 1):
+            raise SystemExit("ERROR: --multiphen-thr must be in (0; 1]")
+        params.multiphen_thr = args.multiphen_thr
+        params.multiphen_tol = args.multiphen_tol
+        params.multiphen_firth_mult = args.multiphen_firth_mult
+        params.multiphen_maxstep = args.multiphen_maxstep
+        params.multiphen_maxit = args.multiphen_maxit
     params.trait_set = args.mt
     if params.trait_set:
         # Regenie.cpp:1255-1260: strict + merged output required

@@ -114,6 +114,14 @@ class Params:
     # ---- multi-trait tests (--mt, Regenie.cpp:342) ----
     trait_set: bool = False
 
+    # ---- MultiPhen reverse-ordinal test (--multiphen, Regenie.hpp:410) ----
+    multiphen: bool = False
+    multiphen_thr: float = 0.001
+    multiphen_tol: float = 2.5e-4
+    multiphen_firth_mult: float = 1.0
+    multiphen_maxstep: float = 200.0
+    multiphen_maxit: int = 150
+
     # ---- MCC test for skewed QTs (--mcc, Regenie.cpp:343-345) ----
     mcc_test: bool = False
     mcc_skew: float = 0.0  # abs skewness threshold to flag a trait

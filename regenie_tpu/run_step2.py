@@ -553,6 +553,9 @@ def run_step2(params: Params, log=print) -> None:
     if params.trait_set:
         return run_multitrait(params, eng, log)
 
+    if params.multiphen:
+        return run_multiphen(params, eng, log)
+
     blocks = make_blocks(gd, params.block_size)
     params.total_n_block = len(blocks)
     log(f" * block size: [{params.block_size}]")
@@ -645,6 +648,48 @@ def run_multitrait(params: Params, eng: Step2Engine, log=print) -> None:
             fh.write(
                 mt_line(bsnps[b], sb["mac"][b, 0], sb["af"][b, 0],
                         mt_state.neff0, r, b)
+            )
+    fh.close()
+    log(f"Results written to [{path}]")
+    log(f"Number of ignored tests due to low MAC : {n_ignored}")
+    log(f" * done ({time.time()-t0:.1f}s)")
+
+
+def run_multiphen(params: Params, eng: Step2Engine, log=print) -> None:
+    """MultiPhen testing mode (--multiphen): reverse ordinal regression
+    of genotype on all traits (test_multiphen, Data.cpp:3505). QT only;
+    one merged output file."""
+    from .models.multiphen import multiphen_header, multiphen_line, multiphen_snp
+
+    if params.trait_mode != QT:
+        raise ValueError("MultiPhen test for QTs only")
+    gd, pd = eng.gd, eng.pd
+    blocks = make_blocks(gd, params.block_size)
+    params.total_n_block = len(blocks)
+    log(f"Association testing mode (MultiPhen): {params.n_pheno} traits")
+    log(f" * # blocks: [{params.total_n_block}]")
+
+    path = f"{params.out_prefix}.regenie" + (".gz" if params.gz_out else "")
+    fh = open_write(path, gz=params.gz_out)
+    fh.write(multiphen_header())
+    mask0 = pd.masked_indivs[:, 0]
+
+    t0 = time.time()
+    n_ignored = 0
+    for chrom, bsnps in blocks:
+        eng.prep_chrom(chrom)
+        G_raw = gd.read_block(bsnps)
+        sb = eng.block_stats(G_raw, bsnps)
+        ignored = sb["mac1"] < params.min_mac
+        Gf = np.asarray(G_raw, dtype=np.float64)
+        for b in range(len(bsnps)):
+            if ignored[b]:
+                n_ignored += 1
+                continue
+            r = multiphen_snp(params, Gf[b], pd.new_cov, eng.res, mask0)
+            fh.write(
+                multiphen_line(bsnps[b], sb["mac1"][b], sb["af1"][b],
+                               sb["ns"][b], r)
             )
     fh.close()
     log(f"Results written to [{path}]")
