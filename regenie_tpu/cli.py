@@ -157,6 +157,9 @@ def build_parser() -> argparse.ArgumentParser:
     gb.add_argument("--vc-maxAAF", type=float, default=1.0)
     gb.add_argument("--vc-MACthr", type=float, default=10.0)
     gb.add_argument("--joint", default=None, help="minp,acat,ftest,gates,sbat,gene_p")
+    gb.add_argument("--remeta-save-ld", action="store_true",
+                    help="store SKAT LD matrices for remeta")
+    gb.add_argument("--remeta-ld-spr", type=float, default=0.01)
     gb.add_argument("--rgc-gene-p", action="store_true",
                     help="optimal strategy for a single p-value per gene")
     gb.add_argument("--rgc-gene-def", default=None,
@@ -337,6 +340,11 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.skat_collapse_MAC = args.vc_MACthr
     if args.joint:
         params.joint_tests = [t.lower() for t in _split_list(args.joint)]
+    if args.remeta_save_ld:
+        if args.vc_MACthr != 0:
+            raise SystemExit("ERROR: --remeta-save-ld option requires --vc-MACthr 0")
+        params.remeta_save_ld = True
+        params.remeta_ld_spr = args.remeta_ld_spr
     # GENE_P strategy setup (Regenie.cpp:787-803): forces burden ACAT
     # (+SBAT for QT), ACATV/SKATO-ACAT VC tests, 0.01 max AAF and the
     # RGC default AAF bins

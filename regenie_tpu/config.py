@@ -155,6 +155,10 @@ class Params:
     skat_a2: float = 25.0
     skato_rho: Optional[np.ndarray] = None  # default grid set in SKAT module
     joint_tests: List[str] = field(default_factory=list)  # --joint minp,acat,...
+    # remeta LD output (--remeta-save-ld, Regenie.cpp:346-347)
+    remeta_save_ld: bool = False
+    remeta_ld_spr: float = 0.01
+
     # GENE_P strategy (--rgc-gene-p/--rgc-gene-def, Regenie.cpp:330-332,787)
     apply_gene_pval_strategy: bool = False
     genep_mask_sets_file: Optional[str] = None

@@ -228,6 +228,19 @@ def run_vc_tests(params: Params, eng, vset, snps, G, sb, ignored, built, writers
     Svals = yres.T @ GW_full - (yres.T @ X) @ WGtX.T  # [P, Mt]
     Kmat = GW_full.T @ GW_full - WGtX @ WGtX.T  # [Mt, Mt]
 
+    # remeta: write the unweighted kernel per gene (SKAT.cpp:338-362)
+    if params.remeta_save_ld and getattr(eng, "remeta_writers", None) and n_main > 0:
+        winv = 1.0 / weights_full[:n_main]
+        K_unw = Kmat[:n_main, :n_main] * winv[:, None] * winv[None, :]
+        ids = [snps[int(c)].ID for c in cols_all]
+        for wr in eng.remeta_writers:
+            if wr is None:
+                continue
+            if params.remeta_ld_spr > 0:
+                wr.write_matrix_sparse(K_unw, vset.ID, ids, params.remeta_ld_spr)
+            else:
+                wr.write_matrix_dense(K_unw, vset.ID, ids)
+
     w_acat_full = np.concatenate([weights_acat[cols_all], np.array(w_ur_acat)]) if GW_ur else weights_acat[cols_all]
 
     # single-variant p-values for ACAT-V

@@ -62,6 +62,17 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
 
         skat_mod.check_tests(params.vc_tests)
 
+    if params.remeta_save_ld:
+        from .io.remeta import RegenieLDMatrixWriter
+
+        log(" * saving SKAT LD matrices for REMETA")
+        eng.remeta_writers = [
+            RegenieLDMatrixWriter(
+                f"{params.out_prefix}_{name}", int(pd.Neff[ph])
+            ) if pd.pheno_pass[ph] else None
+            for ph, name in enumerate(pd.pheno_names)
+        ]
+
     mask_bed = _MaskBedWriter(params, gd) if params.write_masks else None
     snplist_fh = (
         open_write(params.out_prefix + "_masks.snplist")
@@ -152,6 +163,10 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
 
     for fh in writers:
         fh.close()
+    if getattr(eng, "remeta_writers", None):
+        for wr in eng.remeta_writers:
+            if wr is not None:
+                wr.close()
     if mask_bed is not None:
         mask_bed.close()
     if snplist_fh is not None:
