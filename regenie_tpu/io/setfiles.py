@@ -27,6 +27,8 @@ MAX_CAT = 64
 class MaskDef:
     name: str
     bits: int  # category bit union
+    region_name: str = ""  # domain prefix ("Domain." in mask IDs)
+    region: int = -1  # domain bitmask filter; -1 = no domain filtering
 
 
 @dataclass
@@ -76,7 +78,8 @@ def read_annotations(
     if cat_bit is None:
         cat_bit = {"NULL": 0}
     anno: Dict[Tuple[int, str], int] = {}
-    domains: Dict[Tuple[int, str], str] = {}
+    domains: Dict[Tuple[int, str], int] = {}  # (snp, set) -> region bitmask
+    region_names: Dict[str, List[str]] = {}  # set -> region names (bit order)
     with_domains = None
     for lineno, toks in enumerate(iter_lines(path)):
         if with_domains is None:
@@ -98,10 +101,22 @@ def read_annotations(
         key = (idx, set_id)
         if key in anno and not with_domains:
             raise ValueError(f"duplicate variant annotation for {vid} in {set_id}")
-        anno[key] = 1 << cat_bit[cat]
         if with_domains:
-            domains[key] = toks[2]
-    return anno, cat_bit, bool(with_domains), domains
+            # domain bitmask per set (read_anno, Geno.cpp:3687-3711);
+            # repeats of a variant in different domains OR the bits but
+            # must keep the same category
+            rnames = region_names.setdefault(set_id, [])
+            rname = toks[2]
+            if rname not in rnames:
+                if len(rnames) >= MAX_CAT:
+                    raise ValueError(f"more than {MAX_CAT} domains in set {set_id}")
+                rnames.append(rname)
+            rbit = 1 << rnames.index(rname)
+            if key in anno and anno[key] != (1 << cat_bit[cat]):
+                raise ValueError(f"inconsistent annotation for {vid} in {set_id}")
+            domains[key] = domains.get(key, 0) | rbit
+        anno[key] = 1 << cat_bit[cat]
+    return anno, cat_bit, bool(with_domains), domains, region_names
 
 
 def read_mask_defs(path: str, cat_bit: Dict[str, int], log=print) -> List[MaskDef]:

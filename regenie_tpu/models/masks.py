@@ -78,6 +78,7 @@ def build_masks_for_set(
     ind_in_analysis: np.ndarray,  # [N] bool
     aaf_custom: Optional[np.ndarray] = None,
     singleton_custom: Optional[np.ndarray] = None,
+    region_bits: Optional[np.ndarray] = None,  # [M] uint64 domain bits
 ) -> Tuple[List[BuiltMask], List[List[str]]]:
     """Build all (mask x aaf-bin) burden masks for one set.
 
@@ -98,10 +99,12 @@ def build_masks_for_set(
 
     afs_for_bins = aaf_custom if aaf_custom is not None else af1
 
-    # membership grids
+    # membership grids (domain filter: updateMasks res2, Masks.cpp:831)
     keepmask = np.zeros((M, len(mask_defs)), dtype=bool)
     for mi, md in enumerate(mask_defs):
         keepmask[:, mi] = ((anno_bits & md.bits) != 0) & ~ignored
+        if md.region >= 0 and region_bits is not None:
+            keepmask[:, mi] &= (region_bits & np.uint64(md.region)) != 0
     keep_bin_cum = np.zeros((M, n_bins), dtype=bool)  # cumulative incl. singletons
     keep_bin_cum[:, 0] = singleton & ~ignored
     for j in range(1, n_bins):
@@ -204,13 +207,15 @@ def _finalize_mask(
     mv = np.where(~ind, 0.0, np.where(mv == -3.0, mean, mv))
 
     bname = bin_name(aafs, j)
+    # domain-specific masks carry the region prefix in the ID
+    # (Masks.cpp:698: setID + "." + region_name + mask.bin)
     snp = SnpInfo(
         chrom=vset.chrom,
-        ID=f"{vset.ID}.{md.name}.{bname}",
+        ID=f"{vset.ID}.{md.region_name}{md.name}.{bname}",
         genpos=0.0,
         physpos=vset.physpos,
         allele1="ref",
-        allele2=f"{md.name}.{bname}",
+        allele2=f"{md.region_name}{md.name}.{bname}",
     )
     return BuiltMask(
         snp=snp, mask_name=md.name, bin_name=bname, G=mv,

@@ -33,11 +33,12 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
     snp_chroms = np.array([s.chrom for s in gd.snps])
 
     cat_bit = read_anno_labels(params.anno_labels_file) if params.anno_labels_file else None
-    anno, cat_bit, with_domains, domains = read_annotations(
+    anno, cat_bit, with_domains, domains, region_names = read_annotations(
         params.anno_file, snp_id_to_idx, cat_bit
     )
     if with_domains:
-        log("WARNING: 4-column annotation domains not fully supported yet; ignoring domains")
+        n_dom = sum(len(v) for v in region_names.values())
+        log(f"   +number of domains across all sets = {n_dom}")
     mask_defs = read_mask_defs(params.mask_def, cat_bit, log)
     all_bits = 0
     for md in mask_defs:
@@ -113,6 +114,32 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
             [anno.get((i, vset.ID), 1) for i in vset.snp_indices], dtype=np.uint64
         )
 
+        # 4-column annotations: expand masks per domain + all-domain mask
+        # (GenoMask::setBins w_regions branch, Masks.cpp:134-155)
+        set_mask_defs = mask_defs
+        region_bits = None
+        if with_domains and vset.ID in region_names:
+            from .io.setfiles import MaskDef
+
+            rnames = region_names[vset.ID]
+            allbits = (1 << len(rnames)) - 1
+            set_mask_defs = []
+            for md in mask_defs:
+                for k, rn in enumerate(rnames):
+                    if params.mask_lodo:
+                        set_mask_defs.append(MaskDef(
+                            md.name, md.bits, f"LODO_{rn}.", allbits & ~(1 << k)
+                        ))
+                    else:
+                        set_mask_defs.append(
+                            MaskDef(md.name, md.bits, f"{rn}.", 1 << k)
+                        )
+                set_mask_defs.append(MaskDef(md.name, md.bits, "", allbits))
+            region_bits = np.array(
+                [domains.get((i, vset.ID), 0) for i in vset.snp_indices],
+                dtype=np.uint64,
+            )
+
         if lovo_spec is not None:
             from .models.masks import build_lovo_masks
 
@@ -124,7 +151,8 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
         else:
             built, _ = build_masks_for_set(
                 params, vset, G.astype(np.float64), af1, mac1, ignored, anno_bits,
-                mask_defs, aafs, pd.masked_indivs, pd.ind_in_analysis,
+                set_mask_defs, aafs, pd.masked_indivs, pd.ind_in_analysis,
+                region_bits=region_bits,
             )
 
         if mask_bed is not None:
