@@ -44,7 +44,14 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--remove", action="append", default=[], help="file of samples to remove")
     g.add_argument("--extract", action="append", default=[], help="file of variant IDs to keep")
     g.add_argument("--exclude", action="append", default=[], help="file of variant IDs to remove")
-    g.add_argument("--phenoFile", required=True, help="phenotype file")
+    g.add_argument("--phenoFile", default=None, help="phenotype file")
+    g.add_argument("--tpheno-file", default=None,
+                   help="transposed phenotype file (each row is a phenotype)")
+    g.add_argument("--tpheno-indexCol", type=int, default=1)
+    g.add_argument("--tpheno-ignoreCols", default=None,
+                   help="comma-separated 1-based column indexes to ignore ({i:j} ranges)")
+    g.add_argument("--iid-only", action="store_true",
+                   help="transposed pheno header contains IID only")
     g.add_argument("--phenoCol", action="append", default=[], help="phenotype column to include")
     g.add_argument("--phenoColList", default=None, help="comma-separated phenotype columns")
     g.add_argument("--phenoExcludeList", default=None)
@@ -94,6 +101,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--ignore-pred", action="store_true")
     g.add_argument("--use-prs", action="store_true")
     g.add_argument("--write-samples", action="store_true")
+    g.add_argument("--print-cov-betas", action="store_true",
+                   help="print covariate effects to file (step 2, QT)")
     g.add_argument("--minMAC", type=float, default=5.0)
     g.add_argument("--minINFO", type=float, default=None)
     g.add_argument("--no-split", dest="no_split", action="store_true", help="single output file for all traits")
@@ -185,7 +194,24 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.bgen_file = args.bgen
     params.sample_file = args.sample
     params.ref_first = args.ref_first
-    params.pheno_file = args.phenoFile
+    if args.tpheno_file:
+        params.pheno_file = args.tpheno_file
+        params.transposed_pheno = True
+        params.tpheno_index_col = args.tpheno_indexCol
+        params.tpheno_iid_only = args.iid_only
+        if args.tpheno_ignoreCols:
+            cols = []
+            for tok in args.tpheno_ignoreCols.split(","):
+                if ":" in tok:  # {i:j} parameter expansion
+                    a, b = tok.strip("{}").split(":")
+                    cols.extend(range(int(a), int(b) + 1))
+                else:
+                    cols.append(int(tok.strip("{}")))
+            params.tpheno_ignore_cols = cols
+    elif args.phenoFile:
+        params.pheno_file = args.phenoFile
+    else:
+        raise SystemExit("ERROR: provide --phenoFile or --tpheno-file")
     params.cov_file = args.covarFile
     params.out_prefix = args.out
     params.pred_list = args.pred
@@ -300,6 +326,12 @@ def args_to_params(args: argparse.Namespace) -> Params:
         params.cohort_name = args.htp
     params.af_cc = args.af_cc
     params.write_samples = args.write_samples
+    params.print_cov_betas = args.print_cov_betas
+    if params.print_cov_betas:
+        if args.interaction or args.interaction_snp:
+            raise SystemExit("ERROR: cannot use --print-cov-betas with interaction tests")
+        if args.step != 2:
+            raise SystemExit("ERROR: can only use --print-cov-betas in step 2")
     params.test_type = {"additive": 0, "dominant": 1, "recessive": 2}[args.test]
     chrs = list(args.chr)
     if args.chrList:

@@ -114,6 +114,14 @@ class Params:
     # ---- multi-trait tests (--mt, Regenie.cpp:342) ----
     trait_set: bool = False
 
+    print_cov_betas: bool = False  # --print-cov-betas (Regenie.cpp:310)
+
+    # ---- transposed phenotype input (--tpheno-file, Regenie.cpp:262) ----
+    transposed_pheno: bool = False
+    tpheno_index_col: int = 1
+    tpheno_ignore_cols: List[int] = field(default_factory=list)
+    tpheno_iid_only: bool = False
+
     # ---- MultiPhen reverse-ordinal test (--multiphen, Regenie.hpp:410) ----
     multiphen: bool = False
     multiphen_thr: float = 0.001

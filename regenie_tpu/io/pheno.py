@@ -47,6 +47,40 @@ class PhenoData:
     pheno_pass: np.ndarray = None  # [P] bool
 
 
+def convert_tpheno(params: Params) -> None:
+    """Convert a transposed phenotype file (--tpheno-file: header =
+    sample IDs, one row per trait; tpheno_read Pheno.cpp:366) into the
+    standard FID IID Y... format in a temp file and repoint
+    params.pheno_file at it."""
+    import tempfile
+
+    with open_read(params.pheno_file) as fh:
+        header = string_split(fh.readline())
+        rows = [string_split(l) for l in fh if l.strip()]
+    idx_col = params.tpheno_index_col - 1
+    rm = set(params.tpheno_ignore_cols) | {params.tpheno_index_col}
+    keep = [i for i in range(len(header)) if (i + 1) not in rm]
+    names = [r[idx_col] for r in rows]
+    for r in rows:
+        if len(r) != len(header):
+            raise ValueError("incorrectly formatted phenotype file.")
+    tmp = tempfile.NamedTemporaryFile(
+        "w", suffix=".pheno.txt", delete=False, prefix="regenie_tpheno_"
+    )
+    tmp.write("FID IID " + " ".join(names) + "\n")
+    for i in keep:
+        sid = header[i]
+        if params.tpheno_iid_only:
+            fid = iid = sid
+        else:
+            fid, _, iid = sid.partition("_")
+            if not iid:
+                fid = iid = sid
+        tmp.write(f"{fid} {iid} " + " ".join(r[i] for r in rows) + "\n")
+    tmp.close()
+    params.pheno_file = tmp.name
+
+
 def read_pheno(
     params: Params,
     sample_index: Dict[str, int],
@@ -185,6 +219,7 @@ def read_covariates(
     Returns (new_cov, ind_in_cov).
     """
     n = params.n_samples
+    read_covariates.cov_names = ["Intercept"]
     if not params.cov_file:
         return np.ones((n, 1), dtype=np.float64), np.ones(n, dtype=bool)
 
@@ -270,6 +305,7 @@ def read_covariates(
     # the interaction covariate is stashed separately (covariate_read,
     # Pheno.cpp:673-700)
     cols = [np.ones(n, dtype=np.float64)]
+    col_names = ["Intercept"]
     inter_cov = None
     inter_is_cat = False
     inter_lvls: List[str] = []
@@ -290,17 +326,21 @@ def read_covariates(
             continue
         if not is_cat[nm]:
             cols.append(X[:, ic])
+            col_names.append(nm)
         else:
             nlev = len(cat_maps[nm])
             if nlev > params.max_cat_levels:
                 raise ValueError(f"too many categories for covariate: {nm} (={nlev})")
             nd = int(X[:, ic].max())
+            lv = sorted(cat_maps[nm], key=cat_maps[nm].get)
             for lev in range(1, nd + 1):
                 cols.append((X[:, ic] == lev).astype(np.float64))
+                col_names.append(f"{nm}={lv[lev]}" if lev < len(lv) else f"{nm}={lev}")
     new_cov = np.column_stack(cols)
     if inter_name is not None and inter_cov is None:
         raise ValueError("cannot find the interaction covariate in the covariate file")
     read_covariates.interaction = (inter_cov, inter_is_cat, inter_lvls)
+    read_covariates.cov_names = col_names
     return new_cov, ind_in_cov
 
 

@@ -36,6 +36,11 @@ def prepare(params: Params, blup_pheno_names: Optional[List[str]] = None) -> Run
     gd = open_geno(params)
     sample_index = gd.sample_index()
 
+    if params.transposed_pheno:
+        from .io.pheno import convert_tpheno
+
+        convert_tpheno(params)
+        params.transposed_pheno = False  # converted in place
     pd = read_pheno(params, sample_index, blup_pheno_names)
     new_cov, ind_in_cov = read_covariates(params, sample_index, pd.pheno_names)
     pd.new_cov = new_cov
@@ -81,6 +86,33 @@ def prepare(params: Params, blup_pheno_names: Optional[List[str]] = None) -> Run
     if not (params.trait_mode == T2E and params.test_mode):
         pheno_impute_miss(params, pd)
 
+    # --print-cov-betas: OLS of phenotypes on centered+scaled covariates
+    # BEFORE orthonormalization (residualize_phenotypes, Pheno.cpp:1806)
+    cov_betas_pending = None
+    if params.print_cov_betas and params.trait_mode == QT and params.test_mode:
+        from .io.pheno import read_covariates as _rc
+
+        cov_names = getattr(_rc, "cov_names", None) or [
+            f"V{i}" for i in range(pd.new_cov.shape[1])
+        ]
+        ind_b = pd.ind_in_analysis
+        Xc = pd.new_cov[ind_b].copy()
+        mu = Xc.mean(axis=0)
+        Xc -= mu[None, :]
+        Xc[:, 0] = 1.0  # keep the intercept column
+        sds = np.linalg.norm(Xc, axis=0) / np.sqrt(ind_b.sum())
+        ok_c = sds > params.numtol
+        Xs = np.where(ok_c[None, :], Xc / np.where(ok_c, sds, 1.0)[None, :], 0.0)
+        try:
+            XtX_inv = np.linalg.inv(Xs.T @ Xs)
+            betas = XtX_inv @ (Xs.T @ pd.phenotypes[ind_b])
+            se_unit = np.sqrt(np.abs(np.diag(XtX_inv)))
+            cov_betas_pending = (
+                betas, se_unit, np.where(ok_c, sds, 0.0), cov_names
+            )
+        except np.linalg.LinAlgError:
+            pass
+
     # orthonormal covariate basis (prep_run, Pheno.cpp:1060-1117)
     if params.trait_mode == T2E:
         # Cox: drop constant covariates (incl. intercept) and center/scale
@@ -102,7 +134,36 @@ def prepare(params: Params, blup_pheno_names: Optional[List[str]] = None) -> Run
     if params.trait_mode == QT or not params.test_mode:
         residualize_phenotypes(params, pd)
 
+    # --print-cov-betas: raw-scale covariate OLS effects per trait
+    # (residualize_phenotypes + print_cov_betas, Pheno.cpp:1799/1613)
+    if params.print_cov_betas and cov_betas_pending is not None:
+        _write_cov_betas(params, pd, *cov_betas_pending)
+
     return RunData(geno=gd, pheno=pd)
+
+
+def _write_cov_betas(params, pd, betas, se_unit, cov_sds, cov_names):
+    """{out}_cov_betas.txt: COVAR PHENO BETA SE PVALUE rows."""
+    from .utils.stats import chisq_neglog10, convert_logp_raw
+
+    path = params.out_prefix + "_cov_betas.txt"
+    with open(path, "w") as fh:
+        fh.write("COVAR\tPHENO\tBETA\tSE\tPVALUE\n")
+        for ic, cname in enumerate(cov_names):
+            for ph, pname in enumerate(pd.pheno_names):
+                if not pd.pheno_pass[ph] or cov_sds[ic] <= 0:
+                    fh.write(f"{cname}\t{pname}\tNA\tNA\tNA\n")
+                    continue
+                b = betas[ic, ph] / cov_sds[ic]
+                se = se_unit[ic] * pd.scale_Y[ph] / cov_sds[ic]
+                if se <= 0:
+                    fh.write(f"{cname}\t{pname}\tNA\tNA\tNA\n")
+                    continue
+                stat = (betas[ic, ph] / (se_unit[ic] * pd.scale_Y[ph])) ** 2
+                logp = float(chisq_neglog10(np.array([stat]))[0])
+                fh.write(
+                    f"{cname}\t{pname}\t{fmt(b)}\t{fmt(se)}\t{convert_logp_raw(logp)}\n"
+                )
 
 
 def _extract_condition_genotypes(params: Params, gd) -> np.ndarray:
