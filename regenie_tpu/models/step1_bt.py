@@ -134,7 +134,10 @@ def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
     if params.trait_mode != BT:
         raise NotImplementedError("only BT/CT level-1 implemented so far")
     if fold_sizes is not None:
-        raise NotImplementedError("K-fold level-1 for BT not yet implemented (use --loocv)")
+        return _level1_glm_kfold(
+            params, pd, W_all, offsets, np.asarray(taus, dtype=np.float64), ph,
+            chr_order, spans, fold_sizes, log, poisson=False,
+        )
 
     y = pd.phenotypes_raw[:, ph]
     mask = pd.masked_indivs[:, ph]
@@ -194,6 +197,116 @@ def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
     return predictions, True
 
 
+def _level1_glm_kfold(params, pd, W_all, offsets, taus_vec, ph, chr_order,
+                      spans, fold_sizes, log, poisson=False):
+    """K-fold level-1 penalized GLM ridge (ridge_logistic_level_1,
+    Step1_Models.cpp:966; ridge_poisson_level_1 :1429): per held-out
+    fold, warm-started IRLS over the tau grid on the training folds,
+    honest held-out predictions accumulate the CV metrics, and the
+    per-fold betas at the best tau build the LOCO predictions.
+
+    W_all: [K, nmax, F, P] fold-major level-0 predictions."""
+    K = params.cv_folds
+    bounds = np.concatenate([[0], np.cumsum(fold_sizes)]).astype(int)
+    F = W_all.shape[2]
+    y_all = pd.phenotypes_raw[:, ph]
+    mask_all = pd.masked_indivs[:, ph]
+    off_all = offsets[:, ph]
+    neff = pd.Neff[ph]
+    N = y_all.shape[0]
+    n_tau = len(taus_vec)
+    l1_tol = 1e-4  # l1_ridge_tol (Regenie.hpp:289)
+
+    Xf, yf, mf, of = [], [], [], []
+    for k in range(K):
+        nk = int(fold_sizes[k])
+        rows = slice(bounds[k], bounds[k + 1])
+        Xf.append(W_all[k, :nk, :, ph])
+        yf.append(y_all[rows])
+        mf.append(mask_all[rows].astype(np.float64))
+        of.append(off_all[rows])
+
+    def link(eta):
+        eta = np.clip(eta, -30, 30)
+        if poisson:
+            mu = np.exp(eta)
+            return mu, mu
+        pi = 1.0 / (1.0 + np.exp(-eta))
+        return pi, pi * (1.0 - pi)
+
+    cumsum = np.zeros((6, n_tau))
+    beta_hat = np.zeros((K, F, n_tau))
+    for i in range(K):
+        train = [k for k in range(K) if k != i]
+        Xt = np.vstack([Xf[k] for k in train])
+        yt = np.concatenate([yf[k] for k in train])
+        mt = np.concatenate([mf[k] for k in train])
+        ot = np.concatenate([of[k] for k in train])
+        beta = np.zeros(F)
+        for j, tau in enumerate(taus_vec):
+            for _ in range(params.niter_max_ridge):
+                eta = ot + Xt @ beta
+                mu, w = link(eta)
+                wm = np.maximum(w * mt, 1e-300)
+                z = np.where(mt > 0, (eta - ot) + (yt - mu) / np.maximum(w, 1e-12), 0.0)
+                XtW = Xt.T * (w * mt)[None, :]
+                A = XtW @ Xt + float(tau) * np.eye(F)
+                try:
+                    beta_new = np.linalg.solve(A, XtW @ z)
+                except np.linalg.LinAlgError:
+                    log("WARNING: singular system in level-1 K-fold ridge")
+                    return None, False
+                mu2, _w2 = link(ot + Xt @ beta_new)
+                score = Xt.T @ (mt * (yt - mu2)) - float(tau) * beta_new
+                beta = beta_new
+                if np.abs(score).max() < l1_tol:
+                    break
+            else:
+                log("WARNING: penalized regression did not converge! (Increase --niter)")
+                return None, False
+            beta_hat[i, :, j] = beta
+
+            # held-out fold metrics
+            p1, _ = link(of[i] + Xf[i] @ beta)
+            m = mf[i] > 0
+            if not poisson:
+                p1 = np.clip(p1, L1_RIDGE_EPS, 1 - L1_RIDGE_EPS)
+            yi = yf[i]
+            cumsum[0, j] += p1[m].sum()
+            cumsum[1, j] += yi[m].sum()
+            cumsum[2, j] += (p1[m] ** 2).sum()
+            cumsum[3, j] += (yi[m] ** 2).sum()
+            cumsum[4, j] += (p1[m] * yi[m]).sum()
+            if poisson:
+                cumsum[5, j] += (
+                    -(yi[m] * np.log(np.maximum(p1[m], 1e-300)) - p1[m])
+                ).sum()
+            else:
+                with np.errstate(divide="ignore"):
+                    nll = np.where(yi == 0, -np.log(1 - p1), -np.log(p1))
+                cumsum[5, j] += nll[m].sum()
+
+    best = int(np.argmin(cumsum[5] / neff))
+    if poisson:
+        from ..prep import fmt
+
+        for j in range(n_tau):
+            line = f"  tau[{j}] : -logLik/N = {fmt(cumsum[5, j] / neff)}"
+            if j == best:
+                line += "<- min value"
+            log(line)
+    else:
+        _log_bt_tau_table(log, params, taus_vec, cumsum, best, neff, F)
+
+    predictions = np.zeros((N, len(chr_order)))
+    for k in range(K):
+        rows = slice(bounds[k], bounds[k + 1])
+        for ci, c in enumerate(chr_order):
+            st_, nn = spans[c]
+            predictions[rows, ci] = Xf[k][:, st_ : st_ + nn] @ beta_hat[k, st_ : st_ + nn, best]
+    return predictions, True
+
+
 def _log_bt_tau_table(log, params, taus, cumsum, best, neff, n_feats):
     """CV metric table per ridge parameter (Data::output, Data.cpp:1043-1077)."""
     from ..prep import fmt
@@ -214,9 +327,19 @@ def _log_bt_tau_table(log, params, taus, cumsum, best, neff, n_feats):
 
 def _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log):
     """Level-1 Poisson ridge LOOCV (ridge_poisson_level_1_loocv,
-    Step1_Models.cpp:1585)."""
+    Step1_Models.cpp:1585) or K-fold (ridge_poisson_level_1 :1429)."""
     if fold_sizes is not None:
-        raise NotImplementedError("K-fold level-1 for CT not yet implemented (use --loocv)")
+        from ..config import ridge_h2_grid
+
+        F = W_all.shape[2]
+        mask = pd.masked_indivs[:, ph]
+        rate = pd.phenotypes_raw[mask, ph].sum() / pd.Neff[ph]
+        h = ridge_h2_grid(params.n_ridge_l1)
+        taus_ct = F / np.log1p(h / (rate * (1 - h)))
+        return _level1_glm_kfold(
+            params, pd, W_all, offsets, taus_ct, ph, chr_order, spans,
+            fold_sizes, log, poisson=True,
+        )
     y = pd.phenotypes_raw[:, ph]
     mask = pd.masked_indivs[:, ph]
     offset = offsets[:, ph]

@@ -82,9 +82,6 @@ def run_step1(params: Params, log=print) -> None:
     if params.trait_mode == BT and not params.use_loocv and params.n_analyzed < 5000:
         log("   -WARNING: sample size below 5,000: using LOOCV instead of K-fold CV.")
         params.use_loocv = True
-    if params.trait_mode == CT and not params.use_loocv:
-        log("   -NOTE: using LOOCV for count traits (K-fold level-1 lands later)")
-        params.use_loocv = True
 
     # ridge penalty grids (Regenie.cpp:1497, Data.cpp:607, Step1_Models.cpp:2099)
     n_geno_all = master[0] if run_l0_job is not None else params.n_variants

@@ -1,0 +1,90 @@
+"""Step-1 K-fold level-1 for BT (logistic ridge) and CT (Poisson ridge):
+K-fold is the default above 5k samples for BT; predictions must agree
+closely with the LOOCV scheme."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+EX = "/root/reference/example"
+
+
+def _write_bed(prefix, G):
+    N, M = G.shape
+    codes = np.where(G.T == 2, 0, np.where(G.T == 1, 2, 3)).astype(np.uint8)
+    pad = (-N) % 4
+    codes = np.concatenate([codes, np.zeros((M, pad), np.uint8)], axis=1)
+    c = codes.reshape(M, -1, 4)
+    byts = (c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4) | (c[:, :, 3] << 6))
+    with open(prefix + ".bed", "wb") as fh:
+        fh.write(b"\x6c\x1b\x01")
+        fh.write(byts.astype(np.uint8).tobytes())
+    with open(prefix + ".bim", "w") as fh:
+        for m in range(M):
+            fh.write(f"{1 + m // (M // 3)} snp{m} 0 {m+1} A B\n")
+    with open(prefix + ".fam", "w") as fh:
+        for i in range(N):
+            fh.write(f"F{i} I{i} 0 0 0 0\n")
+
+
+def _run(args):
+    env = dict(os.environ)
+    env["REGENIE_TPU_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "regenie_tpu"] + args,
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=1200,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+    return r.stdout
+
+
+def _loco(path):
+    lines = open(path).read().splitlines()
+    return np.array([[float(x) for x in l.split()[1:]] for l in lines[1:]])
+
+
+def test_bt_kfold_default_above_5k(tmp_path):
+    rng = np.random.default_rng(21)
+    N, M = 5200, 90
+    maf = rng.uniform(0.1, 0.5, M)
+    G = rng.binomial(2, np.broadcast_to(maf, (N, M)))
+    eta = (G - 2 * maf).astype(float) @ rng.normal(0, 0.1, M) - 0.4
+    y = rng.binomial(1, 1 / (1 + np.exp(-eta)))
+    pref = str(tmp_path / "bt5k")
+    _write_bed(pref, G)
+    with open(pref + "_ph.txt", "w") as fh:
+        fh.write("FID IID Y1\n")
+        for i in range(N):
+            fh.write(f"F{i} I{i} {y[i]}\n")
+    base = ["--step", "1", "--bed", pref, "--phenoFile", pref + "_ph.txt",
+            "--bt", "--bsize", "45"]
+    out1 = _run(base + ["--out", str(tmp_path / "kf")])
+    assert "using LOOCV instead" not in out1  # K-fold is the default here
+    assert "min value" in out1
+    _run(base + ["--loocv", "--out", str(tmp_path / "loo")])
+    a = _loco(str(tmp_path / "kf_1.loco"))
+    b = _loco(str(tmp_path / "loo_1.loco"))
+    assert np.isfinite(a).all()
+    for c in range(a.shape[0]):
+        if a[c].std() > 0 and b[c].std() > 0:
+            assert np.corrcoef(a[c], b[c])[0, 1] > 0.9
+
+
+def test_ct_kfold(tmp_path):
+    rng = np.random.default_rng(3)
+    rows = [l.split() for l in
+            open(f"{EX}/phenotype.txt").read().splitlines()[1:]]
+    ph = str(tmp_path / "pheno_ct.txt")
+    with open(ph, "w") as fh:
+        fh.write("FID IID Y1\n")
+        for r in rows:
+            fh.write(f"{r[0]} {r[1]} {rng.poisson(np.exp(0.3 * rng.normal()))}\n")
+    out = _run(["--step", "1", "--bed", f"{EX}/example",
+                "--covarFile", f"{EX}/covariates.txt", "--phenoFile", ph,
+                "--ct", "--bsize", "100", "--out", str(tmp_path / "ct")])
+    assert "min value" in out
+    v = _loco(str(tmp_path / "ct_1.loco"))
+    assert np.isfinite(v).all() and v.std() > 0
