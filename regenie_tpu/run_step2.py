@@ -194,6 +194,30 @@ class Step2Engine:
         else:
             raise NotImplementedError("trait mode not yet implemented in step 2")
 
+    def read_block_device(self, bsnps, force_packed: bool = False):
+        """Read a genotype block, shipping PACKED 2-bit bytes to the
+        accelerator and decoding there when the input is BED and a
+        non-CPU backend is active (4x less host->device traffic than
+        int8; 16x less than f32). Falls back to the host decode path
+        otherwise. Returns [B, N] int8 (device or host array)."""
+        import jax
+
+        gd = self.gd
+        if gd._bed is not None and (force_packed or jax.default_backend() != "cpu"):
+            from .ops.geno_ops import decode_bed_packed
+
+            offsets = np.array([s.offset for s in bsnps])
+            start, stop = int(offsets[0]), int(offsets[-1]) + 1
+            raw = gd._bed.read_block_bytes(start, stop - start)
+            Gd = decode_bed_packed(jnp.asarray(raw), gd._bed.n_samples)
+            if len(offsets) != stop - start:
+                Gd = Gd[jnp.asarray(offsets - start)]
+            if not gd._keep_all_samples:
+                Gd = Gd[:, jnp.asarray(gd.sample_keep_idx)]
+            gd.last_info_num = None
+            return Gd
+        return gd.read_block(bsnps)
+
     def non_par_flags(self, bsnps) -> np.ndarray:
         """[B] bool: variant on chrX outside PAR1/PAR2 (in_non_par,
         Geno.cpp:2802)."""
@@ -313,7 +337,10 @@ class Step2Engine:
                     params, pd, np.asarray(G_res), self.res, logp, se, chisq
                 )
             ignored = ignored | np.asarray(low_var)
-            self.last_G_res = np.asarray(G_res)  # for joint tests (compute_qr_G)
+            # host copy only when downstream host consumers need it
+            # (joint tests / interaction); plain scans stay on device
+            need_host = is_mask or self.interaction is not None
+            self.last_G_res = np.asarray(G_res) if need_host else G_res
             self.last_scale_fac = np.asarray(scale_fac)
         elif params.trait_mode == T2E:
             from .models import step2_t2e
@@ -381,7 +408,8 @@ class Step2Engine:
         elif params.test_type == 2:
             G = jnp.where(G >= 1.0, G - 1.0, G)
 
-        self.last_G_imputed = np.asarray(G)
+        # host copy only needed by the interaction hook
+        self.last_G_imputed = np.asarray(G) if self.interaction is not None else G
         self.last_flipped = flipped
         result = self.test_prepared_block(
             G, sb["af"], sb["ns_t"], sb["mac"], ignored, ignored_trait, flipped, info_t
@@ -572,7 +600,7 @@ def run_step2(params: Params, log=print) -> None:
         if block_idx < params.starting_block:
             continue
         eng.prep_chrom(chrom)
-        G_raw = gd.read_block(bsnps)
+        G_raw = eng.read_block_device(bsnps)
         result, _ = eng.test_raw_block(G_raw, bsnps)
         write_block_rows(params, pd, writers, bsnps, result, test_name, eng.model_type())
         if eng.interaction is not None:
