@@ -115,6 +115,10 @@ class BlockResult:
     ns1: Optional[np.ndarray] = None
     n_rr: Optional[np.ndarray] = None
     n_aa: Optional[np.ndarray] = None
+    af_case: Optional[np.ndarray] = None  # [B, P] (--af-cc)
+    af_control: Optional[np.ndarray] = None
+    ns_case: Optional[np.ndarray] = None
+    ns_control: Optional[np.ndarray] = None
 
 
 class Step2Engine:
@@ -416,6 +420,23 @@ class Step2Engine:
         )
         result.af1 = sb["af1"]
         result.ns1 = ns.astype(np.int64)
+        # --af-cc: case/control AF + counts (update_af_cc Geno.cpp:3069,
+        # compute_aaf_info :3119-3126)
+        if params.af_cc and params.trait_mode == BT:
+            Gf = np.asarray(G_raw, dtype=np.float64)
+            validf = ((Gf != -3) & self.pd.ind_in_analysis[None, :]).astype(np.float64)
+            Gv = np.where(Gf == -3, 0.0, Gf) * self.pd.ind_in_analysis[None, :]
+            case = (self.pd.phenotypes_raw == 1) & self.pd.masked_indivs
+            casef = case.astype(np.float64)
+            tot_case = Gv @ casef
+            ns_case = validf @ casef
+            tot_t = Gv @ self.maskf
+            ns_t = sb["ns_t"]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                result.af_case = tot_case / (2 * ns_case)
+                result.af_control = (tot_t - tot_case) / (2 * (ns_t - ns_case))
+            result.ns_case = ns_case.astype(np.int64)
+            result.ns_control = (ns_t - ns_case).astype(np.int64)
         result.n_rr = sb["n_rr"].astype(np.int64)
         result.n_aa = sb["n_aa"].astype(np.int64)
         if params.htp_out:
@@ -531,6 +552,10 @@ def write_block_rows(params, pd, writers, bsnps, r: BlockResult, test_name="ADD"
                     r.chisq[b, ph],
                     r.logp[b, ph],
                     test_pass=not r.test_fail[b, ph],
+                    af_case=r.af_case[b, ph] if r.af_case is not None else -1,
+                    af_control=r.af_control[b, ph] if r.af_control is not None else -1,
+                    ns_case=int(r.ns_case[b, ph]) if r.ns_case is not None else -1,
+                    ns_control=int(r.ns_control[b, ph]) if r.ns_control is not None else -1,
                 )
             )
 
