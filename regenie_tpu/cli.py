@@ -92,6 +92,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--run-l0", default=None, help="MASTER,i : run level 0 job i")
     g.add_argument("--run-l1", default=None, help="MASTER : run level 1")
     g.add_argument("--keep-l0", action="store_true")
+    g.add_argument("--test-l0", action="store_true",
+                   help="extract highly-associated SNPs before level-0 ridge")
+    g.add_argument("--l0-pval-thr", type=float, default=-1.0)
     g.add_argument("--strict", action="store_true")
     g.add_argument("--print-prs", action="store_true")
     g.add_argument("--gz", action="store_true", help="gzip output files")
@@ -254,6 +257,10 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.run_l0 = args.run_l0
     params.run_l1 = args.run_l1
     params.keep_l0 = args.keep_l0
+    params.test_l0 = args.test_l0
+    params.l0_snp_pval_thr = args.l0_pval_thr
+    if params.test_l0 and args.run_l0:
+        raise SystemExit("ERROR: cannot use --test-l0 with --run-l0")
     params.print_prs = args.print_prs
     params.gz_out = args.gz
     params.force_step1 = args.force_step1

@@ -115,6 +115,8 @@ class Params:
     trait_set: bool = False
 
     print_cov_betas: bool = False  # --print-cov-betas (Regenie.cpp:310)
+    test_l0: bool = False  # --test-l0 SNP pre-screen (Regenie.cpp:313)
+    l0_snp_pval_thr: float = -1.0  # --l0-pval-thr
 
     # ---- transposed phenotype input (--tpheno-file, Regenie.cpp:262) ----
     transposed_pheno: bool = False

@@ -281,3 +281,67 @@ def cv_rsq(cumsum: np.ndarray, neff: float) -> np.ndarray:
     num = Sxy - Sx * Sy / neff
     den = (Sx2 - Sx**2 / neff) * (Sy2 - Sy**2 / neff)
     return num**2 / den
+
+
+def test_l0_block(params, Gn, Y, nspns_prev, log):
+    """--test-l0 pre-screen (test_assoc_block + apply_iter_cond,
+    Step1_Models.cpp:1868/2133): per phenotype, iteratively pick the top
+    marginally-associated SNP of the block while p < --l0-pval-thr,
+    conditioning subsequent tests on the picked set and dropping SNPs in
+    high LD (r^2 > 0.9) with each pick. SNPs picked for EVERY phenotype
+    are removed from the level-0 ridge.
+
+    Gn: [B, N] residualized+scaled genotypes (GtG diag = N - K);
+    Y: [N, P] residualized+scaled phenotypes.
+    Returns (picked [B, P] bool, n_picked [P])."""
+    from scipy.stats import chi2 as _chi2
+
+    B = Gn.shape[0]
+    P = Y.shape[1]
+    picked = np.zeros((B, P), dtype=bool)
+    n_picked = np.zeros(P, dtype=int)
+    if params.l0_snp_pval_thr <= 0 or B == 1:
+        return picked, n_picked
+    thr = _chi2.isf(params.l0_snp_pval_thr, df=1)
+    GGt = Gn @ Gn.T
+    GtY = Gn @ Y  # [B, P]
+    ggt = GGt[0, 0]  # = N - K by construction
+    LD = (GGt / (params.n_analyzed - params.ncov_analyzed)) ** 2
+
+    for ph in range(P):
+        gty = GtY[:, ph]
+        ss_y = float(Y[:, ph] @ Y[:, ph])
+        bstart = gty / ggt
+        bvec = bstart.copy()
+        nprev = nspns_prev[ph]
+        v_y = (ss_y - bvec * gty) / (ggt - nprev - 1)
+        v_beta = np.full(B, 1.0 / ggt)
+        cand = np.arange(B)
+        top: list = []
+        for _ in range(1, B):
+            if (~picked[:, ph]).sum() == 1:
+                break
+            chisq_v = bvec**2 / v_beta / np.maximum(v_y, 1e-300)
+            k = int(np.argmax(chisq_v))
+            if chisq_v[k] < thr:
+                break
+            idx = cand[k]
+            top.append(idx)
+            picked[idx, ph] = True
+            n_picked[ph] += 1
+            # drop high-LD partners of the pick
+            picked[:, ph] |= LD[:, idx] > 0.9
+            cand = np.flatnonzero(~picked[:, ph])
+            A = GGt[np.ix_(top, top)]
+            try:
+                A_inv = np.linalg.inv(A)
+            except np.linalg.LinAlgError:
+                break
+            X21 = GGt[np.ix_(cand, top)] @ A_inv
+            ss_x1 = float(gty[top] @ A_inv @ gty[top])
+            bvec = bstart[cand] - (X21 @ gty[top]) / ggt
+            v_y = (ss_y - ss_x1 - bvec * gty[cand]) / (
+                ggt - nprev - n_picked[ph] - 1
+            )
+            v_beta = (ggt - (X21 * GGt[np.ix_(cand, top)]).sum(axis=1)) / ggt**2
+    return picked, n_picked

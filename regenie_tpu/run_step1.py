@@ -203,6 +203,20 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
         if not np.all(np.asarray(scale_G) > params.numtol):
             bad = bsnps[int(np.argmin(np.asarray(scale_G)))].ID
             raise ValueError(f"SNP {bad} has low variance in step 1 block")
+        if params.test_l0:
+            # pre-screen: drop SNPs picked as top hits for ALL traits
+            # (test_assoc_block, Step1_Models.cpp:1868)
+            if not hasattr(params, "_l0_nspns_picked"):
+                params._l0_nspns_picked = np.zeros(P, dtype=int)
+            picked, n_new = m1.test_l0_block(
+                params, np.asarray(G), pd.phenotypes, params._l0_nspns_picked, log
+            )
+            params._l0_nspns_picked += n_new
+            if n_new.any():
+                log(f"   -block {bidx+1}: top SNPs per trait = {list(n_new)}")
+            rm = picked.all(axis=1)
+            if rm.any():
+                G = G[jnp.asarray(np.flatnonzero(~rm))]
         if params.use_loocv:
             Wb = m1.level0_loocv_block(G, Y_j, jnp.asarray(maskf), lambdas_j, Neff_j)
             W_all[:, bidx * J : (bidx + 1) * J, :] = np.asarray(Wb)

@@ -199,3 +199,31 @@ def test_fold_sizes_reference_semantics():
     assert sizes.sum() == 10
     # walk: fold closes when 2 analyzed seen
     assert list(sizes) == [2, 3, 2, 3]
+
+
+def test_l0_prescreen_picks_causal_snp(tmp_path):
+    """--test-l0 iterative conditional selection finds the strong SNP
+    and conditions it out (apply_iter_cond, Step1_Models.cpp:2133)."""
+    import numpy as np
+    from types import SimpleNamespace
+    from regenie_tpu.models.step1 import test_l0_block
+
+    rng = np.random.default_rng(4)
+    N, B = 400, 30
+    G = rng.normal(size=(B, N))
+    G -= G.mean(axis=1, keepdims=True)
+    G /= np.linalg.norm(G, axis=1, keepdims=True) / np.sqrt(N - 1)
+    y = 0.6 * G[7] + rng.normal(size=N)
+    y = (y - y.mean()) / (np.linalg.norm(y - y.mean()) / np.sqrt(N - 1))
+    params = SimpleNamespace(l0_snp_pval_thr=1e-6, n_analyzed=N,
+                             ncov_analyzed=1)
+    picked, n_picked = test_l0_block(
+        params, G, y[:, None], np.zeros(1, dtype=int), print
+    )
+    assert picked[7, 0]
+    assert n_picked[0] >= 1
+    # null block: nothing picked
+    y0 = rng.normal(size=N)
+    y0 = (y0 - y0.mean()) / (np.linalg.norm(y0 - y0.mean()) / np.sqrt(N - 1))
+    p0, n0 = test_l0_block(params, G, y0[:, None], np.zeros(1, dtype=int), print)
+    assert n0[0] == 0
