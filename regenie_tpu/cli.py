@@ -132,7 +132,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--test", choices=["additive", "dominant", "recessive"], default="additive")
     g.add_argument("--chr", action="append", default=[])
     g.add_argument("--chrList", default=None)
-    g.add_argument("--range", default=None)
+    g.add_argument("--range", default=None, help="CHR:MINPOS-MAXPOS variant window")
+    g.add_argument("--sex-specific", default=None, choices=["male", "female"])
     g.add_argument("--htp", default=None, help="cohort name for HTPv4 output")
     g.add_argument("--af-cc", action="store_true")
     g.add_argument("--force-step1", action="store_true")
@@ -345,6 +346,22 @@ def args_to_params(args: argparse.Namespace) -> Params:
         chrs += _split_list(args.chrList)
     params.chr_list = chrs
     params.range_spec = args.range
+    if args.range:
+        # CHR:MINPOS-MAXPOS (Regenie.cpp:745-754)
+        import re as _re
+
+        m = _re.fullmatch(r"([^:]+):([\d.eE+]+)-([\d.eE+]+)", args.range)
+        if not m:
+            raise SystemExit("ERROR: wrong format for --range (must be CHR:MINPOS-MAXPOS)")
+        from .io.bed import chr_to_int
+
+        params.range_chr = chr_to_int(m.group(1))
+        p0, p1 = float(m.group(2)), float(m.group(3))
+        params.range_min, params.range_max = min(p0, p1), max(p0, p1)
+        if params.range_chr == -1:
+            raise SystemExit("ERROR: invalid chromosome in --range")
+    if args.sex_specific:
+        params.sex_specific = 1 if args.sex_specific == "male" else 2
     params.nb = args.nb
     params.starting_block = args.starting_block
     params.write_null_firth = args.write_null_firth

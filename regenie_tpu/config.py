@@ -97,6 +97,10 @@ class Params:
     write_samples: bool = False
     chr_list: List[str] = field(default_factory=list)
     range_spec: Optional[str] = None
+    range_chr: int = -1  # parsed --range CHR:MIN-MAX (Regenie.cpp:745)
+    range_min: float = -1.0
+    range_max: float = -1.0
+    sex_specific: int = 0  # 0=all, 1=male-only, 2=female-only
     nb: Optional[int] = None
     starting_block: int = 1
     firth_se: bool = True  # back-correct SE using Firth LRT

@@ -371,6 +371,11 @@ def open_bgen_geno(params: Params):
         for i, s in enumerate(bf.snps):
             if s.chrom not in chrs:
                 snp_keep[i] = False
+    if params.range_chr != -1:
+        for i, s in enumerate(bf.snps):
+            if (s.chrom != params.range_chr or s.physpos < params.range_min
+                    or s.physpos > params.range_max):
+                snp_keep[i] = False
     gd.snps = [s for s, k in zip(bf.snps, snp_keep) if k]
 
     for s in gd.snps:

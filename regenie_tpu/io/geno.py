@@ -174,6 +174,11 @@ def _apply_filters(params, gd, raw_snps, raw_samples):
         for i, s in enumerate(raw_samples):
             if s.key in rm_ids:
                 keep_mask[i] = False
+    # sex-specific analyses (--sex-specific, Geno.cpp:1287)
+    if params.sex_specific:
+        for i, s in enumerate(raw_samples):
+            if s.sex != params.sex_specific:
+                keep_mask[i] = False
     gd.sample_keep_idx = np.flatnonzero(keep_mask)
     gd._keep_all_samples = bool(keep_mask.all())
     gd.samples = [raw_samples[i] for i in gd.sample_keep_idx]
@@ -181,6 +186,12 @@ def _apply_filters(params, gd, raw_snps, raw_samples):
 
     # ---- variant filters (extract/exclude) ----
     snp_keep = np.ones(len(raw_snps), dtype=bool)
+    # --range window (check_snps_include_exclude, Geno.cpp:2790)
+    if params.range_chr != -1:
+        for i, s in enumerate(raw_snps):
+            if (s.chrom != params.range_chr or s.physpos < params.range_min
+                    or s.physpos > params.range_max):
+                snp_keep[i] = False
     if params.extract_files:
         ids = set()
         for f in params.extract_files:

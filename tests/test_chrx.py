@@ -117,3 +117,44 @@ def test_chrx_end_to_end(tmp_path):
     af_skip = (np.where(male, g / 2, g)).sum() / (2 * N - n_male)
     assert float(row1[5]) == pytest.approx(af_dflt, abs=5e-4)
     assert float(row2[5]) == pytest.approx(af_skip, abs=5e-4)
+
+
+def test_sex_specific_and_range(tmp_path):
+    """--sex-specific restricts samples; --range restricts variants."""
+    rng = np_mod.random.default_rng(9)
+    N = 40
+    sex = np_mod.array([1] * 25 + [2] * 15)
+    g = rng.integers(0, 3, size=N)
+    prefix = str(tmp_path / "sx")
+    codes = np_mod.where(g == 2, 0, np_mod.where(g == 1, 2, 3)).astype(np_mod.uint8)
+    pad = (-N) % 4
+    codes = np_mod.concatenate([codes, np_mod.zeros(pad, dtype=np_mod.uint8)]).reshape(-1, 4)
+    byts = (codes[:, 0] | (codes[:, 1] << 2) | (codes[:, 2] << 4) | (codes[:, 3] << 6))
+    with open(prefix + ".bed", "wb") as fh:
+        fh.write(b"\x6c\x1b\x01")
+        fh.write(byts.astype(np_mod.uint8).tobytes())
+        fh.write(byts.astype(np_mod.uint8).tobytes())  # second variant
+    with open(prefix + ".bim", "w") as fh:
+        fh.write("1 v1 0 100 A B\n1 v2 0 900 A B\n")
+    with open(prefix + ".fam", "w") as fh:
+        for i in range(N):
+            fh.write(f"F{i} I{i} 0 0 {sex[i]} 0\n")
+    with open(str(tmp_path / "ph.txt"), "w") as fh:
+        fh.write("FID IID Y1\n")
+        y = rng.normal(size=N)
+        for i in range(N):
+            fh.write(f"F{i} I{i} {y[i]:.4f}\n")
+    env = dict(os.environ)
+    env["REGENIE_TPU_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "regenie_tpu", "--step", "2", "--bed", prefix,
+         "--phenoFile", str(tmp_path / "ph.txt"), "--bsize", "10",
+         "--ignore-pred", "--minMAC", "1", "--sex-specific", "male",
+         "--range", "1:500-1000", "--out", str(tmp_path / "o")],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    lines = open(str(tmp_path / "o_Y1.regenie")).read().splitlines()
+    assert len(lines) == 2  # header + only v2 (range filter)
+    t = lines[1].split()
+    assert t[2] == "v2" and int(t[6]) == 25  # male-only N
