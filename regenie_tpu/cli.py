@@ -99,6 +99,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--print-prs", action="store_true")
     g.add_argument("--gz", action="store_true", help="gzip output files")
     g.add_argument("--apply-rint", action="store_true")
+    g.add_argument("--minCaseCount", type=int, default=10,
+                   help="minimum number of cases per binary trait")
     g.add_argument("--threads", type=int, default=0)
     g.add_argument("--pred", help="_pred.list file from step 1")
     g.add_argument("--ignore-pred", action="store_true")
@@ -241,6 +243,7 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.cc12 = args.cc12
     params.strict_mode = args.strict
     params.apply_rint = args.apply_rint
+    params.min_case_count = args.minCaseCount
 
     params.keep_files = args.keep
     params.remove_files = args.remove

@@ -51,6 +51,7 @@ class Params:
     rm_missing_qt: bool = True  # step 2: drop missing QT obs (ref default)
     cc12: bool = False  # 1/2/NA coding for BTs (default 0/1/NA => CC_ZeroOne)
     apply_rint: bool = False
+    min_case_count: int = 10  # --minCaseCount (Regenie.cpp:261)
 
     # ---- sample filters ----
     keep_files: List[str] = field(default_factory=list)

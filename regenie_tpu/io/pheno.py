@@ -174,6 +174,21 @@ def read_pheno(
 
     mask &= ind_in_pheno[:, None]
 
+    # drop BTs with too few cases (rm_phenoCols, Pheno.cpp:528-543)
+    if params.trait_mode == BT and params.min_case_count > 0:
+        ncases = ((Y == 1.0) & mask).sum(axis=0)
+        colrm = ncases < params.min_case_count
+        if colrm.all():
+            raise ValueError(
+                f"all phenotypes have less than {params.min_case_count} cases."
+            )
+        if colrm.any():
+            keep = ~colrm
+            Y = Y[:, keep]
+            mask = mask[:, keep]
+            names = [nm for nm, k in zip(names, keep) if k]
+            n_pheno = len(names)
+
     nobs = mask.sum(axis=0)
     if (nobs == 0).all():
         raise ValueError("all individuals have missing/invalid values for all traits")
