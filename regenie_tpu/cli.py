@@ -172,6 +172,9 @@ def build_parser() -> argparse.ArgumentParser:
     gb.add_argument("--vc-maxAAF", type=float, default=1.0)
     gb.add_argument("--vc-MACthr", type=float, default=10.0)
     gb.add_argument("--joint", default=None, help="minp,acat,ftest,gates,sbat,gene_p")
+    gb.add_argument("--weights-col", type=int, default=0,
+                    help="1-based annotation-file column with VC weights")
+    gb.add_argument("--multiply-weights", action="store_true")
     gb.add_argument("--remeta-save-ld", action="store_true",
                     help="store SKAT LD matrices for remeta")
     gb.add_argument("--remeta-ld-spr", type=float, default=0.01)
@@ -399,6 +402,10 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.skat_collapse_MAC = args.vc_MACthr
     if args.joint:
         params.joint_tests = [t.lower() for t in _split_list(args.joint)]
+    if args.weights_col > 0:
+        params.vc_with_weights = True
+        params.vc_weight_col = args.weights_col
+        params.vc_multiply_weights = args.multiply_weights
     if args.remeta_save_ld:
         if args.vc_MACthr != 0:
             raise SystemExit("ERROR: --remeta-save-ld option requires --vc-MACthr 0")

@@ -170,6 +170,11 @@ class Params:
     skat_a2: float = 25.0
     skato_rho: Optional[np.ndarray] = None  # default grid set in SKAT module
     joint_tests: List[str] = field(default_factory=list)  # --joint minp,acat,...
+    # custom VC weights (--weights-col/--multiply-weights, Regenie.cpp:243,509)
+    vc_with_weights: bool = False
+    vc_multiply_weights: bool = False
+    vc_weight_col: int = 0  # 1-based column in the annotation file
+
     # remeta LD output (--remeta-save-ld, Regenie.cpp:346-347)
     remeta_save_ld: bool = False
     remeta_ld_spr: float = 0.01

@@ -65,6 +65,7 @@ def read_annotations(
     path: str,
     snp_id_to_idx: Dict[str, int],
     cat_bit: Optional[Dict[str, int]] = None,
+    weight_col: int = 0,
 ):
     """--anno-file: 'variant set [domain] category' rows.
 
@@ -80,11 +81,16 @@ def read_annotations(
     anno: Dict[Tuple[int, str], int] = {}
     domains: Dict[Tuple[int, str], int] = {}  # (snp, set) -> region bitmask
     region_names: Dict[str, List[str]] = {}  # set -> region names (bit order)
+    set_weights: Dict[Tuple[int, str], float] = {}  # --weights-col
     with_domains = None
     for lineno, toks in enumerate(iter_lines(path)):
         if with_domains is None:
-            with_domains = len(toks) == 4
+            # domains disabled when a custom weight column is given
+            # (read_anno, Geno.cpp:3653)
+            with_domains = len(toks) == 4 and weight_col == 0
         ncols = 4 if with_domains else 3
+        if weight_col > 0:
+            ncols = max(ncols, weight_col)
         if len(toks) < ncols:
             raise ValueError(f"incorrectly formatted annotation file at line {lineno+1}")
         vid, set_id = toks[0], toks[1]
@@ -116,6 +122,12 @@ def read_annotations(
                 raise ValueError(f"inconsistent annotation for {vid} in {set_id}")
             domains[key] = domains.get(key, 0) | rbit
         anno[key] = 1 << cat_bit[cat]
+        if weight_col > 0:
+            w = float(toks[weight_col - 1])
+            if w < 0:
+                raise ValueError(f"negative weight for variant {vid} in {set_id}")
+            set_weights[key] = w
+    read_annotations.set_weights = set_weights
     return anno, cat_bit, bool(with_domains), domains, region_names
 
 

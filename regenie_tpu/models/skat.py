@@ -157,15 +157,35 @@ def run_vc_tests(params: Params, eng, vset, snps, G, sb, ignored, built, writers
         used[bm.sel_idx] = True
     used &= ~ignored
 
+    # custom user weights, normalized to sum 1 over the set
+    # (get_custom_weights, SKAT.cpp:174-190)
+    user_w = None
+    if params.vc_with_weights:
+        sw = getattr(eng, "_set_weights", {})
+        user_w = np.array([
+            sw.get((gidx, vset.ID), 0.0) for gidx in vset.snp_indices
+        ])
+        tot_w = user_w.sum()
+        if tot_w > 0:
+            user_w = user_w / tot_w
+
     for i in np.flatnonzero(used & ~ur):
         g = G[i].astype(np.float64)
         if af1[i] > 0.5:
             g = np.where(g == -3, -3, 2 - g)
         g = np.where(g == -3, 2 * maf[i], g)
         g = g * ind
-        w = beta_dist.pdf(maf[i], params.skat_a1, params.skat_a2)
+        w_beta = beta_dist.pdf(maf[i], params.skat_a1, params.skat_a2)
+        if user_w is None:
+            w = w_beta
+            weights_acat[i] = w * w * maf[i] * (1 - maf[i])
+        elif params.vc_multiply_weights:
+            w = user_w[i] * w_beta
+            weights_acat[i] = w * w * maf[i] * (1 - maf[i])
+        else:
+            w = user_w[i]
+            weights_acat[i] = w
         weights[i] = w
-        weights_acat[i] = w * w * maf[i] * (1 - maf[i])
         GW[:, i] = g * w
 
     # ultra-rare collapse per vc mask (prep_ultra_rare_mask, SKAT.cpp:237)

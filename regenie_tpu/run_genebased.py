@@ -34,8 +34,10 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
 
     cat_bit = read_anno_labels(params.anno_labels_file) if params.anno_labels_file else None
     anno, cat_bit, with_domains, domains, region_names = read_annotations(
-        params.anno_file, snp_id_to_idx, cat_bit
+        params.anno_file, snp_id_to_idx, cat_bit,
+        weight_col=params.vc_weight_col if params.vc_with_weights else 0,
     )
+    eng._set_weights = getattr(read_annotations, "set_weights", {})
     if with_domains:
         n_dom = sum(len(v) for v in region_names.values())
         log(f"   +number of domains across all sets = {n_dom}")

@@ -624,6 +624,9 @@ def run_step2(params: Params, log=print) -> None:
         block_idx += 1
         if block_idx < params.starting_block:
             continue
+        # --nb: stop after processing this many blocks (Data.cpp:2275)
+        if params.nb is not None and block_idx >= params.starting_block + params.nb:
+            break
         eng.prep_chrom(chrom)
         G_raw = eng.read_block_device(bsnps)
         result, _ = eng.test_raw_block(G_raw, bsnps)

@@ -13,6 +13,16 @@ from regenie_tpu.models.skat import get_acat
 EX = "/root/reference/example"
 
 
+def _run_cli(args):
+    env = dict(os.environ)
+    env["REGENIE_TPU_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "regenie_tpu"] + args,
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
 @pytest.fixture(scope="module")
 def genep_out(tmp_path_factory):
     d = tmp_path_factory.mktemp("genep")
@@ -72,3 +82,27 @@ def test_genep_sbat_pos_neg_combination(genep_out):
         float(r["ADD-BURDEN-SBAT_POS"][11]), float(r["ADD-BURDEN-SBAT_NEG"][11])
     ]))
     assert abs(float(r["ADD-BURDEN-SBAT"][11]) - lp) < 2e-5
+
+
+def test_custom_vc_weights(tmp_path):
+    """--weights-col replaces Beta(1,25) SKAT weights with normalized
+    user weights from the annotation file (get_custom_weights)."""
+    anno = str(tmp_path / "anno_w.txt")
+    with open(anno, "w") as fh:
+        for i, l in enumerate(open(f"{EX}/example_3chr.annotations")):
+            fh.write(l.rstrip("\n") + f"\t{1.0 + (i % 3)}\n")
+    base = ["--step", "2", "--bed", f"{EX}/example_3chr",
+            "--phenoFile", f"{EX}/phenotype.txt", "--bsize", "200",
+            "--ignore-pred", "--set-list", f"{EX}/example_3chr.setlist",
+            "--mask-def", f"{EX}/example_3chr.masks", "--aaf-bins", "0.5",
+            "--vc-tests", "skat", "--vc-maxAAF", "0.5", "--vc-MACthr", "0"]
+    _run_cli(base + ["--anno-file", anno, "--weights-col", "4",
+                     "--out", str(tmp_path / "w")])
+    _run_cli(base + ["--anno-file", f"{EX}/example_3chr.annotations",
+                     "--out", str(tmp_path / "b")])
+    pw = {l.split()[2]: l.split()[11] for l in open(tmp_path / "w_Y1.regenie")
+          if "ADD-SKAT" in l}
+    pb = {l.split()[2]: l.split()[11] for l in open(tmp_path / "b_Y1.regenie")
+          if "ADD-SKAT" in l}
+    assert pw.keys() == pb.keys() and len(pw) >= 4
+    assert any(pw[k] != pb[k] for k in pw)  # weights actually applied
