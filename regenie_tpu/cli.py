@@ -158,6 +158,8 @@ def build_parser() -> argparse.ArgumentParser:
     gb.add_argument("--aaf-bins", default=None, help="comma-separated AAF cutoffs")
     gb.add_argument("--build-mask", default="max", choices=["max", "sum", "comphet"])
     gb.add_argument("--singleton-carrier", action="store_true")
+    gb.add_argument("--set-singletons", action="store_true",
+                    help="0/1 indicator in AAF-file col 3 marks singletons")
     gb.add_argument("--write-mask", action="store_true")
     gb.add_argument("--write-mask-snplist", action="store_true")
     gb.add_argument("--write-setlist", default=None)
@@ -390,6 +392,7 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.write_setlist = args.write_setlist
     params.check_burden_files = args.check_burden_files
     params.set_aaf_file = args.aaf_file
+    params.aaf_file_wSingletons = bool(args.aaf_file and args.set_singletons)
     params.extract_sets = args.extract_sets
     params.exclude_sets = args.exclude_sets
     if args.extract_setlist:

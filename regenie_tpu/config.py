@@ -170,6 +170,8 @@ class Params:
     skat_a2: float = 25.0
     skato_rho: Optional[np.ndarray] = None  # default grid set in SKAT module
     joint_tests: List[str] = field(default_factory=list)  # --joint minp,acat,...
+    aaf_file_wSingletons: bool = False  # --set-singletons (Regenie.cpp:238)
+
     # custom VC weights (--weights-col/--multiply-weights, Regenie.cpp:243,509)
     vc_with_weights: bool = False
     vc_multiply_weights: bool = False

@@ -210,3 +210,39 @@ def read_setlist(
         if vs.snp_indices:
             sets.append(vs)
     return sets
+
+
+def read_aaf_file(path: str, snp_id_to_idx: Dict[str, int], n_snps: int,
+                  w_singletons: bool = False):
+    """--aaf-file: user-given AAFs per variant (read_aafs, Geno.cpp:3790).
+
+    Plain format: 'ID AAF [singleton01]'; PLINK --freq format with a
+    '#'-header is recognized via the ID/ALT_FREQS columns. Returns
+    (aaf [n_snps] with -1 where absent, force_singleton [n_snps] bool
+    or None)."""
+    aaf = np.full(n_snps, -1.0)
+    singleton = np.zeros(n_snps, dtype=bool) if w_singletons else None
+    id_col, aaf_col, sing_col = 0, 1, 2
+    first = True
+    for toks in iter_lines(path):
+        if first:
+            first = False
+            if toks[0].startswith("#"):
+                if w_singletons:
+                    raise ValueError("cannot use --set-singletons with PLINK AAF file")
+                hdr = [t.lstrip("#") for t in toks]
+                if "ID" not in hdr or "ALT_FREQS" not in hdr:
+                    raise ValueError("could not find 'ID' or 'ALT_FREQS' in header")
+                id_col, aaf_col = hdr.index("ID"), hdr.index("ALT_FREQS")
+                continue
+        if len(toks) < (3 if w_singletons else 2):
+            raise ValueError("incorrectly formatted AAF file")
+        if toks[id_col] not in snp_id_to_idx:
+            continue
+        i = snp_id_to_idx[toks[id_col]]
+        aaf[i] = float(toks[aaf_col])
+        if w_singletons:
+            if toks[sing_col] not in ("0", "1"):
+                raise ValueError("singleton column must be 0/1 in AAF file")
+            singleton[i] = toks[sing_col] == "1"
+    return aaf, singleton

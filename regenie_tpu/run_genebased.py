@@ -54,6 +54,17 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
         chr_filter, log,
     )
     aafs = aaf_bin_values(params)
+
+    # user-given AAFs (--aaf-file, read_aafs Geno.cpp:3790)
+    file_aaf, force_singleton = None, None
+    if params.set_aaf_file:
+        from .io.setfiles import read_aaf_file
+
+        file_aaf, force_singleton = read_aaf_file(
+            params.set_aaf_file, snp_id_to_idx, len(gd.snps),
+            params.aaf_file_wSingletons,
+        )
+        log(f" * user-given AAFs: [{params.set_aaf_file}]")
     log(f" * set file: [{params.set_list}] n_sets = {len(sets)}")
     log(f" * masks: {[m.name for m in mask_defs]}")
     log(f" * aaf cutoffs: [ {len(aafs)} : " + " ".join(str(a) for a in aafs) + " ] + singletons")
@@ -151,9 +162,17 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
                 [s.ID for s in snps], pd.masked_indivs, pd.ind_in_analysis,
             )
         else:
+            aaf_custom = None
+            singleton_custom = None
+            if file_aaf is not None:
+                fa = file_aaf[vset.snp_indices]
+                aaf_custom = np.where(fa >= 0, fa, af1)
+                if force_singleton is not None:
+                    singleton_custom = force_singleton[vset.snp_indices]
             built, _ = build_masks_for_set(
                 params, vset, G.astype(np.float64), af1, mac1, ignored, anno_bits,
                 set_mask_defs, aafs, pd.masked_indivs, pd.ind_in_analysis,
+                aaf_custom=aaf_custom, singleton_custom=singleton_custom,
                 region_bits=region_bits,
             )
 

@@ -106,3 +106,32 @@ def test_custom_vc_weights(tmp_path):
           if "ADD-SKAT" in l}
     assert pw.keys() == pb.keys() and len(pw) >= 4
     assert any(pw[k] != pb[k] for k in pw)  # weights actually applied
+
+
+def test_aaf_file_overrides_binning(tmp_path):
+    """--aaf-file AAFs replace computed frequencies for mask bins
+    (read_aafs, Geno.cpp:3790)."""
+    ids = open(f"{EX}/example_3chr.setlist").readline().split()[3].split(",")
+    aaff = str(tmp_path / "aafs.txt")
+    with open(aaff, "w") as fh:
+        for v in ids:
+            fh.write(f"{v} 0.01\n")
+    base = ["--step", "2", "--bed", f"{EX}/example_3chr",
+            "--phenoFile", f"{EX}/phenotype.txt", "--bsize", "200",
+            "--ignore-pred", "--set-list", f"{EX}/example_3chr.setlist",
+            "--anno-file", f"{EX}/example_3chr.annotations",
+            "--mask-def", f"{EX}/example_3chr.masks", "--aaf-bins", "0.1"]
+    _run_cli(base + ["--aaf-file", aaff, "--out", str(tmp_path / "c")])
+    _run_cli(base + ["--out", str(tmp_path / "d")])
+
+    def af_of(path, mid):
+        for l in open(path):
+            t = l.split()
+            if t[2] == mid:
+                return float(t[5])
+
+    # forcing all SET1 AAFs to 0.01 puts every variant in the 0.1 bin
+    # -> much larger mask AF than the computed-frequency run
+    assert af_of(tmp_path / "c_Y1.regenie", "SET1.M1.0.1") > af_of(
+        tmp_path / "d_Y1.regenie", "SET1.M1.0.1"
+    )
