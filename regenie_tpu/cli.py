@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--remove", action="append", default=[], help="file of samples to remove")
     g.add_argument("--extract", action="append", default=[], help="file of variant IDs to keep")
     g.add_argument("--exclude", action="append", default=[], help="file of variant IDs to remove")
+    g.add_argument("--extract-or", action="append", default=[],
+                   help="variants kept regardless of the MAC filter")
+    g.add_argument("--exclude-or", action="append", default=[],
+                   help="variants MAC-filtered; all others pass regardless")
     g.add_argument("--phenoFile", default=None, help="phenotype file")
     g.add_argument("--tpheno-file", default=None,
                    help="transposed phenotype file (each row is a phenotype)")
@@ -254,6 +258,8 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.remove_files = args.remove
     params.extract_files = args.extract
     params.exclude_files = args.exclude
+    params.extract_or_files = args.extract_or
+    params.exclude_or_files = args.exclude_or
 
     params.block_size = args.bsize
     params.cv_folds = args.cv

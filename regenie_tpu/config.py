@@ -58,6 +58,8 @@ class Params:
     remove_files: List[str] = field(default_factory=list)
     extract_files: List[str] = field(default_factory=list)
     exclude_files: List[str] = field(default_factory=list)
+    extract_or_files: List[str] = field(default_factory=list)  # --extract-or
+    exclude_or_files: List[str] = field(default_factory=list)  # --exclude-or
 
     # ---- step 1 model ----
     block_size: int = 1000  # --bsize

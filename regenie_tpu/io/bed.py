@@ -45,6 +45,7 @@ class SnpInfo:
     allele2: str  # alt / effect allele
     offset: int = 0  # variant index in file
     keep: bool = True
+    mac_fail_if_checked: bool = True  # --extract-or/--exclude-or gate
 
 
 @dataclass

@@ -215,6 +215,21 @@ def _apply_filters(params, gd, raw_snps, raw_samples):
                 snp_keep[i] = False
     gd.snps = [s for s, k in zip(raw_snps, snp_keep) if k]
 
+    # --extract-or/--exclude-or: gate which variants the MAC filter
+    # applies to (check_snps_include_exclude_or, Geno.cpp:1225-1241)
+    if params.exclude_or_files:
+        ids = set()
+        for f in params.exclude_or_files:
+            ids |= _read_snp_file(f)
+        for s in gd.snps:
+            s.mac_fail_if_checked = s.ID in ids
+    elif params.extract_or_files:
+        ids = set()
+        for f in params.extract_or_files:
+            ids |= _read_snp_file(f)
+        for s in gd.snps:
+            s.mac_fail_if_checked = s.ID not in ids
+
     # ---- chromosome map, file order (reference chr_read) ----
     for s in gd.snps:
         if s.chrom not in gd.chr_counts:

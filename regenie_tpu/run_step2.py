@@ -389,8 +389,11 @@ class Step2Engine:
         sb = self.block_stats(G_raw, bsnps)
         total, ns = sb["total"], sb["ns"]
         mac1 = sb["mac1"]
-        ignored = mac1 < params.min_mac
-        ignored_trait = sb["mac"] < params.min_mac
+        # --extract-or/--exclude-or: MAC filter only where the gate is set
+        # (compute_mac MAC_fail_if_checked, Geno.cpp:3103)
+        mac_gate = np.array([s.mac_fail_if_checked for s in bsnps])
+        ignored = (mac1 < params.min_mac) & mac_gate
+        ignored_trait = (sb["mac"] < params.min_mac) & mac_gate[:, None]
 
         info_t = None
         if self.gd.last_info_num is not None:
