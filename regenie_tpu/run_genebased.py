@@ -87,6 +87,43 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
             for ph, name in enumerate(pd.pheno_names)
         ]
 
+    # --check-burden-files: consistency report across set/anno/mask files
+    # (check_sets..., Geno.cpp via --check-burden-files, Regenie.cpp:250)
+    if params.check_burden_files:
+        rpt = params.out_prefix + "_masks_report.txt"
+        with open_write(rpt) as fh:
+            fh.write("##Checking annotation/set-list/mask files\n")
+            known_cats = set(cat_bit)
+            for md in mask_defs:
+                fh.write(f"Mask {md.name}: OK\n")
+            for vs_ in sets:
+                miss = [
+                    i for i in vs_.snp_indices if (i, vs_.ID) not in anno
+                ]
+                if miss:
+                    ids_ = ",".join(gd.snps[i].ID for i in miss[:10])
+                    fh.write(
+                        f"Set {vs_.ID}: {len(miss)} variants without annotation "
+                        f"(assigned NULL): {ids_}\n"
+                    )
+        log(f" * burden file check written to [{rpt}]")
+
+    # --write-setlist: group written masks into new set lists
+    # (prep_setlists/make_setlist, Masks.cpp:1270/1361)
+    setlist_groups = None
+    if params.write_masks and params.write_setlist:
+        from .io.files import iter_lines as _il
+
+        setlist_groups = []  # (suffix, set of mask names, fh)
+        for toks in _il(params.write_setlist):
+            if len(toks) < 2:
+                raise ValueError("write-setlist line has too few entries")
+            names = set()
+            for t in toks[1:]:
+                names |= set(t.split(","))
+            fh = open_write(f"{params.out_prefix}_{toks[0]}.setlist")
+            setlist_groups.append((toks[0], names, fh))
+
     mask_bed = _MaskBedWriter(params, gd) if params.write_masks else None
     snplist_fh = (
         open_write(params.out_prefix + "_masks.snplist")
@@ -179,6 +216,17 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
         if mask_bed is not None:
             for bm in built:
                 mask_bed.add(bm)
+        if setlist_groups is not None:
+            for _sfx, names, fh in setlist_groups:
+                ids = [
+                    bm.snp.ID for bm in built
+                    if bm.mask_name in names
+                    or f"{bm.mask_name}.{bm.bin_name}" in names
+                ]
+                if ids:
+                    fh.write(
+                        f"{vset.ID} {vset.chrom} {vset.physpos} " + ",".join(ids) + "\n"
+                    )
         if snplist_fh is not None:
             # maskID chrom pos v1,v2,... (make_snplist, Masks.cpp:1350)
             for bm in built:
@@ -216,6 +264,9 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
         for wr in eng.remeta_writers:
             if wr is not None:
                 wr.close()
+    if setlist_groups is not None:
+        for _sfx, _names, fh in setlist_groups:
+            fh.close()
     if mask_bed is not None:
         mask_bed.close()
     if snplist_fh is not None:
