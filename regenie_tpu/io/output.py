@@ -197,6 +197,42 @@ def sumstat_line_htp(
     return "\t".join(parts) + "\n"
 
 
+def htp_pvalue_line(
+    params: Params,
+    snp,
+    pheno_name: str,
+    model: str,
+    logp: float,
+    df: int,
+    n_cases: int,
+    n_controls=None,
+    strongest: str = "",
+) -> str:
+    """HTP row for p-value-only tests — gene-based VC/joint/GENE_P and
+    interaction K-df rows (print_sum_stats_htp_gene,
+    Joint_Tests.cpp:1025-1067)."""
+    from ..utils.stats import convert_logp_raw
+    from ..config import BT
+
+    test_pass = logp >= 0 and not np.isnan(logp)
+    outp = convert_logp_raw(min(logp, 308.0)) if test_pass else "NA"
+    parts = [snp.ID, str(snp.chrom), str(snp.physpos),
+             getattr(snp, "allele1", "NA"), getattr(snp, "allele2", "NA"),
+             pheno_name, params.cohort_name, model,
+             "NA", "NA", "NA", outp,
+             "NA", str(int(n_cases)), "NA", "NA", "NA",
+             (str(int(n_controls)) if params.trait_mode == BT and n_controls
+              is not None else "NA"),
+             "NA", "NA", "NA"]
+    info = [f"DF={df}" if test_pass else "DF=0"]
+    if strongest:
+        info.append(f"STRONGEST_MASK={strongest}")
+    info.append(f"LOG10P={fmt(logp)}" if test_pass else "LOG10P=NA")
+    info.append("NO_BETA")
+    parts.append(";".join(info))
+    return "\t".join(parts) + "\n"
+
+
 def sumstat_line_all(
     params: Params,
     snp: SnpInfo,

@@ -122,6 +122,18 @@ def run_joint_tests(params: Params, eng, vset, built, writers, log):
         for row in rows:
             name, lp, df = row[0], row[1], row[2]
             zval = row[3] if len(row) > 3 else float(neglog10_to_chisq(np.array([lp]))[0])
+            if params.htp_out:
+                from ..io.output import htp_pvalue_line
+
+                wgr = "" if params.skip_blups else "-WGR"
+                ncase, nctrl = eng.pheno_counts(ph)
+                writers[ph].write(
+                    htp_pvalue_line(
+                        params, vset, pd.pheno_names[ph],
+                        f"ADD{wgr}-BURDEN-{name}", lp, df, ncase, nctrl,
+                    )
+                )
+                continue
             writers[ph].write(
                 _joint_line(params, vset, name, lp, zval, df, int(pd.Neff[ph]))
             )
@@ -323,6 +335,17 @@ def run_gene_p(params: Params, eng, vset, built, writers, log):
                 rows.append((f"GENE_P{tag}", lp, zv, len(pv_all), max_mask))
 
             for tname, lp, zv, df, strongest in rows:
+                if params.htp_out:
+                    from ..io.output import htp_pvalue_line
+
+                    ncase, nctrl = eng.pheno_counts(ph)
+                    writers[ph].write(
+                        htp_pvalue_line(
+                            params, vset, pd.pheno_names[ph], tname, lp, df,
+                            ncase, nctrl, strongest,
+                        )
+                    )
+                    continue
                 extra = f"DF={df}"
                 if strongest:
                     extra += f";STRONGEST_MASK={strongest}"

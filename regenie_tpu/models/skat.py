@@ -502,6 +502,18 @@ def _write_vc_rows(params, eng, writers, bm, results):
         for ph in range(params.n_pheno):
             if not pd.pheno_pass[ph] or ss[ph, 1] < 0:
                 continue
+            if params.htp_out:
+                from ..io.output import htp_pvalue_line
+
+                wgr = "" if params.skip_blups else "-WGR"
+                ncase, nctrl = eng.pheno_counts(ph)
+                writers[ph].write(
+                    htp_pvalue_line(
+                        params, bm.snp, pd.pheno_names[ph],
+                        f"ADD{wgr}-{test_name}", ss[ph, 1], 1, ncase, nctrl,
+                    )
+                )
+                continue
             writers[ph].write(
                 sumstat_line_single(
                     params, bm.snp, f"ADD-{test_name}",

@@ -222,6 +222,16 @@ class Step2Engine:
             return Gd
         return gd.read_block(bsnps)
 
+    def pheno_counts(self, ph):
+        """(n_cases_or_total, n_controls_or_None) for HTP gene rows."""
+        if self.params.trait_mode == BT:
+            cases = int(
+                ((self.pd.phenotypes_raw[:, ph] == 1)
+                 & self.pd.masked_indivs[:, ph]).sum()
+            )
+            return cases, int(self.pd.Neff[ph]) - cases
+        return int(self.pd.Neff[ph]), None
+
     def non_par_flags(self, bsnps) -> np.ndarray:
         """[B] bool: variant on chrX outside PAR1/PAR2 (in_non_par,
         Geno.cpp:2802)."""

@@ -135,3 +135,19 @@ def test_aaf_file_overrides_binning(tmp_path):
     assert af_of(tmp_path / "c_Y1.regenie", "SET1.M1.0.1") > af_of(
         tmp_path / "d_Y1.regenie", "SET1.M1.0.1"
     )
+
+
+def test_htp_gene_rows_consistent(tmp_path):
+    """--htp with gene-based tests: every row has the 22 HTPv4 columns."""
+    out = str(tmp_path / "htp")
+    _run_cli(["--step", "2", "--bed", f"{EX}/example_3chr",
+              "--phenoFile", f"{EX}/phenotype.txt", "--bsize", "200",
+              "--ignore-pred", "--set-list", f"{EX}/example_3chr.setlist",
+              "--anno-file", f"{EX}/example_3chr.annotations",
+              "--mask-def", f"{EX}/example_3chr.masks",
+              "--rgc-gene-p", "--aaf-bins", "0.2,0.5", "--vc-maxAAF", "0.5",
+              "--htp", "study1", "--out", out])
+    lines = open(out + "_Y1.regenie").read().splitlines()
+    assert all(len(l.split("\t")) == 22 for l in lines)
+    assert any("GENE_P" in l for l in lines)
+    assert any("ADD-SKATO-ACAT" in l and "LOG10P=" in l for l in lines)
