@@ -123,10 +123,21 @@ def fit_firth_null(
     y, X, offset, mask, beta0=None, maxstep=25, niter=1000, tol=5e-5,
     niter_line_search=5,
 ) -> Tuple[np.ndarray, bool]:
-    """Covariates-only approx-Firth null (fit_approx_firth_null wrapper)."""
+    """Covariates-only approx-Firth null (fit_approx_firth_null wrapper).
+    Falls back to full-batch ADAM + Newton polish when Newton with
+    step-halving fails (use_adam path, Step2_Models.cpp:1013)."""
     beta, _se, _dev, _dev0, ok = fit_firth_multi(
         y, X, offset, mask, beta0, None, maxstep, niter, tol, niter_line_search
     )
+    if not ok:
+        b_adam, _dev, ok_a = firth_adam(y, X, offset, mask, beta0, None,
+                                        niter=200, tol=tol)
+        beta2, _se, _dev, _d0, ok2 = fit_firth_multi(
+            y, X, offset, mask, b_adam, None, maxstep, niter, tol,
+            niter_line_search,
+        )
+        if ok2 or ok_a:
+            return (beta2 if ok2 else b_adam), True
     return beta, ok
 
 
@@ -231,3 +242,47 @@ def firth_snp_batch(
     se = np.sqrt(1.0 / np.maximum(xtwx, 1e-300))
     converged &= lrt >= 0
     return beta, se, lrt, converged
+
+
+def firth_adam(
+    y, X, offset, mask, beta0=None, cols_incl=None, niter=25,
+    alpha=0.001, beta1=0.9, beta2=0.999, eps=1e-7, tol=5e-5,
+):
+    """Full-batch ADAM on the Firth modified score (fit_firth_adam,
+    Step2_Models.cpp:1739) — last-resort fallback when Newton with
+    step-halving fails. Deterministic (no mini-batch sampling).
+
+    Returns (beta, dev, converged)."""
+    maskf = mask.astype(np.float64)
+    nc = X.shape[1]
+    ci = nc if cols_incl is None else cols_incl
+    beta = np.zeros(nc) if beta0 is None else beta0.copy()
+    mt = np.zeros(ci)
+    vt = np.zeros(ci)
+    ok = False
+    for it in range(1, niter + 1):
+        eta = offset + X @ beta
+        pi = get_pvec(eta)
+        w = np.where(mask, pi * (1 - pi), 0.0)
+        XW = X * np.sqrt(w)[:, None]
+        xtwx = XW.T @ XW
+        try:
+            sol = np.linalg.solve(xtwx, XW.T)
+        except np.linalg.LinAlgError:
+            break
+        hvec = (sol * XW.T).sum(axis=0)
+        grad = -(X[:, :ci].T @ (maskf * (y - pi + hvec * (0.5 - pi))))
+        if np.abs(grad).max() < tol:
+            ok = True
+            break
+        mt = beta1 * mt + (1 - beta1) * grad
+        vt = beta2 * vt + (1 - beta2) * grad**2
+        a_t = alpha * np.sqrt(1 - beta2**it) / (1 - beta1**it)
+        beta[:ci] -= a_t * mt / (np.sqrt(vt) + eps)
+    eta = offset + X @ beta
+    pi = get_pvec(eta)
+    w = np.where(mask, pi * (1 - pi), 1.0)
+    XW = X * (np.sqrt(w) * maskf)[:, None]
+    _s, logdet = np.linalg.slogdet(XW.T @ XW)
+    dev = get_logist_dev(y, pi, mask) - logdet
+    return beta, dev, ok

@@ -156,6 +156,14 @@ def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
             params.niter_max_line_search, params.numtol,
         )
         if not ok:
+            # ADAM pre-pass fallback (run_log_ridge_loocv_adam,
+            # Step1_Models.cpp:1377) then retry Newton
+            b_adam = _adam_log_ridge(y, X, offset, mask, float(tau), beta)
+            beta, pi, w, ok = run_log_ridge(
+                y, X, offset, mask, float(tau), b_adam, params.niter_max_ridge,
+                params.niter_max_line_search, params.numtol,
+            )
+        if not ok:
             log("WARNING: ridge logistic regression did not converge! (Increase --niter)")
             not_converged = True
             break
@@ -482,3 +490,25 @@ def _level1_t2e(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, lo
             st_, nn = spans[c]
             predictions[rows, ci] = X[rows, st_ : st_ + nn] @ beta_folds[k, best, st_ : st_ + nn]
     return predictions, True
+
+
+def _adam_log_ridge(y, X, offset, mask, tau, beta0, niter=500, alpha=0.01,
+                    b1=0.9, b2=0.999, eps=1e-7, tol=1e-4):
+    """Full-batch ADAM on the penalized logistic score — fallback
+    optimizer for level-1 ridge (run_log_ridge_loocv_adam,
+    Step1_Models.cpp:1377, deterministic full-batch variant)."""
+    maskf = mask.astype(np.float64)
+    beta = beta0.copy()
+    mt = np.zeros_like(beta)
+    vt = np.zeros_like(beta)
+    for it in range(1, niter + 1):
+        eta = np.clip(offset + X @ beta, -30, 30)
+        pi = 1.0 / (1.0 + np.exp(-eta))
+        grad = -(X.T @ (maskf * (y - pi)) - tau * beta)
+        if np.abs(grad).max() < tol:
+            break
+        mt = b1 * mt + (1 - b1) * grad
+        vt = b2 * vt + (1 - b2) * grad**2
+        a_t = alpha * np.sqrt(1 - b2**it) / (1 - b1**it)
+        beta -= a_t * mt / (np.sqrt(vt) + eps)
+    return beta
