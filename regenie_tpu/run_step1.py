@@ -183,8 +183,23 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
     scale_denom = float(params.n_analyzed - params.ncov)
     chr_nblocks: Dict[int, int] = {}
 
+    def _alloc_W(shape):
+        """--lowmem: spill the level-0 prediction matrix to a
+        memory-mapped scratch file instead of RAM (write_l0_file /
+        read_l0 mmap, Step1_Models.cpp:728/1921)."""
+        if not params.write_l0_pred:
+            return np.zeros(shape, dtype=np.float64)
+        import atexit
+
+        prefix = params.loco_tmp_prefix or params.out_prefix
+        path = prefix + "_l0_preds.bin"
+        W = np.memmap(path, dtype=np.float64, mode="w+", shape=shape)
+        if not params.keep_l0:
+            atexit.register(lambda: os.path.exists(path) and os.remove(path))
+        return W
+
     if params.use_loocv:
-        W_all = np.zeros((N, len(blocks) * J, P), dtype=np.float64)
+        W_all = _alloc_W((N, len(blocks) * J, P))
     else:
         Y_folds, valid = m1.pad_folds(pd.phenotypes, fold_sizes)
         mask_folds, _ = m1.pad_folds(maskf, fold_sizes)
@@ -192,7 +207,7 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
         mask_folds_j = jnp.asarray(mask_folds)
         valid_j = jnp.asarray(valid.astype(np.float64))
         nmax = int(fold_sizes.max())
-        W_all = np.zeros((params.cv_folds, nmax, len(blocks) * J, P), dtype=np.float64)
+        W_all = _alloc_W((params.cv_folds, nmax, len(blocks) * J, P))
 
     t0 = time.time()
     for bidx, (chrom, bsnps) in enumerate(blocks):
