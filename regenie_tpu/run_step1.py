@@ -100,6 +100,8 @@ def run_step1(params: Params, log=print) -> None:
         pass  # applied per-trait below
 
     log(f" * block size: [{params.block_size}]")
+    from .utils.stats import usage_info_line
+    log(usage_info_line(params))
     log(f" * # blocks: [{params.total_n_block}] for {params.n_variants} variants")
     log(f" * # CV folds: [{params.n_analyzed if params.use_loocv else params.cv_folds}]")
     log(f" * ridge data_l0: [ {params.n_ridge_l0} : " + " ".join(fmt(x) for x in h_l0) + " ]")

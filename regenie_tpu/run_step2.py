@@ -625,6 +625,8 @@ def run_step2(params: Params, log=print) -> None:
     blocks = make_blocks(gd, params.block_size)
     params.total_n_block = len(blocks)
     log(f" * block size: [{params.block_size}]")
+    from .utils.stats import usage_info_line
+    log(usage_info_line(params))
     log(f" * # blocks: [{params.total_n_block}]")
     log(f" * # tested variants: [{params.n_variants}]")
 

@@ -89,3 +89,28 @@ def convert_logp_raw(logp) -> str:
         res = 0.0
         base += 1
     return "%.1fe-%d" % (10.0**res, base)
+
+
+def usage_info_line(params) -> str:
+    """Approximate host-memory estimate (print_usage_info,
+    Regenie.cpp:1510-1552): per-sample double vectors held in RAM."""
+    P, B = params.n_pheno, params.block_size
+    if not params.test_mode:
+        t_eff = 1 if params.write_l0_pred else max(params.total_n_block, 1)
+        p_eff = 1 if params.write_l0_pred else P
+        b_eff = max(params.total_n_block, 1)
+        total = 4 * P + params.n_chrom + params.ncov
+        total += max(B + P * params.n_ridge_l0 * t_eff,
+                     p_eff * params.n_ridge_l0 * b_eff)
+    else:
+        total = 3 * P + B + 2 * params.ncov
+        if params.trait_mode:
+            total += 3 * P + B + P * params.ncov
+            if params.firth_approx:
+                total += P
+        else:
+            total += B
+    ram = total * params.n_samples * 8.0
+    unit = "GB" if ram > 1e9 else "MB"
+    val = ram / (1e9 if unit == "GB" else 1e6)
+    return f" * approximate memory usage : {val:.0f}{unit}"
