@@ -65,7 +65,7 @@ def main():
     # aux arrays pre-permuted into plane order, decode is a pure VPU
     # shift/mask kernel (~2x the XLA decode on TPU)
     candidates = [("xla", score_block)]
-    if jax.default_backend() not in ("cpu",):
+    if os.environ.get("BENCH_PALLAS") and jax.default_backend() not in ("cpu",):
         from regenie_tpu.ops.pallas_ops import decode_bed_planes, plane_aux_order
 
         idx, valid = plane_aux_order(N, nb)
