@@ -79,6 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--condition-file", default=None, help="FORMAT,FILE with conditioning variants")
     g.add_argument("--interaction", default=None, help="covariate for GxE interaction test")
     g.add_argument("--interaction-snp", default=None, help="variant for GxG interaction test")
+    g.add_argument("--interaction-file", default=None,
+                   help="FORMAT,FILE external genotype file for the interaction SNP")
+    g.add_argument("--interaction-file-reffirst", action="store_true")
     g.add_argument("--rare-mac", type=float, default=1000.0)
     g.add_argument("--force-robust", action="store_true")
     g.add_argument("--force-robust-hc4", action="store_true")
@@ -110,6 +113,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--ignore-pred", action="store_true")
     g.add_argument("--use-prs", action="store_true")
     g.add_argument("--write-samples", action="store_true")
+    g.add_argument("--print-pheno", action="store_true",
+                   help="print phenotype name on the first line of .ids files")
     g.add_argument("--print-cov-betas", action="store_true",
                    help="print covariate effects to file (step 2, QT)")
     g.add_argument("--minMAC", type=float, default=5.0)
@@ -348,6 +353,7 @@ def args_to_params(args: argparse.Namespace) -> Params:
         params.cohort_name = args.htp
     params.af_cc = args.af_cc
     params.write_samples = args.write_samples
+    params.print_pheno_name = args.print_pheno
     params.print_cov_betas = args.print_cov_betas
     if params.print_cov_betas:
         if args.interaction or args.interaction_snp:
@@ -466,6 +472,9 @@ def args_to_params(args: argparse.Namespace) -> Params:
     elif args.interaction_snp:
         params.interaction_var = args.interaction_snp
         params.interaction_snp = True
+        if args.interaction_file:
+            params.interaction_file = args.interaction_file
+            params.interaction_file_reffirst = args.interaction_file_reffirst
     params.rare_mac_inter = args.rare_mac
     params.force_robust = args.force_robust or args.force_robust_hc4
     params.force_hc4 = args.force_robust_hc4

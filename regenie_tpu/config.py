@@ -98,6 +98,7 @@ class Params:
     cohort_name: str = "NULL"
     af_cc: bool = False
     write_samples: bool = False
+    print_pheno_name: bool = False  # --print-pheno (Regenie.cpp:295)
     chr_list: List[str] = field(default_factory=list)
     range_spec: Optional[str] = None
     range_chr: int = -1  # parsed --range CHR:MIN-MAX (Regenie.cpp:745)
@@ -214,6 +215,7 @@ class Params:
     interaction_var: Optional[str] = None  # --interaction / --interaction-snp
     interaction_snp: bool = False
     interaction_file: Optional[str] = None  # --interaction-file FORMAT,FILE
+    interaction_file_reffirst: bool = False
     rare_mac_inter: float = 1000.0  # --rare-mac (Regenie.hpp:322)
     force_robust: bool = False
     force_hc4: bool = False

@@ -134,20 +134,22 @@ def decode_bed_bytes(raw: np.ndarray, n_samples: int) -> np.ndarray:
     return block[:, :n_samples]
 
 
-def read_bim(path: str) -> List[SnpInfo]:
-    """.bim: CHR ID GENPOS PHYSPOS A1 A2 (ref-last: allele2=col5 is effect)."""
+def read_bim(path: str, ref_first: bool = False) -> List[SnpInfo]:
+    """.bim: CHR ID GENPOS PHYSPOS A1 A2. Default ref-last (col6 = ref);
+    with --ref-first col5 is the reference allele (Geno.cpp:44-49)."""
     snps = []
     for i, toks in enumerate(iter_lines(path)):
         if len(toks) != 6:
             raise ValueError(f"{path}: line {i+1} has {len(toks)} columns, expected 6")
+        a_ref, a_alt = (toks[4], toks[5]) if ref_first else (toks[5], toks[4])
         snps.append(
             SnpInfo(
                 chrom=chr_to_int(toks[0]),
                 ID=toks[1],
                 genpos=float(toks[2]),
                 physpos=int(toks[3]),
-                allele1=toks[5],  # ref-last: col6 = reference allele (ALLELE0)
-                allele2=toks[4],  # col5 = alt/effect allele (ALLELE1)
+                allele1=a_ref,  # ALLELE0 = reference
+                allele2=a_alt,  # ALLELE1 = effect
                 offset=i,
             )
         )
@@ -181,6 +183,6 @@ def chr_to_int(chrom: str, n_chrom: int = 23) -> int:
     return v if 0 < v <= n_chrom else -1
 
 
-def open_bed(prefix: str) -> BedFile:
-    bf = BedFile(prefix=prefix, snps=read_bim(prefix + ".bim"), samples=read_fam(prefix + ".fam"))
+def open_bed(prefix: str, ref_first: bool = False) -> BedFile:
+    bf = BedFile(prefix=prefix, snps=read_bim(prefix + ".bim", ref_first), samples=read_fam(prefix + ".fam"))
     return bf.open()

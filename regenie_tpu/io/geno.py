@@ -84,6 +84,9 @@ class GenoData:
         G = raw[offsets - start]
         if not self._keep_all_samples:
             G = G[:, self.sample_keep_idx]
+        if getattr(self.params, "ref_first", False):
+            # parseSnpfromBed (Geno.cpp:2440): hc = 2 - hc with --ref-first
+            G = np.where(G == -3, G, 2 - G)
         self.last_info_num = None
         return G
 
@@ -98,6 +101,8 @@ class GenoData:
         for k, s in enumerate(block_snps):
             raw = self._bed.read_block(s.offset, 1)
             out[k] = raw[0, self.sample_keep_idx] if not self._keep_all_samples else raw[0]
+        if getattr(self.params, "ref_first", False):
+            out = np.where(out == -3, out, 2 - out).astype(np.int8)
         self.last_info_num = None
         return out
 
@@ -130,7 +135,7 @@ def open_geno(params: Params) -> GenoData:
     check_samples_include_exclude (Geno.cpp:1263).
     """
     if params.file_type == "bed":
-        bed = open_bed(params.bed_prefix)
+        bed = open_bed(params.bed_prefix, getattr(params, "ref_first", False))
         raw_snps, raw_samples = bed.snps, bed.samples
     elif params.file_type == "bgen":
         from .bgen import open_bgen_geno

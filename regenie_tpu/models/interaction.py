@@ -60,13 +60,43 @@ def prep_interaction(params: Params, pd, gd, log) -> InteractionState:
     N = params.n_samples
 
     if params.interaction_snp:
-        # GxG: extract the SNP from the genotype file (extract_interaction_snp)
-        idx = [i for i, s in enumerate(gd.snps) if s.ID == params.interaction_var]
-        if not idx:
-            raise ValueError(f"interaction SNP '{params.interaction_var}' not found")
-        G = gd.read_block_scattered([gd.snps[idx[0]]]).astype(np.float64)[0]
+        # GxG: extract the SNP from the main file or an external one
+        # (--interaction-file FORMAT,FILE; extract_from_genofile,
+        # Geno.hpp:265)
+        if params.interaction_file:
+            from ..config import Params as _Params
+            from ..io.geno import open_geno as _open_geno
+
+            fmt_name, path = params.interaction_file.split(",", 1)
+            sub = _Params(
+                step=params.step, pheno_file=params.pheno_file,
+                bed_prefix=path if fmt_name == "bed" else None,
+                bgen_file=path if fmt_name == "bgen" else None,
+                pgen_prefix=path if fmt_name == "pgen" else None,
+                n_chrom=params.n_chrom,
+                ref_first=params.interaction_file_reffirst,
+            )
+            gd2 = _open_geno(sub)
+            snps2 = [s for s in gd2.snps if s.ID == params.interaction_var]
+            if not snps2:
+                raise ValueError(
+                    f"interaction SNP '{params.interaction_var}' not found in "
+                    f"--interaction-file"
+                )
+            G_ext = gd2.read_block_scattered(snps2).astype(np.float64)[0]
+            idx_ext = gd2.sample_index()
+            G = np.full(gd.n_samples, -3.0)
+            for j, smp in enumerate(gd.samples):
+                k = idx_ext.get(smp.key)
+                if k is not None:
+                    G[j] = G_ext[k]
+            gd2.close()
+        else:
+            idx = [i for i, s in enumerate(gd.snps) if s.ID == params.interaction_var]
+            if not idx:
+                raise ValueError(f"interaction SNP '{params.interaction_var}' not found")
+            G = gd.read_block_scattered([gd.snps[idx[0]]]).astype(np.float64)[0]
         miss = G == -3
-        ok = pd.ind_in_analysis & ~miss
         G = np.where(miss, 0.0, G)  # no mean imputation (mean_impute=false)
         st.E = (G * pd.ind_in_analysis)[:, None]
         st.interaction_snp_name = params.interaction_var

@@ -214,6 +214,8 @@ class Step2Engine:
             start, stop = int(offsets[0]), int(offsets[-1]) + 1
             raw = gd._bed.read_block_bytes(start, stop - start)
             Gd = decode_bed_packed(jnp.asarray(raw), gd._bed.n_samples)
+            if getattr(self.params, "ref_first", False):
+                Gd = jnp.where(Gd == -3, Gd, 2 - Gd).astype(jnp.int8)
             if len(offsets) != stop - start:
                 Gd = Gd[jnp.asarray(offsets - start)]
             if not gd._keep_all_samples:
@@ -598,6 +600,9 @@ def run_step2(params: Params, log=print) -> None:
             if not pd.pheno_pass[ph]:
                 continue
             with open_write(f"{params.out_prefix}_{name}.regenie.ids") as fh:
+                if params.print_pheno_name:
+                    # 1st line = pheno name (write_ids, Pheno.cpp:1557)
+                    fh.write(f"{name}\tNA\n")
                 rows = [
                     f"{s.FID}\t{s.IID}"
                     for i, s in enumerate(gd.samples)

@@ -115,3 +115,26 @@ def test_step2_firth_row_count(bt_outputs):
     _, _, _, out2 = bt_outputs
     with open(out2 + "_Y1.regenie") as f:
         assert sum(1 for _ in f) == 1001
+
+
+def test_ref_first_mirrors_and_gxg_external_file(tmp_path):
+    """test_bash.sh scenarios: --ref-first mirrors alleles/AF/beta, and
+    GxG with --interaction-file bgen equals the main-file GxG."""
+    base = ["--step", "2", "--bed", f"{EX}/example", "--ref-first",
+            "--covarFile", f"{EX}/covariates.txt",
+            "--phenoFile", f"{EX}/phenotype_bin.txt", "--bsize", "200",
+            "--ignore-pred", "--force-qt", "--interaction-snp", "1"]
+    run_cli(base + ["--out", str(tmp_path / "g1")], cwd="/root/repo")
+    run_cli(base + ["--interaction-file", f"bgen,{EX}/example.bgen",
+                    "--interaction-file-reffirst",
+                    "--out", str(tmp_path / "g2")], cwd="/root/repo")
+    assert (
+        open(tmp_path / "g1_Y1.regenie").read()
+        == open(tmp_path / "g2_Y1.regenie").read()
+    )
+    # 5 interaction rows for SNP 1 x SNP j (marginal+main+int+joint+...)
+    n_int = sum(
+        1 for l in open(tmp_path / "g1_Y1.regenie")
+        if l.startswith("1 2 ") and "-INT" in l
+    )
+    assert n_int == 4  # E-main, SNP, SNPxE, 2DF joint
