@@ -29,6 +29,7 @@ class MaskDef:
     bits: int  # category bit union
     region_name: str = ""  # domain prefix ("Domain." in mask IDs)
     region: int = -1  # domain bitmask filter; -1 = no domain filtering
+    cats: List[str] = field(default_factory=list)  # category names (##MASKS)
 
 
 @dataclass
@@ -141,9 +142,11 @@ def read_mask_defs(path: str, cat_bit: Dict[str, int], log=print) -> List[MaskDe
         name = toks[0]
         bits = 0
         unknown = []
+        cats = []
         for cat in _split_commas(toks[1:]):
             if cat in cat_bit:
                 bits |= 1 << cat_bit[cat]
+                cats.append(cat)
             else:
                 unknown.append(cat)
         if unknown:
@@ -151,7 +154,7 @@ def read_mask_defs(path: str, cat_bit: Dict[str, int], log=print) -> List[MaskDe
         if bits == 0:
             log(f"WARNING: mask '{name}' has no valid categories; skipped")
             continue
-        masks.append(MaskDef(name=name, bits=bits))
+        masks.append(MaskDef(name=name, bits=bits, cats=cats))
     if not masks:
         raise ValueError("no valid masks defined")
     return masks

@@ -69,7 +69,11 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
     log(f" * masks: {[m.name for m in mask_defs]}")
     log(f" * aaf cutoffs: [ {len(aafs)} : " + " ".join(str(a) for a in aafs) + " ] + singletons")
 
-    writers, out_paths = setup_writers(params, pd.pheno_names)
+    # ##MASKS=<M1="cats";...> meta line (build_header, Masks.cpp:1245)
+    mask_hdr = "##MASKS=<" + ";".join(
+        f'{md.name}="{",".join(md.cats)}"' for md in mask_defs
+    ) + ">\n"
+    writers, out_paths = setup_writers(params, pd.pheno_names, pre_header=mask_hdr)
     vc_writers = None
     if params.vc_tests:
         from .models import skat as skat_mod

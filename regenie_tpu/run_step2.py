@@ -459,13 +459,16 @@ class Step2Engine:
         return result, flipped
 
 
-def setup_writers(params: Params, pheno_names: List[str], pheno_pass=None):
+def setup_writers(params: Params, pheno_names: List[str], pheno_pass=None,
+                  pre_header: str = ""):
     writers, out_paths = [], []
     if not params.split_by_pheno and not params.htp_out:
         from .io.output import header_all
 
         path = f"{params.out_prefix}.regenie" + (".gz" if params.gz_out else "")
         fh = open_write(path, gz=params.gz_out)
+        if pre_header:
+            fh.write(pre_header)
         fh.write(header_all(params))
         # Ydict maps trait numbers to names (print_summary, Step2_Models.cpp:2655)
         with open_write(params.out_prefix + ".regenie.Ydict") as yd:
@@ -485,6 +488,8 @@ def setup_writers(params: Params, pheno_names: List[str], pheno_pass=None):
         suffix = ".regenie" + (".gz" if params.gz_out else "")
         path = f"{params.out_prefix}_{name}{suffix}"
         fh = open_write(path, gz=params.gz_out)
+        if pre_header:
+            fh.write(pre_header)
         fh.write(hdr)
         writers.append(fh)
         out_paths.append(path)

@@ -44,7 +44,7 @@ def test_all_domain_mask_matches_3col_run(outputs):
     def row(path, mid):
         for l in open(path):
             t = l.split()
-            if t[2] == mid:
+            if len(t) > 2 and t[2] == mid:
                 return l
         return None
 

@@ -151,3 +151,24 @@ def test_htp_gene_rows_consistent(tmp_path):
     assert all(len(l.split("\t")) == 22 for l in lines)
     assert any("GENE_P" in l for l in lines)
     assert any("ADD-SKATO-ACAT" in l and "LOG10P=" in l for l in lines)
+
+
+def test_lovo_row_count_docker_scenario(tmp_path):
+    """test_docker.sh LOVO check: 21 lines incl. ##MASKS meta line and
+    18 leave-one-variant-out rows."""
+    ids = open(f"{EX}/example_3chr.setlist").readline().split()[3]
+    snpl = str(tmp_path / "tmp1.txt")
+    open(snpl, "w").write(ids.replace(",", "\n") + "\n")
+    out = str(tmp_path / "loo")
+    _run_cli(["--step", "2", "--ignore-pred", "--bed", f"{EX}/example_3chr",
+              "--extract", snpl, "--covarFile", f"{EX}/covariates.txt",
+              "--phenoFile", f"{EX}/phenotype_bin.txt",
+              "--set-list", f"{EX}/example_3chr.setlist",
+              "--anno-file", f"{EX}/example_3chr.annotations",
+              "--mask-def", f"{EX}/example_3chr.masks",
+              "--mask-lovo", "SET1,M1,0.2", "--htp", "TEST", "--force-qt",
+              "--out", out])
+    lines = open(out + "_Y1.regenie").read().splitlines()
+    assert len(lines) == 21
+    assert lines[0].startswith("##MASKS=<")
+    assert sum(1 for l in lines if "_mog" in l) == 18
