@@ -44,7 +44,7 @@ def genep_out(tmp_path_factory):
     rows = {}
     for line in open(out + "_Y1.regenie"):
         t = line.split()
-        if t[0] == "CHROM":
+        if t[0] == "CHROM" or t[0].startswith("##"):
             continue
         rows.setdefault(t[2], {})[t[7]] = t
     return rows
@@ -127,7 +127,7 @@ def test_aaf_file_overrides_binning(tmp_path):
     def af_of(path, mid):
         for l in open(path):
             t = l.split()
-            if t[2] == mid:
+            if len(t) > 5 and t[2] == mid:
                 return float(t[5])
 
     # forcing all SET1 AAFs to 0.01 puts every variant in the 0.1 bin
@@ -148,7 +148,8 @@ def test_htp_gene_rows_consistent(tmp_path):
               "--rgc-gene-p", "--aaf-bins", "0.2,0.5", "--vc-maxAAF", "0.5",
               "--htp", "study1", "--out", out])
     lines = open(out + "_Y1.regenie").read().splitlines()
-    assert all(len(l.split("\t")) == 22 for l in lines)
+    assert lines[0].startswith("##MASKS=<")
+    assert all(len(l.split("\t")) == 22 for l in lines[1:])
     assert any("GENE_P" in l for l in lines)
     assert any("ADD-SKATO-ACAT" in l and "LOG10P=" in l for l in lines)
 
