@@ -242,7 +242,8 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
         if built:
             r = _test_masks(eng, built)
             eng._last_mask_result = r
-            write_block_rows(params, pd, writers, [bm.snp for bm in built], r)
+            write_block_rows(params, pd, writers, [bm.snp for bm in built], r,
+                             model_type=eng.model_type())
 
         # SKAT / ACAT family on the weighted variant matrix
         if params.vc_tests:
@@ -294,9 +295,17 @@ def _test_masks(eng: Step2Engine, built: List[BuiltMask]) -> BlockResult:
     ignored = np.zeros(B, dtype=bool)
     ignored_trait = np.stack([bm.ignored_trait for bm in built])
     flipped = np.array([bm.flipped for bm in built])
-    return eng.test_prepared_block(
+    r = eng.test_prepared_block(
         G, af_t, ns_t, mac_t, ignored, ignored_trait, flipped, is_mask=True
     )
+    if eng.params.htp_out:
+        # genotype class counts from the pre-imputation mask vectors
+        # (update_genocounts on the collapsed mask, Masks.cpp path)
+        raw = np.stack([
+            bm.raw_vec if bm.raw_vec is not None else bm.G for bm in built
+        ])
+        r.genocounts = eng.compute_genocounts(raw, [bm.snp for bm in built])
+    return r
 
 
 class _MaskBedWriter:

@@ -173,3 +173,41 @@ def test_lovo_row_count_docker_scenario(tmp_path):
     assert len(lines) == 21
     assert lines[0].startswith("##MASKS=<")
     assert sum(1 for l in lines if "_mog" in l) == 18
+
+
+def test_docker_prebuilt_mask_parity(tmp_path):
+    """test_docker.sh V1/V2: building masks (--write-mask, HTP) matches
+    scoring the committed pre-built mask bed, modulo Ref/Alt columns."""
+    ids = []
+    for l in open(f"{EX}/example_3chr.setlist"):
+        ids += l.split()[3].split(",")
+    snpl = str(tmp_path / "tmp1.txt")
+    open(snpl, "w").write("\n".join(ids) + "\n")
+    _run_cli(["--step", "2", "--bed", f"{EX}/example_3chr_masks",
+              "--covarFile", f"{EX}/covariates.txt",
+              "--phenoFile", f"{EX}/phenotype_bin.txt",
+              "--remove", f"{EX}/fid_iid_to_remove.txt",
+              "--bsize", "10", "--ignore-pred", "--htp", "TEST", "--force-qt",
+              "--out", str(tmp_path / "v1")])
+    _run_cli(["--step", "2", "--ignore-pred", "--bed", f"{EX}/example_3chr",
+              "--extract", snpl, "--covarFile", f"{EX}/covariates.txt",
+              "--phenoFile", f"{EX}/phenotype_bin.txt",
+              "--remove", f"{EX}/fid_iid_to_remove.txt",
+              "--set-list", f"{EX}/example_3chr.setlist",
+              "--anno-file", f"{EX}/example_3chr.annotations",
+              "--mask-def", f"{EX}/example_3chr.masks",
+              "--write-mask", "--bsize", "15", "--aaf-bins", "0.2",
+              "--chrList", "1,3", "--htp", "TEST", "--force-qt",
+              "--out", str(tmp_path / "v2")])
+
+    def cut(line):
+        t = line.rstrip("\n").split("\t")
+        return "\t".join(t[:3] + t[5:])
+
+    v1 = open(tmp_path / "v1_Y1.regenie").readlines()
+    v2 = open(tmp_path / "v2_Y1.regenie").readlines()
+    assert [cut(v2[1]), cut(v2[2]), cut(v2[-1])] == [cut(x) for x in v1[:3]]
+    # written mask bed valid with 4 masks over 494 samples
+    assert open(tmp_path / "v2_masks.bed", "rb").read(3) == b"\x6c\x1b\x01"
+    assert sum(1 for _ in open(tmp_path / "v2_masks.bim")) == 4
+    assert sum(1 for _ in open(tmp_path / "v2_masks.fam")) == 494
