@@ -138,3 +138,42 @@ def test_ref_first_mirrors_and_gxg_external_file(tmp_path):
         if l.startswith("1 2 ") and "-INT" in l
     )
     assert n_int == 4  # E-main, SNP, SNPxE, 2DF joint
+
+
+def test_na_dropping_invariance(tmp_path):
+    """check_na.sh: a single-trait run with NA phenotype rows must be
+    byte-identical to a run on files with NA individuals removed."""
+    ph = open(f"{EX}/phenotype_bin_wNA.txt").readlines()
+    yidx = ph[0].split().index("Y1")
+    keep = set()
+    with open(tmp_path / "nona_ph.txt", "w") as fh:
+        fh.write(ph[0])
+        for l in ph[1:]:
+            t = l.split()
+            if t[yidx] != "NA":
+                fh.write(l)
+                keep.add((t[0], t[1]))
+    with open(tmp_path / "nona_cov.txt", "w") as fh:
+        for i, l in enumerate(open(f"{EX}/covariates.txt")):
+            t = l.split()
+            if i == 0 or (t[0], t[1]) in keep:
+                fh.write(l)
+
+    def run2(phf, cvf, out):
+        run_cli(["--step", "1", "--bed", f"{EX}/example", "--covarFile", cvf,
+                 "--phenoFile", phf, "--phenoCol", "Y1", "--bsize", "100",
+                 "--bt", "--out", out + "_s1"], cwd="/root/repo")
+        run_cli(["--step", "2", "--bed", f"{EX}/example_3chr",
+                 "--covarFile", cvf, "--phenoFile", phf, "--phenoCol", "Y1",
+                 "--bsize", "200", "--bt", "--firth", "--approx",
+                 "--pThresh", "0.01", "--pred", out + "_s1_pred.list",
+                 "--out", out + "_s2"], cwd="/root/repo")
+
+    run2(f"{EX}/phenotype_bin_wNA.txt", f"{EX}/covariates.txt",
+         str(tmp_path / "wna"))
+    run2(str(tmp_path / "nona_ph.txt"), str(tmp_path / "nona_cov.txt"),
+         str(tmp_path / "nona"))
+    assert (
+        open(tmp_path / "wna_s2_Y1.regenie").read()
+        == open(tmp_path / "nona_s2_Y1.regenie").read()
+    )
