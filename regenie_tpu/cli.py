@@ -44,6 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--remove", action="append", default=[], help="file of samples to remove")
     g.add_argument("--extract", action="append", default=[], help="file of variant IDs to keep")
     g.add_argument("--exclude", action="append", default=[], help="file of variant IDs to remove")
+    g.add_argument("--force-mac-filter", default=None, metavar="snpfile,MAC",
+                   help="separate MAC filter for a subset of variants")
     g.add_argument("--extract-or", action="append", default=[],
                    help="variants kept regardless of the MAC filter")
     g.add_argument("--exclude-or", action="append", default=[],
@@ -265,6 +267,12 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.exclude_files = args.exclude
     params.extract_or_files = args.extract_or
     params.exclude_or_files = args.exclude_or
+    if args.force_mac_filter:
+        fparts = args.force_mac_filter.split(",")
+        if len(fparts) != 2:
+            raise SystemExit("ERROR: --force-mac-filter expects snpfile,MAC")
+        params.forced_mac_snpfile = fparts[0]
+        params.forced_mac = float(fparts[1])
 
     params.block_size = args.bsize
     params.cv_folds = args.cv

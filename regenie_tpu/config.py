@@ -60,6 +60,8 @@ class Params:
     exclude_files: List[str] = field(default_factory=list)
     extract_or_files: List[str] = field(default_factory=list)  # --extract-or
     exclude_or_files: List[str] = field(default_factory=list)  # --exclude-or
+    forced_mac_snpfile: Optional[str] = None  # --force-mac-filter
+    forced_mac: float = -1.0
 
     # ---- step 1 model ----
     block_size: int = 1000  # --bsize

@@ -46,6 +46,7 @@ class SnpInfo:
     offset: int = 0  # variant index in file
     keep: bool = True
     mac_fail_if_checked: bool = True  # --extract-or/--exclude-or gate
+    forced_mac_filter: bool = False  # --force-mac-filter member
 
 
 @dataclass

@@ -235,6 +235,13 @@ def _apply_filters(params, gd, raw_snps, raw_samples):
         for s in gd.snps:
             s.mac_fail_if_checked = s.ID not in ids
 
+    # --force-mac-filter snpfile,MAC: separate threshold for a subset
+    # (check_forced_MAC_file, Geno.cpp:1249)
+    if params.forced_mac_snpfile:
+        ids = _read_snp_file(params.forced_mac_snpfile)
+        for s in gd.snps:
+            s.forced_mac_filter = s.ID in ids
+
     # ---- chromosome map, file order (reference chr_read) ----
     for s in gd.snps:
         if s.chrom not in gd.chr_counts:

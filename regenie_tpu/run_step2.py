@@ -401,11 +401,17 @@ class Step2Engine:
         sb = self.block_stats(G_raw, bsnps)
         total, ns = sb["total"], sb["ns"]
         mac1 = sb["mac1"]
-        # --extract-or/--exclude-or: MAC filter only where the gate is set
-        # (compute_mac MAC_fail_if_checked, Geno.cpp:3103)
+        # --extract-or/--exclude-or: MAC filter only where the gate is set;
+        # --force-mac-filter: separate threshold for flagged variants
+        # (compute_mac, Geno.cpp:3100-3107)
         mac_gate = np.array([s.mac_fail_if_checked for s in bsnps])
-        ignored = (mac1 < params.min_mac) & mac_gate
-        ignored_trait = (sb["mac"] < params.min_mac) & mac_gate[:, None]
+        mac_thr = np.array([
+            params.forced_mac if s.forced_mac_filter and params.forced_mac > 0
+            else params.min_mac
+            for s in bsnps
+        ])
+        ignored = (mac1 < mac_thr) & mac_gate
+        ignored_trait = (sb["mac"] < mac_thr[:, None]) & mac_gate[:, None]
 
         info_t = None
         if self.gd.last_info_num is not None:
