@@ -67,6 +67,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--catCovarList", default=None, help="categorical covariates")
     g.add_argument("--covarExcludeList", default=None)
     g.add_argument("--maxCatLevels", type=int, default=10)
+    g.add_argument("--qt", action="store_true", help="quantitative traits (default)")
     g.add_argument("--bt", action="store_true", help="binary traits")
     g.add_argument("--ct", action="store_true", help="count traits (Poisson)")
     g.add_argument("--t2e", action="store_true", help="time-to-event traits (Cox)")
@@ -111,6 +112,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--minCaseCount", type=int, default=10,
                    help="minimum number of cases per binary trait")
     g.add_argument("--threads", type=int, default=0)
+    g.add_argument("--nauto", type=int, default=22, help="number of autosomes")
+    g.add_argument("--seed", type=int, default=1, help="RNG seed (SBAT MC weights)")
+    g.add_argument("--nostream", action="store_true", help="no-op (streaming always on)")
     g.add_argument("--pred", help="_pred.list file from step 1")
     g.add_argument("--ignore-pred", action="store_true")
     g.add_argument("--use-prs", action="store_true")
@@ -184,6 +188,15 @@ def build_parser() -> argparse.ArgumentParser:
     gb.add_argument("--vc-tests", default=None, help="skat,skato,skato-acat,acatv,acato,acato-full")
     gb.add_argument("--vc-maxAAF", type=float, default=1.0)
     gb.add_argument("--vc-MACthr", type=float, default=10.0)
+    gb.add_argument("--skat-params", default=None, metavar="A1,A2",
+                    help="Beta(A1,A2) weight parameters for VC tests")
+    gb.add_argument("--skato-rho", default=None,
+                    help="comma-separated rho grid for SKATO")
+    gb.add_argument("--acat-beta", default=None, metavar="A1,A2",
+                    help="Beta parameters for ACAT weights")
+    gb.add_argument("--joint-only", action="store_true",
+                    help="only print joint-test results")
+    gb.add_argument("--max-condition-vars", type=int, default=10000)
     gb.add_argument("--joint", default=None, help="minp,acat,ftest,gates,sbat,gene_p")
     gb.add_argument("--weights-col", type=int, default=0,
                     help="1-based annotation-file column with VC weights")
@@ -423,6 +436,19 @@ def args_to_params(args: argparse.Namespace) -> Params:
         params.vc_tests = [t.lower() for t in _split_list(args.vc_tests)]
     params.vc_maxAAF = args.vc_maxAAF
     params.skat_collapse_MAC = args.vc_MACthr
+    params.n_chrom = args.nauto + 1
+    params.seed = args.seed
+    params.max_condition_vars = args.max_condition_vars
+    params.p_joint_only = args.joint_only
+    if args.skat_params:
+        a1, a2 = (float(x) for x in args.skat_params.split(","))
+        params.skat_a1, params.skat_a2 = a1, a2
+    if args.skato_rho:
+        params.skato_rho = np.array([float(x) for x in args.skato_rho.split(",")])
+        params.skato_rho = np.minimum(params.skato_rho, 0.999)
+    if args.acat_beta:
+        a1, a2 = (float(x) for x in args.acat_beta.split(","))
+        params.acat_a1, params.acat_a2 = a1, a2
     if args.joint:
         params.joint_tests = [t.lower() for t in _split_list(args.joint)]
     if args.weights_col > 0:

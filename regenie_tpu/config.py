@@ -173,6 +173,9 @@ class Params:
     skat_collapse_MAC: float = 10.0  # ultra-rare collapse threshold
     skat_a1: float = 1.0  # Beta(a1,a2) weights (Regenie.hpp:394)
     skat_a2: float = 25.0
+    acat_a1: float = 1.0  # ACAT weight Beta params (--acat-beta)
+    acat_a2: float = 25.0
+    p_joint_only: bool = False  # --joint-only (Regenie.cpp:486)
     skato_rho: Optional[np.ndarray] = None  # default grid set in SKAT module
     joint_tests: List[str] = field(default_factory=list)  # --joint minp,acat,...
     aaf_file_wSingletons: bool = False  # --set-singletons (Regenie.cpp:238)

@@ -66,7 +66,7 @@ def run_joint_tests(params: Params, eng, vset, built, writers, log):
                     continue
                 if params.mask_rule == "max":
                     maf = min(built[b].af_t[ph], 1 - built[b].af_t[ph])
-                    w = beta_dist.pdf(maf, ACAT_A1, ACAT_A2)
+                    w = beta_dist.pdf(maf, params.acat_a1, params.acat_a2)
                     wts[b] = maf * (1 - maf) * w * w
                 else:
                     wts[b] = 1.0

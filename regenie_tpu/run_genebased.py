@@ -242,8 +242,9 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
         if built:
             r = _test_masks(eng, built)
             eng._last_mask_result = r
-            write_block_rows(params, pd, writers, [bm.snp for bm in built], r,
-                             model_type=eng.model_type())
+            if not params.p_joint_only:  # --joint-only suppresses mask rows
+                write_block_rows(params, pd, writers, [bm.snp for bm in built], r,
+                                 model_type=eng.model_type())
 
         # SKAT / ACAT family on the weighted variant matrix
         if params.vc_tests:
