@@ -118,6 +118,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--pred", help="_pred.list file from step 1")
     g.add_argument("--ignore-pred", action="store_true")
     g.add_argument("--use-prs", action="store_true")
+    g.add_argument("--force-ltco", type=int, default=None,
+                   help="leave-two-chromosome-out: extra chromosome excluded from LOCO")
     g.add_argument("--write-samples", action="store_true")
     g.add_argument("--print-pheno", action="store_true",
                    help="print phenotype name on the first line of .ids files")
@@ -252,6 +254,10 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.pred_list = args.pred
     params.skip_blups = args.ignore_pred
     params.use_prs = args.use_prs
+    if args.force_ltco is not None:
+        if args.use_prs:
+            raise SystemExit("ERROR: cannot use --force-ltco with --use-prs")
+        params.ltco_chr = args.force_ltco
     params.print_prs = args.print_prs
 
     pheno_cols = list(args.phenoCol)

@@ -112,6 +112,7 @@ class Params:
     firth_se: bool = True  # back-correct SE using Firth LRT
     write_null_firth: bool = False
     use_null_firth: Optional[str] = None
+    ltco_chr: int = -1  # --force-ltco (Regenie.cpp:288): LTCO scheme
     uncapped_pvals: bool = False
 
     # ---- chrX non-PAR handling (--par-region/--skip-dosage-comp,

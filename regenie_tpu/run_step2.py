@@ -73,6 +73,37 @@ def read_loco_chr(
     return blup
 
 
+def read_ltco_prs(path, ltco_chr, id_to_ind, n_samples, mask, n_chrom):
+    """Per-chromosome contribution of ltco_chr recovered from a .loco
+    file (blup_read w_ltco branch, Pheno.cpp:1341-1381):
+    sum_c loco_c / (nchr-1) - loco_ltco = perchr_ltco."""
+    full = np.zeros(n_samples)
+    ltco = np.zeros(n_samples)
+    nchr = 0
+    with open_read(path) as fh:
+        header = string_split(fh.readline())
+        for line in fh:
+            toks = string_split(line)
+            if not toks:
+                continue
+            is_ltco = int(toks[0]) == ltco_chr
+            for col in range(1, len(header)):
+                key = header[col]
+                if key not in id_to_ind:
+                    continue
+                idx = id_to_ind[key]
+                if not mask[idx] or toks[col] == "NA":
+                    continue
+                ds = float(toks[col])
+                full[idx] += ds
+                if is_ltco:
+                    ltco[idx] = -ds
+            nchr += 1
+    if nchr != n_chrom:
+        raise ValueError("incorrectly formatted LOCO file for LTCO")
+    return ltco + full / (nchr - 1)
+
+
 def mask_samples_missing_loco(params, pd, blup_files, id_to_ind):
     """Mask samples absent (or NA) in each trait's .loco file
     (blup_read, Pheno.cpp:1241-1330)."""
@@ -167,6 +198,18 @@ class Step2Engine:
                     self.blup_files[name], chrom, self.id_to_ind, N,
                     pd.masked_indivs[:, ph],
                 )
+                # LTCO: also remove the extra chromosome's contribution
+                # (blup_read_chr, Step2_Models.cpp:121)
+                if params.ltco_chr > 0 and chrom != params.ltco_chr:
+                    if not hasattr(self, "_ltco_prs"):
+                        self._ltco_prs = {}
+                    if ph not in self._ltco_prs:
+                        self._ltco_prs[ph] = read_ltco_prs(
+                            self.blup_files[name], params.ltco_chr,
+                            self.id_to_ind, N, pd.masked_indivs[:, ph],
+                            params.n_chrom,
+                        )
+                    blups[:, ph] -= self._ltco_prs[ph]
         if params.trait_mode == QT:
             res = (pd.phenotypes - blups) * pd.masked_indivs
             self.p_sd_yres = np.linalg.norm(res, axis=0) / np.sqrt(

@@ -177,3 +177,24 @@ def test_na_dropping_invariance(tmp_path):
         open(tmp_path / "wna_s2_Y1.regenie").read()
         == open(tmp_path / "nona_s2_Y1.regenie").read()
     )
+
+
+def test_force_ltco(tmp_path):
+    """--force-ltco L: rows on chromosome L unchanged; all other
+    chromosomes additionally remove L's contribution."""
+    run_cli(["--step", "1", "--bed", f"{EX}/example_3chr",
+             "--phenoFile", f"{EX}/phenotype.txt", "--bsize", "50",
+             "--out", str(tmp_path / "s1")], cwd="/root/repo")
+    base = ["--step", "2", "--bed", f"{EX}/example_3chr",
+            "--phenoFile", f"{EX}/phenotype.txt", "--bsize", "200",
+            "--pred", str(tmp_path / "s1_pred.list")]
+    run_cli(base + ["--out", str(tmp_path / "no")], cwd="/root/repo")
+    run_cli(base + ["--force-ltco", "2", "--out", str(tmp_path / "yes")],
+            cwd="/root/repo")
+    a = {l.split()[2]: l for l in open(tmp_path / "no_Y1.regenie")
+         if not l.startswith("CHROM")}
+    b = {l.split()[2]: l for l in open(tmp_path / "yes_Y1.regenie")
+         if not l.startswith("CHROM")}
+    assert all(a[k] == b[k] for k in a if a[k].split()[0] == "2")
+    changed = sum(1 for k in a if a[k].split()[0] != "2" and a[k] != b[k])
+    assert changed > 90
