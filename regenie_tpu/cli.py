@@ -109,6 +109,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--print-prs", action="store_true")
     g.add_argument("--gz", action="store_true", help="gzip output files")
     g.add_argument("--apply-rint", action="store_true")
+    g.add_argument("--apply-rerint", action="store_true",
+                   help="RINT the residualized QTs in step 2")
+    g.add_argument("--apply-rerint-cov", action="store_true",
+                   help="RINT residualized QTs then re-project covariates")
+    g.add_argument("--minHOMs", type=float, default=0.0,
+                   help="min hom-ALT carriers for the recessive test")
     g.add_argument("--minCaseCount", type=int, default=10,
                    help="minimum number of cases per binary trait")
     g.add_argument("--threads", type=int, default=0)
@@ -212,6 +218,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="file with mask groups for the GENE_P strategy")
     gb.add_argument("--skip-sbat", action="store_true")
     gb.add_argument("--mask-lovo", default=None)
+    gb.add_argument("--lovo-snplist", default=None,
+                    help="variants to generate LOVO masks for")
     gb.add_argument("--mask-lodo", action="store_true")
     return p
 
@@ -278,6 +286,10 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.cc12 = args.cc12
     params.strict_mode = args.strict
     params.apply_rint = args.apply_rint
+    if not args.bt:
+        params.rerint = args.apply_rerint
+        params.rerint_cov = args.apply_rerint_cov
+    params.min_homs = args.minHOMs
     params.min_case_count = args.minCaseCount
 
     params.keep_files = args.keep
@@ -488,6 +500,7 @@ def args_to_params(args: argparse.Namespace) -> Params:
         if not args.aaf_bins:
             params.aaf_bins = ["0.00001", "0.0001", "0.001", "0.01"]
     params.mask_lovo = args.mask_lovo
+    params.masks_loo_snpfile = args.lovo_snplist
     params.mask_lodo = args.mask_lodo
 
     params.condition_list = args.condition_list

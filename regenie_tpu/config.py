@@ -51,7 +51,10 @@ class Params:
     rm_missing_qt: bool = True  # step 2: drop missing QT obs (ref default)
     cc12: bool = False  # 1/2/NA coding for BTs (default 0/1/NA => CC_ZeroOne)
     apply_rint: bool = False
+    rerint: bool = False  # --apply-rerint (step-2 residual RINT)
+    rerint_cov: bool = False  # --apply-rerint-cov
     min_case_count: int = 10  # --minCaseCount (Regenie.cpp:261)
+    min_homs: float = 0.0  # --minHOMs (recessive test filter)
 
     # ---- sample filters ----
     keep_files: List[str] = field(default_factory=list)
@@ -194,7 +197,8 @@ class Params:
     apply_gene_pval_strategy: bool = False
     genep_mask_sets_file: Optional[str] = None
     skip_sbat: bool = False
-    mask_lovo: Optional[str] = None  # --mask-lovo SET,MASK,BIN
+    mask_lovo: Optional[str] = None
+    masks_loo_snpfile: Optional[str] = None  # --lovo-snplist  # --mask-lovo SET,MASK,BIN
     mask_lodo: bool = False
     use_max_bsize: bool = False
 

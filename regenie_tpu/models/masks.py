@@ -286,7 +286,16 @@ def build_lovo_masks(
         bm.sel_idx = sel_idx
         built.append(bm)
     bname = bin_name(aafs, j)
+    # --lovo-snplist restricts which variants get a leave-out mask
+    # (check_lovo_snplist, Masks.cpp:1380)
+    loo_allowed = None
+    if getattr(params, "masks_loo_snpfile", None):
+        from ..io.files import iter_lines
+
+        loo_allowed = {t[0] for t in iter_lines(params.masks_loo_snpfile)}
     for k in range(len(sel_idx)):
+        if loo_allowed is not None and snp_ids[sel_idx[k]] not in loo_allowed:
+            continue
         rows = [r for r in all_rows if r != k]
         mv = collapse(rows)
         if mv is None:

@@ -212,6 +212,18 @@ class Step2Engine:
                     blups[:, ph] -= self._ltco_prs[ph]
         if params.trait_mode == QT:
             res = (pd.phenotypes - blups) * pd.masked_indivs
+            # two-stage RINT of residuals (Sofer et al. 2020;
+            # residualize_res, Data.cpp:2408-2425)
+            if params.rerint or params.rerint_cov:
+                from .io.pheno import rint_values
+
+                for ph in range(P):
+                    if pd.pheno_pass[ph]:
+                        m = pd.masked_indivs[:, ph]
+                        res[:, ph] = rint_values(res[:, ph], m) * m
+                if params.rerint_cov:
+                    beta = res.T @ pd.new_cov
+                    res = (res - pd.new_cov @ beta.T) * pd.masked_indivs
             self.p_sd_yres = np.linalg.norm(res, axis=0) / np.sqrt(
                 pd.Neff - params.ncov_analyzed
             )
@@ -475,6 +487,11 @@ class Step2Engine:
             G = jnp.where(G == 2.0, 1.0, G)
         elif params.test_type == 2:
             G = jnp.where(G >= 1.0, G - 1.0, G)
+            if params.min_homs > 0:
+                # --minHOMs: recessive filter on hom-ALT carrier count
+                # (parseSnpfromBed, Geno.cpp:2518)
+                sum_pos = np.asarray(jnp.where(G > 0, G, 0.0).sum(axis=1))
+                ignored = ignored | (sum_pos < params.min_homs)
 
         # host copy only needed by the interaction hook
         self.last_G_imputed = np.asarray(G) if self.interaction is not None else G
