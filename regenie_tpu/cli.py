@@ -96,6 +96,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--loocv", action="store_true", help="use LOOCV")
     g.add_argument("--l0", type=int, default=5, help="number of level-0 ridge params")
     g.add_argument("--l1", type=int, default=5, help="number of level-1 ridge params")
+    g.add_argument("--setl0", default=None, help="comma-separated level-0 h2 grid in (0,1)")
+    g.add_argument("--setl1", default=None, help="comma-separated level-1 h2 grid in (0,1)")
     g.add_argument("--lowmem", action="store_true", help="reduce memory usage")
     g.add_argument("--lowmem-prefix", default=None)
     g.add_argument("--split-l0", default=None, help="PREFIX,N : split level 0 into N jobs")
@@ -310,6 +312,15 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.use_loocv = args.loocv
     params.n_ridge_l0 = args.l0
     params.n_ridge_l1 = args.l1
+    # user ridge h2 grids (get_unit_params, Regenie.cpp:846-860)
+    for flagval, attr, nattr in ((args.setl0, "user_lambda", "n_ridge_l0"),
+                                 (args.setl1, "user_tau", "n_ridge_l1")):
+        if flagval:
+            vals = np.array([float(x) for x in flagval.split(",")])
+            if ((vals <= 0) | (vals >= 1)).any():
+                raise SystemExit("ERROR: ridge parameters must be in (0,1)")
+            setattr(params, attr, vals)
+            setattr(params, nattr, len(vals))
     params.write_l0_pred = args.lowmem
     params.loco_tmp_prefix = args.lowmem_prefix
     params.split_l0 = args.split_l0
