@@ -75,6 +75,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--coxscore-exact", action="store_true")
     g.add_argument("--coxnofirth", action="store_true")
     g.add_argument("--compute-corr", action="store_true", help="compute LD matrix")
+    g.add_argument("--ld-extract", default=None,
+                   help="file listing variants (sv) and masks for the LD matrix")
     g.add_argument("--output-corr-text", action="store_true")
     g.add_argument("--skip-scaleG", action="store_true")
     g.add_argument("--ld-sparse-thr", type=float, default=0.0)
@@ -520,6 +522,7 @@ def args_to_params(args: argparse.Namespace) -> Params:
     # LD matrix mode (Regenie.cpp:522-530)
     if args.compute_corr or args.output_corr_text:
         params.get_cor_mat = True
+        params.ld_list_file = args.ld_extract
         params.cor_out_txt = args.output_corr_text or args.skip_scaleG
         params.skip_scaleG = args.skip_scaleG
         params.ld_sparse_thr = args.ld_sparse_thr

@@ -146,6 +146,8 @@ class Params:
     multiphen_maxstep: float = 200.0
     multiphen_maxit: int = 150
 
+    ld_list_file: Optional[str] = None  # --ld-extract (Regenie.cpp:299)
+
     # ---- MCC test for skewed QTs (--mcc, Regenie.cpp:343-345) ----
     mcc_test: bool = False
     mcc_skew: float = 0.0  # abs skewness threshold to flag a trait

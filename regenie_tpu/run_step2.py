@@ -848,11 +848,52 @@ def run_ldcomp(params: Params, eng: Step2Engine, log=print) -> None:
     """LD-matrix mode (--compute-corr): scaled G'G over the extracted
     variant list (ld_comp, Data.cpp:3807; print_ld :4350)."""
     gd, pd = eng.gd, eng.pd
-    snps = gd.snps
-    M = len(snps)
-    log(f"** Computing LD matrix ** ({M} variants)")
-    G = gd.read_block_scattered(snps).astype(np.float64)
     ind = pd.ind_in_analysis
+
+    # --ld-extract: ordered list of single variants and burden masks
+    # (check_ld_list, Geno.cpp:1442-1495)
+    names: List[str] = []
+    cols: List[np.ndarray] = []
+    if params.ld_list_file:
+        id_to_snp = {s.ID: s for s in gd.snps}
+        want_masks: Dict[str, List[str]] = {}
+        order = []
+        for toks in iter_lines(params.ld_list_file):
+            if len(toks) < 2:
+                raise ValueError("incorrectly formatted --ld-extract file")
+            if toks[0] == "sv":
+                order.append(("sv", toks[1]))
+            elif toks[0] == "mask":
+                if len(toks) < 3:
+                    raise ValueError("mask rows need 3 entries in --ld-extract")
+                order.append(("mask", toks[1]))
+                want_masks.setdefault(toks[2], []).append(toks[1])
+            else:
+                raise ValueError(f"unrecognized --ld-extract entry '{toks[0]}'")
+        mask_vecs: Dict[str, np.ndarray] = {}
+        if want_masks:
+            from .run_genebased import build_requested_masks
+
+            mask_vecs = build_requested_masks(params, eng, want_masks, log)
+        for kind, name in order:
+            if kind == "sv":
+                if name not in id_to_snp:
+                    continue
+                g = gd.read_block_scattered([id_to_snp[name]]).astype(np.float64)[0]
+                names.append(name)
+                cols.append(g)
+            else:
+                if name in mask_vecs:
+                    names.append(name)
+                    cols.append(mask_vecs[name])
+        G = np.stack(cols) if cols else np.zeros((0, params.n_samples))
+    else:
+        snps = gd.snps
+        names = [s.ID for s in snps]
+        G = gd.read_block_scattered(snps).astype(np.float64)
+
+    M = len(names)
+    log(f"** Computing LD matrix ** ({M} variants)")
     # mean-impute, mask, residualize on covariates (no scaling if skip_scaleG)
     for k in range(M):
         m = (G[k] != -3) & ind
@@ -865,8 +906,8 @@ def run_ldcomp(params: Params, eng: Step2Engine, log=print) -> None:
 
     # snplist
     with open_write(params.out_prefix + ".corr.snplist") as fh:
-        for s_ in snps:
-            fh.write(s_.ID + "\n")
+        for nm in names:
+            fh.write(nm + "\n")
 
     if not params.skip_scaleG:
         sds = np.sqrt(np.where(np.diag(LD) <= 0, params.numtol, np.diag(LD)))
