@@ -39,6 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--pgen", help="prefix to PLINK2 .pgen/.pvar/.psam files")
     g.add_argument("--bgen", help="BGEN file")
     g.add_argument("--sample", help="sample file for BGEN")
+    g.add_argument("--bgi", default=None, help=".bgi index file for the BGEN")
     g.add_argument("--ref-first", action="store_true", help="first allele is the reference")
     g.add_argument("--keep", action="append", default=[], help="file of samples to keep")
     g.add_argument("--remove", action="append", default=[], help="file of samples to remove")
@@ -242,6 +243,7 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.pgen_prefix = args.pgen
     params.bgen_file = args.bgen
     params.sample_file = args.sample
+    params.bgi_file = args.bgi
     params.ref_first = args.ref_first
     if args.tpheno_file:
         params.pheno_file = args.tpheno_file

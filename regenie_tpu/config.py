@@ -147,6 +147,7 @@ class Params:
     multiphen_maxit: int = 150
 
     ld_list_file: Optional[str] = None  # --ld-extract (Regenie.cpp:299)
+    bgi_file: Optional[str] = None  # --bgi (Regenie.cpp:158)
 
     # ---- MCC test for skewed QTs (--mcc, Regenie.cpp:343-345) ----
     mcc_test: bool = False

@@ -80,7 +80,8 @@ class BgenFile:
             self._fh = None
 
 
-def open_bgen(path: str, n_chrom: int = 23, ref_first: bool = False) -> BgenFile:
+def open_bgen(path: str, n_chrom: int = 23, ref_first: bool = False,
+              bgi_file: str | None = None) -> BgenFile:
     bf = BgenFile(path=path)
     fh = open(path, "rb")
     bf._fh = fh
@@ -105,6 +106,49 @@ def open_bgen(path: str, n_chrom: int = 23, ref_first: bool = False) -> BgenFile
             (l,) = struct.unpack("<H", fh.read(2))
             sid = fh.read(l).decode()
             bf.sample_ids.append((sid, sid))
+
+    # .bgi sqlite index: skip the O(file) variant scan
+    # (read_bgi_file, Geno.cpp:180)
+    if bgi_file and bf.layout == 2:
+        import sqlite3
+
+        con = sqlite3.connect(bgi_file)
+        rows = con.execute(
+            "SELECT chromosome, position, rsid, number_of_alleles, allele1, "
+            "allele2, file_start_position, size_in_bytes FROM Variant "
+            "ORDER BY file_start_position"
+        ).fetchall()
+        con.close()
+        if len(rows) != M:
+            raise ValueError(f"{bgi_file}: index lists {len(rows)} variants, "
+                             f"bgen header says {M}")
+        for i, (chrom, pos, rsid, n_all, a1v, a2v, fpos, fsize) in enumerate(rows):
+            if n_all != 2:
+                raise ValueError(f"{rsid}: only bi-allelic variants supported")
+            # genotype block: last 4+C bytes of the record; parse the
+            # variant header lazily to find it
+            fh.seek(fpos)
+            lid = struct.unpack("<H", fh.read(2))[0]
+            fh.seek(lid, 1)
+            lrsid = struct.unpack("<H", fh.read(2))[0]
+            fh.seek(lrsid, 1)
+            lchr = struct.unpack("<H", fh.read(2))[0]
+            fh.seek(lchr + 4 + 2, 1)  # chrom str + pos + n_alleles
+            for _ in range(2):
+                (la,) = struct.unpack("<I", fh.read(4))
+                fh.seek(la, 1)
+            (csize,) = struct.unpack("<I", fh.read(4))
+            geno_off = fh.tell()
+            if ref_first:
+                a1, a2 = a1v, a2v
+            else:
+                a1, a2 = a2v, a1v
+            bf.snps.append(SnpInfo(
+                chrom=chr_to_int(str(chrom), n_chrom), ID=rsid, genpos=0.0,
+                physpos=int(pos), allele1=a1, allele2=a2, offset=i,
+            ))
+            bf.variants.append(BgenVariant(geno_offset=geno_off, geno_size=csize))
+        return bf
 
     # scan variant index (prep_bgen, Geno.cpp:24-100)
     fh.seek(offset + 4)
@@ -312,7 +356,8 @@ def open_bgen_geno(params: Params):
     from .geno import GenoData, _read_id_file, _read_snp_file
 
     ref_first = getattr(params, "ref_first", False)
-    bf = open_bgen(params.bgen_file, params.n_chrom, ref_first)
+    bf = open_bgen(params.bgen_file, params.n_chrom, ref_first,
+                   getattr(params, "bgi_file", None))
 
     if params.sample_file:
         ids = read_sample_file(params.sample_file)

@@ -55,3 +55,27 @@ def test_bgen_decode_native_sample_subset(lib):
     assert np.array_equal(ds[1], d2)
     assert np.array_equal(iv[1], i2)
     bg.close()
+
+
+def test_bgi_index_identical_to_scan(tmp_path):
+    """--bgi uses the sqlite index instead of scanning the BGEN; output
+    must be byte-identical (read_bgi_file, Geno.cpp:180)."""
+    import subprocess
+    import sys
+    import os
+
+    env = dict(os.environ)
+    env["REGENIE_TPU_PLATFORM"] = "cpu"
+    base = [sys.executable, "-m", "regenie_tpu", "--step", "2",
+            "--bgen", f"{EX}/example.bgen",
+            "--phenoFile", f"{EX}/phenotype.txt", "--bsize", "500",
+            "--ignore-pred"]
+    for extra, out in (([], "scan"), (["--bgi", f"{EX}/example.bgen.bgi"], "bgi")):
+        r = subprocess.run(base + extra + ["--out", str(tmp_path / out)],
+                           capture_output=True, text=True, cwd="/root/repo",
+                           env=env, timeout=600)
+        assert r.returncode == 0, r.stdout + r.stderr
+    assert (
+        open(tmp_path / "scan_Y1.regenie").read()
+        == open(tmp_path / "bgi_Y1.regenie").read()
+    )
