@@ -88,6 +88,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--interaction-file", default=None,
                    help="FORMAT,FILE external genotype file for the interaction SNP")
     g.add_argument("--interaction-file-reffirst", action="store_true")
+    g.add_argument("--print-vcov", action="store_true",
+                   help="write coefficient covariance per tested variant (interaction)")
     g.add_argument("--rare-mac", type=float, default=1000.0)
     g.add_argument("--force-robust", action="store_true")
     g.add_argument("--force-robust-hc4", action="store_true")
@@ -544,6 +546,7 @@ def args_to_params(args: argparse.Namespace) -> Params:
         if args.interaction_file:
             params.interaction_file = args.interaction_file
             params.interaction_file_reffirst = args.interaction_file_reffirst
+    params.print_vcov = args.print_vcov
     params.rare_mac_inter = args.rare_mac
     params.force_robust = args.force_robust or args.force_robust_hc4
     params.force_hc4 = args.force_robust_hc4

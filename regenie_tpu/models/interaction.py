@@ -509,6 +509,20 @@ def _write_int_rows(params, eng, writers, snp, b, ph, bhat, Vmat, beg, K,
     pd = eng.pd
     iscale = np.atleast_1d(iscale)
     cscale = np.atleast_1d(cscale)
+
+    # --print-vcov: coefficient covariance on the output scale
+    # (apply_interaction_tests_*, Interaction.cpp:604-615)
+    if params.print_vcov:
+        sc = np.concatenate([
+            np.broadcast_to(cscale, (beg,)), [np.atleast_1d(gscale)[0]],
+            np.broadcast_to(iscale, (K,)),
+        ])
+        Vout = Vmat[: beg + 1 + K, : beg + 1 + K] * sc[:, None] * sc[None, :]
+        path = (f"{params.out_prefix}_{pd.pheno_names[ph]}_"
+                f"{eng.interaction.evar_name}_{snp.ID}.vcov")
+        with open(path, "w") as fh:
+            for row in Vout:
+                fh.write(" ".join(f"{v:.6g}" for v in row) + "\n")
     rows = []
     evar = eng.interaction.evar_name
     # main effect(s) of E
