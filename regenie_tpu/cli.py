@@ -128,6 +128,25 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--nauto", type=int, default=22, help="number of autosomes")
     g.add_argument("--seed", type=int, default=1, help="RNG seed (SBAT MC weights)")
     g.add_argument("--nostream", action="store_true", help="no-op (streaming always on)")
+    g.add_argument("--exact-p", action="store_true",
+                   help="uncapped p-values in HTP output")
+    g.add_argument("--skip-test", action="store_true",
+                   help="build masks without running association tests")
+    g.add_argument("--use-relative-path", action="store_true",
+                   help="relative paths in the step-1 pred.list")
+    g.add_argument("--htp-with-event", action="store_true",
+                   help="use the event name in the HTP Trait column (T2E)")
+    g.add_argument("--early-exit", action="store_true",
+                   help="exit after fitting level-0 models")
+    g.add_argument("--use-adam", action="store_true",
+                   help="accepted; ADAM is already the automatic fallback")
+    g.add_argument("--adam-mini", action="store_true", help="accepted no-op")
+    g.add_argument("--sparse-thr", type=float, default=None, help="accepted no-op (dense device path)")
+    g.add_argument("--prop-zero-thr", type=float, default=None, help="accepted no-op (dense device path)")
+    g.add_argument("--condition-file-sample", default=None,
+                   help="sample file for the --condition-file BGEN")
+    g.add_argument("--interaction-file-sample", default=None,
+                   help="sample file for the --interaction-file BGEN")
     g.add_argument("--pred", help="_pred.list file from step 1")
     g.add_argument("--ignore-pred", action="store_true")
     g.add_argument("--use-prs", action="store_true")
@@ -299,6 +318,13 @@ def args_to_params(args: argparse.Namespace) -> Params:
         params.rerint_cov = args.apply_rerint_cov
     params.min_homs = args.minHOMs
     params.min_case_count = args.minCaseCount
+    params.uncapped_pvals = args.exact_p
+    params.skip_test = args.skip_test
+    params.use_rel_path = args.use_relative_path
+    params.htp_use_eventname = args.htp_with_event
+    params.early_exit = args.early_exit
+    params.condition_file_sample = args.condition_file_sample
+    params.interaction_file_sample = args.interaction_file_sample
 
     params.keep_files = args.keep
     params.remove_files = args.remove

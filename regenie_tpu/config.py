@@ -116,7 +116,13 @@ class Params:
     write_null_firth: bool = False
     use_null_firth: Optional[str] = None
     ltco_chr: int = -1  # --force-ltco (Regenie.cpp:288): LTCO scheme
-    uncapped_pvals: bool = False
+    uncapped_pvals: bool = False  # --exact-p
+    skip_test: bool = False  # --skip-test (Regenie.cpp:249)
+    use_rel_path: bool = False  # --use-relative-path
+    htp_use_eventname: bool = False  # --htp-with-event
+    early_exit: bool = False  # --early-exit (Regenie.cpp:309)
+    condition_file_sample: Optional[str] = None
+    interaction_file_sample: Optional[str] = None
 
     # ---- chrX non-PAR handling (--par-region/--skip-dosage-comp,
     # Regenie.cpp:253,275; in_non_par Geno.cpp:2802) ----

@@ -75,6 +75,7 @@ def prep_interaction(params: Params, pd, gd, log) -> InteractionState:
                 pgen_prefix=path if fmt_name == "pgen" else None,
                 n_chrom=params.n_chrom,
                 ref_first=params.interaction_file_reffirst,
+                sample_file=params.interaction_file_sample,
             )
             gd2 = _open_geno(sub)
             snps2 = [s for s in gd2.snps if s.ID == params.interaction_var]

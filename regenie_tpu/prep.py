@@ -179,6 +179,7 @@ def _extract_condition_genotypes(params: Params, gd) -> np.ndarray:
             bgen_file=path if fmt_name == "bgen" else None,
             pgen_prefix=path if fmt_name == "pgen" else None,
             n_chrom=params.n_chrom,
+            sample_file=params.condition_file_sample,
         )
         if params.condition_list:
             want = {t[0] for t in iter_lines(params.condition_list)}

@@ -239,6 +239,8 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
                     f"{bm.snp.ID}\t{bm.snp.chrom}\t{bm.snp.physpos}\t" + ",".join(sel_ids) + "\n"
                 )
 
+        if params.skip_test:
+            continue  # --skip-test: masks written, no association
         if built:
             r = _test_masks(eng, built)
             eng._last_mask_result = r

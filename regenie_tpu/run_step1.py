@@ -142,6 +142,10 @@ def run_step1(params: Params, log=print) -> None:
             params, gd, pd, blocks, lambdas, fold_sizes, maskf, log
         )
 
+    if params.early_exit and run_l0_job is None:
+        log("--early-exit: stopping after level 0 models")
+        return
+
     # ---- run-l0 job: write binary predictions and exit ----
     if run_l0_job is not None:
         job_prefix = master[2][run_l0_job - 1][0]
@@ -339,7 +343,7 @@ def _level1_and_output(params, gd, pd, W_all, offsets, taus, h_l1, chr_nblocks, 
             _write_loco(
                 loco_path, header, params, pd, ph, predictions, total, chr_order, id_order
             )
-            plist.write(f"{name} {os.path.abspath(loco_path)}\n")
+            plist.write(f"{name} {loco_path if params.use_rel_path else os.path.abspath(loco_path)}\n")
             log(f"  wrote {loco_path}")
             if prs_list is not None:
                 # whole-genome PRS: single chr-0 row (write_predictions,
@@ -352,7 +356,7 @@ def _level1_and_output(params, gd, pd, W_all, offsets, taus, h_l1, chr_nblocks, 
                         fmt(total[i]) if mask[i] else "NA" for i in id_order
                     ]
                     fh.write(" ".join(row) + " \n")
-                prs_list.write(f"{name} {os.path.abspath(prs_path)}\n")
+                prs_list.write(f"{name} {prs_path if params.use_rel_path else os.path.abspath(prs_path)}\n")
             if firth_list is not None and params.trait_mode == BT:
                 fpath = _write_null_firth_step1(
                     params, pd, ph, predictions, total, chr_order, log

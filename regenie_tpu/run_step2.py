@@ -574,9 +574,13 @@ def write_block_rows(params, pd, writers, bsnps, r: BlockResult, test_name="ADD"
             for ph in range(params.n_pheno):
                 if not pd.pheno_pass[ph] or r.ignored_trait[b, ph] or writers[ph] is None:
                     continue
+                # --htp-with-event: T2E Trait column shows the event name
+                tname_out = pd.pheno_names[ph]
+                if params.htp_use_eventname and params.t2e_map:
+                    tname_out = params.t2e_map.get(tname_out, tname_out)
                 writers[ph].write(
                     sumstat_line_htp(
-                        params, bsnps[b], pd.pheno_names[ph],
+                        params, bsnps[b], tname_out,
                         model_type or test_name,
                         r.bhat[b, ph], r.se[b, ph], r.chisq[b, ph], r.logp[b, ph],
                         r.af_t[b, ph],
