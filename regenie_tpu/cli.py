@@ -92,7 +92,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write coefficient covariance per tested variant (interaction)")
     g.add_argument("--rare-mac", type=float, default=1000.0)
     g.add_argument("--force-robust", action="store_true")
-    g.add_argument("--force-robust-hc4", action="store_true")
+    g.add_argument("--force-robust-hc4", "--force-hc4", dest="force_robust_hc4",
+                   action="store_true")
     g.add_argument("--no-robust", action="store_true")
     g.add_argument("--1", "--cc12", dest="cc12", action="store_true", help="1/2/NA coding")
     g.add_argument("--out", "-o", required=True, help="output file prefix")

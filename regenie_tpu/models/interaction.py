@@ -258,6 +258,10 @@ def _test_snp_robust(params, eng, snp, b, g_raw, g_res, result, writers, test_na
     tau = Z @ (M.T @ res)  # [ncols, P]
     e_sq = ((res - M @ tau) ** 2) * pd.masked_indivs
     hc3 = (1 - hvec) ** 2
+    # HC4 divisor for rare variants (--force-hc4, Interaction.cpp:132)
+    hc4 = (1 - hvec) ** np.minimum(
+        M.shape[0] * hvec / M.shape[1], 4.0
+    )
 
     scale_fac = getattr(result, "scale_fac", None)
     for ph in range(params.n_pheno):
@@ -271,7 +275,9 @@ def _test_snp_robust(params, eng, snp, b, g_raw, g_res, result, writers, test_na
             s2 = e_sq[:, ph].sum() / (pd.Neff[ph] - params.ncov_analyzed - M.shape[1])
             Vmat = s2 * Z
         else:
-            Vmat = Z @ (M.T * (e_sq[:, ph] / hc3)[None, :]) @ M @ Z
+            mac_ph = result.mac_t[b, ph] if result.mac_t is not None else np.inf
+            div = hc4 if (params.force_hc4 and mac_ph <= params.rare_mac_inter) else hc3
+            Vmat = Z @ (M.T * (e_sq[:, ph] / div)[None, :]) @ M @ Z
         _write_int_rows(params, eng, writers, snp, b, ph, bhat, Vmat, beg, K,
                         gscale, iscale, cscale, result, test_name)
 
