@@ -109,6 +109,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--split-l0", default=None, help="PREFIX,N : split level 0 into N jobs")
     g.add_argument("--run-l0", default=None, help="MASTER,i : run level 0 job i")
     g.add_argument("--run-l1", default=None, help="MASTER : run level 1")
+    g.add_argument("--l1-phenoList", default=None,
+                   help="comma-separated traits to run level 1 for (with --run-l1)")
     g.add_argument("--keep-l0", action="store_true")
     g.add_argument("--test-l0", action="store_true",
                    help="extract highly-associated SNPs before level-0 ridge")
@@ -359,6 +361,10 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.split_l0 = args.split_l0
     params.run_l0 = args.run_l0
     params.run_l1 = args.run_l1
+    if args.l1_phenoList:
+        if not args.run_l1:
+            raise SystemExit("ERROR: --l1-phenoList requires --run-l1")
+        params.select_pheno_l1 = _split_list(args.l1_phenoList)
     params.keep_l0 = args.keep_l0
     params.test_l0 = args.test_l0
     params.l0_snp_pval_thr = args.l0_pval_thr

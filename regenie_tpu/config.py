@@ -85,6 +85,7 @@ class Params:
     split_l0: Optional[str] = None  # "PREFIX,N"
     run_l0: Optional[str] = None  # "MASTER,i"
     run_l1: Optional[str] = None  # "MASTER"
+    select_pheno_l1: List[str] = field(default_factory=list)  # --l1-phenoList
     keep_l0: bool = False
     gz_out: bool = False
 

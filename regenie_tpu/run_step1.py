@@ -64,6 +64,14 @@ def run_step1(params: Params, log=print) -> None:
     rd = prepare(params)
     gd, pd = rd.geno, rd.pheno
 
+    # --l1-phenoList: run level 1 only for selected traits
+    # (select_phenos_l1, Pheno.cpp:1948)
+    if params.select_pheno_l1:
+        sel = set(params.select_pheno_l1)
+        for ph, name in enumerate(pd.pheno_names):
+            if name not in sel:
+                pd.pheno_pass[ph] = False
+
     if params.n_variants > 1_000_000 and not params.force_step1:
         raise ValueError(
             "too many variants for step 1 (> 1M); use --force-step1 to override"
