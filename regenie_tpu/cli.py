@@ -88,6 +88,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--interaction-file", default=None,
                    help="FORMAT,FILE external genotype file for the interaction SNP")
     g.add_argument("--interaction-file-reffirst", action="store_true")
+    g.add_argument("--interaction-prs", action="store_true",
+                   help="interaction testing with the full step-1 PRS")
     g.add_argument("--print-vcov", action="store_true",
                    help="write coefficient covariance per tested variant (interaction)")
     g.add_argument("--rare-mac", type=float, default=1000.0)
@@ -579,6 +581,14 @@ def args_to_params(args: argparse.Namespace) -> Params:
         if args.interaction_file:
             params.interaction_file = args.interaction_file
             params.interaction_file_reffirst = args.interaction_file_reffirst
+    if args.interaction_prs:
+        if args.interaction or args.interaction_snp:
+            raise SystemExit("ERROR: --interaction-prs excludes other interaction options")
+        if not args.pred:
+            raise SystemExit("ERROR: --interaction-prs requires --pred")
+        params.interaction_var = "PRS"
+        params.interaction_prs = True
+        params.skip_blups = True  # PRS becomes the E variable, not an offset
     params.print_vcov = args.print_vcov
     params.rare_mac_inter = args.rare_mac
     params.force_robust = args.force_robust or args.force_robust_hc4

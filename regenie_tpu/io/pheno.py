@@ -247,7 +247,8 @@ def read_covariates(
         is_cat: Dict[str, bool] = {}
         inter_name = (
             params.interaction_var
-            if (params.interaction_var and not params.interaction_snp)
+            if (params.interaction_var and not params.interaction_snp
+                and not params.interaction_prs)
             else None
         )
         select = bool(params.cov_cols)  # --covarColList given => explicit selection

@@ -59,7 +59,35 @@ def prep_interaction(params: Params, pd, gd, log) -> InteractionState:
     st.evar_name = params.interaction_var
     N = params.n_samples
 
-    if params.interaction_snp:
+    if params.interaction_prs:
+        # GxPRS: full PRS recovered from the LOCO file
+        # (extract_interaction_prs + read_prs, Pheno.cpp:1393-1460)
+        from ..run_step2 import read_pred_list
+        from ..io.files import open_read, string_split
+
+        if params.n_pheno > 1:
+            raise ValueError("option '--interaction-prs' only works with a single phenotype")
+        blup_files = read_pred_list(params.pred_list)
+        name = pd.pheno_names[0]
+        prs = np.zeros(N)
+        nchr = 0
+        with open_read(blup_files[name]) as fh:
+            header = string_split(fh.readline())
+            id_to_ind = {s.key: i for i, s in enumerate(gd.samples)}
+            for line in fh:
+                toks = string_split(line)
+                if not toks:
+                    continue
+                for col in range(1, len(header)):
+                    k = id_to_ind.get(header[col])
+                    if k is not None and toks[col] != "NA":
+                        prs[k] += float(toks[col])
+                nchr += 1
+        if nchr > 1:
+            prs /= nchr - 1  # sum of loco rows = (nchr-1) * PRS
+        st.E = (prs * pd.ind_in_analysis)[:, None]
+        st.lvl_names = ["PRS"]
+    elif params.interaction_snp:
         # GxG: extract the SNP from the main file or an external one
         # (--interaction-file FORMAT,FILE; extract_from_genofile,
         # Geno.hpp:265)
