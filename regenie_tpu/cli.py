@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--interaction-file", default=None,
                    help="FORMAT,FILE external genotype file for the interaction SNP")
     g.add_argument("--interaction-file-reffirst", action="store_true")
+    g.add_argument("--force-condtl", action="store_true",
+                   help="condition on the interacting variable in the marginal GWAS")
+    g.add_argument("--no-condtl", action="store_true",
+                   help="print all main effects in the GxE interaction test")
     g.add_argument("--interaction-prs", action="store_true",
                    help="interaction testing with the full step-1 PRS")
     g.add_argument("--print-vcov", action="store_true",
@@ -589,6 +593,16 @@ def args_to_params(args: argparse.Namespace) -> Params:
         params.interaction_var = "PRS"
         params.interaction_prs = True
         params.skip_blups = True  # PRS becomes the E variable, not an offset
+    # conditional-GWAS mode for interaction tests (Regenie.cpp:626-634):
+    # GxE conditions on E by default; GxG/GxPRS only with --force-condtl
+    if args.interaction:
+        params.gwas_condtl = not args.no_condtl
+    elif args.interaction_snp or args.interaction_prs:
+        params.gwas_condtl = args.force_condtl and not args.no_condtl
+        if params.gwas_condtl:
+            raise SystemExit(
+                "ERROR: --force-condtl with GxG/GxPRS is not supported yet"
+            )
     params.print_vcov = args.print_vcov
     params.rare_mac_inter = args.rare_mac
     params.force_robust = args.force_robust or args.force_robust_hc4

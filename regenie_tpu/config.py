@@ -239,6 +239,7 @@ class Params:
     rare_mac_inter: float = 1000.0  # --rare-mac (Regenie.hpp:322)
     print_vcov: bool = False  # --print-vcov (Interaction.cpp:604)
     interaction_prs: bool = False  # --interaction-prs (Regenie.cpp:225)
+    gwas_condtl: bool = False  # condition on E in marginal GWAS (Regenie.hpp:325)
     force_robust: bool = False
     force_hc4: bool = False
     no_robust: bool = False

@@ -139,13 +139,21 @@ def prep_interaction(params: Params, pd, gd, log) -> InteractionState:
 
     ncov_i = st.E.shape[1]
     params.ncov_interaction = ncov_i
-    # residualize E on the covariate basis
-    E_res, scf = residualize_matrix(st.E, pd.new_cov, params.n_analyzed, params.numtol)
-    if E_res is None:
-        raise ValueError("Var=0 for the interaction risk factor")
-    st.E_res = E_res
-    st.scl_E = scf
-    params.interaction_istart = ncov_i  # main-effect columns in M
+    if params.gwas_condtl:
+        # E already conditioned on as a covariate: no E main-effect
+        # columns in the interaction model (get_interaction_terms,
+        # Interaction.cpp:87-91)
+        st.E_res = np.zeros((params.n_samples, 0))
+        st.scl_E = np.ones(0)
+        params.interaction_istart = 0
+    else:
+        # residualize E on the covariate basis
+        E_res, scf = residualize_matrix(st.E, pd.new_cov, params.n_analyzed, params.numtol)
+        if E_res is None:
+            raise ValueError("Var=0 for the interaction risk factor")
+        st.E_res = E_res
+        st.scl_E = scf
+        params.interaction_istart = ncov_i  # main-effect columns in M
 
     if params.trait_mode == QT and not params.no_robust and not params.force_robust:
         st.hlm = _hlm_prep(params, pd, st)
@@ -316,8 +324,10 @@ def _test_snp_hlm(params, eng, snp, b, g_raw, result, writers, test_name):
     h = st.hlm
     K = params.ncov_interaction
     beg = params.interaction_istart
-    # M = [E, G*Vlin] = [E, G, G*E]
-    M = np.column_stack([st.E, h.Vlin * g_raw[:, None]])
+    # M = [E, G*Vlin] = [E, G, G*E]; E mains dropped in conditional mode
+    # (get_interaction_terms HLM branch, Interaction.cpp:66-72)
+    parts = ([] if params.gwas_condtl else [st.E]) + [h.Vlin * g_raw[:, None]]
+    M = np.column_stack(parts)
     for ph in range(params.n_pheno):
         if not pd.pheno_pass[ph] or result.ignored_trait[b, ph] or writers[ph] is None:
             continue

@@ -50,6 +50,9 @@ def prepare(params: Params, blup_pheno_names: Optional[List[str]] = None) -> Run
         pd.interaction_is_cat = inter[1]
         pd.interaction_lvl_names = inter[2]
         read_covariates.interaction = (None, False, [])
+        if params.gwas_condtl:
+            # conditional GWAS: E joins the covariates (Pheno.cpp:91-95)
+            pd.new_cov = np.concatenate([pd.new_cov, pd.interaction_cov], axis=1)
 
     # conditional analysis: add conditioning variants as covariates
     # (extract_condition_snps, Pheno.cpp:940-987), mean-imputed

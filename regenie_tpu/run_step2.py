@@ -711,6 +711,8 @@ def run_step2(params: Params, log=print) -> None:
     log(f" * # tested variants: [{params.n_variants}]")
 
     test_name = {0: "ADD", 1: "DOM", 2: "REC"}[params.test_type]
+    # conditional-GWAS suffix on the marginal rows (Data.cpp:2106)
+    condtl = "-CONDTL" if params.gwas_condtl else ""
     writers, out_paths = setup_writers(params, pd.pheno_names, pd.pheno_pass)
 
     t0 = time.time()
@@ -725,7 +727,8 @@ def run_step2(params: Params, log=print) -> None:
         eng.prep_chrom(chrom)
         G_raw = eng.read_block_device(bsnps)
         result, _ = eng.test_raw_block(G_raw, bsnps)
-        write_block_rows(params, pd, writers, bsnps, result, test_name, eng.model_type())
+        write_block_rows(params, pd, writers, bsnps, result, test_name + condtl,
+                         eng.model_type() + condtl)
         if eng.interaction is not None:
             from .models.interaction import apply_interaction_block
 

@@ -20,7 +20,7 @@ def bt_int_out(tmp_path_factory):
         [sys.executable, "-m", "regenie_tpu", "--step", "2",
          "--bed", f"{EX}/example", "--covarFile", f"{EX}/covariates.txt",
          "--phenoFile", f"{EX}/phenotype_bin.txt", "--bt", "--bsize", "250",
-         "--ignore-pred", "--interaction", "V1", "--firth", "--approx",
+         "--ignore-pred", "--interaction", "V1", "--no-condtl", "--firth", "--approx",
          "--out", out],
         capture_output=True, text=True, cwd="/root/repo", env=env, timeout=900,
     )
@@ -45,7 +45,7 @@ def test_bt_interaction_rows_vs_oracle(bt_int_out):
         ["--step", "2", "--bed", f"{EX}/example",
          "--covarFile", f"{EX}/covariates.txt",
          "--phenoFile", f"{EX}/phenotype_bin.txt", "--bt", "--bsize", "250",
-         "--ignore-pred", "--interaction", "V1", "--out", "/tmp/x"]
+         "--ignore-pred", "--interaction", "V1", "--no-condtl", "--out", "/tmp/x"]
     )
     params = args_to_params(p)
     rd = prepare(params)
@@ -103,3 +103,24 @@ def test_bt_interaction_rows_vs_oracle(bt_int_out):
 def test_bt_interaction_row_count(bt_int_out):
     n = sum(1 for l in open(bt_int_out + "_Y2.regenie") if "INT" in l)
     assert n == 4000  # 4 interaction rows per SNP
+
+
+def test_condtl_categorical_docker_scenario(tmp_path):
+    """test_docker.sh interaction check: --interaction V5 (categorical)
+    in the default conditional mode gives 5 ADD-INT rows per SNP and a
+    -CONDTL marginal row."""
+    out = str(tmp_path / "iv5")
+    env = dict(os.environ)
+    env["REGENIE_TPU_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "regenie_tpu", "--step", "2",
+         "--bed", f"{EX}/example", "--covarFile", f"{EX}/covariates_wBin.txt",
+         "--phenoFile", f"{EX}/phenotype_bin.txt", "--bsize", "200",
+         "--force-qt", "--ignore-pred", "--covarColList", "V1,V5",
+         "--catCovarList", "V5", "--interaction", "V5", "--out", out],
+        capture_output=True, text=True, cwd="/root/repo", env=env, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    rows = [l for l in open(out + "_Y1.regenie") if l.startswith("1 1 ")]
+    assert sum("ADD-INT" in l for l in rows) == 5
+    assert any(l.split()[7] == "ADD-CONDTL" for l in rows)
