@@ -130,6 +130,16 @@ def prep_interaction(params: Params, pd, gd, log) -> InteractionState:
         st.E = (G * pd.ind_in_analysis)[:, None]
         st.interaction_snp_name = params.interaction_var
         st.lvl_names = [params.interaction_var]
+        # GxG automatically uses LTCO with the interaction SNP's
+        # chromosome (Regenie.cpp:622 w_ltco; Geno.cpp:4251)
+        if params.ltco_chr <= 0 and not params.skip_blups:
+            snp_chr = next(
+                (s.chrom for s in gd.snps if s.ID == params.interaction_var),
+                -1,
+            )
+            if snp_chr > 0:
+                params.ltco_chr = snp_chr
+                log(f"   -using LTCO scheme for chr {snp_chr} (interaction SNP)")
     else:
         # E from the covariate file: the column was excluded from new_cov
         # at read time and stashed on pd
