@@ -145,6 +145,17 @@ def prep_chromosome(params: Params, pd: PhenoData, blups: np.ndarray, log,
                 continue
             st.firth_offset[:, ph] = pd.new_cov @ bnull + blups[:, ph]
 
+            # --write-null-firth in step 2: persist the per-chromosome
+            # null coefficients (Data.cpp:2200-2215)
+            fh_map = getattr(params, "_null_firth_out", None)
+            if fh_map is not None and chrom is not None and ph in fh_map:
+                from ..prep import fmt as _fmt
+
+                fh_map[ph].write(
+                    f"{chrom} " + " ".join(_fmt(b) for b in bnull) + "\n"
+                )
+                fh_map[ph].flush()
+
     return st
 
 

@@ -688,6 +688,21 @@ def run_step2(params: Params, log=print) -> None:
     if params.use_null_firth:
         eng.null_firth_files = read_pred_list(params.use_null_firth)
 
+    # step-2 --write-null-firth: stream null Firth coefficients per
+    # chromosome so later runs can reuse them (Data.cpp:2200-2215)
+    if params.write_null_firth and params.trait_mode == BT and params.firth_approx:
+        import os as _os
+
+        fh_map = {}
+        with open_write(params.out_prefix + "_firth.list") as fl:
+            for ph, name in enumerate(pd.pheno_names):
+                if not pd.pheno_pass[ph]:
+                    continue
+                fpath = params.out_prefix + f"_{ph+1}.firth"
+                fh_map[ph] = open_write(fpath)
+                fl.write(f"{name} {fpath if params.use_rel_path else _os.path.abspath(fpath)}\n")
+        params._null_firth_out = fh_map
+
     if params.get_cor_mat:
         return run_ldcomp(params, eng, log)
 

@@ -198,3 +198,32 @@ def test_force_ltco(tmp_path):
     assert all(a[k] == b[k] for k in a if a[k].split()[0] == "2")
     changed = sum(1 for k in a if a[k].split()[0] != "2" and a[k] != b[k])
     assert changed > 90
+
+
+def test_step2_write_and_use_null_firth(tmp_path):
+    """Step-2 --write-null-firth streams per-chromosome null Firth
+    coefficients; reusing them via --use-null-firth gives the same
+    results to warm-start tolerance (Data.cpp:2200-2215)."""
+    base = ["--step", "2", "--bed", f"{EX}/example",
+            "--covarFile", f"{EX}/covariates.txt",
+            "--phenoFile", f"{EX}/phenotype_bin.txt", "--bt",
+            "--firth", "--approx", "--pThresh", "0.05", "--bsize", "500",
+            "--ignore-pred"]
+    run_cli(base + ["--write-null-firth", "--out", str(tmp_path / "w")],
+            cwd="/root/repo")
+    assert (tmp_path / "w_firth.list").exists()
+    first = open(tmp_path / "w_1.firth").readline().split()
+    assert first[0] == "1" and len(first) > 3
+    run_cli(base + ["--use-null-firth", str(tmp_path / "w_firth.list"),
+                    "--out", str(tmp_path / "u")], cwd="/root/repo")
+    import numpy as np
+
+    a = open(tmp_path / "w_Y1.regenie").read().splitlines()
+    b = open(tmp_path / "u_Y1.regenie").read().splitlines()
+    diffs = 0
+    for x, y in zip(a[1:], b[1:]):
+        if x != y:
+            diffs += 1
+            lx, ly = float(x.split()[11]), float(y.split()[11])
+            assert abs(lx - ly) < 1e-3
+    assert diffs < 100  # only warm-start tolerance effects
