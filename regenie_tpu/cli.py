@@ -185,6 +185,21 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--multiphen-firth-mult", type=float, default=1.0)
     g.add_argument("--multiphen-maxstep", type=float, default=200.0)
     g.add_argument("--multiphen-maxit", type=int, default=150)
+    g.add_argument("--multiphen-test", default="nocov_score_offset",
+                   help="accepted; the default score->LRT strategy is used")
+    g.add_argument("--multiphen-optim", default="WeightHalvingPseudo",
+                   help="accepted; damped Newton is used")
+    g.add_argument("--multiphen-trace", action="store_true", help="accepted no-op")
+    g.add_argument("--multiphen-verbose", type=int, default=0, help="accepted no-op")
+    g.add_argument("--multiphen-strict", action="store_true", help="accepted no-op")
+    g.add_argument("--multiphen-offset", default="offset_int", help="accepted no-op")
+    g.add_argument("--multiphen-approx-offset", type=int, default=-1,
+                   help="accepted; the LRT refits the exact full model")
+    g.add_argument("--multiphen-maxit2", type=int, default=5, help="accepted no-op")
+    g.add_argument("--multiphen-pseudo-stophalf", type=float, default=0.0,
+                   help="accepted no-op")
+    g.add_argument("--multiphen-reset-start", action="store_true",
+                   help="accepted no-op")
     g.add_argument("--mcc", action="store_true", help="MCC (DKAT) test for skewed QTs")
     g.add_argument("--mcc-skew", type=float, default=0.0)
     g.add_argument("--mcc-thr", type=float, default=0.01)
@@ -237,6 +252,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated rho grid for SKATO")
     gb.add_argument("--acat-beta", default=None, metavar="A1,A2",
                     help="Beta parameters for ACAT weights")
+    gb.add_argument("--sbat-napprox", type=int, default=5000,
+                    help="Monte-Carlo draws for SBAT chi-bar weights")
+    gb.add_argument("--sbat-adapt", action="store_true", help="accepted no-op")
+    gb.add_argument("--sbat-mtw", action="store_true", help="accepted no-op")
+    gb.add_argument("--sbat-verbose", action="store_true", help="accepted no-op")
     gb.add_argument("--joint-only", action="store_true",
                     help="only print joint-test results")
     gb.add_argument("--max-condition-vars", type=int, default=10000)
@@ -512,6 +532,7 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.skat_collapse_MAC = args.vc_MACthr
     params.n_chrom = args.nauto + 1
     params.seed = args.seed
+    params.sbat_napprox = args.sbat_napprox
     params.max_condition_vars = args.max_condition_vars
     params.p_joint_only = args.joint_only
     if args.skat_params:

@@ -112,7 +112,7 @@ def run_joint_tests(params: Params, eng, vset, built, writers, log):
                 ns = int(mask.sum()) - params.ncov_analyzed
                 df_ur = ns - df_test
                 if df_ur > 0:
-                    out = _sbat(Gt, yres * mask, df_ur, rng_seed=params.seed)
+                    out = _sbat(Gt, yres * mask, df_ur, rng_seed=params.seed, n_sims=params.sbat_napprox)
                     if out is not None:
                         lp_pos, lp_neg = out
                         lp = get_acat(np.array([lp_pos, lp_neg]))
@@ -307,7 +307,7 @@ def run_gene_p(params: Params, eng, vset, built, writers, log):
                     ns = int(mask.sum()) - params.ncov_analyzed
                     if df > 0 and ns - df > 0:
                         out = _sbat(Gm[:, piv], yres * mask, ns - df,
-                                    rng_seed=params.seed)
+                                    rng_seed=params.seed, n_sims=params.sbat_napprox)
                         if out is not None:
                             lp_p, lp_n = out
                             lp = get_acat(np.array([lp_p, lp_n]))
@@ -396,7 +396,7 @@ def _chibar_weights_mc(V, n_sims=5000, seed=1):
     return counts / n_sims
 
 
-def _sbat(Gt, y, df_ur, rng_seed=1):
+def _sbat(Gt, y, df_ur, rng_seed=1, n_sims=5000):
     """SBAT / NNLS joint burden test (compute_nnls, Joint_Tests.cpp:495;
     NNLS.cpp fit_nnls_sign + jburden_pchisq_bar).
 
@@ -414,7 +414,7 @@ def _sbat(Gt, y, df_ur, rng_seed=1):
     sigma2 = rss / df_ur
     V = sigma2 * np.linalg.pinv(XtX)
 
-    wts = _chibar_weights_mc(V, seed=rng_seed)
+    wts = _chibar_weights_mc(V, n_sims=n_sims, seed=rng_seed)
 
     def one_sided(sign):
         b = _nnls_kkt(XtX, sign * Xty)
