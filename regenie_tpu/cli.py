@@ -137,6 +137,18 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--nauto", type=int, default=22, help="number of autosomes")
     g.add_argument("--seed", type=int, default=1, help="RNG seed (SBAT MC weights)")
     g.add_argument("--nostream", action="store_true", help="no-op (streaming always on)")
+    g.add_argument("--force-impute", action="store_true",
+                   help="keep+impute missing QT observations in step 2")
+    g.add_argument("--t-test", action="store_true",
+                   help="t-distribution p-values for quantitative traits")
+    g.add_argument("--compute-all", action="store_true",
+                   help="store null Firth estimates for all chromosomes")
+    g.add_argument("--mse-full", action="store_true", help="accepted no-op")
+    g.add_argument("--hlm-novquad", action="store_true",
+                   help="accepted; the HLM variance model is (1,E) already")
+    g.add_argument("--skip-fast-firth", action="store_true",
+                   help="accepted; the exact Newton solver is always used")
+    g.add_argument("--skip-cf-burden", action="store_true", help="accepted no-op")
     g.add_argument("--exact-p", action="store_true",
                    help="uncapped p-values in HTP output")
     g.add_argument("--skip-test", action="store_true",
@@ -348,6 +360,10 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.min_homs = args.minHOMs
     params.min_case_count = args.minCaseCount
     params.uncapped_pvals = args.exact_p
+    if args.force_impute:
+        params.rm_missing_qt = False
+    params.t_test = args.t_test
+    params.compute_all_chr = args.compute_all
     params.skip_test = args.skip_test
     params.use_rel_path = args.use_relative_path
     params.htp_use_eventname = args.htp_with_event

@@ -191,6 +191,8 @@ class Params:
     acat_a2: float = 25.0
     p_joint_only: bool = False  # --joint-only (Regenie.cpp:486)
     sbat_napprox: int = 5000  # --sbat-napprox MC draws for chi-bar weights
+    t_test: bool = False  # --t-test (QT p via t-distribution)
+    compute_all_chr: bool = False  # --compute-all (Regenie.cpp:208)
     skato_rho: Optional[np.ndarray] = None  # default grid set in SKAT module
     joint_tests: List[str] = field(default_factory=list)  # --joint minp,acat,...
     aaf_file_wSingletons: bool = False  # --set-singletons (Regenie.cpp:238)

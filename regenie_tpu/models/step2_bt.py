@@ -151,10 +151,15 @@ def prep_chromosome(params: Params, pd: PhenoData, blups: np.ndarray, log,
             if fh_map is not None and chrom is not None and ph in fh_map:
                 from ..prep import fmt as _fmt
 
-                fh_map[ph].write(
-                    f"{chrom} " + " ".join(_fmt(b) for b in bnull) + "\n"
-                )
-                fh_map[ph].flush()
+                seen = getattr(params, "_null_firth_written", None)
+                if seen is None:
+                    seen = params._null_firth_written = set()
+                if (ph, chrom) not in seen:
+                    seen.add((ph, chrom))
+                    fh_map[ph].write(
+                        f"{chrom} " + " ".join(_fmt(b) for b in bnull) + "\n"
+                    )
+                    fh_map[ph].flush()
 
     return st
 

@@ -398,7 +398,15 @@ class Step2Engine:
                 G_res, jnp.asarray(self.res), self.maskf_j, self.scale_denom, self.strict
             )
             bhat, se, chisq = m2.finalize_qt(stats, denum, scale_fac, self.scf_sv, flipped)
-            logp = chisq_neglog10(chisq)
+            if params.t_test:
+                # --t-test: p from the t distribution with Neff-K-1 df
+                # (get_logp_ttest, Regenie.cpp:1827)
+                from .utils.stats import ttest_neglog10
+
+                df_t = pd.Neff - params.ncov_analyzed - 1
+                logp = ttest_neglog10(np.asarray(stats), df_t[None, :])
+            else:
+                logp = chisq_neglog10(chisq)
             test_fail = np.zeros((B, P), dtype=bool)
             if params.mcc_test:
                 from .models.mcc import apply_mcc_qt
@@ -702,6 +710,15 @@ def run_step2(params: Params, log=print) -> None:
                 fh_map[ph] = open_write(fpath)
                 fl.write(f"{name} {fpath if params.use_rel_path else _os.path.abspath(fpath)}\n")
         params._null_firth_out = fh_map
+        if params.compute_all_chr:
+            # --compute-all: prefit null Firth for every chromosome
+            # (get_firth_est_allChr, Data.cpp:2209)
+            for c in range(1, params.n_chrom + 1):
+                try:
+                    eng.prep_chrom(c)
+                except Exception as e:
+                    log(f"WARNING: null fit failed for chr {c}: {e}")
+            eng.cur_chrom = None  # force refit during the test loop
 
     if params.get_cor_mat:
         return run_ldcomp(params, eng, log)
