@@ -12,6 +12,7 @@ from typing import List, Optional
 
 import numpy as np
 
+from . import __version__
 from .config import BT, CT, QT, T2E, Params
 
 
@@ -143,7 +144,39 @@ def build_parser() -> argparse.ArgumentParser:
                    help="t-distribution p-values for quantitative traits")
     g.add_argument("--compute-all", action="store_true",
                    help="store null Firth estimates for all chromosomes")
-    g.add_argument("--mse-full", action="store_true", help="accepted no-op")
+    g.add_argument("--mse-full", action="store_true",
+                   help="use full-model MSE for the QT score-test variance")
+    g.add_argument("--prior-alpha", type=float, default=-1.0,
+                   help="alpha for the MAF-dependent prior on SNP effects (step 1)")
+    g.add_argument("--nocov-approx", action="store_true",
+                   help="skip adjusting genotypes for covariates in the score test")
+    g.add_argument("--forcein-vars", action="store_true",
+                   help="retain --extract variants absent from the genotype file "
+                        "in the LD matrix")
+    g.add_argument("--prs-cov", action="store_true",
+                   help="include step-1 predictions as a covariate rather than offset")
+    g.add_argument("--l1-full", action="store_true",
+                   help="use all samples for the final L1 logistic-LOOCV model")
+    g.add_argument("--print", dest="print_block_betas", action="store_true",
+                   help="print estimated effect sizes from level 0 and level 1 models")
+    g.add_argument("--t2e-event-l0", action="store_true",
+                   help="use event status as the level-0 response for T2E traits")
+    g.add_argument("--t2e-l1-pi6", action="store_true",
+                   help="heritability-based (pi^2/6) penalty grid for the T2E level 1")
+    g.add_argument("--select-l0", nargs="?", const="", default=None, metavar="FILE",
+                   help="file with p-values for each level-0 block "
+                        "(use as a flag with --test-l0)")
+    g.add_argument("--rm-l0-pct", type=float, default=0.0,
+                   help="remove the least x%% significant blocks from level-1 models")
+    g.add_argument("--within", action="store_true",
+                   help="accepted no-op (disabled upstream: within-sample L0 predictions)")
+    g.add_argument("--l0-event", action="store_true",
+                   help="accepted no-op (upstream parameter is never read)")
+    g.add_argument("--helpFull", action="help",
+                   help="print usage for all options")
+    g.add_argument("--version", action="version",
+                   version="regenie-tpu v" + __version__,
+                   help="print version number and exit")
     g.add_argument("--hlm-novquad", action="store_true",
                    help="accepted; the HLM variance model is (1,E) already")
     g.add_argument("--skip-fast-firth", action="store_true",
@@ -363,6 +396,20 @@ def args_to_params(args: argparse.Namespace) -> Params:
     if args.force_impute:
         params.rm_missing_qt = False
     params.t_test = args.t_test
+    params.alpha_prior = args.prior_alpha
+    params.skip_cov_res = args.nocov_approx
+    params.blup_cov = args.prs_cov
+    params.l1_full_samples = args.l1_full and args.bt and args.loocv
+    params.print_block_betas = args.print_block_betas
+    params.t2e_event_l0 = args.t2e_event_l0
+    params.t2e_l1_pi6 = args.t2e_l1_pi6
+    params.mse_full = args.mse_full
+    params.rm_l0_pct = args.rm_l0_pct
+    if args.select_l0 is not None:
+        params.select_l0 = True
+        params.l0_pvals_file = args.select_l0 or None
+    if args.rm_l0_pct and not (args.select_l0 is not None or args.test_l0):
+        raise SystemExit("ERROR: --rm-l0-pct requires --select-l0 or --test-l0")
     params.compute_all_chr = args.compute_all
     params.skip_test = args.skip_test
     params.use_rel_path = args.use_relative_path
@@ -603,6 +650,9 @@ def args_to_params(args: argparse.Namespace) -> Params:
     if args.compute_corr or args.output_corr_text:
         params.get_cor_mat = True
         params.ld_list_file = args.ld_extract
+        params.cormat_force_vars = bool(
+            (args.forcein_vars and args.extract) or args.ld_extract
+        )
         params.cor_out_txt = args.output_corr_text or args.skip_scaleG
         params.skip_scaleG = args.skip_scaleG
         params.ld_sparse_thr = args.ld_sparse_thr

@@ -193,6 +193,18 @@ class Params:
     sbat_napprox: int = 5000  # --sbat-napprox MC draws for chi-bar weights
     t_test: bool = False  # --t-test (QT p via t-distribution)
     compute_all_chr: bool = False  # --compute-all (Regenie.cpp:208)
+    alpha_prior: float = -1.0  # --prior-alpha MAF-dependent prior (Data.cpp:215)
+    skip_cov_res: bool = False  # --nocov-approx (Data.cpp:2513)
+    cormat_force_vars: bool = False  # --forcein-vars (Regenie.cpp:524)
+    blup_cov: bool = False  # --prs-cov: step-1 preds as covariate (Pheno.cpp:1786)
+    l1_full_samples: bool = False  # --l1-full (Data.cpp:1085)
+    print_block_betas: bool = False  # --print (Data.cpp:511)
+    t2e_event_l0: bool = False  # --t2e-event-l0 (Step1_Models.cpp:2259)
+    t2e_l1_pi6: bool = False  # --t2e-l1-pi6 (Step1_Models.cpp:2106)
+    select_l0: bool = False  # --select-l0 (Step1_Models.cpp:1989)
+    l0_pvals_file: Optional[str] = None  # --select-l0 FILE
+    rm_l0_pct: float = 0.0  # --rm-l0-pct (Step1_Models.cpp:2014)
+    mse_full: bool = False  # --mse-full QT variance adjustment (Step2_Models.cpp:434)
     skato_rho: Optional[np.ndarray] = None  # default grid set in SKAT module
     joint_tests: List[str] = field(default_factory=list)  # --joint minp,acat,...
     aaf_file_wSingletons: bool = False  # --set-singletons (Regenie.cpp:238)

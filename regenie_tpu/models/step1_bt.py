@@ -197,8 +197,16 @@ def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
     )
     if not ok:
         return None, False
-    b_loo = _loo_betas(X, y, pi, w, mask, beta, float(taus[best]))  # [F,N]
     predictions = np.zeros((N, len(chr_order)))
+    if params.l1_full_samples:
+        # --l1-full: use the full-sample fit directly instead of LOO betas
+        # (make_predictions_binary_loocv_full, Data.cpp:1429)
+        log("  * making predictions (using all samples)...")
+        for ci, c in enumerate(chr_order):
+            st_, nn = spans[c]
+            predictions[:, ci] = X[:, st_ : st_ + nn] @ beta[st_ : st_ + nn]
+        return predictions, True
+    b_loo = _loo_betas(X, y, pi, w, mask, beta, float(taus[best]))  # [F,N]
     for ci, c in enumerate(chr_order):
         st_, nn = spans[c]
         predictions[:, ci] = (X[:, st_ : st_ + nn] * b_loo[st_ : st_ + nn, :].T).sum(axis=1)

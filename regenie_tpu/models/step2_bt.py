@@ -78,7 +78,14 @@ def prep_chromosome(params: Params, pd: PhenoData, blups: np.ndarray, log,
             continue
         y = pd.phenotypes_raw[:, ph]
         mask = pd.masked_indivs[:, ph]
-        offset = blups[:, ph] * mask
+        if params.blup_cov:
+            # --prs-cov: the LOCO PRS fills the reserved covariate column
+            # and the offset is dropped (fit_null_logistic,
+            # Step1_Models.cpp:73-76)
+            pd.new_cov[:, -1] = blups[:, ph] * mask
+            offset = np.zeros(N)
+        else:
+            offset = blups[:, ph] * mask
 
         beta, ok = fit_logistic_irls(
             y, pd.new_cov, offset, mask, params.niter_max, params.numtol, True
@@ -143,7 +150,9 @@ def prep_chromosome(params: Params, pd: PhenoData, blups: np.ndarray, log,
                 log(f"WARNING: null Firth failed for '{pd.pheno_names[ph]}'")
                 pd.pheno_pass[ph] = False
                 continue
-            st.firth_offset[:, ph] = pd.new_cov @ bnull + blups[:, ph]
+            st.firth_offset[:, ph] = pd.new_cov @ bnull
+            if not params.blup_cov:  # PRS already inside new_cov otherwise
+                st.firth_offset[:, ph] += blups[:, ph]
 
             # --write-null-firth in step 2: persist the per-chromosome
             # null coefficients (Data.cpp:2200-2215)

@@ -12,7 +12,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from .config import QT, T2E, Params
+from .config import BT, QT, T2E, Params
 from .io.geno import GenoData, open_geno
 from .io.pheno import (
     PhenoData,
@@ -132,6 +132,23 @@ def prepare(params: Params, blup_pheno_names: Optional[List[str]] = None) -> Run
     pd.new_cov = basis * pd.ind_in_analysis[:, None]
     params.ncov = ncov
     params.ncov_analyzed = ncov
+
+    # --prs-cov: step-1 predictions enter as a covariate (check_cov_blup,
+    # Pheno.cpp:1786-1797). For BTs an extra column is reserved and filled
+    # per trait with the LOCO PRS during the null refits.
+    if params.blup_cov and params.test_mode:
+        if params.trait_mode == BT:
+            pd.new_cov = np.hstack([pd.new_cov, np.zeros((pd.new_cov.shape[0], 1))])
+            params.ncov = pd.new_cov.shape[1]
+            params.ncov_analyzed = params.ncov
+        else:
+            params.ncov_analyzed = params.ncov + 1
+
+    # --nocov-approx: only valid for a single phenotype (Pheno.cpp:1119)
+    if params.skip_cov_res and params.n_pheno != 1:
+        params.skip_cov_res = False
+        print(" WARNING: --nocov-approx is only available with a single "
+              "phenotype; ignoring it.")
 
     # residualize+scale phenotypes: always for QT; for non-QT only in step 1
     if params.trait_mode == QT or not params.test_mode:

@@ -111,6 +111,9 @@ def run_step1(params: Params, log=print) -> None:
     from .utils.stats import usage_info_line
     log(usage_info_line(params))
     log(f" * # blocks: [{params.total_n_block}] for {params.n_variants} variants")
+    if params.alpha_prior != -1:
+        log(" * applying a MAF dependent prior to the SNP effect sizes in "
+            f"level 0 models (alpha={fmt(params.alpha_prior)})")
     log(f" * # CV folds: [{params.n_analyzed if params.use_loocv else params.cv_folds}]")
     log(f" * ridge data_l0: [ {params.n_ridge_l0} : " + " ".join(fmt(x) for x in h_l0) + " ]")
     log(f" * ridge data_l1: [ {params.n_ridge_l1} : " + " ".join(fmt(x) for x in h_l1) + " ]")
@@ -232,6 +235,15 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
         if not np.all(np.asarray(scale_G) > params.numtol):
             bad = bsnps[int(np.argmin(np.asarray(scale_G)))].ID
             raise ValueError(f"SNP {bad} has low variance in step 1 block")
+        if params.alpha_prior != -1:
+            # MAF-dependent prior on effect sizes: scale each SNP row by
+            # [p(1-p)]^((1+alpha)/2) (residualize_genotypes, Data.cpp:215)
+            valid = (G_raw != -3) & pd.ind_in_analysis[None, :]
+            total = np.where(valid, G_raw, 0).sum(axis=1, dtype=np.float64)
+            af = total / (2.0 * valid.sum(axis=1))
+            G = G * jnp.asarray(
+                (af * (1.0 - af)) ** (0.5 * (params.alpha_prior + 1.0))
+            )[:, None]
         if params.test_l0:
             # pre-screen: drop SNPs picked as top hits for ALL traits
             # (test_assoc_block, Step1_Models.cpp:1868)

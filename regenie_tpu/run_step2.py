@@ -211,7 +211,17 @@ class Step2Engine:
                         )
                     blups[:, ph] -= self._ltco_prs[ph]
         if params.trait_mode == QT:
-            res = (pd.phenotypes - blups) * pd.masked_indivs
+            if params.blup_cov:
+                # --prs-cov: project the PRS out by a per-trait LM fit
+                # instead of the unit-slope offset (get_lm_resid,
+                # Pheno.cpp:1854)
+                denom = (blups**2).sum(axis=0)
+                beta_lm = np.where(
+                    denom > 0, (blups * pd.phenotypes).sum(axis=0) / np.where(denom > 0, denom, 1.0), 0.0
+                )
+                res = (pd.phenotypes - blups * beta_lm[None, :]) * pd.masked_indivs
+            else:
+                res = (pd.phenotypes - blups) * pd.masked_indivs
             # two-stage RINT of residuals (Sofer et al. 2020;
             # residualize_res, Data.cpp:2408-2425)
             if params.rerint or params.rerint_cov:
@@ -391,13 +401,29 @@ class Step2Engine:
         self.n_ignored += int(ignored.sum())
 
         if params.trait_mode == QT:
-            G_res, scale_fac, low_var = m2.residualize_scale_block(
-                jnp.asarray(G), self.cov_j, self.scale_denom
-            )
+            if params.skip_cov_res:
+                # --nocov-approx: keep G unadjusted, scale_fac=1
+                # (residualize_geno skipped, Data.cpp:2513)
+                G_res = jnp.asarray(G)
+                scale_fac = np.ones(B)
+                low_var = np.zeros(B, dtype=bool)
+            else:
+                G_res, scale_fac, low_var = m2.residualize_scale_block(
+                    jnp.asarray(G), self.cov_j, self.scale_denom
+                )
             stats, denum = m2.score_qt_block(
                 G_res, jnp.asarray(self.res), self.maskf_j, self.scale_denom, self.strict
             )
             bhat, se, chisq = m2.finalize_qt(stats, denum, scale_fac, self.scf_sv, flipped)
+            if params.mse_full:
+                # full-model MSE: Var(y|g) shrinks by the SNP's own fit
+                # (compute_score_qt tail, Step2_Models.cpp:434-440)
+                nk = params.n_analyzed - params.ncov_analyzed
+                adj = (nk - np.asarray(stats) ** 2) / (nk - 1.0)
+                adj = np.maximum(adj, 1e-12)
+                stats = np.asarray(stats) / np.sqrt(adj)
+                chisq = chisq / adj
+                se = se * np.sqrt(adj)
             if params.t_test:
                 # --t-test: p from the t distribution with Neff-K-1 df
                 # (get_logp_ttest, Regenie.cpp:1827)
@@ -893,6 +919,7 @@ def run_ldcomp(params: Params, eng: Step2Engine, log=print) -> None:
     # (check_ld_list, Geno.cpp:1442-1495)
     names: List[str] = []
     cols: List[np.ndarray] = []
+    absent: List[str] = []  # --forcein-vars: kept as zero vectors
     if params.ld_list_file:
         id_to_snp = {s.ID: s for s in gd.snps}
         want_masks: Dict[str, List[str]] = {}
@@ -914,9 +941,15 @@ def run_ldcomp(params: Params, eng: Step2Engine, log=print) -> None:
             from .run_genebased import build_requested_masks
 
             mask_vecs = build_requested_masks(params, eng, want_masks, log)
+        zero = np.zeros(params.n_samples)
         for kind, name in order:
             if kind == "sv":
                 if name not in id_to_snp:
+                    # forced-in absent variant: zero column in the LD
+                    # matrix (get_G_indices, Data.cpp:3850-3860)
+                    names.append(name)
+                    cols.append(zero)
+                    absent.append(name)
                     continue
                 g = gd.read_block_scattered([id_to_snp[name]]).astype(np.float64)[0]
                 names.append(name)
@@ -925,7 +958,33 @@ def run_ldcomp(params: Params, eng: Step2Engine, log=print) -> None:
                 if name in mask_vecs:
                     names.append(name)
                     cols.append(mask_vecs[name])
+                else:
+                    names.append(name)
+                    cols.append(zero)
+                    absent.append(name)
         G = np.stack(cols) if cols else np.zeros((0, params.n_samples))
+    elif params.cormat_force_vars and params.extract_files:
+        # --forcein-vars + --extract: LD matrix follows the extract-file
+        # order; listed variants absent from the genotype data stay in as
+        # zero vectors (check_in_map_from_files, Geno.cpp:1343-1380)
+        id_to_snp = {s.ID: s for s in gd.snps}
+        seen = set()
+        order_ids: List[str] = []
+        for toks in iter_lines(params.extract_files[0]):
+            if not toks or toks[0] in seen:
+                continue
+            seen.add(toks[0])
+            order_ids.append(toks[0])
+        present = [n for n in order_ids if n in id_to_snp]
+        Gp = gd.read_block_scattered([id_to_snp[n] for n in present]).astype(np.float64)
+        prow = {n: i for i, n in enumerate(present)}
+        G = np.zeros((len(order_ids), params.n_samples))
+        for i, n in enumerate(order_ids):
+            if n in prow:
+                G[i] = Gp[prow[n]]
+            else:
+                absent.append(n)
+        names = order_ids
     else:
         snps = gd.snps
         names = [s.ID for s in snps]
@@ -947,6 +1006,13 @@ def run_ldcomp(params: Params, eng: Step2Engine, log=print) -> None:
     with open_write(params.out_prefix + ".corr.snplist") as fh:
         for nm in names:
             fh.write(nm + "\n")
+    if absent:
+        log(" WARNING: there were variants/masks not found in the data; "
+            "these were kept in the LD matrix.\n  + list is written to "
+            f"[{params.out_prefix}.corr.forcedIn.snplist]")
+        with open_write(params.out_prefix + ".corr.forcedIn.snplist") as fh:
+            for nm in absent:
+                fh.write(nm + "\n")
 
     if not params.skip_scaleG:
         sds = np.sqrt(np.where(np.diag(LD) <= 0, params.numtol, np.diag(LD)))
