@@ -182,11 +182,13 @@ def fit_null_offsets(params: Params, pd: PhenoData) -> np.ndarray:
     return offsets
 
 
-def level1_nonqt(params, pd, W_all, offsets, taus, ph, chr_order, spans, fold_sizes, log):
+def level1_nonqt(params, pd, W_all, offsets, taus, ph, chr_order, spans,
+                 fold_sizes, log, ridge_mult=None):
     """Level-1 ridge for non-QT traits. Implemented in models/step1_bt.py;
     imported lazily to keep module load light."""
     from . import step1_bt
 
     return step1_bt.level1_nonqt(
-        params, pd, W_all, offsets, taus, ph, chr_order, spans, fold_sizes, log
+        params, pd, W_all, offsets, taus, ph, chr_order, spans, fold_sizes, log,
+        ridge_mult=ridge_mult,
     )

@@ -190,7 +190,8 @@ def level0_loocv_block(G, Y, mask, lambdas, Neff):
 # ---------------------------------------------------------------------------
 
 @jax.jit
-def level1_linear_kfold(W_folds, Y_folds, valid, taus):
+def level1_linear_kfold(W_folds, Y_folds, valid, taus, pgs_folds=None,
+                        ridge_mult=None):
     """Level-1 linear ridge with K-fold CV for ONE phenotype
     (ridge_level_1, Step1_Models.cpp:772-870).
 
@@ -198,11 +199,16 @@ def level1_linear_kfold(W_folds, Y_folds, valid, taus):
     Y_folds: [K, nmax]     residualized phenotype by fold
     valid:   [K, nmax]     padding mask
     taus:    [T] ridge penalties
+    pgs_folds: [K, nmax] --test-l0 top-SNP PGS, removed from the response
+    ridge_mult: [F] per-column penalty multiplier (--select-l0; matches
+      the reference's eigenvalue-aligned shortcut, Step1_Models.cpp:833)
     Returns (beta [K, T, F] per-fold solutions, cumsum [5, T] CV metrics
-    Sx, Sy, Sx2, Sy2, Sxy over held-out folds).
+    Sx, Sy, Sx2, Sy2, Sxy over held-out folds[, cumsum_full [5, T] with
+    the PGS added back, vs the original response]).
     """
     Wv = W_folds * valid[:, :, None]
-    Yv = Y_folds * valid
+    Yv_orig = Y_folds * valid
+    Yv = (Y_folds - pgs_folds) * valid if pgs_folds is not None else Yv_orig
     XtX_f = jnp.einsum("knf,kng->kfg", Wv, Wv, precision=_PREC)  # [K,F,F]
     XtY_f = jnp.einsum("knf,kn->kf", Wv, Yv, precision=_PREC)  # [K,F]
     XtX = XtX_f.sum(axis=0)
@@ -212,7 +218,10 @@ def level1_linear_kfold(W_folds, Y_folds, valid, taus):
     X2 = XtY[None] - XtY_f  # [K,F]
     d, V = jnp.linalg.eigh(X1)  # [K,F]
     VtX2 = jnp.einsum("kfg,kf->kg", V, X2, precision=_PREC)  # [K,F]
-    inv = 1.0 / (d[:, None, :] + taus[None, :, None])  # [K,T,F]
+    if ridge_mult is None:
+        inv = 1.0 / (d[:, None, :] + taus[None, :, None])  # [K,T,F]
+    else:
+        inv = 1.0 / (d[:, None, :] + taus[None, :, None] * ridge_mult[None, None, :])
     beta = jnp.einsum("kfg,ktg,kg->ktf", V, inv, VtX2, precision=_PREC)  # [K,T,F]
 
     # held-out predictions and CV metrics
@@ -222,42 +231,76 @@ def level1_linear_kfold(W_folds, Y_folds, valid, taus):
     Sx2 = (p1**2).sum(axis=(0, 1))
     Sy2 = jnp.broadcast_to((Yv**2).sum(), Sx.shape)
     Sxy = (p1 * Yv[:, :, None]).sum(axis=(0, 1))
-    return beta, jnp.stack([Sx, Sy, Sx2, Sy2, Sxy])
+    cs = jnp.stack([Sx, Sy, Sx2, Sy2, Sxy])
+    if pgs_folds is None:
+        return beta, cs
+    pf = p1 + (pgs_folds * valid)[:, :, None]
+    fSx = pf.sum(axis=(0, 1))
+    fSy = jnp.broadcast_to(Yv_orig.sum(), Sx.shape)
+    fSx2 = (pf**2).sum(axis=(0, 1))
+    fSy2 = jnp.broadcast_to((Yv_orig**2).sum(), Sx.shape)
+    fSxy = (pf * Yv_orig[:, :, None]).sum(axis=(0, 1))
+    return beta, cs, jnp.stack([fSx, fSy, fSx2, fSy2, fSxy])
 
 
 @jax.jit
-def level1_linear_loocv(W, Y, taus, neff_m_ncov):
+def level1_linear_loocv(W, Y, taus, neff_m_ncov, pgs=None, ridge_mult=None):
     """Level-1 linear ridge LOOCV for ONE phenotype
     (ridge_level_1_loocv, Step1_Models.cpp:875-962).
 
     W: [N, F]; Y: [N]; taus: [T]; neff_m_ncov: Neff - ncov (for Sy2).
-    Returns cumsum [5, T] metrics (Sy=0 by centering; Sy2 = neff-ncov).
+    pgs: [N] --test-l0 top-SNP PGS removed from the response
+    (Step1_Models.cpp:914); ridge_mult: [F] per-column penalty multiplier
+    (--select-l0, eigenvalue-aligned as in Step1_Models.cpp:934).
+    Returns cumsum [5, T] metrics (Sy=0 by centering; Sy2 = neff-ncov),
+    plus cumsum_full [5, T] when pgs is given.
     """
+    Yfit = Y - pgs if pgs is not None else Y
     xtx = mm(W.T, W)
     d, V = jnp.linalg.eigh(xtx)
-    zvec = mm(V.T, mm(W.T, Y[:, None]))[:, 0]  # [F]
+    zvec = mm(V.T, mm(W.T, Yfit[:, None]))[:, 0]  # [F]
     tmp = mm(W, V)  # [N,F]
-    inv = 1.0 / (d[None, :] + taus[:, None])  # [T,F]
+    if ridge_mult is None:
+        inv = 1.0 / (d[None, :] + taus[:, None])  # [T,F]
+    else:
+        inv = 1.0 / (d[None, :] + taus[:, None] * ridge_mult[None, :])
     cal = mm(tmp**2, inv.T)  # [N,T]
     pred = mm(tmp, (inv * zvec[None, :]).T)  # [N,T]
-    pred = (pred - cal * Y[:, None]) / (1.0 - cal)
+    pred = (pred - cal * Yfit[:, None]) / (1.0 - cal)
     Sx = pred.sum(axis=0)
     Sy = jnp.zeros_like(Sx)
     Sx2 = (pred**2).sum(axis=0)
-    Sy2 = jnp.broadcast_to(neff_m_ncov, Sx.shape)
-    Sxy = (pred * Y[:, None]).sum(axis=0)
-    return jnp.stack([Sx, Sy, Sx2, Sy2, Sxy])
+    if pgs is not None:
+        # (Y-PGS) is no longer standardized (Step1_Models.cpp:946)
+        Sy2 = jnp.broadcast_to((Yfit**2).sum(), Sx.shape)
+    else:
+        Sy2 = jnp.broadcast_to(neff_m_ncov, Sx.shape)
+    Sxy = (pred * Yfit[:, None]).sum(axis=0)
+    cs = jnp.stack([Sx, Sy, Sx2, Sy2, Sxy])
+    if pgs is None:
+        return cs
+    pf = pred + pgs[:, None]
+    fSx = pf.sum(axis=0)
+    fSy = jnp.broadcast_to(Y.sum(), Sx.shape)
+    fSx2 = (pf**2).sum(axis=0)
+    fSy2 = jnp.broadcast_to((Y**2).sum(), Sx.shape)
+    fSxy = (pf * Y[:, None]).sum(axis=0)
+    return cs, jnp.stack([fSx, fSy, fSx2, fSy2, fSxy])
 
 
 @jax.jit
-def level1_linear_full_fit_loocv(W, Y, tau):
+def level1_linear_full_fit_loocv(W, Y, tau, ridge_mult=None):
     """Whole-data ridge refit + per-sample LOO betas for LOCO predictions
-    (make_predictions_loocv, Data.cpp:1269-1345).
+    (make_predictions_loocv, Data.cpp:1269-1345; per-column penalty
+    diagonal when --select-l0 is active, Data.cpp:1297).
 
     Returns b0: [F, N] per-left-out-sample coefficient vectors.
     """
     F = W.shape[1]
-    xtx = mm(W.T, W) + tau * jnp.eye(F, dtype=W.dtype)
+    if ridge_mult is None:
+        xtx = mm(W.T, W) + tau * jnp.eye(F, dtype=W.dtype)
+    else:
+        xtx = mm(W.T, W) + jnp.diag(tau * ridge_mult)
     d, V = jnp.linalg.eigh(xtx)
     tmpMat = mm(V / d[None, :], V.T)  # (X'X+tau I)^-1
     zvec = mm(W.T, Y[:, None])[:, 0]
@@ -283,6 +326,67 @@ def cv_rsq(cumsum: np.ndarray, neff: float) -> np.ndarray:
     return num**2 / den
 
 
+def check_l0_selection(params, pv, log, silent=False):
+    """--select-l0 / --rm-l0-pct level-0 block selection for one trait
+    (check_l0, Step1_Models.cpp:1989-2065).
+
+    pv: [NB] -log10 p per level-0 block (larger = stronger association).
+    Returns (colkeep [NB*J] bool, ridge_mult [NB*J]): with --rm-l0-pct
+    the least significant x% of blocks lose all their J predictors;
+    otherwise strongly-associated blocks (Beta order-statistic outliers)
+    keep only their min-shrinkage column, unpenalized (mult=0).
+    """
+    J = params.n_ridge_l0
+    NB = len(pv)
+    colkeep = np.ones(NB * J, dtype=bool)
+    mult = np.ones(NB * J)
+    qv = np.sort(np.asarray(pv, dtype=np.float64))
+    if not silent:
+        log("   -checking level 0 predictors for strength of associations "
+            "with phenotype...")
+    if params.rm_l0_pct != 0:
+        n_rm = int(NB * (params.rm_l0_pct / 100.0))
+        if n_rm >= NB:
+            raise ValueError("invalid proportion specified for --rm-l0-pct")
+        if not silent:
+            log(f"   -removing the least {params.rm_l0_pct}% significant "
+                "block level 0 predictors...")
+        if n_rm >= 1:
+            thr = qv[n_rm - 1]
+            for i in range(NB):
+                if pv[i] <= thr:
+                    colkeep[i * J : (i + 1) * J] = False
+        return colkeep, mult
+
+    # adaptive: kth order statistic of U(0,1) p-values is Beta(k, NB-k)
+    from scipy.stats import beta as _beta
+
+    conf_alpha = 0.05 / NB
+    thr = qv[NB - 1] + 1e-6
+    for i in range(NB - 1):
+        beta_q = -np.log10(_beta.ppf(conf_alpha / 2.0, i + 1, NB - i - 1))
+        if (qv[NB - i - 1] < beta_q) or (i == NB - 2):
+            if i > 0:
+                thr = qv[NB - i]
+            break
+    ntop = int(np.ceil(0.05 * NB))
+    q1, q2 = NB // 4, NB // 2
+    q3 = q1 + q2
+    if (pv >= thr).sum() >= ntop:
+        iqr = qv[q3] - qv[q1]
+        thr = max(thr, qv[q3] + 3 * iqr)
+    if (pv >= thr).sum() >= ntop:
+        thr = qv[NB - ntop]
+    if not silent:
+        log(f"   -{int((pv >= thr).sum())}/{NB} blocks selected "
+            f"(Upper bound = {thr:.6g})...")
+    for i in range(NB):
+        if pv[i] >= thr:  # keep only the last (min shrinkage) ridge column
+            colkeep[i * J : (i + 1) * J - 1] = False
+            mult[(i + 1) * J - 1] = 0.0
+    return colkeep, mult
+
+
 def test_l0_block(params, Gn, Y, nspns_prev, log):
     """--test-l0 pre-screen (test_assoc_block + apply_iter_cond,
     Step1_Models.cpp:1868/2133): per phenotype, iteratively pick the top
@@ -293,15 +397,19 @@ def test_l0_block(params, Gn, Y, nspns_prev, log):
 
     Gn: [B, N] residualized+scaled genotypes (GtG diag = N - K);
     Y: [N, P] residualized+scaled phenotypes.
-    Returns (picked [B, P] bool, n_picked [P])."""
+    Returns (picked [B, P] bool, n_picked [P], pgs [N, P]) where pgs is
+    the block's top-SNP polygenic score per trait (block_top_pgs,
+    Step1_Models.cpp:2143/2171), later added back to the LOCO
+    predictions and removed from the level-1 response."""
     from scipy.stats import chi2 as _chi2
 
     B = Gn.shape[0]
     P = Y.shape[1]
     picked = np.zeros((B, P), dtype=bool)
     n_picked = np.zeros(P, dtype=int)
+    pgs = np.zeros((Gn.shape[1], P))
     if params.l0_snp_pval_thr <= 0 or B == 1:
-        return picked, n_picked
+        return picked, n_picked, pgs
     thr = _chi2.isf(params.l0_snp_pval_thr, df=1)
     GGt = Gn @ Gn.T
     GtY = Gn @ Y  # [B, P]
@@ -329,6 +437,7 @@ def test_l0_block(params, Gn, Y, nspns_prev, log):
             top.append(idx)
             picked[idx, ph] = True
             n_picked[ph] += 1
+            pgs[:, ph] += Gn[idx] * bvec[k]  # conditional beta at pick time
             # drop high-LD partners of the pick
             picked[:, ph] |= LD[:, idx] > 0.9
             cand = np.flatnonzero(~picked[:, ph])
@@ -344,4 +453,4 @@ def test_l0_block(params, Gn, Y, nspns_prev, log):
                 ggt - nprev - n_picked[ph] - 1
             )
             v_beta = (ggt - (X21 * GGt[np.ix_(cand, top)]).sum(axis=1)) / ggt**2
-    return picked, n_picked
+    return picked, n_picked, pgs

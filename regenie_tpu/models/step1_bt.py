@@ -39,7 +39,7 @@ def run_log_ridge(
     beta = beta0.copy()
     eta = offset + X @ beta
     pi = get_pvec(eta)
-    fn_start = get_logist_dev(y, pi, mask) + tau * (beta**2).sum()
+    fn_start = get_logist_dev(y, pi, mask) + float(np.sum(tau * beta**2))
     w = np.where(mask, pi * (1 - pi), 1.0)
     w = np.where(mask & ((pi < L1_RIDGE_EPS) | (pi > 1 - L1_RIDGE_EPS)), w, w)
     score = X.T @ np.where(mask, y - pi, 0.0) - tau * beta
@@ -51,7 +51,7 @@ def run_log_ridge(
     F = X.shape[1]
     while niter_cur < niter_max:
         niter_cur += 1
-        XtWX = tau * np.eye(F) + (X.T * (maskf * w)) @ X
+        XtWX = np.diag(tau * np.ones(F)) + (X.T * (maskf * w)) @ X
         try:
             step = np.linalg.solve(XtWX, score)
         except np.linalg.LinAlgError:
@@ -60,7 +60,7 @@ def run_log_ridge(
             betanew = beta + step
             eta = offset + X @ betanew
             pi = get_pvec(eta)
-            fn_end = get_logist_dev(y, pi, mask) + tau * (betanew**2).sum()
+            fn_end = get_logist_dev(y, pi, mask) + float(np.sum(tau * betanew**2))
             w = np.where(mask, pi * (1 - pi), 1.0)
             if fn_end < fn_start + numtol:
                 break
@@ -80,7 +80,7 @@ def _loo_betas(X, y, pi, w, mask, beta, tau):
     (ridge_logistic_level_1_loocv, Step1_Models.cpp:1238-1262)."""
     maskf = mask.astype(np.float64)
     F = X.shape[1]
-    XtWX = tau * np.eye(F) + (X.T * (maskf * w)) @ X
+    XtWX = np.diag(tau * np.ones(F)) + (X.T * (maskf * w)) @ X
     V1 = np.linalg.solve(XtWX, X.T)  # [F,N]
     v2 = (X * V1.T).sum(axis=1) * w  # [N]
     b_loo = beta[:, None] - V1 * ((y - pi) / (1 - v2))[None, :]
@@ -108,7 +108,7 @@ def run_ct_ridge(
             return beta, mu, mu, False
         z = np.where(mask, (eta - offset) + (y - mu) / mu, 0.0)
         XtW = X.T * (maskf * mu)
-        XtWX = tau * np.eye(F) + XtW @ X
+        XtWX = np.diag(tau * np.ones(F)) + XtW @ X
         try:
             betanew = np.linalg.solve(XtWX, XtW @ z)
         except np.linalg.LinAlgError:
@@ -122,18 +122,29 @@ def run_ct_ridge(
     return beta, mu, mu, False
 
 
-def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans, fold_sizes, log):
+def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
+                 fold_sizes, log, ridge_mult=None):
     """Level-1 ridge for one non-QT trait; returns (predictions [N, C],
-    converged)."""
+    converged). ridge_mult: [F] per-column penalty multiplier
+    (--select-l0 adaptive selection; BT LOOCV only)."""
     if params.trait_mode == CT:
+        if ridge_mult is not None:
+            raise NotImplementedError(
+                "--select-l0 adaptive selection is not supported for CT level 1")
         return _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log)
     from ..config import T2E
 
     if params.trait_mode == T2E:
-        return _level1_t2e(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log)
+        if ridge_mult is not None:
+            raise NotImplementedError(
+                "--select-l0 adaptive selection is not supported for T2E level 1")
+        return _level1_t2e(params, pd, W_all, offsets, taus, ph, chr_order, spans, fold_sizes, log)
     if params.trait_mode != BT:
         raise NotImplementedError("only BT/CT level-1 implemented so far")
     if fold_sizes is not None:
+        if ridge_mult is not None:
+            raise NotImplementedError(
+                "--select-l0 adaptive selection needs LOOCV for BT level 1")
         return _level1_glm_kfold(
             params, pd, W_all, offsets, np.asarray(taus, dtype=np.float64), ph,
             chr_order, spans, fold_sizes, log, poisson=False,
@@ -146,28 +157,31 @@ def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
     N, F = X.shape
     neff = pd.Neff[ph]
 
+    def tau_eff(tau):
+        return float(tau) if ridge_mult is None else float(tau) * ridge_mult
+
     # CV over tau grid: warm-started penalized fits + closed-form LOO
     cumsum = np.zeros((6, len(taus)))
     beta = np.zeros(F)
     not_converged = False
     for j, tau in enumerate(taus):
         beta, pi, w, ok = run_log_ridge(
-            y, X, offset, mask, float(tau), beta, params.niter_max_ridge,
+            y, X, offset, mask, tau_eff(tau), beta, params.niter_max_ridge,
             params.niter_max_line_search, params.numtol,
         )
         if not ok:
             # ADAM pre-pass fallback (run_log_ridge_loocv_adam,
             # Step1_Models.cpp:1377) then retry Newton
-            b_adam = _adam_log_ridge(y, X, offset, mask, float(tau), beta)
+            b_adam = _adam_log_ridge(y, X, offset, mask, tau_eff(tau), beta)
             beta, pi, w, ok = run_log_ridge(
-                y, X, offset, mask, float(tau), b_adam, params.niter_max_ridge,
+                y, X, offset, mask, tau_eff(tau), b_adam, params.niter_max_ridge,
                 params.niter_max_line_search, params.numtol,
             )
         if not ok:
             log("WARNING: ridge logistic regression did not converge! (Increase --niter)")
             not_converged = True
             break
-        b_loo = _loo_betas(X, y, pi, w, mask, beta, float(tau))
+        b_loo = _loo_betas(X, y, pi, w, mask, beta, tau_eff(tau))
         eta_loo = (X * b_loo.T).sum(axis=1) + offset
         p1 = 1.0 - 1.0 / (np.exp(np.clip(eta_loo, -30, 30)) + 1.0)
         p1 = np.clip(p1, L1_RIDGE_EPS, 1 - L1_RIDGE_EPS)
@@ -192,7 +206,7 @@ def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
     # final fit at best tau + LOO predictions per chromosome
     beta = np.zeros(F)
     beta, pi, w, ok = run_log_ridge(
-        y, X, offset, mask, float(taus[best]), beta, params.niter_max_ridge,
+        y, X, offset, mask, tau_eff(taus[best]), beta, params.niter_max_ridge,
         params.niter_max_line_search, params.numtol,
     )
     if not ok:
@@ -206,7 +220,7 @@ def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
             st_, nn = spans[c]
             predictions[:, ci] = X[:, st_ : st_ + nn] @ beta[st_ : st_ + nn]
         return predictions, True
-    b_loo = _loo_betas(X, y, pi, w, mask, beta, float(taus[best]))  # [F,N]
+    b_loo = _loo_betas(X, y, pi, w, mask, beta, tau_eff(taus[best]))  # [F,N]
     for ci, c in enumerate(chr_order):
         st_, nn = spans[c]
         predictions[:, ci] = (X[:, st_ : st_ + nn] * b_loo[st_ : st_ + nn, :].T).sum(axis=1)
@@ -412,7 +426,7 @@ def _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log
     return predictions, True
 
 
-def _level1_t2e(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log):
+def _level1_t2e(params, pd, W_all, offsets, taus, ph, chr_order, spans, fold_sizes, log):
     """Level-1 Cox ridge with K-fold CV (ridge_cox_level_1,
     Step1_Models.cpp:2228): per-fold lambda-path fits with warm starts,
     deviance evaluated on the held-out fold, per-fold predictions."""
@@ -421,6 +435,9 @@ def _level1_t2e(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, lo
 
     ename = params.t2e_map[pd.pheno_names[ph]]
     ei = pd.pheno_names.index(ename)
+    # --t2e-event-l0: the event column's level-0 predictions feed level 1
+    # (l0_idx = event_index, Step1_Models.cpp:2259)
+    l0_idx = ei if params.t2e_event_l0 else ph
     time = pd.phenotypes_raw[:, ph]
     status = pd.phenotypes_raw[:, ei]
     mask = pd.masked_indivs[:, ph]
@@ -431,22 +448,27 @@ def _level1_t2e(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, lo
 
     # sample-major W
     if W_all.ndim == 4:
-        pieces = [W_all[k, : int(fold_sizes[k]), :, ph] for k in range(K)]
+        pieces = [W_all[k, : int(fold_sizes[k]), :, l0_idx] for k in range(K)]
         X = np.concatenate(pieces, axis=0)
     else:
-        X = W_all[:, :, ph]
+        X = W_all[:, :, l0_idx]
     F = X.shape[1]
 
-    # lambda_max from gradient at beta=0 (getCoxLambdaMax, Step1_Models.cpp:446)
-    sd_all = SurvivalData()
-    sd_all.setup(time, status, mask, norm_weights=True)
-    cr0 = CoxRidge(sd_all, X, offset, mask, 0.0, params.niter_max,
-                   params.niter_max_line_search, 2.5e-4)
-    grad, _ = cr0._grad(cr0.eta, sd_all.to_order(cr0.eta))
-    lambda_max = np.abs(X.T @ grad).max() / 1e-3
-    # tau grid: exp-spaced from lambda_max down by 1e-6 (Step1_Models.cpp:2112)
-    idx = np.arange(ntau, dtype=np.float64)
-    taus_t2e = np.exp(idx / (ntau - 1) * np.log(1e-6) + np.log(lambda_max))
+    if params.t2e_l1_pi6:
+        # --t2e-l1-pi6: heritability-based penalty grid F*(1-h)/h * 6/pi^2
+        # (Step1_Models.cpp:2106-2110)
+        taus_t2e = np.asarray(taus, dtype=np.float64) * 6.0 / (np.pi**2)
+    else:
+        # lambda_max from gradient at beta=0 (getCoxLambdaMax, Step1_Models.cpp:446)
+        sd_all = SurvivalData()
+        sd_all.setup(time, status, mask, norm_weights=True)
+        cr0 = CoxRidge(sd_all, X, offset, mask, 0.0, params.niter_max,
+                       params.niter_max_line_search, 2.5e-4)
+        grad, _ = cr0._grad(cr0.eta, sd_all.to_order(cr0.eta))
+        lambda_max = np.abs(X.T @ grad).max() / 1e-3
+        # tau grid: exp-spaced from lambda_max down by 1e-6 (Step1_Models.cpp:2112)
+        idx = np.arange(ntau, dtype=np.float64)
+        taus_t2e = np.exp(idx / (ntau - 1) * np.log(1e-6) + np.log(lambda_max))
 
     # fold ids (contiguous sample ranges)
     fold_id = np.zeros(N, dtype=int)

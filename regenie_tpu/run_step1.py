@@ -245,16 +245,20 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
                 (af * (1.0 - af)) ** (0.5 * (params.alpha_prior + 1.0))
             )[:, None]
         if params.test_l0:
-            # pre-screen: drop SNPs picked as top hits for ALL traits
-            # (test_assoc_block, Step1_Models.cpp:1868)
+            # pre-screen: drop SNPs picked as top hits for ALL traits and
+            # keep their per-trait PGS (test_assoc_block,
+            # Step1_Models.cpp:1868; top_snp_pgs, Data.cpp:628/694/1254)
             if not hasattr(params, "_l0_nspns_picked"):
                 params._l0_nspns_picked = np.zeros(P, dtype=int)
-            picked, n_new = m1.test_l0_block(
+                params._l0_top_pgs = {}
+            picked, n_new, pgs_blk = m1.test_l0_block(
                 params, np.asarray(G), pd.phenotypes, params._l0_nspns_picked, log
             )
             params._l0_nspns_picked += n_new
             if n_new.any():
-                log(f"   -block {bidx+1}: top SNPs per trait = {list(n_new)}")
+                log(f"   -block {bidx+1}: top SNPs per trait = {[int(x) for x in n_new]}")
+                prev = params._l0_top_pgs.get(chrom)
+                params._l0_top_pgs[chrom] = pgs_blk if prev is None else prev + pgs_blk
             rm = picked.all(axis=1)
             if rm.any():
                 G = G[jnp.asarray(np.flatnonzero(~rm))]
@@ -301,6 +305,23 @@ def _level1_and_output(params, gd, pd, W_all, offsets, taus, h_l1, chr_nblocks, 
         Y_folds_j = jnp.asarray(Y_folds)
         valid_j = jnp.asarray(valid.astype(np.float64))
 
+    # --select-l0: per-block p-value table (prep_l1_models, Data.cpp:785-805)
+    l0_pv_tab = None
+    F_total = W_all.shape[1] if params.use_loocv else W_all.shape[2]
+    if params.select_l0:
+        if not params.l0_pvals_file:
+            raise ValueError(
+                "--select-l0 as a bare flag needs in-run block p-values "
+                "which are not recorded; pass a p-value FILE instead")
+        l0_pv_tab = _read_l0_pvals(params, P)
+    # --test-l0: per-chromosome top-SNP PGS (top_snp_pgs, Data.cpp:628)
+    pgs_by_chr = getattr(params, "_l0_top_pgs", {}) if params.test_l0 else {}
+    pgs_tot = None
+    if pgs_by_chr:
+        pgs_tot = np.zeros((N, P))
+        for v in pgs_by_chr.values():
+            pgs_tot += v
+
     t0 = time.time()
     prs_list = open_write(params.out_prefix + "_prs.list") if params.print_prs else None
     firth_list = open_write(params.out_prefix + "_firth.list") if params.write_null_firth else None
@@ -312,48 +333,110 @@ def _level1_and_output(params, gd, pd, W_all, offsets, taus, h_l1, chr_nblocks, 
             loco_path = params.out_prefix + f"_{ph+1}.loco" + (".gz" if params.gz_out else "")
             log(f"phenotype {ph+1} ({name}):")
 
+            # per-trait level-0 column selection (check_l0,
+            # Step1_Models.cpp:1989): subset columns, rebuild spans,
+            # rescale the penalty grid with the kept feature count
+            sel_idx = sel_mult = None
+            spans_ph, taus_ph = spans, np.asarray(taus)
+            if l0_pv_tab is not None:
+                colkeep, mult_full = m1.check_l0_selection(
+                    params, l0_pv_tab[:, ph], log
+                )
+                if not colkeep.all() or (mult_full != 1).any():
+                    sel_idx = np.flatnonzero(colkeep)
+                    sel_mult = mult_full[colkeep]
+                    spans_ph, ctr2 = {}, 0
+                    for c in chr_order:
+                        st, nn = spans[c]
+                        kept = int(colkeep[st : st + nn].sum())
+                        spans_ph[c] = (ctr2, kept)
+                        ctr2 += kept
+                    taus_ph = np.asarray(taus) * (len(sel_idx) / F_total)
+                    if sel_mult.min() == 1.0:
+                        sel_mult = None  # pure column dropping
+            taus_ph_j = jnp.asarray(taus_ph)
+            mult_j = None if sel_mult is None else jnp.asarray(sel_mult)
+            pgs_ph = pgs_tot[:, ph] if pgs_tot is not None else None
+
             if params.trait_mode == QT:
                 if params.use_loocv:
-                    cumsum = np.asarray(
-                        m1.level1_linear_loocv(
-                            jnp.asarray(W_all[:, :, ph]), Y_j[:, ph], taus_j,
-                            float(pd.Neff[ph] - params.ncov),
-                        )
+                    Wph_np = W_all[:, :, ph] if sel_idx is None else W_all[:, sel_idx, ph]
+                    Wph = jnp.asarray(Wph_np)
+                    pgs_j = None if pgs_ph is None else jnp.asarray(pgs_ph)
+                    out = m1.level1_linear_loocv(
+                        Wph, Y_j[:, ph], taus_ph_j,
+                        float(pd.Neff[ph] - params.ncov),
+                        pgs=pgs_j, ridge_mult=mult_j,
                     )
+                    cumsum_full = None
+                    if pgs_j is not None:
+                        cumsum, cumsum_full = (np.asarray(x) for x in out)
+                    else:
+                        cumsum = np.asarray(out)
                     best = m1.select_best_tau_qt(cumsum, pd.Neff[ph])
-                    _log_tau_table(log, params, h_l1, cumsum, best, pd.Neff[ph])
+                    _log_tau_table(log, params, h_l1, cumsum, best, pd.Neff[ph],
+                                   cumsum_full)
+                    Yfit = Y_j[:, ph] if pgs_j is None else Y_j[:, ph] - pgs_j
                     b0 = np.asarray(
                         m1.level1_linear_full_fit_loocv(
-                            jnp.asarray(W_all[:, :, ph]), Y_j[:, ph], float(taus[best])
+                            Wph, Yfit, float(taus_ph[best]), ridge_mult=mult_j
                         )
                     )
                     predictions = np.zeros((N, len(chr_order)))
                     for ci, c in enumerate(chr_order):
-                        st, nn = spans[c]
+                        st, nn = spans_ph[c]
                         predictions[:, ci] = np.einsum(
-                            "nf,fn->n", W_all[:, st : st + nn, ph], b0[st : st + nn, :]
+                            "nf,fn->n", Wph_np[:, st : st + nn], b0[st : st + nn, :]
                         )
                 else:
-                    Wph = jnp.asarray(W_all[:, :, :, ph])
+                    Wph_np = (
+                        W_all[:, :, :, ph] if sel_idx is None
+                        else W_all[:, :, sel_idx, ph]
+                    )
+                    Wph = jnp.asarray(Wph_np)
                     Yf = Y_folds_j[:, :, ph]
-                    beta, cumsum = m1.level1_linear_kfold(Wph, Yf, valid_j, taus_j)
-                    beta, cumsum = np.asarray(beta), np.asarray(cumsum)
+                    pgs_f_j = None
+                    if pgs_ph is not None:
+                        pgs_f, _ = m1.pad_folds(pgs_ph[:, None], fold_sizes)
+                        pgs_f_j = jnp.asarray(pgs_f[:, :, 0])
+                    out = m1.level1_linear_kfold(
+                        Wph, Yf, valid_j, taus_ph_j, pgs_folds=pgs_f_j,
+                        ridge_mult=mult_j,
+                    )
+                    cumsum_full = None
+                    if pgs_f_j is not None:
+                        beta, cumsum, cumsum_full = (np.asarray(x) for x in out)
+                    else:
+                        beta, cumsum = (np.asarray(x) for x in out)
                     best = m1.select_best_tau_qt(cumsum, pd.Neff[ph])
-                    _log_tau_table(log, params, h_l1, cumsum, best, pd.Neff[ph])
+                    _log_tau_table(log, params, h_l1, cumsum, best, pd.Neff[ph],
+                                   cumsum_full)
                     predictions = np.zeros((N, len(chr_order)))
                     bounds = np.concatenate([[0], np.cumsum(fold_sizes)])
                     for k in range(params.cv_folds):
                         rows = slice(bounds[k], bounds[k + 1])
                         nk = int(fold_sizes[k])
                         for ci, c in enumerate(chr_order):
-                            st, nn = spans[c]
+                            st, nn = spans_ph[c]
                             predictions[rows, ci] = (
-                                W_all[k, :nk, st : st + nn, ph] @ beta[k, best, st : st + nn]
+                                Wph_np[k, :nk, st : st + nn] @ beta[k, best, st : st + nn]
                             )
+                # add the top-SNP PGS back into its own chromosome's
+                # predictions (Data.cpp:1254/1324)
+                for ci, c in enumerate(chr_order):
+                    if c in pgs_by_chr:
+                        predictions[:, ci] += pgs_by_chr[c][:, ph]
             else:
+                W_ph_sel = W_all
+                if sel_idx is not None:
+                    W_ph_sel = (
+                        W_all[:, sel_idx, :] if params.use_loocv or W_all.ndim == 3
+                        else W_all[:, :, sel_idx, :]
+                    )
                 predictions, converged = glm.level1_nonqt(
-                    params, pd, W_all, offsets, np.asarray(taus), ph, chr_order, spans,
+                    params, pd, W_ph_sel, offsets, taus_ph, ph, chr_order, spans_ph,
                     None if params.use_loocv else fold_sizes, log,
+                    ridge_mult=sel_mult,
                 )
                 if not converged:
                     log("Level 1 model did not converge. LOCO predictions skipped.")
@@ -466,11 +549,35 @@ def _write_l0_master(params, gd, blocks, prefix, njobs, log):
     log(f"   -master file written to [{mpath}]")
 
 
-def _log_tau_table(log, params: Params, h_l1, cumsum, best, neff):
+def _read_l0_pvals(params: Params, P: int) -> np.ndarray:
+    """--select-l0 FILE: per-block -log10 p per trait (prep_l1_models,
+    Data.cpp:785-805). Rows: CHROM BLOCK pv1..pvP."""
+    from .io.files import iter_lines
+
+    pvs = np.zeros((params.total_n_block, P))
+    lineread = 0
+    for toks in iter_lines(params.l0_pvals_file):
+        if lineread >= params.total_n_block:
+            raise ValueError(
+                "number of blocks in file is greater than that analyzed in run.")
+        if len(toks) > P + 2:
+            raise ValueError(
+                "number of phenotypes in file is greater than that analyzed in run.")
+        for i in range(P):
+            pvs[lineread, i] = float(toks[i + 2])
+        lineread += 1
+    return pvs
+
+
+def _log_tau_table(log, params: Params, h_l1, cumsum, best, neff, cumsum_full=None):
     rsq = m1.cv_rsq(cumsum, neff)
     sse = (cumsum[2] + cumsum[3] - 2 * cumsum[4]) / neff
+    rsq_full = m1.cv_rsq(cumsum_full, neff) if cumsum_full is not None else None
     for j in range(len(h_l1)):
-        line = f"  {fmt(h_l1[j]):>5} : Rsq = {fmt(rsq[j])}, MSE = {fmt(sse[j])}"
+        line = f"  {fmt(h_l1[j]):>5} : Rsq = {fmt(rsq[j])}"
+        if rsq_full is not None:
+            line += f" (with top_snps_pgs = {fmt(rsq_full[j])})"
+        line += f", MSE = {fmt(sse[j])}"
         if j == best:
             line += "<- min value"
         log(line)

@@ -217,13 +217,53 @@ def test_l0_prescreen_picks_causal_snp(tmp_path):
     y = (y - y.mean()) / (np.linalg.norm(y - y.mean()) / np.sqrt(N - 1))
     params = SimpleNamespace(l0_snp_pval_thr=1e-6, n_analyzed=N,
                              ncov_analyzed=1)
-    picked, n_picked = test_l0_block(
+    picked, n_picked, pgs = test_l0_block(
         params, G, y[:, None], np.zeros(1, dtype=int), print
     )
     assert picked[7, 0]
     assert n_picked[0] >= 1
+    # the PGS must be dominated by the causal SNP's contribution
+    assert abs(np.corrcoef(pgs[:, 0], G[7])[0, 1]) > 0.5
     # null block: nothing picked
     y0 = rng.normal(size=N)
     y0 = (y0 - y0.mean()) / (np.linalg.norm(y0 - y0.mean()) / np.sqrt(N - 1))
-    p0, n0 = test_l0_block(params, G, y0[:, None], np.zeros(1, dtype=int), print)
+    p0, n0, pgs0 = test_l0_block(params, G, y0[:, None], np.zeros(1, dtype=int), print)
+    assert not pgs0.any()
     assert n0[0] == 0
+
+
+def test_check_l0_selection_rm_pct():
+    """--rm-l0-pct drops all J columns of the least significant blocks
+    (check_l0, Step1_Models.cpp:2014-2023)."""
+    from types import SimpleNamespace
+
+    from regenie_tpu.models.step1 import check_l0_selection
+
+    params = SimpleNamespace(n_ridge_l0=5, rm_l0_pct=20.0)
+    pv = np.array([0.2, 0.5, 3.1, 0.9, 0.1, 8.5, 0.4, 1.2, 0.05, 0.6])
+    keep, mult = check_l0_selection(params, pv, print)
+    # the 2 least significant blocks (pv 0.05, 0.1) lose their columns
+    assert keep.sum() == 8 * 5
+    for b in (4, 8):
+        assert not keep[b * 5 : (b + 1) * 5].any()
+    assert (mult == 1).all()
+
+
+def test_check_l0_selection_adaptive():
+    """Adaptive --select-l0 keeps only the min-shrinkage column,
+    unpenalized, for outlier blocks (check_l0, Step1_Models.cpp:2035-2060)."""
+    from types import SimpleNamespace
+
+    from regenie_tpu.models.step1 import check_l0_selection
+
+    params = SimpleNamespace(n_ridge_l0=5, rm_l0_pct=0.0)
+    rng = np.random.default_rng(0)
+    pv = -np.log10(rng.uniform(size=30))
+    pv[12] = 9.0  # one strongly associated block
+    keep, mult = check_l0_selection(params, pv, print)
+    sel = slice(12 * 5, 13 * 5)
+    assert not keep[sel][:-1].any() and keep[sel][-1]
+    assert mult[12 * 5 + 4] == 0.0
+    other = np.ones(len(keep), dtype=bool)
+    other[sel] = False
+    assert keep[other].all() and (mult[other] == 1).all()
