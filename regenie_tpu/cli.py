@@ -459,6 +459,8 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.l0_snp_pval_thr = args.l0_pval_thr
     if params.test_l0 and args.run_l0:
         raise SystemExit("ERROR: cannot use --test-l0 with --run-l0")
+    if params.test_l0 and params.print_block_betas:
+        raise SystemExit("ERROR: cannot use --test-l0 with --print")
     params.print_prs = args.print_prs
     params.gz_out = args.gz
     params.force_step1 = args.force_step1

@@ -185,6 +185,31 @@ def level0_loocv_block(G, Y, mask, lambdas, Neff):
     return pred / p_sd[None]
 
 
+@jax.jit
+def level0_loocv_block_betas(G, Y, mask, lambdas, Neff):
+    """level0_loocv_block + per-SNP level-0 betas for --print (first
+    trait only; beta_snp_step1 capture, Step1_Models.cpp:644 and W-scale
+    adjustment :713). Returns (W [N,J,P], beta_snp [B,J] on the
+    scaled-genotype scale, standardized like W)."""
+    GGt = mm(G, G.T)
+    GTY = mm(G, Y)
+    d, V = jnp.linalg.eigh(GGt)
+    Wmat = mm(V.T, GTY)
+    DL_inv = 1.0 / (d[:, None] + lambdas[None, :])  # [B,J]
+    beta_snp = mm(V, DL_inv * Wmat[:, :1])  # [B,J]
+
+    VtG = mm(V.T, G)
+    gvec = mm((VtG**2).T, DL_inv)
+    z2t = jnp.einsum("bn,bj,bp->njp", VtG, DL_inv, Wmat, precision=_PREC)
+    pred = (z2t - gvec[:, :, None] * Y[:, None, :]) / (1.0 - gvec)[:, :, None]
+    pred = pred * mask[:, None, :]
+    p_mean = pred.sum(axis=0) / Neff[None, :]
+    pred = (pred - p_mean[None]) * mask[:, None, :]
+    p_sd = jnp.sqrt((pred**2).sum(axis=0) / (Neff[None, :] - 1.0))
+    beta_snp = beta_snp / p_sd[None, :, 0]
+    return pred / p_sd[None], beta_snp
+
+
 # ---------------------------------------------------------------------------
 # level 1 (linear / QT)
 # ---------------------------------------------------------------------------
@@ -309,7 +334,7 @@ def level1_linear_full_fit_loocv(W, Y, tau, ridge_mult=None):
     HX = mm(tmpMat, W.T)  # [F,N]
     cal = (W.T * HX).sum(axis=0)  # [N]
     b0 = bvec[:, None] - HX * (yres / (1.0 - cal))[None, :]
-    return b0
+    return b0, bvec
 
 
 def select_best_tau_qt(cumsum: np.ndarray, neff: float) -> int:

@@ -86,6 +86,9 @@ def run_step1(params: Params, log=print) -> None:
         _write_l0_master(params, gd, blocks, prefix, int(njobs), log)
         return
 
+    if params.print_block_betas and params.n_pheno > 1:
+        raise ValueError("cannot have run --print in multi-trait mode!")
+
     # BT small-sample check: force LOOCV below 5000 samples (Data.cpp:353)
     if params.trait_mode == BT and not params.use_loocv and params.n_analyzed < 5000:
         log("   -WARNING: sample size below 5,000: using LOOCV instead of K-fold CV.")
@@ -263,7 +266,20 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
             if rm.any():
                 G = G[jnp.asarray(np.flatnonzero(~rm))]
         if params.use_loocv:
-            Wb = m1.level0_loocv_block(G, Y_j, jnp.asarray(maskf), lambdas_j, Neff_j)
+            if params.print_block_betas:
+                # --print: capture per-SNP level-0 betas on the raw
+                # genotype scale (Data.cpp:674)
+                Wb, bsnp = m1.level0_loocv_block_betas(
+                    G, Y_j, jnp.asarray(maskf), lambdas_j, Neff_j
+                )
+                bsnp = np.asarray(bsnp) / (
+                    np.asarray(scale_G)[:, None] / pd.scale_Y[0]
+                )
+                if not hasattr(params, "_print_beta_snp"):
+                    params._print_beta_snp = []
+                params._print_beta_snp.append((bsnps, bsnp))
+            else:
+                Wb = m1.level0_loocv_block(G, Y_j, jnp.asarray(maskf), lambdas_j, Neff_j)
             W_all[:, bidx * J : (bidx + 1) * J, :] = np.asarray(Wb)
         else:
             Gf, _ = m1.pad_folds(np.asarray(G), fold_sizes, axis=1)
@@ -377,7 +393,7 @@ def _level1_and_output(params, gd, pd, W_all, offsets, taus, h_l1, chr_nblocks, 
                     _log_tau_table(log, params, h_l1, cumsum, best, pd.Neff[ph],
                                    cumsum_full)
                     Yfit = Y_j[:, ph] if pgs_j is None else Y_j[:, ph] - pgs_j
-                    b0 = np.asarray(
+                    b0, bvec = (np.asarray(x) for x in
                         m1.level1_linear_full_fit_loocv(
                             Wph, Yfit, float(taus_ph[best]), ridge_mult=mult_j
                         )
@@ -388,6 +404,8 @@ def _level1_and_output(params, gd, pd, W_all, offsets, taus, h_l1, chr_nblocks, 
                         predictions[:, ci] = np.einsum(
                             "nf,fn->n", Wph_np[:, st : st + nn], b0[st : st + nn, :]
                         )
+                    if params.print_block_betas:
+                        _write_step1_betas(params, bvec, log)
                 else:
                     Wph_np = (
                         W_all[:, :, :, ph] if sel_idx is None
@@ -411,6 +429,13 @@ def _level1_and_output(params, gd, pd, W_all, offsets, taus, h_l1, chr_nblocks, 
                     best = m1.select_best_tau_qt(cumsum, pd.Neff[ph])
                     _log_tau_table(log, params, h_l1, cumsum, best, pd.Neff[ph],
                                    cumsum_full)
+                    if params.print_block_betas:
+                        # K-fold --print: fold-averaged level-1 betas
+                        # (make_predictions, Data.cpp:1221-1243)
+                        beta_avg = beta[:, best, :].mean(axis=0)
+                        with open(params.out_prefix + "_level1.betas", "a") as fh:
+                            fh.write(f"{ph + 1} " + " ".join(
+                                fmt(b) for b in beta_avg) + "\n")
                     predictions = np.zeros((N, len(chr_order)))
                     bounds = np.concatenate([[0], np.cumsum(fold_sizes)])
                     for k in range(params.cv_folds):
@@ -567,6 +592,23 @@ def _read_l0_pvals(params: Params, P: int) -> np.ndarray:
             pvs[lineread, i] = float(toks[i + 2])
         lineread += 1
     return pvs
+
+
+def _write_step1_betas(params: Params, l1_betas: np.ndarray, log) -> None:
+    """--print (LOOCV): <out>_step1_betas.txt with per-SNP level-0 and
+    whole-model betas (print_snp_betas, Data.cpp:1755-1790)."""
+    J = params.n_ridge_l0
+    out = params.out_prefix + "_step1_betas.txt"
+    with open(out, "w") as fh:
+        fh.write("SNP\tCHROM\tGENPOS\tALLELE0\tALLELE1\tBETA_level_0\tBETA\n")
+        for block, (bsnps, bsnp) in enumerate(getattr(params, "_print_beta_snp", [])):
+            bl1 = bsnp * l1_betas[block * J : (block + 1) * J][None, :]
+            for i, s in enumerate(bsnps):
+                fh.write(
+                    f"{s.ID}\t{s.chrom}\t{s.physpos}\t{s.allele1}\t{s.allele2}\t"
+                    f"{fmt(bsnp[i].sum())}\t{fmt(bl1[i].sum())}\n"
+                )
+    log(f"  wrote {out}")
 
 
 def _log_tau_table(log, params: Params, h_l1, cumsum, best, neff, cumsum_full=None):

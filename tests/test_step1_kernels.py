@@ -183,7 +183,8 @@ def test_level1_full_fit_loocv_betas():
     W = rng.normal(size=(N, F))
     Y = rng.normal(size=N)
     tau = 3.0
-    b0 = np.asarray(m1.level1_linear_full_fit_loocv(jnp.asarray(W), jnp.asarray(Y), tau))
+    b0, _ = m1.level1_linear_full_fit_loocv(jnp.asarray(W), jnp.asarray(Y), tau)
+    b0 = np.asarray(b0)
     # b0[:, n] should equal ridge fit without sample n
     for n in [0, 7, 24]:
         keep = np.ones(N, dtype=bool)
