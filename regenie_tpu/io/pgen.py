@@ -188,6 +188,38 @@ def _parse_difflist(data: bytes, pos: int, N: int):
     return ids, raregeno, pos
 
 
+def _parse_deltalist(data: bytes, pos: int, N: int):
+    """Deltalist = difflist without the 2-bit raregeno track
+    (ParseAndSaveDeltalist, pgenlib_read.cc). Returns (sample_ids, new_pos)."""
+    mv = data
+    L, pos = _vint31(mv, pos)
+    if L == 0:
+        return np.empty(0, dtype=np.int64), pos
+    sid_bytes = (int.bit_length(int(N)) + 7) // 8
+    group_ct = (L + GROUP - 1) // GROUP
+    first_ids = np.empty(group_ct, dtype=np.int64)
+    for g in range(group_ct):
+        v = 0
+        for b in range(sid_bytes):
+            v |= mv[pos + b] << (8 * b)
+        first_ids[g] = v
+        pos += sid_bytes
+    pos += group_ct - 1  # per-group byte-length entries (sequential skip)
+    ids = np.empty(L, dtype=np.int64)
+    k = 0
+    for g in range(group_ct):
+        cnt = min(GROUP, L - g * GROUP)
+        cur = first_ids[g]
+        ids[k] = cur
+        k += 1
+        for _ in range(cnt - 1):
+            d, pos = _vint31(mv, pos)
+            cur += d
+            ids[k] = cur
+            k += 1
+    return ids, pos
+
+
 class PgenDecoder:
     """Sequential decoder with LD-base caching (PgrGet semantics)."""
 
@@ -196,15 +228,17 @@ class PgenDecoder:
         self._ldbase_vidx = -1
         self._ldbase_codes: Optional[np.ndarray] = None
 
-    def _non_ld_decode(self, vidx: int) -> np.ndarray:
+    def _non_ld_decode(self, vidx: int) -> Tuple[np.ndarray, int]:
+        """Decode the hardcall track; returns (codes, end_pos) where
+        end_pos is the file offset just past the genotype track (where
+        the aux dosage tracks start)."""
         pf = self.pf
         N = pf.n_samples_file
         vrtype = int(pf.vrtypes[vidx])
         pos = int(pf.fpos[vidx])
         data = pf._data
-        low3 = vrtype & 7
-        if vrtype & 0x78 and low3 not in (0, 1, 4, 5, 6, 7, 2, 3):
-            raise NotImplementedError("multiallelic/phase/dosage PGEN tracks not supported")
+        if vrtype & 8:
+            raise NotImplementedError("multiallelic PGEN variants not supported")
         if not (vrtype & 4):
             if vrtype & 1:
                 # onebit: [common2 byte][bitarray][exception difflist]
@@ -223,16 +257,17 @@ class PgenDecoder:
                 codes[ids] = rare
             else:
                 codes = _decode_2bit(data, pos, N).copy()
-            return codes
+                pos += (N + 3) // 4
+            return codes, pos
         low2 = vrtype & 3
         if low2 == 1:
-            return np.zeros(N, dtype=np.uint8)  # all hom-ref
+            return np.zeros(N, dtype=np.uint8), pos  # all hom-ref
         codes = np.full(N, low2, dtype=np.uint8)
-        ids, rare, _ = _parse_difflist(data, pos, N)
+        ids, rare, pos = _parse_difflist(data, pos, N)
         codes[ids] = rare
-        return codes
+        return codes, pos
 
-    def decode(self, vidx: int) -> np.ndarray:
+    def _decode_pos(self, vidx: int) -> Tuple[np.ndarray, int]:
         pf = self.pf
         vrtype = int(pf.vrtypes[vidx])
         if (vrtype & 6) == 2:  # LD-compressed: diff vs last non-LD variant
@@ -240,21 +275,54 @@ class PgenDecoder:
             while (int(pf.vrtypes[base_vidx]) & 6) == 2:
                 base_vidx -= 1
             if self._ldbase_vidx != base_vidx:
-                self._ldbase_codes = self._non_ld_decode(base_vidx)
+                self._ldbase_codes = self._non_ld_decode(base_vidx)[0]
                 self._ldbase_vidx = base_vidx
             codes = self._ldbase_codes.copy()
             if vrtype & 1:  # inverted: hom-ref <-> hom-alt
                 codes = np.where(codes == 0, np.uint8(2), np.where(codes == 2, np.uint8(0), codes))
-            ids, rare, _ = _parse_difflist(pf._data, int(pf.fpos[vidx]), pf.n_samples_file)
+            ids, rare, pos = _parse_difflist(pf._data, int(pf.fpos[vidx]), pf.n_samples_file)
             codes = codes.copy()
             codes[ids] = rare
-            return codes
+            return codes, pos
         return self._non_ld_decode(vidx)
 
+    def decode(self, vidx: int) -> np.ndarray:
+        return self._decode_pos(vidx)[0]
+
     def dosages(self, vidx: int) -> np.ndarray:
-        codes = self.decode(vidx)
+        """ALT dosages [N] float64 with -3 for missing; parses the
+        unphased 16-bit dosage tracks (ParseDosage16,
+        pgenlib_read.cc:7185: 0x20 deltalist, 0x40 dense, 0x60 bitarray;
+        values on the 0..32768 = 0..2 scale, 65535 = missing)."""
+        codes, pos = self._decode_pos(vidx)
         out = codes.astype(np.float64)
         out[codes == 3] = -3.0
+        vrtype = int(self.pf.vrtypes[vidx])
+        dbits = vrtype & 0x60
+        if not dbits:
+            return out
+        if vrtype & 0x98:
+            raise NotImplementedError(
+                "multiallelic / phased PGEN tracks not supported")
+        data = self.pf._data
+        N = self.pf.n_samples_file
+        if dbits == 0x20:  # dosage deltalist
+            ids, pos = _parse_deltalist(data, pos, N)
+            vals = np.frombuffer(data, dtype="<u2", count=len(ids), offset=pos)
+            out[ids] = vals / 16384.0
+        elif dbits == 0x40:  # unconditional dense dosage
+            vals = np.frombuffer(data, dtype="<u2", count=N, offset=pos)
+            out = np.where(vals == 65535, -3.0, vals / 16384.0)
+        else:  # 0x60: dosage bitarray
+            nb = (N + 7) // 8
+            present = np.unpackbits(
+                np.frombuffer(data, dtype=np.uint8, count=nb, offset=pos),
+                bitorder="little",
+            )[:N].astype(bool)
+            pos += nb
+            vals = np.frombuffer(
+                data, dtype="<u2", count=int(present.sum()), offset=pos)
+            out[present] = vals / 16384.0
         return out
 
 

@@ -511,6 +511,19 @@ class Step2Engine:
             info_t = np.where((sb["af"] == 0) | (sb["af"] == 1), 1.0, info_t)
             if params.set_min_info:
                 ignored_trait |= info_t < params.min_info
+        elif params.dosage_mode and params.file_type == "pgen":
+            # PGEN dosages: MACH r2 info = (E[g^2]-E[g]^2)/(2p(1-p))
+            # (compute_aaf_info, Geno.cpp:3137-3142)
+            Gd = np.asarray(G_raw, dtype=np.float64)
+            g2 = np.where(Gd == -3, 0.0, Gd**2) * self.pd.ind_in_analysis[None, :]
+            info_num_t = g2 @ self.maskf
+            with np.errstate(divide="ignore", invalid="ignore"):
+                info_t = (info_num_t / sb["ns_t"] - 4 * sb["af"] ** 2) / (
+                    2 * sb["af"] * (1 - sb["af"])
+                )
+            info_t = np.where((sb["af"] == 0) | (sb["af"] == 1), 1.0, info_t)
+            if params.set_min_info:
+                ignored_trait |= info_t < params.min_info
 
         with_flip = params.trait_mode != QT and params.test_type == 0
         mean_g = total / ns

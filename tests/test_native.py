@@ -79,3 +79,132 @@ def test_bgi_index_identical_to_scan(tmp_path):
         open(tmp_path / "scan_Y1.regenie").read()
         == open(tmp_path / "bgi_Y1.regenie").read()
     )
+
+
+def test_pgen_dosage_tracks(tmp_path):
+    """Hand-built PGEN with the three unphased dosage track layouts
+    (ParseDosage16, pgenlib_read.cc:7185): dense (0x40), bitarray (0x60)
+    and deltalist (0x20); values are ALT dosage on the 0..32768 scale."""
+    import struct
+
+    from regenie_tpu.io.pgen import PgenDecoder, open_pgen
+
+    N, M = 7, 3
+    hc = np.array([0, 1, 2, 3, 0, 1, 2], dtype=np.uint8)  # 3 = missing
+    packed = bytearray((N + 3) // 4)
+    for i, c in enumerate(hc):
+        packed[i // 4] |= int(c) << (2 * (i % 4))
+    geno_track = bytes(packed)
+
+    # dense dosage (0x40): one u16 per sample, 65535 = missing
+    dense = np.array([0, 16384, 32768, 65535, 8192, 16384, 32768], dtype=np.uint16)
+    rec40 = geno_track + dense.tobytes()
+
+    # bitarray dosage (0x60): presence bits + u16 per set bit
+    present = np.array([1, 0, 1, 0, 0, 1, 0], dtype=np.uint8)
+    bits = np.packbits(present, bitorder="little").tobytes()
+    rec60 = geno_track + bits + np.array([4096, 24576, 12288], dtype=np.uint16).tobytes()
+
+    # deltalist dosage (0x20): [vint L][first id][deltas] + u16 values
+    # samples 1 and 4 -> L=2, first_id=1, delta=3
+    rec20 = geno_track + bytes([2, 1, 3]) + np.array(
+        [20480, 28672], dtype=np.uint16).tobytes()
+
+    records = [rec40, rec60, rec20]
+    vrtypes = bytes([0x40, 0x60, 0x20])
+    vrec_lens = bytes(len(r) for r in records)
+    header = b"\x6c\x1b\x10" + struct.pack("<II", M, N) + bytes([0x04])
+    first_rec = len(header) + 8 + M + M
+    blob = header + struct.pack("<Q", first_rec) + vrtypes + vrec_lens + b"".join(records)
+    path = tmp_path / "dos.pgen"
+    path.write_bytes(blob)
+
+    dec = PgenDecoder(open_pgen(str(path)))
+    # hardcalls unchanged
+    assert np.array_equal(dec.decode(0), hc)
+    d0 = dec.dosages(0)
+    np.testing.assert_allclose(d0, [0, 1, 2, -3, 0.5, 1, 2])
+    d1 = dec.dosages(1)
+    np.testing.assert_allclose(d1, [0.25, 1, 1.5, -3, 0, 0.75, 2])
+    d2 = dec.dosages(2)
+    np.testing.assert_allclose(d2, [0, 1.25, 2, -3, 1.75, 1, 2])
+
+
+def test_pgen_dosage_e2e_step2(tmp_path):
+    """Step 2 on a dosage PGEN (dense 16-bit track equal to the
+    hardcalls) matches the hardcall-only PGEN run, with the MACH-r2
+    INFO column added (Geno.cpp:1795, compute_aaf_info :3137)."""
+    import os
+    import struct
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(5)
+    N, M = 120, 24
+    hc = rng.integers(0, 3, size=(M, N)).astype(np.uint8)
+    hc[rng.random(size=(M, N)) < 0.02] = 3
+
+    def geno_track(row):
+        packed = bytearray((N + 3) // 4)
+        for i, c in enumerate(row):
+            packed[i // 4] |= int(c) << (2 * (i % 4))
+        return bytes(packed)
+
+    def write_pgen(path, with_dosage):
+        records, vrtypes = [], []
+        for j in range(M):
+            rec = geno_track(hc[j])
+            if with_dosage:
+                d = np.where(hc[j] == 3, 65535, hc[j].astype(np.uint32) * 16384)
+                rec += d.astype(np.uint16).tobytes()
+                vrtypes.append(0x40)
+            else:
+                vrtypes.append(0)
+            records.append(rec)
+        header = b"\x6c\x1b\x10" + struct.pack("<II", M, N) + bytes([0x05])
+        first = len(header) + 8 + M + 2 * M
+        lens = b"".join(struct.pack("<H", len(r)) for r in records)
+        blob = (header + struct.pack("<Q", first) + bytes(vrtypes)
+                + lens + b"".join(records))
+        open(path, "wb").write(blob)
+
+    for tag, wd in (("hc", False), ("dos", True)):
+        write_pgen(tmp_path / f"{tag}.pgen", wd)
+        with open(tmp_path / f"{tag}.pvar", "w") as fh:
+            fh.write("#CHROM\tPOS\tID\tREF\tALT\n")
+            for j in range(M):
+                fh.write(f"1\t{j+1}\tsnp{j+1}\tA\tC\n")
+        with open(tmp_path / f"{tag}.psam", "w") as fh:
+            fh.write("#FID\tIID\tSEX\n")
+            for i in range(N):
+                fh.write(f"F{i}\tI{i}\tNA\n")
+    with open(tmp_path / "pheno.txt", "w") as fh:
+        fh.write("FID IID Y1\n")
+        yv = rng.normal(size=N)
+        for i in range(N):
+            fh.write(f"F{i} I{i} {yv[i]:.6f}\n")
+
+    env = dict(os.environ)
+    env["REGENIE_TPU_PLATFORM"] = "cpu"
+    outs = {}
+    for tag in ("hc", "dos"):
+        r = subprocess.run(
+            [sys.executable, "-m", "regenie_tpu", "--step", "2",
+             "--pgen", str(tmp_path / tag), "--phenoFile",
+             str(tmp_path / "pheno.txt"), "--bsize", "16", "--ignore-pred",
+             "--out", str(tmp_path / ("t2_" + tag))],
+            capture_output=True, text=True, cwd="/root/repo", env=env, timeout=600,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        outs[tag] = open(tmp_path / f"t2_{tag}_Y1.regenie").read().splitlines()
+
+    hdr_hc = outs["hc"][0].split()
+    hdr_dos = outs["dos"][0].split()
+    assert "INFO" not in hdr_hc and "INFO" in hdr_dos
+    ii = hdr_dos.index("INFO")
+    assert len(outs["hc"]) == len(outs["dos"]) == M + 1
+    for lh, ld in zip(outs["hc"][1:], outs["dos"][1:]):
+        td = ld.split()
+        info = float(td.pop(ii))
+        assert 0.0 <= info <= 2.0  # MACH r2 can exceed 1 off-HWE
+        assert lh.split() == td
