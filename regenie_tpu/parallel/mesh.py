@@ -88,6 +88,71 @@ def sharded_score_qt(mesh: Mesh, G, res, maskf, cov, scale_denom):
     return _score(G, res, maskf, cov)
 
 
+def maybe_mesh() -> Mesh | None:
+    """Mesh for the current process, or None in single-chip mode.
+
+    Auto-enabled on multi-chip TPU backends; on CPU (e.g. an
+    --xla_force_host_platform_device_count test mesh) it must be forced
+    with REGENIE_TPU_MESH=1 so ordinary single-host runs stay fast."""
+    import os
+
+    n = jax.device_count()
+    if n <= 1:
+        return None
+    if jax.default_backend() == "cpu" and not os.environ.get("REGENIE_TPU_MESH"):
+        return None
+    return make_mesh(n)
+
+
+def pad_to(x: np.ndarray, mult: int, axis: int):
+    """Zero-pad an axis up to a multiple of the mesh size."""
+    n = x.shape[axis]
+    rem = (-n) % mult
+    if rem == 0:
+        return x, n
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, rem)
+    return jnp.pad(x, pad) if isinstance(x, jax.Array) else np.pad(x, pad), n
+
+
+def sharded_level0_loocv(mesh: Mesh, G, Y, maskf, lambdas, Neff):
+    """Sample-sharded step-1 level-0 LOOCV ridge (the multi-chip form of
+    level0_loocv_block, models/step1.py): per-shard Gram partial sums
+    reduced with psum over ICI, replicated B x B eigendecomposition,
+    per-shard LOO predictions, and psum'd center/scale moments.
+
+    G: [B, N] sharded over N; Y/maskf: [N, P] sharded over N (rows past
+    the true N zero-padded with maskf=0); lambdas [J], Neff [P]
+    replicated. Returns W: [N, J, P] sharded over N.
+    """
+    axis = mesh.axis_names[0]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis, None), P(axis, None), P(None), P(None)),
+        out_specs=P(axis, None, None),
+    )
+    def _l0(G_loc, Y_loc, m_loc, lam, neff):
+        GGt = jax.lax.psum(jnp.matmul(G_loc, G_loc.T, precision=_PREC), axis)
+        GTY = jax.lax.psum(jnp.matmul(G_loc, Y_loc, precision=_PREC), axis)
+        d, V = jnp.linalg.eigh(GGt)
+        Wmat = jnp.matmul(V.T, GTY, precision=_PREC)
+        DL_inv = 1.0 / (d[:, None] + lam[None, :])  # [B,J]
+        VtG = jnp.matmul(V.T, G_loc, precision=_PREC)  # [B,n_loc]
+        gvec = jnp.matmul((VtG**2).T, DL_inv, precision=_PREC)  # [n_loc,J]
+        z2t = jnp.einsum("bn,bj,bp->njp", VtG, DL_inv, Wmat, precision=_PREC)
+        pred = (z2t - gvec[:, :, None] * Y_loc[:, None, :]) / (1.0 - gvec)[:, :, None]
+        pred = pred * m_loc[:, None, :]
+        p_mean = jax.lax.psum(pred.sum(axis=0), axis) / neff[None, :]  # [J,P]
+        pred = (pred - p_mean[None]) * m_loc[:, None, :]
+        s2 = jax.lax.psum((pred**2).sum(axis=0), axis)
+        p_sd = jnp.sqrt(s2 / (neff[None, :] - 1.0))
+        return pred / p_sd[None]
+
+    return _l0(G, Y, maskf, lambdas, Neff)
+
+
 def shard_array(mesh: Mesh, x, axis_index: int):
     """Place a host array on the mesh sharded along one axis."""
     axis = mesh.axis_names[0]

@@ -229,6 +229,25 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
         nmax = int(fold_sizes.max())
         W_all = _alloc_W((params.cv_folds, nmax, len(blocks) * J, P))
 
+    # multi-chip: sample-axis sharding for the level-0 Gram/LOO solves
+    # (§2.3.4 — psum over ICI replaces the split-L0 file protocol)
+    mesh = None
+    if params.use_loocv and params.trait_mode == QT and not params.print_block_betas \
+            and not params.test_l0:
+        from .parallel.mesh import maybe_mesh
+
+        mesh = maybe_mesh()
+        if mesh is not None:
+            from .parallel import mesh as pm
+
+            ndev = len(mesh.devices.flat)
+            log(f" * multi-chip mesh: {ndev} devices (sample-axis sharding "
+                "for level 0)")
+            Y_pad, _ = pm.pad_to(pd.phenotypes, ndev, 0)
+            m_pad, _ = pm.pad_to(maskf, ndev, 0)
+            Y_msh = pm.shard_array(mesh, jnp.asarray(Y_pad), 0)
+            m_msh = pm.shard_array(mesh, jnp.asarray(m_pad), 0)
+
     t0 = time.time()
     for bidx, (chrom, bsnps) in enumerate(blocks):
         chr_nblocks[chrom] = chr_nblocks.get(chrom, 0) + 1
@@ -278,6 +297,15 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
                 if not hasattr(params, "_print_beta_snp"):
                     params._print_beta_snp = []
                 params._print_beta_snp.append((bsnps, bsnp))
+            elif mesh is not None:
+                from .parallel import mesh as pm
+
+                Gp, N0 = pm.pad_to(np.asarray(G), ndev, 1)
+                G_msh = pm.shard_array(mesh, jnp.asarray(Gp), 1)
+                Wb = pm.sharded_level0_loocv(
+                    mesh, G_msh, Y_msh, m_msh, lambdas_j, Neff_j
+                )
+                Wb = np.asarray(Wb)[:N0]
             else:
                 Wb = m1.level0_loocv_block(G, Y_j, jnp.asarray(maskf), lambdas_j, Neff_j)
             W_all[:, bidx * J : (bidx + 1) * J, :] = np.asarray(Wb)

@@ -179,6 +179,17 @@ class Step2Engine:
         self.n_failed = 0
         self.interaction = None
         self.null_firth_files = None
+        # multi-chip: shard the variant axis of each block over the mesh
+        # (§2.3.5 — replaces the reference's manual per-chromosome
+        # machine sharding with XLA collectives)
+        self.mesh = None
+        if params.trait_mode == QT and not params.strict_mode:
+            from .parallel.mesh import maybe_mesh
+
+            self.mesh = maybe_mesh()
+            if self.mesh is not None:
+                log(f" * multi-chip mesh: {len(self.mesh.devices.flat)} "
+                    "devices (variant-axis sharding)")
         if params.interaction_var:
             from .models.interaction import prep_interaction
 
@@ -407,13 +418,39 @@ class Step2Engine:
                 G_res = jnp.asarray(G)
                 scale_fac = np.ones(B)
                 low_var = np.zeros(B, dtype=bool)
+                stats, denum = m2.score_qt_block(
+                    G_res, jnp.asarray(self.res), self.maskf_j, self.scale_denom,
+                    self.strict,
+                )
+            elif self.mesh is not None:
+                # variant-sharded scoring over the device mesh
+                from .parallel import mesh as pm
+
+                ndev = len(self.mesh.devices.flat)
+                Gp, B0 = pm.pad_to(np.asarray(G), ndev, 0)
+                G_sh = pm.shard_array(self.mesh, jnp.asarray(Gp), 0)
+                if getattr(self, "_mesh_res_chrom", None) != self.cur_chrom:
+                    self._mesh_res = pm.replicate(self.mesh, jnp.asarray(self.res))
+                    self._mesh_maskf = pm.replicate(self.mesh, self.maskf_j)
+                    self._mesh_cov = pm.replicate(self.mesh, self.cov_j)
+                    self._mesh_res_chrom = self.cur_chrom
+                stats, denum, scale_fac = pm.sharded_score_qt(
+                    self.mesh, G_sh, self._mesh_res, self._mesh_maskf,
+                    self._mesh_cov, self.scale_denom,
+                )
+                stats = np.asarray(stats)[:B0]
+                denum = np.asarray(denum)[:B0]
+                scale_fac = np.asarray(scale_fac)[:B0]
+                low_var = scale_fac < 1e-8
+                G_res = None  # recomputed below only if a host copy is needed
             else:
                 G_res, scale_fac, low_var = m2.residualize_scale_block(
                     jnp.asarray(G), self.cov_j, self.scale_denom
                 )
-            stats, denum = m2.score_qt_block(
-                G_res, jnp.asarray(self.res), self.maskf_j, self.scale_denom, self.strict
-            )
+                stats, denum = m2.score_qt_block(
+                    G_res, jnp.asarray(self.res), self.maskf_j, self.scale_denom,
+                    self.strict,
+                )
             bhat, se, chisq = m2.finalize_qt(stats, denum, scale_fac, self.scf_sv, flipped)
             if params.mse_full:
                 # full-model MSE: Var(y|g) shrinks by the SNP's own fit
@@ -434,6 +471,13 @@ class Step2Engine:
             else:
                 logp = chisq_neglog10(chisq)
             test_fail = np.zeros((B, P), dtype=bool)
+            need_host = is_mask or self.interaction is not None
+            if G_res is None and (params.mcc_test or need_host):
+                # mesh path skipped the replicated residualization; redo
+                # it locally for host consumers (MCC / joint / interaction)
+                G_res, _, _ = m2.residualize_scale_block(
+                    jnp.asarray(G), self.cov_j, self.scale_denom
+                )
             if params.mcc_test:
                 from .models.mcc import apply_mcc_qt
 
@@ -444,7 +488,6 @@ class Step2Engine:
             ignored = ignored | np.asarray(low_var)
             # host copy only when downstream host consumers need it
             # (joint tests / interaction); plain scans stay on device
-            need_host = is_mask or self.interaction is not None
             self.last_G_res = np.asarray(G_res) if need_host else G_res
             self.last_scale_fac = np.asarray(scale_fac)
         elif params.trait_mode == T2E:

@@ -64,3 +64,88 @@ def test_sharded_score_matches_single_device():
     )
     np.testing.assert_allclose(np.asarray(GGt), G @ G.T, rtol=1e-8)
     np.testing.assert_allclose(np.asarray(GTY), G @ res, rtol=1e-8)
+
+
+def test_sharded_level0_loocv_matches_single_device():
+    """Sample-sharded level-0 LOOCV (psum Gram + psum'd moments) equals
+    the single-device kernel on the virtual 8-device mesh."""
+    from regenie_tpu.models import step1 as m1
+    from regenie_tpu.parallel import mesh as pm
+
+    rng = np.random.default_rng(2)
+    B, N, P, J = 12, 50, 3, 4  # N not a multiple of 8 -> exercises padding
+    G = rng.normal(size=(B, N))
+    Y = rng.normal(size=(N, P))
+    maskf = (rng.random(size=(N, P)) > 0.1).astype(np.float64)
+    Y = Y * maskf
+    lambdas = np.array([5.0, 20.0, 80.0, 300.0])
+    neff = maskf.sum(axis=0)
+
+    ref = np.asarray(
+        m1.level0_loocv_block(
+            jnp.asarray(G), jnp.asarray(Y), jnp.asarray(maskf),
+            jnp.asarray(lambdas), jnp.asarray(neff),
+        )
+    )
+
+    mesh = pm.make_mesh(8)
+    Gp, N0 = pm.pad_to(G, 8, 1)
+    Yp, _ = pm.pad_to(Y, 8, 0)
+    mp_, _ = pm.pad_to(maskf, 8, 0)
+    W = pm.sharded_level0_loocv(
+        mesh,
+        pm.shard_array(mesh, jnp.asarray(Gp), 1),
+        pm.shard_array(mesh, jnp.asarray(Yp), 0),
+        pm.shard_array(mesh, jnp.asarray(mp_), 0),
+        jnp.asarray(lambdas), jnp.asarray(neff),
+    )
+    np.testing.assert_allclose(np.asarray(W)[:N0], ref, rtol=1e-10, atol=1e-10)
+
+
+def test_mesh_e2e_step1_step2_byte_identical(tmp_path):
+    """Full CLI runs under REGENIE_TPU_MESH=1 on the 8-device CPU mesh
+    produce byte-identical .loco and .regenie files to single-device."""
+    import os
+    import subprocess
+    import sys
+
+    EX = "/root/reference/example"
+
+    def run(extra_env, out):
+        env = dict(os.environ)
+        env["REGENIE_TPU_PLATFORM"] = "cpu"
+        env.update(extra_env)
+        r = subprocess.run(
+            [sys.executable, "-m", "regenie_tpu", "--step", "1",
+             "--bed", f"{EX}/example", "--exclude", f"{EX}/snplist_rm.txt",
+             "--covarFile", f"{EX}/covariates.txt",
+             "--phenoFile", f"{EX}/phenotype.txt",
+             "--remove", f"{EX}/fid_iid_to_remove.txt",
+             "--bsize", "100", "--loocv", "--phenoCol", "Y1",
+             "--out", str(tmp_path / out)],
+            capture_output=True, text=True, cwd="/root/repo", env=env, timeout=900,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        r2 = subprocess.run(
+            [sys.executable, "-m", "regenie_tpu", "--step", "2",
+             "--bed", f"{EX}/example",
+             "--covarFile", f"{EX}/covariates.txt",
+             "--phenoFile", f"{EX}/phenotype.txt",
+             "--remove", f"{EX}/fid_iid_to_remove.txt",
+             "--bsize", "200", "--phenoCol", "Y1",
+             "--pred", str(tmp_path / out) + "_pred.list",
+             "--out", str(tmp_path / ("t2_" + out))],
+            capture_output=True, text=True, cwd="/root/repo", env=env, timeout=900,
+        )
+        assert r2.returncode == 0, r2.stdout + r2.stderr
+
+    mesh_env = {
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "REGENIE_TPU_MESH": "1",
+    }
+    run(mesh_env, "mesh")
+    run({}, "plain")
+    assert (tmp_path / "mesh_1.loco").read_bytes() == (tmp_path / "plain_1.loco").read_bytes()
+    assert (tmp_path / "t2_mesh_Y1.regenie").read_bytes() == (
+        tmp_path / "t2_plain_Y1.regenie").read_bytes()
