@@ -21,6 +21,42 @@ from . import spa as spa_mod
 from .glm import fit_logistic_irls, get_pvec
 
 
+def _score_bt_kernel_factory():
+    """Device (MXU) BT score kernel, one trait at a time: weighted
+    genotype, projection onto the W^1/2-covariate basis, score numerator
+    and denominator (compute_score_bt, Step2_Models.cpp:470-520).
+    Lazy so module import stays jax-free for host-only callers."""
+    import jax
+    import jax.numpy as jnp
+
+    from .step2 import mm
+
+    @jax.jit
+    def _kern(G, gsm, XW, res_ph):
+        GW = G * gsm[None, :]  # [B,N]
+        XtWG = mm(GW, XW)  # [B,K]
+        Gres = GW - mm(XtWG, XW.T)  # [B,N]
+        denum = (Gres**2).sum(axis=1)  # [B]
+        num = mm(Gres, res_ph[:, None])[:, 0]  # [B]
+        return num, denum, Gres
+
+    return _kern
+
+
+_SCORE_BT_KERNEL = None
+
+
+def _score_bt_device(G_j, gsm, XW, res_ph):
+    global _SCORE_BT_KERNEL
+    if _SCORE_BT_KERNEL is None:
+        _SCORE_BT_KERNEL = _score_bt_kernel_factory()
+    import jax.numpy as jnp
+
+    return _SCORE_BT_KERNEL(
+        G_j, jnp.asarray(gsm), jnp.asarray(XW), jnp.asarray(res_ph)
+    )
+
+
 @dataclass
 class BTChromState:
     """Per-chromosome null-model state (reference `ests` + `f_ests`)."""
@@ -188,7 +224,10 @@ def score_block(
     Follows compute_score_bt (Step2_Models.cpp:470) per trait, batched
     over SNPs. Returns (bhat, se, chisq, logp, test_fail, n_corrected,
     n_failed)."""
-    G = np.asarray(G)  # [B, N]
+    import jax.numpy as jnp
+
+    G_j = jnp.asarray(G)  # [B, N] device-resident for the score matmuls
+    G = np.asarray(G)
     B, N = G.shape
     P = params.n_pheno
     bhat = np.zeros((B, P))
@@ -206,15 +245,14 @@ def score_block(
         mask = pd.masked_indivs[:, ph]
         gsm = st.gamma_sqrt_mask[:, ph]
         XW = st.X_gamma[ph]
-        GW = G * gsm[None, :]  # [B,N]
-        XtWG = GW @ XW  # [B,K]
-        Gres = GW - XtWG @ XW.T  # [B,N]
-        denum = (Gres**2).sum(axis=1)  # [B]
+        num_d, denum_d, Gres_d = _score_bt_device(G_j, gsm, XW, st.res[:, ph])
+        num = np.asarray(num_d)
+        denum = np.asarray(denum_d)
         sqrt_denum = np.sqrt(np.maximum(denum, 0))
         low = sqrt_denum < params.numtol
         ignored_trait[:, ph] |= low
         with np.errstate(divide="ignore", invalid="ignore"):
-            stats = (Gres @ st.res[:, ph]) / np.where(low, 1.0, sqrt_denum)
+            stats = num / np.where(low, 1.0, sqrt_denum)
 
         # default (uncorrected) sum stats
         se_ph = 1.0 / np.where(low, 1.0, sqrt_denum)
@@ -251,7 +289,7 @@ def score_block(
                             se_ph[b] = se1
                 elif params.firth:
                     y = pd.phenotypes_raw[:, ph]
-                    Gv = Gres[idx] / st.gamma_sqrt[:, ph][None, :]
+                    Gv = np.asarray(Gres_d[jnp.asarray(idx)]) / st.gamma_sqrt[:, ph][None, :]
                     beta_f, se_f, lrt, conv = firth_mod.firth_snp_batch(
                         y, Gv, st.firth_offset[:, ph], mask,
                         maxstep=params.maxstep, niter=params.niter_max_firth,
@@ -273,7 +311,8 @@ def score_block(
                     n_failed += int((~conv).sum())
                 else:  # SPA
                     chisq_s, logp_s, fail_s = spa_mod.spa_batch(
-                        stats[idx], denum[idx], Gres[idx], st.Y_hat[:, ph],
+                        stats[idx], denum[idx], np.asarray(Gres_d[jnp.asarray(idx)]),
+                        st.Y_hat[:, ph],
                         st.gamma_sqrt[:, ph], mask,
                         tol=params.tol_spa, niter_max=params.niter_max_spa,
                     )
