@@ -110,11 +110,19 @@ def score_block(params: Params, pd: PhenoData, st: T2EChromState, G, flipped,
         mle = st.mle[ph]
         sd = st.surv[ph]
         mask = pd.masked_indivs[:, ph].astype(np.float64)
-        # Gres = G - X1_X1WX1inv (WX1' g)  batched
-        GW = G @ mle.WX1  # [B, p+1]
-        Gres = G - GW @ mle.X1_X1WX1inv.T  # [B, N]
-        T = (Gres * (mle.residual * mask)[None, :]).sum(axis=1)
-        denum = mle.res_var * (Gres**2).sum(axis=1)
+        # Gres = G - X1_X1WX1inv (WX1' g)  batched on device (MXU)
+        import jax.numpy as jnp
+
+        from .step2 import mm as _mm
+
+        G_j = jnp.asarray(G)
+        GW = _mm(G_j, jnp.asarray(mle.WX1))  # [B, p+1]
+        Gres_d = G_j - _mm(GW, jnp.asarray(mle.X1_X1WX1inv.T))  # [B, N]
+        T = np.asarray(_mm(Gres_d, jnp.asarray((mle.residual * mask))[:, None]))[:, 0]
+        denum = mle.res_var * np.asarray((Gres_d**2).sum(axis=1))
+        Gres = None
+        if params.coxscore_exact:
+            Gres = np.asarray(Gres_d)  # host copy for the per-SNP variance
         if params.coxscore_exact:
             for b in range(B):
                 denum[b] = _exact_denum(sd, mle, Gres[b], mask)
@@ -132,6 +140,10 @@ def score_block(params: Params, pd: PhenoData, st: T2EChromState, G, flipped,
         if params.firth:
             corr = (~ignored) & (~ignored_trait[:, ph]) & (np.abs(stats) > z_thr)
             n_corrected += int(corr.sum())
+            if corr.any() and Gres is None:
+                Gres = np.zeros((B, N))
+                cidx = np.flatnonzero(corr)
+                Gres[cidx] = np.asarray(Gres_d[jnp.asarray(cidx)])
             for b in np.flatnonzero(corr):
                 ok, beta1, se1, lrt = _firth_snp(params, st, sd, ph, Gres[b])
                 if not ok:
