@@ -62,25 +62,32 @@ def build_parser() -> argparse.ArgumentParser:
                    help="transposed pheno header contains IID only")
     g.add_argument("--phenoCol", action="append", default=[], help="phenotype column to include")
     g.add_argument("--phenoColList", default=None, help="comma-separated phenotype columns")
-    g.add_argument("--phenoExcludeList", default=None)
+    g.add_argument("--phenoExcludeList", default=None,
+                   help="comma-separated phenotype columns to drop")
     g.add_argument("--covarFile", help="covariate file")
     g.add_argument("--covarCol", action="append", default=[])
-    g.add_argument("--covarColList", default=None)
+    g.add_argument("--covarColList", default=None,
+                   help="comma-separated covariate columns to keep ({i:j} expansion)")
     g.add_argument("--catCovarList", default=None, help="categorical covariates")
-    g.add_argument("--covarExcludeList", default=None)
+    g.add_argument("--covarExcludeList", default=None,
+                   help="comma-separated covariate columns to drop")
     g.add_argument("--maxCatLevels", type=int, default=10)
     g.add_argument("--qt", action="store_true", help="quantitative traits (default)")
     g.add_argument("--bt", action="store_true", help="binary traits")
     g.add_argument("--ct", action="store_true", help="count traits (Poisson)")
     g.add_argument("--t2e", action="store_true", help="time-to-event traits (Cox)")
     g.add_argument("--eventColList", default=None, help="event status columns (paired with --phenoColList)")
-    g.add_argument("--coxscore-exact", action="store_true")
-    g.add_argument("--coxnofirth", action="store_true")
+    g.add_argument("--coxscore-exact", action="store_true",
+                   help="exact (risk-set) score variance for Cox tests")
+    g.add_argument("--coxnofirth", action="store_true",
+                   help="plain Cox LRT instead of the Firth-penalized one")
     g.add_argument("--compute-corr", action="store_true", help="compute LD matrix")
     g.add_argument("--ld-extract", default=None,
                    help="file listing variants (sv) and masks for the LD matrix")
-    g.add_argument("--output-corr-text", action="store_true")
-    g.add_argument("--skip-scaleG", action="store_true")
+    g.add_argument("--output-corr-text", action="store_true",
+                   help="write the LD matrix as text instead of binary")
+    g.add_argument("--skip-scaleG", action="store_true",
+                   help="unscaled G'G in LD-matrix mode (covariance, not correlation)")
     g.add_argument("--ld-sparse-thr", type=float, default=0.0)
     g.add_argument("--condition-list", default=None, help="file with variant IDs to condition on")
     g.add_argument("--condition-file", default=None, help="FORMAT,FILE with conditioning variants")
@@ -88,7 +95,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--interaction-snp", default=None, help="variant for GxG interaction test")
     g.add_argument("--interaction-file", default=None,
                    help="FORMAT,FILE external genotype file for the interaction SNP")
-    g.add_argument("--interaction-file-reffirst", action="store_true")
+    g.add_argument("--interaction-file-reffirst", action="store_true",
+                   help="alleles in --interaction-file are ref-first coded")
     g.add_argument("--force-condtl", action="store_true",
                    help="condition on the interacting variable in the marginal GWAS")
     g.add_argument("--no-condtl", action="store_true",
@@ -98,10 +106,13 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--print-vcov", action="store_true",
                    help="write coefficient covariance per tested variant (interaction)")
     g.add_argument("--rare-mac", type=float, default=1000.0)
-    g.add_argument("--force-robust", action="store_true")
+    g.add_argument("--force-robust", action="store_true",
+                   help="HC3 robust SEs for rare-variant GxE instead of HLM")
     g.add_argument("--force-robust-hc4", "--force-hc4", dest="force_robust_hc4",
-                   action="store_true")
-    g.add_argument("--no-robust", action="store_true")
+                   action="store_true",
+                   help="HC4 robust SEs for the rare-variant GxE QT test")
+    g.add_argument("--no-robust", action="store_true",
+                   help="model-based SEs for all interaction tests")
     g.add_argument("--1", "--cc12", dest="cc12", action="store_true", help="1/2/NA coding")
     g.add_argument("--out", "-o", required=True, help="output file prefix")
     g.add_argument("--bsize", "-b", type=int, default=1000, help="block size")
@@ -112,20 +123,25 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--setl0", default=None, help="comma-separated level-0 h2 grid in (0,1)")
     g.add_argument("--setl1", default=None, help="comma-separated level-1 h2 grid in (0,1)")
     g.add_argument("--lowmem", action="store_true", help="reduce memory usage")
-    g.add_argument("--lowmem-prefix", default=None)
+    g.add_argument("--lowmem-prefix", default=None,
+                   help="scratch-file prefix for --lowmem level-0 spills")
     g.add_argument("--split-l0", default=None, help="PREFIX,N : split level 0 into N jobs")
     g.add_argument("--run-l0", default=None, help="MASTER,i : run level 0 job i")
     g.add_argument("--run-l1", default=None, help="MASTER : run level 1")
     g.add_argument("--l1-phenoList", default=None,
                    help="comma-separated traits to run level 1 for (with --run-l1)")
-    g.add_argument("--keep-l0", action="store_true")
+    g.add_argument("--keep-l0", action="store_true",
+                   help="keep the binary level-0 prediction files after --run-l1")
     g.add_argument("--test-l0", action="store_true",
                    help="extract highly-associated SNPs before level-0 ridge")
     g.add_argument("--l0-pval-thr", type=float, default=-1.0)
-    g.add_argument("--strict", action="store_true")
-    g.add_argument("--print-prs", action="store_true")
+    g.add_argument("--strict", action="store_true",
+                   help="drop samples with any missing phenotype (shared mask)")
+    g.add_argument("--print-prs", action="store_true",
+                   help="also write whole-genome PRS files (_prs.list)")
     g.add_argument("--gz", action="store_true", help="gzip output files")
-    g.add_argument("--apply-rint", action="store_true")
+    g.add_argument("--apply-rint", action="store_true",
+                   help="rank-inverse-normal transform quantitative traits")
     g.add_argument("--apply-rerint", action="store_true",
                    help="RINT the residualized QTs in step 2")
     g.add_argument("--apply-rerint-cov", action="store_true",
@@ -202,22 +218,30 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--interaction-file-sample", default=None,
                    help="sample file for the --interaction-file BGEN")
     g.add_argument("--pred", help="_pred.list file from step 1")
-    g.add_argument("--ignore-pred", action="store_true")
-    g.add_argument("--use-prs", action="store_true")
+    g.add_argument("--ignore-pred", action="store_true",
+                   help="skip the step-1 LOCO predictions (plain GWAS)")
+    g.add_argument("--use-prs", action="store_true",
+                   help="use whole-genome PRS in --pred (no LOCO)")
     g.add_argument("--force-ltco", type=int, default=None,
                    help="leave-two-chromosome-out: extra chromosome excluded from LOCO")
-    g.add_argument("--write-samples", action="store_true")
+    g.add_argument("--write-samples", action="store_true",
+                   help="write analyzed sample IDs per trait (*.regenie.ids)")
     g.add_argument("--print-pheno", action="store_true",
                    help="print phenotype name on the first line of .ids files")
     g.add_argument("--print-cov-betas", action="store_true",
                    help="print covariate effects to file (step 2, QT)")
     g.add_argument("--minMAC", type=float, default=5.0)
-    g.add_argument("--minINFO", type=float, default=None)
+    g.add_argument("--minINFO", type=float, default=None,
+                   help="minimum imputation INFO score (dosage data)")
     g.add_argument("--no-split", dest="no_split", action="store_true", help="single output file for all traits")
-    g.add_argument("--firth", action="store_true")
-    g.add_argument("--approx", action="store_true")
-    g.add_argument("--firth-se", action="store_true")
-    g.add_argument("--spa", action="store_true")
+    g.add_argument("--firth", action="store_true",
+                   help="Firth-corrected LRT fallback for rare/unbalanced BTs")
+    g.add_argument("--approx", action="store_true",
+                   help="approximate Firth (null covariate effects fixed; ~60x faster)")
+    g.add_argument("--firth-se", action="store_true",
+                   help="SE from the Firth LRT (|beta|/sqrt(LRT)) in outputs")
+    g.add_argument("--spa", action="store_true",
+                   help="saddlepoint-approximation fallback for BT score tests")
     g.add_argument("--par-region", default="hg38",
                    help="build code for chrX PAR bounds (b36/b37/b38/hg18/hg19/hg38 or start,end)")
     g.add_argument("--skip-dosage-comp", action="store_true",
@@ -251,22 +275,31 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--pThresh", type=float, default=0.05)
     g.add_argument("--test", choices=["additive", "dominant", "recessive"], default="additive")
     g.add_argument("--chr", action="append", default=[])
-    g.add_argument("--chrList", default=None)
+    g.add_argument("--chrList", default=None,
+                   help="comma-separated chromosomes to test")
     g.add_argument("--range", default=None, help="CHR:MINPOS-MAXPOS variant window")
-    g.add_argument("--sex-specific", default=None, choices=["male", "female"])
+    g.add_argument("--sex-specific", default=None, choices=["male", "female"],
+                   help="restrict the analysis to one sex")
     g.add_argument("--htp", default=None, help="cohort name for HTPv4 output")
-    g.add_argument("--af-cc", action="store_true")
-    g.add_argument("--force-step1", action="store_true")
-    g.add_argument("--force-qt", action="store_true")
-    g.add_argument("--nb", type=int, default=None)
+    g.add_argument("--af-cc", action="store_true",
+                   help="report case/control AFs separately (A1FREQ_CASES/_CONTROLS)")
+    g.add_argument("--force-step1", action="store_true",
+                   help="allow >1M variants in step 1")
+    g.add_argument("--force-qt", action="store_true",
+                   help="treat non-binary-looking numeric traits as quantitative")
+    g.add_argument("--nb", type=int, default=None,
+                   help="number of blocks (step-2 resume bookkeeping)")
     g.add_argument("--starting-block", type=int, default=1)
     g.add_argument("--niter", type=int, default=30)
     g.add_argument("--maxiter-null", type=int, default=1000)
     g.add_argument("--maxstep-null", type=int, default=25)
-    g.add_argument("--write-null-firth", action="store_true")
-    g.add_argument("--use-null-firth", default=None)
-    g.add_argument("--verbose", "-v", action="store_true")
-    g.add_argument("--debug", action="store_true")
+    g.add_argument("--write-null-firth", action="store_true",
+                   help="checkpoint per-chromosome null Firth coefficients")
+    g.add_argument("--use-null-firth", default=None,
+                   help="reuse a _firth.list checkpoint of null Firth coefficients")
+    g.add_argument("--verbose", "-v", action="store_true", help="verbose screen output")
+    g.add_argument("--debug", action="store_true",
+                   help="debug output (implies --verbose)")
 
     gb = p.add_argument_group("Gene-based tests")
     gb.add_argument("--set-list", default=None, help="set list file (gene sets)")
@@ -275,19 +308,30 @@ def build_parser() -> argparse.ArgumentParser:
     gb.add_argument("--mask-def", default=None, help="mask definition file")
     gb.add_argument("--aaf-bins", default=None, help="comma-separated AAF cutoffs")
     gb.add_argument("--build-mask", default="max", choices=["max", "sum", "comphet"])
-    gb.add_argument("--singleton-carrier", action="store_true")
+    gb.add_argument("--singleton-carrier", action="store_true",
+                    help="define singletons by carrier count (not MAC=1)")
     gb.add_argument("--set-singletons", action="store_true",
                     help="0/1 indicator in AAF-file col 3 marks singletons")
-    gb.add_argument("--write-mask", action="store_true")
-    gb.add_argument("--write-mask-snplist", action="store_true")
-    gb.add_argument("--write-setlist", default=None)
-    gb.add_argument("--check-burden-files", action="store_true")
-    gb.add_argument("--strict-check-burden", action="store_true")
-    gb.add_argument("--aaf-file", default=None)
-    gb.add_argument("--extract-sets", default=None)
-    gb.add_argument("--exclude-sets", default=None)
-    gb.add_argument("--extract-setlist", default=None)
-    gb.add_argument("--exclude-setlist", default=None)
+    gb.add_argument("--write-mask", action="store_true",
+                    help="write built burden masks as PLINK bed")
+    gb.add_argument("--write-mask-snplist", action="store_true",
+                    help="write the variants entering each mask")
+    gb.add_argument("--write-setlist", default=None,
+                    help="config file to write set-lists of built masks")
+    gb.add_argument("--check-burden-files", action="store_true",
+                    help="consistency report across set-list/anno/mask files")
+    gb.add_argument("--strict-check-burden", action="store_true",
+                    help="abort if the burden-file consistency check fails")
+    gb.add_argument("--aaf-file", default=None,
+                    help="file with alternate-allele frequencies for AAF bins")
+    gb.add_argument("--extract-sets", default=None,
+                    help="file of set names to keep")
+    gb.add_argument("--exclude-sets", default=None,
+                    help="file of set names to drop")
+    gb.add_argument("--extract-setlist", default=None,
+                    help="comma-separated set names to keep")
+    gb.add_argument("--exclude-setlist", default=None,
+                    help="comma-separated set names to drop")
     gb.add_argument("--vc-tests", default=None, help="skat,skato,skato-acat,acatv,acato,acato-full")
     gb.add_argument("--vc-maxAAF", type=float, default=1.0)
     gb.add_argument("--vc-MACthr", type=float, default=10.0)
@@ -308,7 +352,8 @@ def build_parser() -> argparse.ArgumentParser:
     gb.add_argument("--joint", default=None, help="minp,acat,ftest,gates,sbat,gene_p")
     gb.add_argument("--weights-col", type=int, default=0,
                     help="1-based annotation-file column with VC weights")
-    gb.add_argument("--multiply-weights", action="store_true")
+    gb.add_argument("--multiply-weights", action="store_true",
+                    help="multiply user AAF-file weights with the Beta(1,25) weights")
     gb.add_argument("--remeta-save-ld", action="store_true",
                     help="store SKAT LD matrices for remeta")
     gb.add_argument("--remeta-ld-spr", type=float, default=0.01)
@@ -316,11 +361,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="optimal strategy for a single p-value per gene")
     gb.add_argument("--rgc-gene-def", default=None,
                     help="file with mask groups for the GENE_P strategy")
-    gb.add_argument("--skip-sbat", action="store_true")
-    gb.add_argument("--mask-lovo", default=None)
+    gb.add_argument("--skip-sbat", action="store_true",
+                    help="drop SBAT from the GENE_P combination")
+    gb.add_argument("--mask-lovo", default=None,
+                    help="leave-one-variant-out masks: gene,mask,aaf-bin")
     gb.add_argument("--lovo-snplist", default=None,
                     help="variants to generate LOVO masks for")
-    gb.add_argument("--mask-lodo", action="store_true")
+    gb.add_argument("--mask-lodo", action="store_true",
+                    help="leave-one-domain-out masks (with --mask-lovo)")
     return p
 
 
