@@ -545,9 +545,12 @@ class Step2Engine:
         ignored = (mac1 < mac_thr) & mac_gate
         ignored_trait = (sb["mac"] < mac_thr[:, None]) & mac_gate[:, None]
 
+        # the prefetch thread mutates gd.last_info_num for the NEXT block;
+        # the loop pins this block's numerators on the engine instead
+        info_num_blk = getattr(self, "_info_num_override", self.gd.last_info_num)
         info_t = None
-        if self.gd.last_info_num is not None:
-            ival = self.gd.last_info_num * self.pd.ind_in_analysis[None, :]
+        if info_num_blk is not None:
+            ival = info_num_blk * self.pd.ind_in_analysis[None, :]
             info_num_t = ival @ self.maskf
             with np.errstate(divide="ignore", invalid="ignore"):
                 info_t = 1.0 - info_num_t / (2 * sb["ns_t"] * sb["af"] * (1 - sb["af"]))
@@ -830,16 +833,32 @@ def run_step2(params: Params, log=print) -> None:
     writers, out_paths = setup_writers(params, pd.pheno_names, pd.pheno_pass)
 
     t0 = time.time()
-    block_idx = 0
-    for chrom, bsnps in blocks:
-        block_idx += 1
+    # --starting-block / --nb window (Data.cpp:2275)
+    todo = []
+    for block_idx, (chrom, bsnps) in enumerate(blocks, start=1):
         if block_idx < params.starting_block:
             continue
-        # --nb: stop after processing this many blocks (Data.cpp:2275)
         if params.nb is not None and block_idx >= params.starting_block + params.nb:
             break
+        todo.append((chrom, bsnps))
+
+    # one-block lookahead: decode+upload of block k+1 overlaps the device
+    # compute and host output of block k (the TPU-era analog of the
+    # reference's multithreaded readChunk, Data.cpp:2944)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fetch(bsnps):
+        G = eng.read_block_device(bsnps)
+        return G, eng.gd.last_info_num
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(_fetch, todo[0][1]) if todo else None
+    for i, (chrom, bsnps) in enumerate(todo):
+        G_raw, info_num = fut.result()
+        if i + 1 < len(todo):
+            fut = pool.submit(_fetch, todo[i + 1][1])
+        eng._info_num_override = info_num
         eng.prep_chrom(chrom)
-        G_raw = eng.read_block_device(bsnps)
         result, _ = eng.test_raw_block(G_raw, bsnps)
         write_block_rows(params, pd, writers, bsnps, result, test_name + condtl,
                          eng.model_type() + condtl)
@@ -851,6 +870,9 @@ def run_step2(params: Params, log=print) -> None:
                 writers, test_name,
             )
 
+    pool.shutdown(wait=False)
+    if hasattr(eng, "_info_num_override"):
+        del eng._info_num_override
     closed = set()
     for fh in writers:
         if fh is not None and id(fh) not in closed:
