@@ -249,9 +249,16 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
             m_msh = pm.shard_array(mesh, jnp.asarray(m_pad), 0)
 
     t0 = time.time()
+    # one-block decode lookahead (overlaps host decode with device solves)
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(gd.read_block, blocks[0][1]) if blocks else None
     for bidx, (chrom, bsnps) in enumerate(blocks):
         chr_nblocks[chrom] = chr_nblocks.get(chrom, 0) + 1
-        G_raw = gd.read_block(bsnps)
+        G_raw = fut.result()
+        if bidx + 1 < len(blocks):
+            fut = pool.submit(gd.read_block, blocks[bidx + 1][1])
         G = prepare_block_step1(jnp.asarray(G_raw), ind_j)
         G, scale_G = m1.residualize_geno_block(G, cov_j, scale_denom)
         if not np.all(np.asarray(scale_G) > params.numtol):
@@ -315,6 +322,7 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
                 jnp.asarray(Gf), Y_folds_j, mask_folds_j, valid_j, lambdas_j, Neff_j
             )
             W_all[:, :, bidx * J : (bidx + 1) * J, :] = np.asarray(Wb)
+    pool.shutdown(wait=False)
     log(f" * level 0 done ({time.time()-t0:.1f}s, {len(blocks)} blocks)")
     return W_all, chr_nblocks
 
