@@ -243,10 +243,16 @@ def run_vc_tests(params: Params, eng, vset, snps, G, sb, ignored, built, writers
             writers, log,
         )
 
-    # score stats + kernel (compute_vc_mats_qt, SKAT.cpp:643)
-    WGtX = GW_full.T @ X  # [Mt, K]
-    Svals = yres.T @ GW_full - (yres.T @ X) @ WGtX.T  # [P, Mt]
-    Kmat = GW_full.T @ GW_full - WGtX @ WGtX.T  # [Mt, Mt]
+    # score stats + kernel (compute_vc_mats_qt, SKAT.cpp:643); the
+    # [Mt, N] x [N, *] products run on the accelerator (MXU)
+    import jax.numpy as _jnp
+
+    from .step2 import mm as _mm
+
+    GW_j = _jnp.asarray(GW_full)
+    WGtX = np.asarray(_mm(GW_j.T, _jnp.asarray(X)))  # [Mt, K]
+    Svals = np.asarray(_mm(_jnp.asarray(yres.T), GW_j)) - (yres.T @ X) @ WGtX.T  # [P, Mt]
+    Kmat = np.asarray(_mm(GW_j.T, GW_j)) - WGtX @ WGtX.T  # [Mt, Mt]
 
     # remeta: write the unweighted kernel per gene (SKAT.cpp:338-362)
     if params.remeta_save_ld and getattr(eng, "remeta_writers", None) and n_main > 0:
@@ -554,10 +560,16 @@ def _run_vc_bt(params, eng, vset, vc_masks, GW_full, col_of, n_main, ur_cols,
         XW = st.X_gamma[ph]
         mask = pd.masked_indivs[:, ph]
         y = pd.phenotypes_raw[:, ph]
-        GWp = GW_full * gsm[:, None]  # [N, Mt]
-        GtWX = XW.T @ GWp  # [K, Mt]
-        Svals = GWp.T @ st.res[:, ph]  # [Mt]
-        Kmat = GWp.T @ GWp - GtWX.T @ GtWX
+        # [N, Mt] weighted genotype products on the accelerator (MXU)
+        import jax.numpy as _jnp
+
+        from .step2 import mm as _mm
+
+        GWp = GW_full * gsm[:, None]  # [N, Mt] (host copy for solvers below)
+        GWp_j = _jnp.asarray(GWp)
+        GtWX = np.asarray(_mm(_jnp.asarray(XW.T), GWp_j))  # [K, Mt]
+        Svals = np.asarray(_mm(GWp_j.T, _jnp.asarray(st.res[:, ph])[:, None]))[:, 0]
+        Kmat = np.asarray(_mm(GWp_j.T, GWp_j)) - GtWX.T @ GtWX
 
         Rvec = np.ones(Mt)
         var_score = np.diag(Kmat).copy()
