@@ -258,10 +258,13 @@ def apply_interaction_block(params, eng, bsnps, G_raw, G_res, result, writers, t
     """
     from ..config import BT
 
+    import os
+
     st = eng.interaction
     pd = eng.pd
     P = params.n_pheno
     B = len(bsnps)
+    robust_idx = []
     for b in range(B):
         if result.ignored[b]:
             continue
@@ -271,7 +274,6 @@ def apply_interaction_block(params, eng, bsnps, G_raw, G_res, result, writers, t
         if params.trait_mode == BT:
             _test_snp_bt(params, eng, bsnps[b], b, g_raw, result, writers, test_name)
             continue
-        g_res = G_res[b]
         mac_b = result.af_t[b] * 2 * result.ns_t[b]
         mac_b = np.minimum(mac_b, 2 * result.ns_t[b] - mac_b)
         use_hlm = (
@@ -280,8 +282,140 @@ def apply_interaction_block(params, eng, bsnps, G_raw, G_res, result, writers, t
         )
         if use_hlm:
             _test_snp_hlm(params, eng, bsnps[b], b, g_raw, result, writers, test_name)
+        elif os.environ.get("REGENIE_TPU_NO_BATCH_INT"):
+            _test_snp_robust(params, eng, bsnps[b], b, g_raw, G_res[b], result,
+                             writers, test_name)
         else:
-            _test_snp_robust(params, eng, bsnps[b], b, g_raw, g_res, result, writers, test_name)
+            robust_idx.append(b)
+    if robust_idx:
+        _robust_block_batched(
+            params, eng, bsnps, robust_idx, G_raw, G_res, result, writers, test_name
+        )
+
+
+def _robust_block_batched(params, eng, bsnps, idx, G_raw, G_res, result,
+                          writers, test_name):
+    """Device-batched HC3/HC4 sandwich tests for all robust-eligible SNPs
+    of a block (same math as _test_snp_robust, per-SNP loop replaced by
+    einsum batches)."""
+    import jax.numpy as jnp
+
+    st, pd = eng.interaction, eng.pd
+    K = params.ncov_interaction
+    beg = params.interaction_istart
+    want_hc4 = bool(params.force_hc4)
+    kern = _robust_batch_kernel(want_hc4)
+    N = pd.new_cov.shape[0]
+    P = params.n_pheno
+    scf_denom = float(params.n_analyzed - pd.new_cov.shape[1])
+    # chunk so the [S, N, P] residual tensor stays ~200MB
+    S_max = max(1, int(2.5e7 / max(1, N * P / 8)))
+    E_j = jnp.asarray(st.E)
+    E_res_j = jnp.asarray(st.E_res)
+    cov_j = jnp.asarray(pd.new_cov)
+    res_j = jnp.asarray(eng.res)
+    maskf_j = jnp.asarray(pd.masked_indivs.astype(np.float64))
+    G_raw_np = np.asarray(G_raw, dtype=np.float64)
+    G_res_np = np.asarray(G_res)
+    scale_fac = getattr(result, "scale_fac", None)
+
+    for c0 in range(0, len(idx), S_max):
+        chunk = idx[c0 : c0 + S_max]
+        outs = kern(
+            jnp.asarray(G_raw_np[chunk]), jnp.asarray(G_res_np[chunk]),
+            E_j, E_res_j, cov_j, res_j, maskf_j, scf_denom,
+        )
+        if want_hc4:
+            scf_i, Dmin, Z, tau, V3, s2, V4 = (np.asarray(o) for o in outs)
+        else:
+            scf_i, Dmin, Z, tau, V3, s2 = (np.asarray(o) for o in outs)
+            V4 = None
+        nc = Z.shape[1]
+        for si, b in enumerate(chunk):
+            if scf_i[si].min() < params.numtol or Dmin[si] < params.numtol:
+                continue
+            snp = bsnps[b]
+            for ph in range(P):
+                if (not pd.pheno_pass[ph] or result.ignored_trait[b, ph]
+                        or writers[ph] is None):
+                    continue
+                bhat = tau[si, :, ph]
+                gscale = pd.scale_Y[ph] * eng.p_sd_yres[ph] / (
+                    scale_fac[b] if scale_fac is not None else 1.0
+                )
+                iscale = pd.scale_Y[ph] * eng.p_sd_yres[ph] / scf_i[si]
+                cscale = pd.scale_Y[ph] * eng.p_sd_yres[ph] / st.scl_E
+                if params.no_robust:
+                    s2v = s2[si, ph] / (pd.Neff[ph] - params.ncov_analyzed - nc)
+                    Vmat = s2v * Z[si]
+                else:
+                    mac_ph = (result.mac_t[b, ph] if result.mac_t is not None
+                              else np.inf)
+                    Vmat = (V4[si, ph]
+                            if (params.force_hc4 and mac_ph <= params.rare_mac_inter)
+                            else V3[si, ph])
+                _write_int_rows(params, eng, writers, snp, b, ph, bhat, Vmat,
+                                beg, K, gscale, iscale, cscale, result, test_name)
+
+
+_ROBUST_KERNELS = {}
+
+
+def _robust_batch_kernel(want_hc4):
+    """Batched device form of the HC3/HC4 sandwich quantities for S SNPs
+    at once (apply_interaction_tests_qt, Interaction.cpp:109-220): the
+    per-SNP [N, ncols] design solves become einsum batches on the MXU."""
+    if want_hc4 in _ROBUST_KERNELS:
+        return _ROBUST_KERNELS[want_hc4]
+    from functools import partial as _partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.dtypes import MATMUL_PRECISION as _PREC
+
+    @_partial(jax.jit, static_argnames=("scf_denom",))
+    def _kern(g_raw, g_res, E, E_res, cov, res, maskf, scf_denom):
+        # g_raw/g_res: [S,N]; E: [N,Ki]; E_res: [N,beg]; cov: [N,C];
+        # res: [N,P]; maskf: [N,P]; scf_denom = n_analyzed - ncov
+        S, N = g_raw.shape
+        iMat = E[None, :, :] * g_raw[:, :, None]  # [S,N,Ki]
+        beta = jnp.einsum("sni,nc->sic", iMat, cov, precision=_PREC)
+        iR = iMat - jnp.einsum("nc,sic->sni", cov, beta, precision=_PREC)
+        scf_i = jnp.linalg.norm(iR, axis=1) / jnp.sqrt(scf_denom)  # [S,Ki]
+        iR = iR / jnp.where(scf_i > 0, scf_i, 1.0)[:, None, :]
+        M = jnp.concatenate(
+            [jnp.broadcast_to(E_res[None], (S,) + E_res.shape),
+             g_res[:, :, None], iR], axis=2,
+        )  # [S,N,nc]
+        nc = M.shape[2]
+        MtM = jnp.einsum("sni,snj->sij", M, M, precision=_PREC)
+        D, V = jnp.linalg.eigh(MtM)
+        Z = jnp.einsum("sik,sk,sjk->sij", V, 1.0 / D, V, precision=_PREC)
+        MZ = jnp.einsum("sni,sij->snj", M, Z, precision=_PREC)
+        hvec = (MZ * M).sum(axis=2)  # [S,N]
+        Mtres = jnp.einsum("sni,np->sip", M, res, precision=_PREC)
+        tau = jnp.einsum("sij,sjp->sip", Z, Mtres, precision=_PREC)
+        fit = jnp.einsum("sni,sip->snp", M, tau, precision=_PREC)
+        e_sq = ((res[None] - fit) * maskf[None]) ** 2  # [S,N,P]
+        hc3 = (1.0 - hvec) ** 2
+        core3 = jnp.einsum(
+            "sni,snp,snj->spij", M, e_sq / hc3[:, :, None], M, precision=_PREC
+        )
+        V3 = jnp.einsum("sik,spkl,slj->spij", Z, core3, Z, precision=_PREC)
+        s2 = e_sq.sum(axis=1)  # [S,P] (model-based numerator)
+        outs = (scf_i, D.min(axis=1), Z, tau, V3, s2)
+        if want_hc4:
+            hc4 = (1.0 - hvec) ** jnp.minimum(N * hvec / nc, 4.0)
+            core4 = jnp.einsum(
+                "sni,snp,snj->spij", M, e_sq / hc4[:, :, None], M, precision=_PREC
+            )
+            V4 = jnp.einsum("sik,spkl,slj->spij", Z, core4, Z, precision=_PREC)
+            outs = outs + (V4,)
+        return outs
+
+    _ROBUST_KERNELS[want_hc4] = _kern
+    return _kern
 
 
 def _test_snp_robust(params, eng, snp, b, g_raw, g_res, result, writers, test_name):
