@@ -105,10 +105,12 @@ def setup_mt(res: np.ndarray, masked_indivs: np.ndarray) -> MTState:
     )
 
 
-def _zscores(Y: np.ndarray, G: np.ndarray, G2: np.ndarray, neff0: float):
+def _zscores(Y: np.ndarray, G: np.ndarray, G2: np.ndarray, neff0: float,
+             GY: np.ndarray = None):
     """Marginal z-scores for all traits (assoc_omnibus0,
     MultiTrait_Tests.cpp:466-480). G: [B, N]; returns [B, q]."""
-    GY = G @ Y  # [B, q]
+    if GY is None:
+        GY = G @ Y  # [B, q]
     with np.errstate(divide="ignore", invalid="ignore"):
         bhat = GY / G2[:, None]
         Y2 = (Y**2).sum(axis=0)
@@ -144,14 +146,24 @@ def run_mt_block(st: MTState, G: np.ndarray, params) -> dict:
     B = G.shape[0]
     q = st.Y0.shape[1]
     N0 = st.neff0
-    G2 = (G**2).sum(axis=1)
+
+    # the [B, N] x [N, q] products run on the accelerator
+    import jax.numpy as _jnp
+
+    from .step2 import mm as _mm
+
+    G_j = _jnp.asarray(G)
+    G2 = np.asarray((G_j**2).sum(axis=1))
+    GY0 = np.asarray(_mm(G_j, _jnp.asarray(st.Y0)))
+    GPC = np.asarray(_mm(G_j, _jnp.asarray(st.PC_Y0)))
+    GRPC = np.asarray(_mm(G_j, _jnp.asarray(st.RPC_Y0)))
 
     logp = np.full((B, N_MT_TESTS), np.nan)
 
     # ---- z-scores on Y0, PCs, RINT-PCs
-    Z, bhat = _zscores(st.Y0, G, G2, N0)
-    Zpc, _ = _zscores(st.PC_Y0, G, G2, N0)
-    Zrpc, _ = _zscores(st.RPC_Y0, G, G2, N0)
+    Z, bhat = _zscores(st.Y0, G, G2, N0, GY0)
+    Zpc, _ = _zscores(st.PC_Y0, G, G2, N0, GPC)
+    Zrpc, _ = _zscores(st.RPC_Y0, G, G2, N0, GRPC)
     logp_uni = chisq_neglog10(Z**2)  # [B, q]
 
     # ---- 0: MANOVA (Wilks via determinant lemma)
@@ -185,7 +197,7 @@ def run_mt_block(st: MTState, G: np.ndarray, params) -> dict:
 
     # ---- 2: Bayes log10 BF (conjugate MV regression, rank-one det identity)
     Vb1 = 1.0 / (G2 + 1.0 / st.prior_Vbeta0)
-    Mb1 = (G @ st.Y0) * Vb1[:, None]  # [B, q]
+    Mb1 = GY0 * Vb1[:, None]  # [B, q]
     Q1c = st.prior_Q0 * np.eye(q) + st.YtY
     _s, ldQ1c = np.linalg.slogdet(Q1c)
     sum_inv = np.linalg.inv(Q1c).sum()
