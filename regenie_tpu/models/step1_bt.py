@@ -21,6 +21,44 @@ from .glm import get_pvec, get_logist_dev
 L1_RIDGE_EPS = 1e-5
 L1_RIDGE_TOL = 1e-4
 
+_L1_DEV = {}
+
+
+def _l1_dev():
+    """Device kernels for the level-1 [N, F] products (the step-1 BT hot
+    matmuls; replaces the reference's MKL-backed Eigen products)."""
+    if _L1_DEV:
+        return _L1_DEV
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.dtypes import MATMUL_PRECISION as _PREC
+
+    @jax.jit
+    def xb(Xj, b):
+        return jnp.matmul(Xj, b[:, None], precision=_PREC)[:, 0]
+
+    @jax.jit
+    def xtv(Xj, v):
+        return jnp.matmul(Xj.T, v[:, None], precision=_PREC)[:, 0]
+
+    @jax.jit
+    def wgram(Xj, w):
+        return jnp.einsum("nf,n,ng->fg", Xj, w, Xj, precision=_PREC)
+
+    @jax.jit
+    def lev(Xj, Ainv):
+        # h[n] = x_n' A^-1 x_n
+        return jnp.einsum("nf,fg,ng->n", Xj, Ainv, Xj, precision=_PREC)
+
+    @jax.jit
+    def lev_span(Xs, Ainv_rows, Xj):
+        # q[n] = x_n[span]' (A^-1[span, :] x_n)
+        return jnp.einsum("nf,fg,ng->n", Xs, Ainv_rows, Xj, precision=_PREC)
+
+    _L1_DEV.update(xb=xb, xtv=xtv, wgram=wgram, lev=lev, lev_span=lev_span)
+    return _L1_DEV
+
 
 def run_log_ridge(
     y: np.ndarray,
@@ -32,17 +70,31 @@ def run_log_ridge(
     niter_max: int = 100,
     niter_line_search: int = 5,
     numtol: float = 1e-6,
+    Xj=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
     """Penalized logistic Newton fit (run_log_ridge_loocv,
-    Step1_Models.cpp:1288-1377). Returns (beta, pivec, wvec, converged)."""
+    Step1_Models.cpp:1288-1377). Returns (beta, pivec, wvec, converged).
+    Xj: optional device copy of X — the [N, F] products then run on the
+    accelerator."""
     maskf = mask.astype(np.float64)
+    if Xj is not None:
+        import jax.numpy as jnp
+
+        k = _l1_dev()
+        _xb = lambda b: np.asarray(k["xb"](Xj, jnp.asarray(b)))
+        _xtv = lambda v: np.asarray(k["xtv"](Xj, jnp.asarray(v)))
+        _wgram = lambda w_: np.asarray(k["wgram"](Xj, jnp.asarray(w_)))
+    else:
+        _xb = lambda b: X @ b
+        _xtv = lambda v: X.T @ v
+        _wgram = lambda w_: (X.T * w_) @ X
     beta = beta0.copy()
-    eta = offset + X @ beta
+    eta = offset + _xb(beta)
     pi = get_pvec(eta)
     fn_start = get_logist_dev(y, pi, mask) + float(np.sum(tau * beta**2))
     w = np.where(mask, pi * (1 - pi), 1.0)
     w = np.where(mask & ((pi < L1_RIDGE_EPS) | (pi > 1 - L1_RIDGE_EPS)), w, w)
-    score = X.T @ np.where(mask, y - pi, 0.0) - tau * beta
+    score = _xtv(np.where(mask, y - pi, 0.0)) - tau * beta
 
     niter_cur = 0
     dev_conv = False
@@ -51,21 +103,21 @@ def run_log_ridge(
     F = X.shape[1]
     while niter_cur < niter_max:
         niter_cur += 1
-        XtWX = np.diag(tau * np.ones(F)) + (X.T * (maskf * w)) @ X
+        XtWX = np.diag(tau * np.ones(F)) + _wgram(maskf * w)
         try:
             step = np.linalg.solve(XtWX, score)
         except np.linalg.LinAlgError:
             return beta, pi, w, False
         for ls in range(niter_line_search):
             betanew = beta + step
-            eta = offset + X @ betanew
+            eta = offset + _xb(betanew)
             pi = get_pvec(eta)
             fn_end = get_logist_dev(y, pi, mask) + float(np.sum(tau * betanew**2))
             w = np.where(mask, pi * (1 - pi), 1.0)
             if fn_end < fn_start + numtol:
                 break
             step = step / 2
-        score = X.T @ np.where(mask, y - pi, 0.0) - tau * betanew
+        score = _xtv(np.where(mask, y - pi, 0.0)) - tau * betanew
         dev_conv = abs(fn_end - fn_start) / (0.01 + abs(fn_end)) < numtol
         if np.abs(score).max() < L1_RIDGE_TOL:
             beta = betanew
@@ -160,29 +212,49 @@ def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
     def tau_eff(tau):
         return float(tau) if ridge_mult is None else float(tau) * ridge_mult
 
-    # CV over tau grid: warm-started penalized fits + closed-form LOO
+    # CV over tau grid: warm-started penalized fits + closed-form LOO.
+    # The [N, F] products run on the accelerator; the LOO predictions use
+    # the leverage identity eta_loo = eta - h*(y-pi)/(1-h*w) with
+    # h = x'(X'WX + tau I)^-1 x, avoiding the [F, N] b_loo matrix.
+    import jax.numpy as jnp
+
+    kdev = _l1_dev()
+    Xj = jnp.asarray(X)
+    maskf = mask.astype(np.float64)
+
+    def loo_quants(beta, pi, w, tau):
+        A = np.diag(tau * np.ones(F)) + np.asarray(
+            kdev["wgram"](Xj, jnp.asarray(maskf * w))
+        )
+        Ainv = np.linalg.inv(A)
+        h = np.asarray(kdev["lev"](Xj, jnp.asarray(Ainv)))
+        v2 = h * w
+        s = (y - pi) / (1.0 - v2)
+        eta_lin = np.asarray(kdev["xb"](Xj, jnp.asarray(beta)))
+        return Ainv, h, s, eta_lin
+
     cumsum = np.zeros((6, len(taus)))
     beta = np.zeros(F)
     not_converged = False
     for j, tau in enumerate(taus):
         beta, pi, w, ok = run_log_ridge(
             y, X, offset, mask, tau_eff(tau), beta, params.niter_max_ridge,
-            params.niter_max_line_search, params.numtol,
+            params.niter_max_line_search, params.numtol, Xj=Xj,
         )
         if not ok:
             # ADAM pre-pass fallback (run_log_ridge_loocv_adam,
             # Step1_Models.cpp:1377) then retry Newton
-            b_adam = _adam_log_ridge(y, X, offset, mask, tau_eff(tau), beta)
+            b_adam = _adam_log_ridge(y, X, offset, mask, tau_eff(tau), beta, Xj=Xj)
             beta, pi, w, ok = run_log_ridge(
                 y, X, offset, mask, tau_eff(tau), b_adam, params.niter_max_ridge,
-                params.niter_max_line_search, params.numtol,
+                params.niter_max_line_search, params.numtol, Xj=Xj,
             )
         if not ok:
             log("WARNING: ridge logistic regression did not converge! (Increase --niter)")
             not_converged = True
             break
-        b_loo = _loo_betas(X, y, pi, w, mask, beta, tau_eff(tau))
-        eta_loo = (X * b_loo.T).sum(axis=1) + offset
+        _, h, s, eta_lin = loo_quants(beta, pi, w, tau_eff(tau))
+        eta_loo = eta_lin - h * s + offset
         p1 = 1.0 - 1.0 / (np.exp(np.clip(eta_loo, -30, 30)) + 1.0)
         p1 = np.clip(p1, L1_RIDGE_EPS, 1 - L1_RIDGE_EPS)
         m = mask
@@ -207,7 +279,7 @@ def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
     beta = np.zeros(F)
     beta, pi, w, ok = run_log_ridge(
         y, X, offset, mask, tau_eff(taus[best]), beta, params.niter_max_ridge,
-        params.niter_max_line_search, params.numtol,
+        params.niter_max_line_search, params.numtol, Xj=Xj,
     )
     if not ok:
         return None, False
@@ -218,12 +290,18 @@ def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
         log("  * making predictions (using all samples)...")
         for ci, c in enumerate(chr_order):
             st_, nn = spans[c]
-            predictions[:, ci] = X[:, st_ : st_ + nn] @ beta[st_ : st_ + nn]
+            predictions[:, ci] = np.asarray(
+                kdev["xb"](Xj[:, st_ : st_ + nn], jnp.asarray(beta[st_ : st_ + nn]))
+            )
         return predictions, True
-    b_loo = _loo_betas(X, y, pi, w, mask, beta, tau_eff(taus[best]))  # [F,N]
+    Ainv, h, s, _ = loo_quants(beta, pi, w, tau_eff(taus[best]))
+    Ainv_j = jnp.asarray(Ainv)
     for ci, c in enumerate(chr_order):
         st_, nn = spans[c]
-        predictions[:, ci] = (X[:, st_ : st_ + nn] * b_loo[st_ : st_ + nn, :].T).sum(axis=1)
+        sl = slice(st_, st_ + nn)
+        pred_lin = np.asarray(kdev["xb"](Xj[:, sl], jnp.asarray(beta[sl])))
+        q_c = np.asarray(kdev["lev_span"](Xj[:, sl], Ainv_j[sl, :], Xj))
+        predictions[:, ci] = pred_lin - q_c * s
     return predictions, True
 
 
@@ -523,18 +601,27 @@ def _level1_t2e(params, pd, W_all, offsets, taus, ph, chr_order, spans, fold_siz
 
 
 def _adam_log_ridge(y, X, offset, mask, tau, beta0, niter=500, alpha=0.01,
-                    b1=0.9, b2=0.999, eps=1e-7, tol=1e-4):
+                    b1=0.9, b2=0.999, eps=1e-7, tol=1e-4, Xj=None):
     """Full-batch ADAM on the penalized logistic score — fallback
     optimizer for level-1 ridge (run_log_ridge_loocv_adam,
     Step1_Models.cpp:1377, deterministic full-batch variant)."""
     maskf = mask.astype(np.float64)
+    if Xj is not None:
+        import jax.numpy as jnp
+
+        k = _l1_dev()
+        _xb = lambda b: np.asarray(k["xb"](Xj, jnp.asarray(b)))
+        _xtv = lambda v: np.asarray(k["xtv"](Xj, jnp.asarray(v)))
+    else:
+        _xb = lambda b: X @ b
+        _xtv = lambda v: X.T @ v
     beta = beta0.copy()
     mt = np.zeros_like(beta)
     vt = np.zeros_like(beta)
     for it in range(1, niter + 1):
-        eta = np.clip(offset + X @ beta, -30, 30)
+        eta = np.clip(offset + _xb(beta), -30, 30)
         pi = 1.0 / (1.0 + np.exp(-eta))
-        grad = -(X.T @ (maskf * (y - pi)) - tau * beta)
+        grad = -(_xtv(maskf * (y - pi)) - tau * beta)
         if np.abs(grad).max() < tol:
             break
         mt = b1 * mt + (1 - b1) * grad
