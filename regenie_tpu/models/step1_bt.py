@@ -147,27 +147,38 @@ def run_ct_ridge(
     tau: float,
     beta0: np.ndarray,
     niter_max: int = 100,
+    Xj=None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
     """Penalized Poisson IRLS (run_ct_ridge_loocv, Step1_Models.cpp:1680).
     Returns (beta, mu, w, converged) with w = mu."""
     maskf = mask.astype(np.float64)
+    if Xj is not None:
+        import jax.numpy as jnp
+
+        k = _l1_dev()
+        _xb = lambda b: np.asarray(k["xb"](Xj, jnp.asarray(b)))
+        _xtv = lambda v: np.asarray(k["xtv"](Xj, jnp.asarray(v)))
+        _wgram = lambda w_: np.asarray(k["wgram"](Xj, jnp.asarray(w_)))
+    else:
+        _xb = lambda b: X @ b
+        _xtv = lambda v: X.T @ v
+        _wgram = lambda w_: (X.T * w_) @ X
     beta = beta0.copy()
     F = X.shape[1]
     for _ in range(niter_max):
-        eta = offset + X @ beta
+        eta = offset + _xb(beta)
         mu = np.where(mask, np.exp(np.clip(eta, -30, 30)), 0.0)
         if (mu[mask] == 0).any():
             return beta, mu, mu, False
         z = np.where(mask, (eta - offset) + (y - mu) / mu, 0.0)
-        XtW = X.T * (maskf * mu)
-        XtWX = np.diag(tau * np.ones(F)) + XtW @ X
+        XtWX = np.diag(tau * np.ones(F)) + _wgram(maskf * mu)
         try:
-            betanew = np.linalg.solve(XtWX, XtW @ z)
+            betanew = np.linalg.solve(XtWX, _xtv(maskf * mu * z))
         except np.linalg.LinAlgError:
             return beta, mu, mu, False
-        eta = offset + X @ betanew
+        eta = offset + _xb(betanew)
         mu = np.where(mask, np.exp(np.clip(eta, -30, 30)), 0.0)
-        score = X.T @ np.where(mask, y - mu, 0.0) - tau * betanew
+        score = _xtv(np.where(mask, y - mu, 0.0)) - tau * betanew
         beta = betanew
         if np.abs(score).max() < L1_RIDGE_TOL:
             return beta, mu, mu, True
@@ -465,13 +476,29 @@ def _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log
     cumsum = np.zeros((6, len(taus_ct)))
     beta = np.zeros(F)
     maskf = mask.astype(np.float64)
+    import jax.numpy as jnp
+
+    kdev = _l1_dev()
+    Xj = jnp.asarray(X)
+
+    def loo_quants(beta, mu, w, tau):
+        A = np.diag(tau * np.ones(F)) + np.asarray(
+            kdev["wgram"](Xj, jnp.asarray(maskf * w))
+        )
+        Ainv = np.linalg.inv(A)
+        h = np.asarray(kdev["lev"](Xj, jnp.asarray(Ainv)))
+        s = (y - mu) / (1.0 - h * w)
+        eta_lin = np.asarray(kdev["xb"](Xj, jnp.asarray(beta)))
+        return Ainv, h, s, eta_lin
+
     for j, tau in enumerate(taus_ct):
-        beta, mu, w, ok = run_ct_ridge(y, X, offset, mask, float(tau), beta, params.niter_max_ridge)
+        beta, mu, w, ok = run_ct_ridge(y, X, offset, mask, float(tau), beta,
+                                       params.niter_max_ridge, Xj=Xj)
         if not ok:
             log("WARNING: ridge poisson regression did not converge! (Increase --niter)")
             return None, False
-        b_loo = _loo_betas(X, y, mu, w, mask, beta, float(tau))
-        eta_loo = (X * b_loo.T).sum(axis=1) + offset
+        _, h, s, eta_lin = loo_quants(beta, mu, w, float(tau))
+        eta_loo = eta_lin - h * s + offset
         p1 = np.exp(np.clip(eta_loo, -30, 30))
         m = mask
         cumsum[0, j] = p1[m].sum()
@@ -493,14 +520,19 @@ def _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log
         log(line)
 
     beta = np.zeros(F)
-    beta, mu, w, ok = run_ct_ridge(y, X, offset, mask, float(taus_ct[best]), beta, params.niter_max_ridge)
+    beta, mu, w, ok = run_ct_ridge(y, X, offset, mask, float(taus_ct[best]), beta,
+                                   params.niter_max_ridge, Xj=Xj)
     if not ok:
         return None, False
-    b_loo = _loo_betas(X, y, mu, w, mask, beta, float(taus_ct[best]))
+    Ainv, h, s, _ = loo_quants(beta, mu, w, float(taus_ct[best]))
+    Ainv_j = jnp.asarray(Ainv)
     predictions = np.zeros((N, len(chr_order)))
     for ci, c in enumerate(chr_order):
         st_, nn = spans[c]
-        predictions[:, ci] = (X[:, st_ : st_ + nn] * b_loo[st_ : st_ + nn, :].T).sum(axis=1)
+        sl = slice(st_, st_ + nn)
+        pred_lin = np.asarray(kdev["xb"](Xj[:, sl], jnp.asarray(beta[sl])))
+        q_c = np.asarray(kdev["lev_span"](Xj[:, sl], Ainv_j[sl, :], Xj))
+        predictions[:, ci] = pred_lin - q_c * s
     return predictions, True
 
 
