@@ -353,6 +353,9 @@ def _level1_glm_kfold(params, pd, W_all, offsets, taus_vec, ph, chr_order,
         pi = 1.0 / (1.0 + np.exp(-eta))
         return pi, pi * (1.0 - pi)
 
+    import jax.numpy as jnp
+
+    kdev = _l1_dev()
     cumsum = np.zeros((6, n_tau))
     beta_hat = np.zeros((K, F, n_tau))
     for i in range(K):
@@ -361,22 +364,27 @@ def _level1_glm_kfold(params, pd, W_all, offsets, taus_vec, ph, chr_order,
         yt = np.concatenate([yf[k] for k in train])
         mt = np.concatenate([mf[k] for k in train])
         ot = np.concatenate([of[k] for k in train])
+        Xt_j = jnp.asarray(Xt)  # training design on the accelerator
         beta = np.zeros(F)
         for j, tau in enumerate(taus_vec):
             for _ in range(params.niter_max_ridge):
-                eta = ot + Xt @ beta
+                eta = ot + np.asarray(kdev["xb"](Xt_j, jnp.asarray(beta)))
                 mu, w = link(eta)
-                wm = np.maximum(w * mt, 1e-300)
                 z = np.where(mt > 0, (eta - ot) + (yt - mu) / np.maximum(w, 1e-12), 0.0)
-                XtW = Xt.T * (w * mt)[None, :]
-                A = XtW @ Xt + float(tau) * np.eye(F)
+                A = np.asarray(
+                    kdev["wgram"](Xt_j, jnp.asarray(w * mt))
+                ) + float(tau) * np.eye(F)
                 try:
-                    beta_new = np.linalg.solve(A, XtW @ z)
+                    beta_new = np.linalg.solve(
+                        A, np.asarray(kdev["xtv"](Xt_j, jnp.asarray((w * mt) * z)))
+                    )
                 except np.linalg.LinAlgError:
                     log("WARNING: singular system in level-1 K-fold ridge")
                     return None, False
-                mu2, _w2 = link(ot + Xt @ beta_new)
-                score = Xt.T @ (mt * (yt - mu2)) - float(tau) * beta_new
+                mu2, _w2 = link(ot + np.asarray(kdev["xb"](Xt_j, jnp.asarray(beta_new))))
+                score = np.asarray(
+                    kdev["xtv"](Xt_j, jnp.asarray(mt * (yt - mu2)))
+                ) - float(tau) * beta_new
                 beta = beta_new
                 if np.abs(score).max() < l1_tol:
                     break
