@@ -1076,9 +1076,12 @@ def run_ldcomp(params: Params, eng: Step2Engine, log=print) -> None:
         mu = G[k][m].mean() if m.any() else 0.0
         G[k] = np.where((G[k] == -3) | ~ind, np.where(~ind, 0.0, mu), G[k])
         G[k] = np.where(~ind, 0.0, np.where(G[k] == -3, mu, G[k]))
-    beta = G @ pd.new_cov
-    G = G - beta @ pd.new_cov.T
-    LD = G @ G.T
+    # covariate projection + Gram on the accelerator (MXU)
+    G_j = jnp.asarray(G)
+    cov_j = jnp.asarray(pd.new_cov)
+    G_j = G_j - m2.mm(m2.mm(G_j, cov_j), cov_j.T)
+    LD = np.asarray(m2.mm(G_j, G_j.T))
+    G = np.asarray(G_j)
 
     # snplist
     with open_write(params.out_prefix + ".corr.snplist") as fh:
