@@ -52,13 +52,22 @@ def main():
     maskf_j = jnp.asarray(maskf)
     cov_j = jnp.asarray(cov)
 
+    # fused single-pass scorer constants (as used by the run path)
+    CM_, Mm_, ctr_ = m2.onepass_constants(
+        cov.astype(np.float64), maskf.astype(np.float64), res.astype(np.float64)
+    )
+    CM_j = jnp.asarray(CM_.astype(np.float32))
+    Mm_j = jnp.asarray(Mm_.astype(np.float32))
+    ctr_j = jnp.asarray(ctr_.astype(np.float32))
+
     @jax.jit
     def score_block(raw):
         G_int8 = decode_bed_packed(raw, N)
         G = finalize_block_step2(G_int8, ind_j, flip_j)
         G = G.astype(jnp.float32)
-        G_res, scale_fac, _ = m2.residualize_scale_block(G, cov_j, float(N - K))
-        stats, denum = m2.score_qt_block(G_res, res_j, maskf_j, float(N - K), False)
+        stats, denum, scale_fac, _low = m2.score_qt_block_onepass(
+            G, cov_j, res_j, maskf_j, CM_j, Mm_j, ctr_j, float(N - K)
+        )
         return stats, denum, scale_fac
 
     # pallas bit-plane decode variant (ops/pallas_ops.py): per-sample

@@ -443,6 +443,28 @@ class Step2Engine:
                 scale_fac = np.asarray(scale_fac)[:B0]
                 low_var = scale_fac < 1e-8
                 G_res = None  # recomputed below only if a host copy is needed
+            elif not self.strict:
+                # fused single-pass scorer: G is consumed by one matmul
+                # set; G_res is only rebuilt on demand for host consumers
+                if getattr(self, "_op_cm", None) is None:
+                    CM, Mmat, _ = m2.onepass_constants(
+                        pd.new_cov, self.maskf, self.res
+                    )
+                    self._op_cm = jnp.asarray(CM)
+                    self._op_M = jnp.asarray(Mmat)
+                if getattr(self, "_op_ctr_chrom", None) != self.cur_chrom:
+                    self._op_ctr = jnp.asarray(pd.new_cov.T @ self.res)
+                    self._op_ctr_chrom = self.cur_chrom
+                stats, denum, scale_fac, low_var = m2.score_qt_block_onepass(
+                    jnp.asarray(G), self.cov_j, jnp.asarray(self.res),
+                    self.maskf_j, self._op_cm, self._op_M, self._op_ctr,
+                    self.scale_denom,
+                )
+                stats = np.asarray(stats)
+                denum = np.asarray(denum)
+                scale_fac = np.asarray(scale_fac)
+                low_var = np.asarray(low_var)
+                G_res = None
             else:
                 G_res, scale_fac, low_var = m2.residualize_scale_block(
                     jnp.asarray(G), self.cov_j, self.scale_denom

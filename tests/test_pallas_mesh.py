@@ -149,3 +149,35 @@ def test_mesh_e2e_step1_step2_byte_identical(tmp_path):
     assert (tmp_path / "mesh_1.loco").read_bytes() == (tmp_path / "plain_1.loco").read_bytes()
     assert (tmp_path / "t2_mesh_Y1.regenie").read_bytes() == (
         tmp_path / "t2_plain_Y1.regenie").read_bytes()
+
+
+def test_onepass_qt_scorer_matches_two_step():
+    """score_qt_block_onepass (fused single-HBM-pass form) equals the
+    residualize+score two-step kernels, including per-trait missingness
+    masks and low-variance rows."""
+    from regenie_tpu.models import step2 as m2
+
+    rng = np.random.default_rng(7)
+    B, N, P, K = 20, 300, 4, 5
+    G = rng.integers(0, 3, size=(B, N)).astype(np.float64)
+    G[3] = 1.0  # constant SNP -> low variance after projection
+    cov = np.linalg.qr(rng.normal(size=(N, K)))[0]
+    maskf = (rng.random(size=(N, P)) > 0.1).astype(np.float64)
+    res = rng.normal(size=(N, P)) * maskf
+    sd = float(N - K)
+
+    Gr, sf, low = m2.residualize_scale_block(jnp.asarray(G), jnp.asarray(cov), sd)
+    st2, dn2 = m2.score_qt_block(Gr, jnp.asarray(res), jnp.asarray(maskf), sd, False)
+
+    CM, Mm, ctr = m2.onepass_constants(cov, maskf, res)
+    st1, dn1, sf1, low1 = m2.score_qt_block_onepass(
+        jnp.asarray(G), jnp.asarray(cov), jnp.asarray(res), jnp.asarray(maskf),
+        jnp.asarray(CM), jnp.asarray(Mm), jnp.asarray(ctr), sd,
+    )
+    ok = ~np.asarray(low)
+    np.testing.assert_allclose(np.asarray(st1)[ok], np.asarray(st2)[ok],
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dn1)[ok], np.asarray(dn2)[ok],
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sf1), np.asarray(sf), rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(low1), np.asarray(low))
