@@ -22,38 +22,70 @@ from .glm import fit_logistic_irls, get_pvec
 
 
 def _score_bt_kernel_factory():
-    """Device (MXU) BT score kernel, one trait at a time: weighted
-    genotype, projection onto the W^1/2-covariate basis, score numerator
-    and denominator (compute_score_bt, Step2_Models.cpp:470-520).
-    Lazy so module import stays jax-free for host-only callers."""
+    """Device (MXU) BT score kernels, one trait at a time
+    (compute_score_bt, Step2_Models.cpp:470-520). Single-HBM-pass form:
+    with A = GW XW and orthonormal XW,
+      num   = GW res - A (XW' res)
+      denum = ||GW||^2 - ||A||^2 = G^2 gsm^2 - ||A||^2
+    so G is consumed by one matmul set and G_res is only rebuilt for the
+    Firth/SPA correction subset. Lazy so module import stays jax-free."""
     import jax
     import jax.numpy as jnp
 
     from .step2 import mm
 
     @jax.jit
-    def _kern(G, gsm, XW, res_ph):
-        GW = G * gsm[None, :]  # [B,N]
-        XtWG = mm(GW, XW)  # [B,K]
-        Gres = GW - mm(XtWG, XW.T)  # [B,N]
-        denum = (Gres**2).sum(axis=1)  # [B]
-        num = mm(Gres, res_ph[:, None])[:, 0]  # [B]
-        return num, denum, Gres
+    def _g2w_all(G, gsm2_all):
+        # ||GW||^2 for every trait in one matmul: [B, P]
+        return mm(G**2, gsm2_all)
 
-    return _kern
+    @jax.jit
+    def _onepass(G, g2w, gsm, XW, res_ph):
+        W = jnp.concatenate([gsm[:, None] * XW, (gsm * res_ph)[:, None]], axis=1)
+        S1 = mm(G, W)  # [B, K+1]
+        A = S1[:, :-1]
+        q = S1[:, -1]
+        xwt_res = mm(XW.T, res_ph[:, None])[:, 0]  # [K]
+        num = q - A @ xwt_res
+        denum = g2w - (A**2).sum(axis=1)
+        return num, denum, A
+
+    @jax.jit
+    def _gres_rows(G_rows, gsm, XW, A_rows):
+        # G_res for the correction subset only
+        return G_rows * gsm[None, :] - mm(A_rows, XW.T)
+
+    return _g2w_all, _onepass, _gres_rows
 
 
 _SCORE_BT_KERNEL = None
 
 
-def _score_bt_device(G_j, gsm, XW, res_ph):
+def _g2w_all_device(G_j, gsm2_all):
     global _SCORE_BT_KERNEL
     if _SCORE_BT_KERNEL is None:
         _SCORE_BT_KERNEL = _score_bt_kernel_factory()
     import jax.numpy as jnp
 
-    return _SCORE_BT_KERNEL(
-        G_j, jnp.asarray(gsm), jnp.asarray(XW), jnp.asarray(res_ph)
+    return _SCORE_BT_KERNEL[0](G_j, jnp.asarray(gsm2_all))
+
+
+def _score_bt_device(G_j, g2w, gsm, XW, res_ph):
+    global _SCORE_BT_KERNEL
+    if _SCORE_BT_KERNEL is None:
+        _SCORE_BT_KERNEL = _score_bt_kernel_factory()
+    import jax.numpy as jnp
+
+    return _SCORE_BT_KERNEL[1](
+        G_j, g2w, jnp.asarray(gsm), jnp.asarray(XW), jnp.asarray(res_ph)
+    )
+
+
+def _gres_rows_device(G_rows, gsm, XW, A_rows):
+    import jax.numpy as jnp
+
+    return _SCORE_BT_KERNEL[2](
+        G_rows, jnp.asarray(gsm), jnp.asarray(XW), A_rows
     )
 
 
@@ -238,6 +270,7 @@ def score_block(
     n_corrected = 0
     n_failed = 0
     z_thr = np.sqrt(_chisq_thr(params.alpha_pvalue))
+    g2w_all = _g2w_all_device(G_j, st.gamma_sqrt_mask**2)  # [B, P]
 
     for ph in range(P):
         if not pd.pheno_pass[ph]:
@@ -245,7 +278,9 @@ def score_block(
         mask = pd.masked_indivs[:, ph]
         gsm = st.gamma_sqrt_mask[:, ph]
         XW = st.X_gamma[ph]
-        num_d, denum_d, Gres_d = _score_bt_device(G_j, gsm, XW, st.res[:, ph])
+        num_d, denum_d, A_d = _score_bt_device(
+            G_j, g2w_all[:, ph], gsm, XW, st.res[:, ph]
+        )
         num = np.asarray(num_d)
         denum = np.asarray(denum_d)
         sqrt_denum = np.sqrt(np.maximum(denum, 0))
@@ -267,6 +302,12 @@ def score_block(
             n_corrected += int(corr.sum())
             if corr.any():
                 idx = np.flatnonzero(corr)
+                idx_j = jnp.asarray(idx)
+                if params.firth or params.use_spa:
+                    # rebuild G_res only for the corrected rows
+                    Gres_rows = np.asarray(
+                        _gres_rows_device(G_j[idx_j], gsm, XW, A_d[idx_j])
+                    )
                 if params.firth and not params.firth_approx:
                     # exact Firth: full covariate+SNP penalized fit per SNP
                     # (fit_firth_logistic_snp, Step2_Models.cpp:1062)
@@ -289,7 +330,7 @@ def score_block(
                             se_ph[b] = se1
                 elif params.firth:
                     y = pd.phenotypes_raw[:, ph]
-                    Gv = np.asarray(Gres_d[jnp.asarray(idx)]) / st.gamma_sqrt[:, ph][None, :]
+                    Gv = Gres_rows / st.gamma_sqrt[:, ph][None, :]
                     beta_f, se_f, lrt, conv = firth_mod.firth_snp_batch(
                         y, Gv, st.firth_offset[:, ph], mask,
                         maxstep=params.maxstep, niter=params.niter_max_firth,
@@ -311,7 +352,7 @@ def score_block(
                     n_failed += int((~conv).sum())
                 else:  # SPA
                     chisq_s, logp_s, fail_s = spa_mod.spa_batch(
-                        stats[idx], denum[idx], np.asarray(Gres_d[jnp.asarray(idx)]),
+                        stats[idx], denum[idx], Gres_rows,
                         st.Y_hat[:, ph],
                         st.gamma_sqrt[:, ph], mask,
                         tol=params.tol_spa, niter_max=params.niter_max_spa,
