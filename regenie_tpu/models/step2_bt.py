@@ -22,69 +22,92 @@ from .glm import fit_logistic_irls, get_pvec
 
 
 def _score_bt_kernel_factory():
-    """Device (MXU) BT score kernels, one trait at a time
-    (compute_score_bt, Step2_Models.cpp:470-520). Single-HBM-pass form:
-    with A = GW XW and orthonormal XW,
-      num   = GW res - A (XW' res)
-      denum = ||GW||^2 - ||A||^2 = G^2 gsm^2 - ||A||^2
-    so G is consumed by one matmul set and G_res is only rebuilt for the
+    """Device (MXU) BT score kernels, ALL traits in one matmul set
+    (compute_score_bt, Step2_Models.cpp:470-520; the trait-vectorized
+    form of the reference's v2.2 BT rework, docs/performance.md:94-97).
+    With A_p = GW_p XW_p and orthonormal XW_p, per trait p:
+      num_p   = GW_p res_p - A_p (XW_p' res_p)
+      denum_p = ||GW_p||^2 - ||A_p||^2 = G^2 gsm_p^2 - ||A_p||^2
+    Concatenating W_p = [gsm_p*XW_p | gsm_p*res_p] over traits, G is
+    consumed by exactly TWO matmuls per block (G Wcat and G^2 gsm^2) —
+    instead of one set per trait — and G_res is only rebuilt for the
     Firth/SPA correction subset. Lazy so module import stays jax-free."""
     import jax
     import jax.numpy as jnp
 
+    from functools import partial
+
+    from ..utils.dtypes import MATMUL_PRECISION as _PREC
     from .step2 import mm
 
-    @jax.jit
-    def _g2w_all(G, gsm2_all):
-        # ||GW||^2 for every trait in one matmul: [B, P]
-        return mm(G**2, gsm2_all)
-
-    @jax.jit
-    def _onepass(G, g2w, gsm, XW, res_ph):
-        W = jnp.concatenate([gsm[:, None] * XW, (gsm * res_ph)[:, None]], axis=1)
-        S1 = mm(G, W)  # [B, K+1]
-        A = S1[:, :-1]
-        q = S1[:, -1]
-        xwt_res = mm(XW.T, res_ph[:, None])[:, 0]  # [K]
-        num = q - A @ xwt_res
-        denum = g2w - (A**2).sum(axis=1)
-        return num, denum, A
+    @partial(jax.jit, static_argnames=("Pn", "Kp1"))
+    def _allpass(G, Wcat, xwt, gsm2, Pn, Kp1):
+        S1 = mm(G, Wcat).reshape(G.shape[0], Pn, Kp1)
+        A = S1[..., :-1]  # [B, Pn, Kmax]
+        q = S1[..., -1]  # [B, Pn]
+        num = q - jnp.einsum("bpk,pk->bp", A, xwt, precision=_PREC)
+        g2w = mm(G**2, gsm2)  # [B, Pn]
+        denum = g2w - (A**2).sum(-1)
+        return num, denum, S1
 
     @jax.jit
     def _gres_rows(G_rows, gsm, XW, A_rows):
         # G_res for the correction subset only
         return G_rows * gsm[None, :] - mm(A_rows, XW.T)
 
-    return _g2w_all, _onepass, _gres_rows
+    return _allpass, _gres_rows
 
 
 _SCORE_BT_KERNEL = None
 
 
-def _g2w_all_device(G_j, gsm2_all):
+def _get_bt_kernels():
     global _SCORE_BT_KERNEL
     if _SCORE_BT_KERNEL is None:
         _SCORE_BT_KERNEL = _score_bt_kernel_factory()
-    import jax.numpy as jnp
-
-    return _SCORE_BT_KERNEL[0](G_j, jnp.asarray(gsm2_all))
+    return _SCORE_BT_KERNEL
 
 
-def _score_bt_device(G_j, g2w, gsm, XW, res_ph):
-    global _SCORE_BT_KERNEL
-    if _SCORE_BT_KERNEL is None:
-        _SCORE_BT_KERNEL = _score_bt_kernel_factory()
-    import jax.numpy as jnp
+class _FusedConsts:
+    """Per-chromosome device constants for the all-trait BT scorer."""
 
-    return _SCORE_BT_KERNEL[1](
-        G_j, g2w, jnp.asarray(gsm), jnp.asarray(XW), jnp.asarray(res_ph)
+    def __init__(self, pd, st):
+        import jax.numpy as jnp
+
+        P = st.res.shape[1]
+        self.cols = [ph for ph in range(P) if pd.pheno_pass[ph] and st.X_gamma[ph] is not None]
+        self.j_of = {ph: j for j, ph in enumerate(self.cols)}
+        if not self.cols:
+            return
+        N = st.res.shape[0]
+        Kmax = max(st.X_gamma[ph].shape[1] for ph in self.cols)
+        self.Kmax = Kmax
+        Wcat = np.zeros((N, len(self.cols) * (Kmax + 1)))
+        xwt = np.zeros((len(self.cols), Kmax))
+        for j, ph in enumerate(self.cols):
+            gsm = st.gamma_sqrt_mask[:, ph]
+            XW = st.X_gamma[ph]
+            K = XW.shape[1]
+            c0 = j * (Kmax + 1)
+            Wcat[:, c0 : c0 + K] = gsm[:, None] * XW
+            Wcat[:, c0 + Kmax] = gsm * st.res[:, ph]
+            xwt[j, :K] = XW.T @ st.res[:, ph]
+        self.Wcat_j = jnp.asarray(Wcat)
+        self.xwt_j = jnp.asarray(xwt)
+        self.gsm2_j = jnp.asarray(st.gamma_sqrt_mask[:, self.cols] ** 2)
+
+
+def _score_bt_all_device(G_j, fc: "_FusedConsts"):
+    """num/denum for all passing traits: [B, Pn], [B, Pn], S1 [B,Pn,Kmax+1]."""
+    return _get_bt_kernels()[0](
+        G_j, fc.Wcat_j, fc.xwt_j, fc.gsm2_j, len(fc.cols), fc.Kmax + 1
     )
 
 
 def _gres_rows_device(G_rows, gsm, XW, A_rows):
     import jax.numpy as jnp
 
-    return _SCORE_BT_KERNEL[2](
+    return _get_bt_kernels()[1](
         G_rows, jnp.asarray(gsm), jnp.asarray(XW), A_rows
     )
 
@@ -270,19 +293,22 @@ def score_block(
     n_corrected = 0
     n_failed = 0
     z_thr = np.sqrt(_chisq_thr(params.alpha_pvalue))
-    g2w_all = _g2w_all_device(G_j, st.gamma_sqrt_mask**2)  # [B, P]
+    fc = getattr(st, "_fused", None)
+    if fc is None or [ph for ph in range(P) if pd.pheno_pass[ph] and st.X_gamma[ph] is not None] != fc.cols:
+        fc = st._fused = _FusedConsts(pd, st)
+    if not fc.cols:
+        return bhat, se, chisq, logp, test_fail, n_corrected, n_failed
+    num_all, denum_all, S1_all = _score_bt_all_device(G_j, fc)
+    num_all = np.asarray(num_all)
+    denum_all = np.asarray(denum_all)
 
-    for ph in range(P):
-        if not pd.pheno_pass[ph]:
-            continue
+    for ph in fc.cols:
+        j = fc.j_of[ph]
         mask = pd.masked_indivs[:, ph]
         gsm = st.gamma_sqrt_mask[:, ph]
         XW = st.X_gamma[ph]
-        num_d, denum_d, A_d = _score_bt_device(
-            G_j, g2w_all[:, ph], gsm, XW, st.res[:, ph]
-        )
-        num = np.asarray(num_d)
-        denum = np.asarray(denum_d)
+        num = num_all[:, j]
+        denum = denum_all[:, j]
         sqrt_denum = np.sqrt(np.maximum(denum, 0))
         low = sqrt_denum < params.numtol
         ignored_trait[:, ph] |= low
@@ -305,8 +331,9 @@ def score_block(
                 idx_j = jnp.asarray(idx)
                 if params.firth or params.use_spa:
                     # rebuild G_res only for the corrected rows
+                    A_rows = S1_all[idx_j, j, : XW.shape[1]]
                     Gres_rows = np.asarray(
-                        _gres_rows_device(G_j[idx_j], gsm, XW, A_d[idx_j])
+                        _gres_rows_device(G_j[idx_j], gsm, XW, A_rows)
                     )
                 if params.firth and not params.firth_approx:
                     # exact Firth: full covariate+SNP penalized fit per SNP
