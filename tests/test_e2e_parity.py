@@ -227,3 +227,24 @@ def test_step2_write_and_use_null_firth(tmp_path):
             lx, ly = float(x.split()[11]), float(y.split()[11])
             assert abs(lx - ly) < 1e-3
     assert diffs < 100  # only warm-start tolerance effects
+
+
+def test_conditional_two_way_equivalence(tmp_path):
+    """test_bash.sh:413-438: --condition-list (variants pulled from the
+    main bed) must be byte-identical to --condition-file pgen pointing at
+    the same cohort, with --sex-specific female subsetting."""
+    base = ["--step", "2", "--bed", f"{EX}/example", "--ref-first",
+            "--covarFile", f"{EX}/covariates_wBin.txt",
+            "--covarColList", "V{1:2},V4",
+            "--phenoFile", f"{EX}/phenotype_bin.txt",
+            "--phenoColList", "Y2",
+            "--bsize", "100", "--test", "dominant", "--force-qt",
+            "--ignore-pred",
+            "--condition-list", f"{EX}/snplist_rm.txt",
+            "--sex-specific", "female"]
+    run_cli(base + ["--out", str(tmp_path / "cond")], cwd="/root/repo")
+    run_cli(base + ["--condition-file", f"pgen,{EX}/example",
+                    "--out", str(tmp_path / "cond2")], cwd="/root/repo")
+    a = open(tmp_path / "cond_Y2.regenie", "rb").read()
+    b = open(tmp_path / "cond2_Y2.regenie", "rb").read()
+    assert a == b and len(a.splitlines()) > 500
