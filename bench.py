@@ -72,16 +72,26 @@ def main():
 
     # pallas bit-plane decode variant (ops/pallas_ops.py): per-sample
     # aux arrays pre-permuted into plane order, decode is a pure VPU
-    # shift/mask kernel (~2x the XLA decode on TPU)
+    # shift/mask kernel (faster than the XLA decode on TPU); scored with
+    # the same fused one-pass kernel on the permuted constants
     candidates = [("xla", score_block)]
-    if os.environ.get("BENCH_PALLAS") and jax.default_backend() not in ("cpu",):
+    if os.environ.get("BENCH_PALLAS", "1") != "0" and jax.default_backend() not in (
+        "cpu",
+    ):
         from regenie_tpu.ops.pallas_ops import decode_bed_planes, plane_aux_order
 
         idx, valid = plane_aux_order(N, nb)
         ind_p = jnp.asarray(valid.astype(np.float32))
-        res_p = jnp.asarray(np.where(valid[:, None], res[idx], 0))
-        maskf_p = jnp.asarray(np.where(valid[:, None], maskf[idx], 0))
-        cov_p = jnp.asarray(np.where(valid[:, None], cov[idx], 0))
+        res_p64 = np.where(valid[:, None], res[idx].astype(np.float64), 0)
+        maskf_p64 = np.where(valid[:, None], maskf[idx].astype(np.float64), 0)
+        cov_p64 = np.where(valid[:, None], cov[idx].astype(np.float64), 0)
+        res_p = jnp.asarray(res_p64.astype(np.float32))
+        maskf_p = jnp.asarray(maskf_p64.astype(np.float32))
+        CMp_, Mmp_, ctrp_ = m2.onepass_constants(cov_p64, maskf_p64, res_p64)
+        CMp_j = jnp.asarray(CMp_.astype(np.float32))
+        Mmp_j = jnp.asarray(Mmp_.astype(np.float32))
+        ctrp_j = jnp.asarray(ctrp_.astype(np.float32))
+        cov_p = jnp.asarray(cov_p64.astype(np.float32))
 
         @jax.jit
         def score_block_planes(raw):
@@ -91,8 +101,9 @@ def main():
             tot = jnp.where(validb, G, 0).sum(axis=1)
             ns = validb.sum(axis=1)
             G = jnp.where(miss, (tot / ns)[:, None], G) * ind_p[None, :]
-            G_res, scale_fac, _ = m2.residualize_scale_block(G, cov_p, float(N - K))
-            stats, denum = m2.score_qt_block(G_res, res_p, maskf_p, float(N - K), False)
+            stats, denum, scale_fac, _low = m2.score_qt_block_onepass(
+                G, cov_p, res_p, maskf_p, CMp_j, Mmp_j, ctrp_j, float(N - K)
+            )
             return stats, denum, scale_fac
 
         candidates.append(("pallas", score_block_planes))
@@ -117,7 +128,8 @@ def main():
     budget = int(os.environ.get("BENCH_TIMEOUT_S", 420))
     n_rounds = int(os.environ.get("BENCH_ROUNDS", 3))
 
-    for _name, fn in candidates:
+    for name, fn in candidates:
+        best_here = 0.0
         try:
             if have_alarm:
                 signal.alarm(budget)  # covers backend init + compile
@@ -132,12 +144,14 @@ def main():
                 outs = [fn(jnp.asarray(rb)) for rb in raw_blocks]
                 jax.block_until_ready(outs)
                 dt = time.perf_counter() - t0
-                snps_per_s = max(snps_per_s, n_blocks * B / dt)
+                best_here = max(best_here, n_blocks * B / dt)
         except (_Timeout, Exception):
-            continue
+            pass
         finally:
             if have_alarm:
                 signal.alarm(0)
+        print(f"[bench] {name}: {best_here:.1f} SNPs/s", file=sys.stderr)
+        snps_per_s = max(snps_per_s, best_here)
 
     # CPU numpy f64 baseline (same math incl. decode), one block extrapolated
     from regenie_tpu.io.bed import decode_bed_bytes

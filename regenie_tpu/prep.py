@@ -32,7 +32,11 @@ class RunData:
     pheno: PhenoData
 
 
-def prepare(params: Params, blup_pheno_names: Optional[List[str]] = None) -> RunData:
+def prepare(
+    params: Params,
+    blup_pheno_names: Optional[List[str]] = None,
+    log=print,
+) -> RunData:
     gd = open_geno(params)
     sample_index = gd.sample_index()
 
@@ -43,6 +47,8 @@ def prepare(params: Params, blup_pheno_names: Optional[List[str]] = None) -> Run
         params.transposed_pheno = False  # converted in place
     pd = read_pheno(params, sample_index, blup_pheno_names)
     new_cov, ind_in_cov = read_covariates(params, sample_index, pd.pheno_names)
+    # covariate-count log line greppable as in the reference (Pheno.cpp:642)
+    log(f"n_cov = {new_cov.shape[1] - 1}")
     pd.new_cov = new_cov
     inter = getattr(read_covariates, "interaction", None)
     if inter is not None and inter[0] is not None:
@@ -59,6 +65,10 @@ def prepare(params: Params, blup_pheno_names: Optional[List[str]] = None) -> Run
     if params.condition_list or params.condition_file:
         cond = _extract_condition_genotypes(params, gd)
         pd.new_cov = np.concatenate([pd.new_cov, cond], axis=1)
+        log(
+            f"   +conditioning on variants in [{params.condition_list}]"
+            f" n_used = {cond.shape[1]}"
+        )
 
     ind = pd.ind_in_analysis & ind_in_cov
     pd.masked_indivs &= ind[:, None]

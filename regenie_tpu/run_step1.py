@@ -61,7 +61,7 @@ def run_step1(params: Params, log=print) -> None:
     elif params.run_l1:
         master = _parse_master(params.run_l1)
 
-    rd = prepare(params)
+    rd = prepare(params, log=log)
     gd, pd = rd.geno, rd.pheno
 
     # --l1-phenoList: run level 1 only for selected traits

@@ -775,7 +775,7 @@ def run_step2(params: Params, log=print) -> None:
         blup_files = read_pred_list(params.pred_list)
         blup_names = list(blup_files.keys())
 
-    rd = prepare(params, blup_pheno_names=blup_names)
+    rd = prepare(params, blup_pheno_names=blup_names, log=log)
     gd, pd = rd.geno, rd.pheno
 
     eng = Step2Engine(params, gd, pd, blup_files, log)

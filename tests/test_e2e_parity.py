@@ -248,3 +248,44 @@ def test_conditional_two_way_equivalence(tmp_path):
     a = open(tmp_path / "cond_Y2.regenie", "rb").read()
     b = open(tmp_path / "cond2_Y2.regenie", "rb").read()
     assert a == b and len(a.splitlines()) > 500
+
+
+def test_write_samples_dominant_chrlist_and_extract(tmp_path):
+    """test_bash.sh:238-285: dominant test + chrList + --write-samples
+    + --print-pheno header checks, then an --extract-based rerun that
+    must be byte-identical (with V4 moved to catCovarList; n_cov
+    unchanged since V4 is binary)."""
+    base = ["--step", "2", "--bed", f"{EX}/example_3chr", "--ref-first",
+            "--covarFile", f"{EX}/covariates_wBin.txt",
+            "--phenoFile", f"{EX}/phenotype_bin.txt",
+            "--phenoColList", "Y2", "--bsize", "100",
+            "--test", "dominant", "--force-qt", "--ignore-pred"]
+    run_cli(base + ["--covarColList", "V{1:2},V4", "--chrList", "2,3",
+                    "--write-samples", "--print-pheno",
+                    "--out", str(tmp_path / "t")], cwd="/root/repo")
+    assert (tmp_path / "t_Y2.regenie.ids").exists()
+    assert not (tmp_path / "t_Y1.regenie.ids").exists()
+    first = open(tmp_path / "t_Y2.regenie.ids").readline().rstrip("\n")
+    assert first.split("\t")[0] == "Y2" and len(first.split("\t")) == 2
+    body = open(tmp_path / "t_Y2.regenie").read()
+    assert "mog_" not in body  # chr1 excluded by chrList
+    assert " ADD " not in body  # dominant coding labels rows DOM
+    # first data row matches the first chr2 .bim variant (chr pos id a1 a2)
+    row2 = body.splitlines()[1].split()[:5]
+    for ln in open(f"{EX}/example_3chr.bim"):
+        f = ln.split()
+        if f[0] == "2":
+            assert row2 == [f[0], f[3], f[1], f[4], f[5]]
+            break
+    # extract rerun: all non-chr1 variants -> byte-identical output
+    snpl = tmp_path / "t.snplist"
+    snpl.write_text("".join(
+        ln.split()[1] + "\n" for ln in open(f"{EX}/example_3chr.bim")
+        if ln.split()[0] != "1"))
+    log = run_cli(base + ["--covarColList", "V{1:2}", "--catCovarList", "V4",
+                          "--extract", str(snpl),
+                          "--out", str(tmp_path / "x")], cwd="/root/repo")
+    a = open(tmp_path / "t_Y2.regenie", "rb").read()
+    b = open(tmp_path / "x_Y2.regenie", "rb").read()
+    assert a == b
+    assert "n_cov = 3" in log or "3 covariates" in log
