@@ -191,26 +191,24 @@ def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
     converged). ridge_mult: [F] per-column penalty multiplier
     (--select-l0 adaptive selection; BT LOOCV only)."""
     if params.trait_mode == CT:
-        if ridge_mult is not None:
-            raise NotImplementedError(
-                "--select-l0 adaptive selection is not supported for CT level 1")
-        return _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log)
+        return _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans,
+                          fold_sizes, log, ridge_mult=ridge_mult)
     from ..config import T2E
 
     if params.trait_mode == T2E:
         if ridge_mult is not None:
-            raise NotImplementedError(
-                "--select-l0 adaptive selection is not supported for T2E level 1")
+            # the reference's Cox level 1 ignores ridge_param_mult (only the
+            # column subset from check_l0 applies; Step1_Models.cpp:2228+)
+            log("   -note: --select-l0 penalty multipliers are not applied "
+                "in the Cox level-1 fit (matches reference behavior)")
         return _level1_t2e(params, pd, W_all, offsets, taus, ph, chr_order, spans, fold_sizes, log)
     if params.trait_mode != BT:
         raise NotImplementedError("only BT/CT level-1 implemented so far")
     if fold_sizes is not None:
-        if ridge_mult is not None:
-            raise NotImplementedError(
-                "--select-l0 adaptive selection needs LOOCV for BT level 1")
         return _level1_glm_kfold(
             params, pd, W_all, offsets, np.asarray(taus, dtype=np.float64), ph,
             chr_order, spans, fold_sizes, log, poisson=False,
+            ridge_mult=ridge_mult,
         )
 
     y = pd.phenotypes_raw[:, ph]
@@ -317,7 +315,7 @@ def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
 
 
 def _level1_glm_kfold(params, pd, W_all, offsets, taus_vec, ph, chr_order,
-                      spans, fold_sizes, log, poisson=False):
+                      spans, fold_sizes, log, poisson=False, ridge_mult=None):
     """K-fold level-1 penalized GLM ridge (ridge_logistic_level_1,
     Step1_Models.cpp:966; ridge_poisson_level_1 :1429): per held-out
     fold, warm-started IRLS over the tau grid on the training folds,
@@ -335,6 +333,10 @@ def _level1_glm_kfold(params, pd, W_all, offsets, taus_vec, ph, chr_order,
     N = y_all.shape[0]
     n_tau = len(taus_vec)
     l1_tol = 1e-4  # l1_ridge_tol (Regenie.hpp:289)
+    # --select-l0 per-column penalty multiplier (ridge_logistic_level_1 /
+    # ridge_poisson_level_1 apply tau * ridge_param_mult on the diagonal,
+    # Step1_Models.cpp:1031-1041, 1476)
+    mult = np.ones(F) if ridge_mult is None else np.asarray(ridge_mult, dtype=np.float64)
 
     Xf, yf, mf, of = [], [], [], []
     for k in range(K):
@@ -373,7 +375,7 @@ def _level1_glm_kfold(params, pd, W_all, offsets, taus_vec, ph, chr_order,
                 z = np.where(mt > 0, (eta - ot) + (yt - mu) / np.maximum(w, 1e-12), 0.0)
                 A = np.asarray(
                     kdev["wgram"](Xt_j, jnp.asarray(w * mt))
-                ) + float(tau) * np.eye(F)
+                ) + np.diag(float(tau) * mult)
                 try:
                     beta_new = np.linalg.solve(
                         A, np.asarray(kdev["xtv"](Xt_j, jnp.asarray((w * mt) * z)))
@@ -384,7 +386,7 @@ def _level1_glm_kfold(params, pd, W_all, offsets, taus_vec, ph, chr_order,
                 mu2, _w2 = link(ot + np.asarray(kdev["xb"](Xt_j, jnp.asarray(beta_new))))
                 score = np.asarray(
                     kdev["xtv"](Xt_j, jnp.asarray(mt * (yt - mu2)))
-                ) - float(tau) * beta_new
+                ) - float(tau) * mult * beta_new
                 beta = beta_new
                 if np.abs(score).max() < l1_tol:
                     break
@@ -452,7 +454,8 @@ def _log_bt_tau_table(log, params, taus, cumsum, best, neff, n_feats):
         log(line)
 
 
-def _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log):
+def _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes,
+               log, ridge_mult=None):
     """Level-1 Poisson ridge LOOCV (ridge_poisson_level_1_loocv,
     Step1_Models.cpp:1585) or K-fold (ridge_poisson_level_1 :1429)."""
     if fold_sizes is not None:
@@ -465,7 +468,7 @@ def _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log
         taus_ct = F / np.log1p(h / (rate * (1 - h)))
         return _level1_glm_kfold(
             params, pd, W_all, offsets, taus_ct, ph, chr_order, spans,
-            fold_sizes, log, poisson=True,
+            fold_sizes, log, poisson=True, ridge_mult=ridge_mult,
         )
     y = pd.phenotypes_raw[:, ph]
     mask = pd.masked_indivs[:, ph]
@@ -484,6 +487,9 @@ def _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log
     cumsum = np.zeros((6, len(taus_ct)))
     beta = np.zeros(F)
     maskf = mask.astype(np.float64)
+    # --select-l0 per-column penalty (run_ct_ridge_loocv applies
+    # lambda * ridge_param_mult, Step1_Models.cpp:1719-1745)
+    mult = np.ones(F) if ridge_mult is None else np.asarray(ridge_mult, dtype=np.float64)
     import jax.numpy as jnp
 
     kdev = _l1_dev()
@@ -500,12 +506,12 @@ def _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log
         return Ainv, h, s, eta_lin
 
     for j, tau in enumerate(taus_ct):
-        beta, mu, w, ok = run_ct_ridge(y, X, offset, mask, float(tau), beta,
+        beta, mu, w, ok = run_ct_ridge(y, X, offset, mask, float(tau) * mult, beta,
                                        params.niter_max_ridge, Xj=Xj)
         if not ok:
             log("WARNING: ridge poisson regression did not converge! (Increase --niter)")
             return None, False
-        _, h, s, eta_lin = loo_quants(beta, mu, w, float(tau))
+        _, h, s, eta_lin = loo_quants(beta, mu, w, float(tau) * mult)
         eta_loo = eta_lin - h * s + offset
         p1 = np.exp(np.clip(eta_loo, -30, 30))
         m = mask
@@ -528,11 +534,11 @@ def _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes, log
         log(line)
 
     beta = np.zeros(F)
-    beta, mu, w, ok = run_ct_ridge(y, X, offset, mask, float(taus_ct[best]), beta,
+    beta, mu, w, ok = run_ct_ridge(y, X, offset, mask, float(taus_ct[best]) * mult, beta,
                                    params.niter_max_ridge, Xj=Xj)
     if not ok:
         return None, False
-    Ainv, h, s, _ = loo_quants(beta, mu, w, float(taus_ct[best]))
+    Ainv, h, s, _ = loo_quants(beta, mu, w, float(taus_ct[best]) * mult)
     Ainv_j = jnp.asarray(Ainv)
     predictions = np.zeros((N, len(chr_order)))
     for ci, c in enumerate(chr_order):

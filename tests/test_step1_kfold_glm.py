@@ -88,3 +88,67 @@ def test_ct_kfold(tmp_path):
     assert "min value" in out
     v = _loco(str(tmp_path / "ct_1.loco"))
     assert np.isfinite(v).all() and v.std() > 0
+
+
+def _pv_file(path, n_block, hot, P=1):
+    """-log10 p per block table (rows CHROM BLOCK pv..): uniform noise with
+    one strongly associated block -> adaptive --select-l0 keeps only its
+    min-shrinkage column with a zero penalty multiplier."""
+    rng = np.random.default_rng(11)
+    with open(path, "w") as fh:
+        for b in range(n_block):
+            pvs = [9.0 if b == hot else float(-np.log10(rng.uniform()))
+                   for _ in range(P)]
+            fh.write("1 " + str(b + 1) + " " + " ".join(f"{p:.4f}" for p in pvs) + "\n")
+
+
+def test_select_l0_adaptive_bt_kfold(tmp_path):
+    """Adaptive --select-l0 in the BT K-fold level 1 applies the
+    per-column tau * ridge_param_mult penalty (ridge_logistic_level_1,
+    Step1_Models.cpp:1031-1041) instead of erroring out."""
+    rng = np.random.default_rng(5)
+    N, M = 5200, 180
+    maf = rng.uniform(0.1, 0.5, M)
+    G = rng.binomial(2, np.broadcast_to(maf, (N, M)))
+    eta = (G - 2 * maf).astype(float) @ rng.normal(0, 0.1, M) - 0.4
+    y = rng.binomial(1, 1 / (1 + np.exp(-eta)))
+    pref = str(tmp_path / "sel")
+    _write_bed(pref, G)
+    with open(pref + "_ph.txt", "w") as fh:
+        fh.write("FID IID Y1\n")
+        for i in range(N):
+            fh.write(f"F{i} I{i} {y[i]}\n")
+    _pv_file(pref + "_pv.txt", 9, hot=4)
+    out = _run(["--step", "1", "--bed", pref, "--phenoFile", pref + "_ph.txt",
+                "--bt", "--bsize", "20", "--select-l0", pref + "_pv.txt",
+                "--out", str(tmp_path / "selo")])
+    assert "using LOOCV instead" not in out  # K-fold path exercised
+    assert "blocks selected" in out
+    v = _loco(str(tmp_path / "selo_1.loco"))
+    assert np.isfinite(v).all() and v.std() > 0
+
+
+def test_select_l0_adaptive_ct_loocv(tmp_path):
+    """Adaptive --select-l0 in the Poisson LOOCV level 1 applies
+    lambda * ridge_param_mult (run_ct_ridge_loocv, Step1_Models.cpp:1719)."""
+    rng = np.random.default_rng(3)
+    rows = [l.split() for l in
+            open(f"{EX}/phenotype.txt").read().splitlines()[1:]]
+    ph = str(tmp_path / "pheno_ct.txt")
+    with open(ph, "w") as fh:
+        fh.write("FID IID Y1\n")
+        for r in rows:
+            fh.write(f"{r[0]} {r[1]} {rng.poisson(np.exp(0.3 * rng.normal()))}\n")
+    _pv_file(str(tmp_path / "pv.txt"), 10, hot=2)
+    base = ["--step", "1", "--bed", f"{EX}/example",
+            "--covarFile", f"{EX}/covariates.txt", "--phenoFile", ph,
+            "--ct", "--bsize", "100"]
+    out = _run(base + ["--select-l0", str(tmp_path / "pv.txt"),
+                       "--out", str(tmp_path / "ctsel")])
+    assert "blocks selected" in out and "min value" in out
+    v = _loco(str(tmp_path / "ctsel_1.loco"))
+    assert np.isfinite(v).all() and v.std() > 0
+    # selection must actually change the model vs the unselected run
+    _run(base + ["--out", str(tmp_path / "ct0")])
+    v0 = _loco(str(tmp_path / "ct0_1.loco"))
+    assert not np.allclose(v, v0)
