@@ -194,7 +194,8 @@ def build_parser() -> argparse.ArgumentParser:
                    version="regenie-tpu v" + __version__,
                    help="print version number and exit")
     g.add_argument("--hlm-novquad", action="store_true",
-                   help="accepted; the HLM variance model is (1,E) already")
+                   help="use Var(y)=sigma^2*exp(b0+b1*E) in the HLM "
+                        "(i.e. no quadratic E^2 term in the variance model)")
     g.add_argument("--skip-fast-firth", action="store_true",
                    help="accepted; the exact Newton solver is always used")
     g.add_argument("--skip-cf-burden", action="store_true", help="accepted no-op")
@@ -736,10 +737,7 @@ def args_to_params(args: argparse.Namespace) -> Params:
         params.gwas_condtl = not args.no_condtl
     elif args.interaction_snp or args.interaction_prs:
         params.gwas_condtl = args.force_condtl and not args.no_condtl
-        if params.gwas_condtl:
-            raise SystemExit(
-                "ERROR: --force-condtl with GxG/GxPRS is not supported yet"
-            )
+    params.hlm_vquad = not args.hlm_novquad
     params.print_vcov = args.print_vcov
     params.rare_mac_inter = args.rare_mac
     params.force_robust = args.force_robust or args.force_robust_hc4

@@ -260,6 +260,9 @@ class Params:
     no_robust: bool = False
     ncov_interaction: int = 1
     interaction_istart: int = 0
+    int_add_extra_term: bool = False  # E has an E^2 companion (Pheno.cpp:1030)
+    int_add_esq: bool = False  # BT: E^2 main-effect column (Pheno.cpp:1137)
+    hlm_vquad: bool = True  # HLM variance model gets E^2 (--hlm-novquad)
 
     # ---- numerics (reference Regenie.hpp defaults) ----
     numtol: float = 1e-6

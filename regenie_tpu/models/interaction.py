@@ -41,6 +41,18 @@ class InteractionState:
     interaction_snp_name: Optional[str] = None
 
 
+def add_square_term(E: np.ndarray) -> bool:
+    """Whether an E^2 term accompanies E (add_square_term,
+    Pheno.cpp:1030): single-column E that is not dichotomous, or
+    dichotomous without a 0 level."""
+    if E.shape[1] > 1:  # categorical
+        return False
+    vals = np.unique(E[:, 0])
+    if len(vals) > 2:
+        return True
+    return not np.any(vals == 0)
+
+
 def residualize_matrix(mat, X, n, numtol=1e-6):
     """Project X out of mat columns and scale (residualize_matrix,
     Pheno.cpp:1843). Returns (mat_res, scf) or (None, None) if sd=0."""
@@ -52,12 +64,13 @@ def residualize_matrix(mat, X, n, numtol=1e-6):
     return m / scf[None, :], scf
 
 
-def prep_interaction(params: Params, pd, gd, log) -> InteractionState:
-    """Load the interaction variable and residualize it (prep_run
-    interaction section, Pheno.cpp:1126-1165)."""
-    st = InteractionState()
-    st.evar_name = params.interaction_var
+def extract_interaction_E(params: Params, pd, gd, log) -> np.ndarray:
+    """Build E for GxG/GxPRS and stash it on pd (extract_interaction_snp /
+    extract_interaction_prs, Pheno.cpp:86-90, 927, 1393). Returns a keep
+    mask: individuals with a missing interaction genotype are dropped from
+    the analysis (read_snp mean_impute=false, Geno.cpp:3990-3994)."""
     N = params.n_samples
+    keep = np.ones(N, dtype=bool)
 
     if params.interaction_prs:
         # GxPRS: full PRS recovered from the LOCO file
@@ -85,9 +98,9 @@ def prep_interaction(params: Params, pd, gd, log) -> InteractionState:
                 nchr += 1
         if nchr > 1:
             prs /= nchr - 1  # sum of loco rows = (nchr-1) * PRS
-        st.E = (prs * pd.ind_in_analysis)[:, None]
-        st.lvl_names = ["PRS"]
-    elif params.interaction_snp:
+        pd.interaction_cov = prs[:, None]
+        pd.interaction_lvl_names = ["PRS"]
+    else:
         # GxG: extract the SNP from the main file or an external one
         # (--interaction-file FORMAT,FILE; extract_from_genofile,
         # Geno.hpp:265)
@@ -126,10 +139,11 @@ def prep_interaction(params: Params, pd, gd, log) -> InteractionState:
                 raise ValueError(f"interaction SNP '{params.interaction_var}' not found")
             G = gd.read_block_scattered([gd.snps[idx[0]]]).astype(np.float64)[0]
         miss = G == -3
-        G = np.where(miss, 0.0, G)  # no mean imputation (mean_impute=false)
-        st.E = (G * pd.ind_in_analysis)[:, None]
-        st.interaction_snp_name = params.interaction_var
-        st.lvl_names = [params.interaction_var]
+        keep = ~miss
+        G = np.where(miss, 0.0, G)  # dropped below; no mean imputation
+        pd.interaction_cov = G[:, None]
+        pd.interaction_snp_name = params.interaction_var
+        pd.interaction_lvl_names = [params.interaction_var]
         # GxG automatically uses LTCO with the interaction SNP's
         # chromosome (Regenie.cpp:622 w_ltco; Geno.cpp:4251)
         if params.ltco_chr <= 0 and not params.skip_blups:
@@ -140,15 +154,25 @@ def prep_interaction(params: Params, pd, gd, log) -> InteractionState:
             if snp_chr > 0:
                 params.ltco_chr = snp_chr
                 log(f"   -using LTCO scheme for chr {snp_chr} (interaction SNP)")
-    else:
-        # E from the covariate file: the column was excluded from new_cov
-        # at read time and stashed on pd
-        st.E = pd.interaction_cov
-        st.is_cat = getattr(pd, "interaction_is_cat", False)
-        st.lvl_names = getattr(pd, "interaction_lvl_names", [params.interaction_var])
+    pd.interaction_is_cat = False
+    return keep
+
+
+def prep_interaction(params: Params, pd, gd, log) -> InteractionState:
+    """Load the interaction variable and residualize it (prep_run
+    interaction section, Pheno.cpp:1126-1165). E itself was built earlier
+    in prepare() (covariate read for GxE; extract_interaction_E for
+    GxG/GxPRS) so that --force-condtl can add it to the covariates."""
+    st = InteractionState()
+    st.evar_name = params.interaction_var
+    st.E = pd.interaction_cov
+    st.is_cat = getattr(pd, "interaction_is_cat", False)
+    st.lvl_names = getattr(pd, "interaction_lvl_names", [params.interaction_var])
+    st.interaction_snp_name = getattr(pd, "interaction_snp_name", None)
 
     ncov_i = st.E.shape[1]
     params.ncov_interaction = ncov_i
+    params.int_add_extra_term = not st.is_cat and add_square_term(st.E)
     if params.gwas_condtl:
         # E already conditioned on as a covariate: no E main-effect
         # columns in the interaction model (get_interaction_terms,
@@ -157,13 +181,23 @@ def prep_interaction(params: Params, pd, gd, log) -> InteractionState:
         st.scl_E = np.ones(0)
         params.interaction_istart = 0
     else:
-        # residualize E on the covariate basis
-        E_res, scf = residualize_matrix(st.E, pd.new_cov, params.n_analyzed, params.numtol)
+        # BT with a non-dichotomous E carries an E^2 main-effect column
+        # (int_add_esq, Pheno.cpp:1137-1142)
+        from ..config import BT
+
+        params.int_add_esq = (
+            params.trait_mode == BT and params.int_add_extra_term
+        )
+        main = (
+            np.column_stack([st.E, st.E**2]) if params.int_add_esq else st.E
+        )
+        # residualize E (and E^2) on the covariate basis
+        E_res, scf = residualize_matrix(main, pd.new_cov, params.n_analyzed, params.numtol)
         if E_res is None:
             raise ValueError("Var=0 for the interaction risk factor")
         st.E_res = E_res
         st.scl_E = scf
-        params.interaction_istart = ncov_i  # main-effect columns in M
+        params.interaction_istart = main.shape[1]  # main-effect columns in M
 
     if params.trait_mode == QT and not params.no_robust and not params.force_robust:
         st.hlm = _hlm_prep(params, pd, st)
@@ -174,20 +208,50 @@ def prep_interaction(params: Params, pd, gd, log) -> InteractionState:
 # HLM null model
 # ---------------------------------------------------------------------------
 
+def _qr_prune(mat: np.ndarray, qr_tol: float = 1e-7) -> np.ndarray:
+    """Keep a linearly independent subset of columns in pivot order
+    (apply_QR, Pheno.cpp:1861 via ColPivHouseholderQR)."""
+    from scipy.linalg import qr as _qr
+
+    _, R, piv = _qr(mat, mode="economic", pivoting=True)
+    diag = np.abs(np.diag(R))
+    rank = int((diag > diag[0] * qr_tol).sum()) if diag.size else 0
+    if rank == 0:
+        raise ValueError("rank of matrix is 0")
+    return mat[:, sorted(piv[:rank])] if rank < mat.shape[1] else mat
+
+
+def _center_scale(V: np.ndarray, N: int) -> np.ndarray:
+    out = V.copy()
+    for k in range(out.shape[1]):
+        mu = out[:, k].sum() / N
+        out[:, k] = out[:, k] - mu
+        sc = np.linalg.norm(out[:, k]) / np.sqrt(N - 1)
+        out[:, k] /= sc
+    return out
+
+
 def _hlm_prep(params, pd, st) -> HLMNull:
+    """HLM null-model design (HLM::prep_run, HLM.cpp:49-93): the variance
+    model gets an E^2 column for non-dichotomous E (unless --hlm-novquad)
+    and the mean model gets E^2 as an extra covariate."""
     h = HLMNull()
     N = params.n_samples
     h.Vlin = np.column_stack([np.ones(N), st.E])
-    # V = (1, centered+scaled E)
-    V = h.Vlin.copy()
-    ind = pd.ind_in_analysis
-    for k in range(1, V.shape[1]):
-        mu = V[:, k].sum() / N
-        V[:, k] = V[:, k] - mu
-        sc = np.linalg.norm(V[:, k]) / np.sqrt(N - 1)
-        V[:, k] /= sc
-    h.V = V
-    h.X = pd.new_cov.copy()
+    if params.hlm_vquad and params.int_add_extra_term:
+        # V = (1, QR(E, E^2) centered+scaled) (HLM.cpp:55-64)
+        U = _qr_prune(np.column_stack([st.E, st.E**2]))
+        h.V = np.column_stack([np.ones(N), _center_scale(U, N)])
+    else:
+        # V = (1, centered+scaled E)
+        h.V = np.column_stack(
+            [np.ones(N), _center_scale(np.asarray(st.E, dtype=np.float64), N)]
+        )
+    if params.int_add_extra_term:
+        # X = QR(covs, E^2) (HLM.cpp:76-81)
+        h.X = _qr_prune(np.column_stack([pd.new_cov, st.E**2]))
+    else:
+        h.X = pd.new_cov.copy()
     return h
 
 
@@ -614,7 +678,12 @@ def _bt_firth_rows(params, eng, writers, snp, b, ph, H, y, mask, beg, K,
     evar = st.evar_name
     # E main effects (betas from the full fit, no p-value)
     for j in range(beg):
-        sfx = f"-INT_{evar}" + (f"={st.lvl_names[j]}" if st.is_cat else "")
+        if st.is_cat:
+            sfx = f"-INT_{evar}={st.lvl_names[j]}"
+        elif params.int_add_esq and j != 0:
+            sfx = f"-INT_{evar}^2"  # E^2 main effect (Interaction.cpp:738)
+        else:
+            sfx = f"-INT_{evar}"
         rows.append((sfx, beta_f[j] / st.scl_E[j], se_f[j] / st.scl_E[j], -1.0, -1.0))
 
     # joint (1+K df): null = E-only (or penalized dev at 0 when beg==0)
@@ -719,7 +788,12 @@ def _write_int_rows(params, eng, writers, snp, b, ph, bhat, Vmat, beg, K,
         t = bhat[j] ** 2 / Vmat[j, j]
         se = np.sqrt(Vmat[j, j]) * cscale[min(j, len(cscale) - 1)]
         lp = float(chisq_neglog10(np.array([t]))[0])
-        sfx = f"-INT_{evar}" + (f"={eng.interaction.lvl_names[j]}" if eng.interaction.is_cat else "")
+        if eng.interaction.is_cat:
+            sfx = f"-INT_{evar}={eng.interaction.lvl_names[j]}"
+        elif params.int_add_esq and j != 0:
+            sfx = f"-INT_{evar}^2"  # E^2 main effect (Interaction.cpp:624)
+        else:
+            sfx = f"-INT_{evar}"
         rows.append((sfx, bhat[j] * cscale[min(j, len(cscale) - 1)], se, t, lp))
     # marginal G
     t = bhat[beg] ** 2 / Vmat[beg, beg]

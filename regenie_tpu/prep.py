@@ -56,9 +56,6 @@ def prepare(
         pd.interaction_is_cat = inter[1]
         pd.interaction_lvl_names = inter[2]
         read_covariates.interaction = (None, False, [])
-        if params.gwas_condtl:
-            # conditional GWAS: E joins the covariates (Pheno.cpp:91-95)
-            pd.new_cov = np.concatenate([pd.new_cov, pd.interaction_cov], axis=1)
 
     # conditional analysis: add conditioning variants as covariates
     # (extract_condition_snps, Pheno.cpp:940-987), mean-imputed
@@ -70,9 +67,32 @@ def prepare(
             f" n_used = {cond.shape[1]}"
         )
 
+    # GxG/GxPRS: E is extracted here, before the covariate QR, so that
+    # --force-condtl can add it to the covariates (extract_interaction_snp
+    # / extract_interaction_prs, Pheno.cpp:86-90); a missing interaction
+    # genotype drops the individual (read_snp, Geno.cpp:3990-3994)
+    if params.test_mode and (params.interaction_snp or params.interaction_prs):
+        from .models.interaction import extract_interaction_E
+
+        ind_in_cov &= extract_interaction_E(params, pd, gd, log)
+    if (
+        params.gwas_condtl
+        and getattr(pd, "interaction_cov", None) is not None
+    ):
+        # conditional GWAS: E joins the covariates (Pheno.cpp:91-95)
+        pd.new_cov = np.concatenate([pd.new_cov, pd.interaction_cov], axis=1)
+
     ind = pd.ind_in_analysis & ind_in_cov
     pd.masked_indivs &= ind[:, None]
     set_masks(params, pd, ind)
+    if getattr(pd, "interaction_cov", None) is not None:
+        pd.interaction_cov = pd.interaction_cov * pd.ind_in_analysis[:, None]
+        if params.trait_mode == BT and params.gwas_condtl:
+            # conditional BT interaction: E^2 also joins the covariates
+            # (prep_run, Pheno.cpp:1073-1077)
+            pd.new_cov = np.concatenate(
+                [pd.new_cov, pd.interaction_cov**2], axis=1
+            )
 
     if params.apply_rint and params.trait_mode == QT:
         for j in range(params.n_pheno):

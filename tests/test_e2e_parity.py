@@ -140,6 +140,28 @@ def test_ref_first_mirrors_and_gxg_external_file(tmp_path):
     assert n_int == 4  # E-main, SNP, SNPxE, 2DF joint
 
 
+def test_gxg_force_condtl_matches_condition_list(tmp_path):
+    """GxG with --force-condtl conditions the marginal scan on the
+    interaction SNP (Pheno.cpp:91-95): its ADD-CONDTL rows must be
+    byte-identical (label aside) to a --condition-list run on that SNP."""
+    base = ["--step", "2", "--bed", f"{EX}/example",
+            "--covarFile", f"{EX}/covariates.txt",
+            "--phenoFile", f"{EX}/phenotype.txt",
+            "--remove", f"{EX}/fid_iid_to_remove.txt",
+            "--bsize", "200", "--ignore-pred"]
+    run_cli(base + ["--interaction-snp", "10", "--force-condtl",
+                    "--out", str(tmp_path / "fc")], cwd="/root/repo")
+    (tmp_path / "cond.txt").write_text("10\n")
+    run_cli(base + ["--condition-list", str(tmp_path / "cond.txt"),
+                    "--out", str(tmp_path / "cl")], cwd="/root/repo")
+    a = [l.replace("ADD-CONDTL", "ADD") for l in open(tmp_path / "fc_Y1.regenie")
+         if "ADD-CONDTL" in l]
+    b = [l for l in open(tmp_path / "cl_Y1.regenie") if " ADD " in l]
+    assert len(a) == 1000 and a == b
+    # conditional mode drops the E main-effect rows from the output
+    assert not any("-INT_10 " in l for l in open(tmp_path / "fc_Y1.regenie"))
+
+
 def test_na_dropping_invariance(tmp_path):
     """check_na.sh: a single-trait run with NA phenotype rows must be
     byte-identical to a run on files with NA individuals removed."""

@@ -70,12 +70,14 @@ def test_bt_interaction_rows_vs_oracle(bt_int_out):
 
     gr, sg = resid(g[:, None], pd.new_cov, params.n_analyzed)
     im, si = resid(E * g[:, None], pd.new_cov, params.n_analyzed)
-    Er, sE = resid(E, pd.new_cov, params.n_analyzed)
+    # BT with non-dichotomous E: main-effect block is [E, E^2]
+    # (int_add_esq, Pheno.cpp:1137-1142)
+    Er, sE = resid(np.column_stack([E, E**2]), pd.new_cov, params.n_analyzed)
     H = np.column_stack([Er, gr[:, 0], im])
     y = pd.phenotypes_raw[:, 0]
     mask = pd.masked_indivs[:, 0]
     off = bt.eta_null[:, 0]
-    b = np.zeros(3)
+    b = np.zeros(4)
     for _ in range(50):
         pi = 1 / (1 + np.exp(-(off + H @ b)))
         w = np.where(mask, pi * (1 - pi), 0)
@@ -89,20 +91,21 @@ def test_bt_interaction_rows_vs_oracle(bt_int_out):
 
     exp = {
         "ADD-INT_V1": (b[0] / sE[0], np.sqrt(V[0, 0]) / sE[0]),
-        "ADD-INT_SNP": (sign * b[1] / sg[0], np.sqrt(V[1, 1]) / sg[0]),
-        "ADD-INT_SNPxV1": (sign * b[2] / si[0], np.sqrt(V[2, 2]) / si[0]),
+        "ADD-INT_V1^2": (b[1] / sE[1], np.sqrt(V[1, 1]) / sE[1]),
+        "ADD-INT_SNP": (sign * b[2] / sg[0], np.sqrt(V[2, 2]) / sg[0]),
+        "ADD-INT_SNPxV1": (sign * b[3] / si[0], np.sqrt(V[3, 3]) / si[0]),
     }
     for key, (beta, se) in exp.items():
         got_b, got_se = float(rows[key][8]), float(rows[key][9])
         assert abs(got_b - beta) < 5e-5, key
         assert abs(got_se - se) < 5e-5, key
-    chisq2 = b[1:] @ np.linalg.inv(V[1:, 1:]) @ b[1:]
+    chisq2 = b[2:] @ np.linalg.inv(V[2:, 2:]) @ b[2:]
     assert abs(float(rows["ADD-INT_2DF"][10]) - chisq2) < 1e-4
 
 
 def test_bt_interaction_row_count(bt_int_out):
     n = sum(1 for l in open(bt_int_out + "_Y2.regenie") if "INT" in l)
-    assert n == 4000  # 4 interaction rows per SNP
+    assert n == 5000  # 5 interaction rows per SNP (incl. the E^2 main)
 
 
 def test_condtl_categorical_docker_scenario(tmp_path):
