@@ -198,7 +198,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(i.e. no quadratic E^2 term in the variance model)")
     g.add_argument("--skip-fast-firth", action="store_true",
                    help="accepted; the exact Newton solver is always used")
-    g.add_argument("--skip-cf-burden", action="store_true", help="accepted no-op")
+    g.add_argument("--skip-cf-burden", action="store_true",
+                   help="skip computing the per-mask calibration factor "
+                        "for SKAT/SKATO tests with Firth/SPA correction")
     g.add_argument("--exact-p", action="store_true",
                    help="uncapped p-values in HTP output")
     g.add_argument("--skip-test", action="store_true",
@@ -524,6 +526,9 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.firth = args.firth
     params.firth_approx = args.firth and args.approx
     params.use_spa = args.spa
+    # only meaningful with Firth/SPA; silently dropped otherwise
+    # (Regenie.cpp:1140-1141)
+    params.skip_cf_burden = args.skip_cf_burden and (args.spa or args.firth)
     # chrX PAR bounds (check_build_code, Regenie.cpp:1643-1660)
     params.build_code = args.par_region
     bc = args.par_region

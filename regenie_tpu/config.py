@@ -97,6 +97,7 @@ class Params:
     firth: bool = False
     firth_approx: bool = False  # --approx
     use_spa: bool = False
+    skip_cf_burden: bool = False  # skip per-mask SKAT calibration factor
     alpha_pvalue: float = 0.05  # --pThresh
     skip_blups: bool = False  # --ignore-pred
     split_by_pheno: bool = True  # reference step-2 default writes per-pheno files

@@ -635,9 +635,10 @@ def _run_vc_bt(params, eng, vset, vc_masks, GW_full, col_of, n_main, ur_cols,
             Qs = float((Sm**2).sum())
             Qb = float(Sm.sum() ** 2)
 
-            # burden-based kernel inflation (correct_vcov_burden, SKAT.cpp:1151)
+            # burden-based kernel inflation (correct_vcov_burden, SKAT.cpp:1151;
+            # disabled by --skip-cf-burden, SKAT.cpp:827,1003)
             rfrac = 1.0
-            if apply_corr and nnz > 1 and Qb > 0:
+            if apply_corr and not params.skip_cf_burden and nnz > 1 and Qb > 0:
                 var_qb = Km.sum()
                 tb = np.sqrt(Qb / max(var_qb, 1e-300))
                 if abs(tb) > z_thr:

@@ -211,3 +211,44 @@ def test_docker_prebuilt_mask_parity(tmp_path):
     assert open(tmp_path / "v2_masks.bed", "rb").read(3) == b"\x6c\x1b\x01"
     assert sum(1 for _ in open(tmp_path / "v2_masks.bim")) == 4
     assert sum(1 for _ in open(tmp_path / "v2_masks.fam")) == 494
+
+
+def test_skip_cf_burden_disables_calibration(tmp_path):
+    """--skip-cf-burden turns off the per-mask burden calibration factor
+    in the BT SKAT correction path (SKAT.cpp:827,1003,1343). With a
+    heavily imbalanced phenotype the Firth-corrected burden chi-square is
+    smaller than the score chi-square, so rfrac>1 inflates the kernel and
+    the two runs must differ; the factor never deflates (max(1,.))."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    lines = open(f"{EX}/phenotype_bin.txt").readlines()
+    ph = str(tmp_path / "pheno_rare.txt")
+    with open(ph, "w") as fh:
+        fh.write("FID IID Y1\n")
+        n = len(lines) - 1
+        cases = set(rng.choice(n, size=12, replace=False))
+        for i, l in enumerate(lines[1:]):
+            f, s = l.split()[:2]
+            fh.write(f"{f} {s} {1 if i in cases else 0}\n")
+    base = ["--step", "2", "--bed", f"{EX}/example_3chr",
+            "--phenoFile", ph, "--bt", "--firth",
+            "--pThresh", "0.9", "--bsize", "200", "--ignore-pred",
+            "--set-list", f"{EX}/example_3chr.setlist",
+            "--anno-file", f"{EX}/example_3chr.annotations",
+            "--mask-def", f"{EX}/example_3chr.masks", "--aaf-bins", "0.5",
+            "--vc-tests", "skat,skato", "--vc-maxAAF", "0.5",
+            "--vc-MACthr", "0"]
+    _run_cli(base + ["--out", str(tmp_path / "cal")])
+    _run_cli(base + ["--skip-cf-burden", "--out", str(tmp_path / "nocal")])
+
+    def skat_rows(p):
+        return {l.split()[2] + l.split()[7]: float(l.split()[11])
+                for l in open(p) if "-SKAT" in l}
+
+    a = skat_rows(tmp_path / "cal_Y1.regenie")
+    b = skat_rows(tmp_path / "nocal_Y1.regenie")
+    assert a.keys() == b.keys() and len(a) >= 4
+    assert any(abs(a[k] - b[k]) > 1e-10 for k in a)
+    # inflation only: calibrated p is never smaller (logp never larger)
+    assert all(a[k] <= b[k] + 1e-12 for k in a)
