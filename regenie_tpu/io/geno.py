@@ -71,6 +71,16 @@ class GenoData:
             self.last_info_num = ival
             return G
         if self._pgen is not None:
+            from .native import pgen_decode_block_native
+
+            pf = self._pgen.pf
+            res = pgen_decode_block_native(
+                pf._data, pf.fpos, pf.vrtypes,
+                np.array([s.offset for s in block_snps]), pf.n_samples_file,
+            )
+            if res is not None:
+                self.last_info_num = None
+                return res if self._keep_all_samples else res[:, self.sample_keep_idx]
             B = len(block_snps)
             G = np.empty((B, self.n_samples), dtype=np.float64)
             for k, s in enumerate(block_snps):

@@ -47,6 +47,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.pgen_decode_block.restype = ctypes.c_int64
+    lib.pgen_decode_block.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -95,3 +101,64 @@ def bgen12_decode_native(
     if nfail > 0:
         return None  # caller falls back to python path for exotic layouts
     return dosage, info_num
+
+
+def pgen_decode_block_native(
+    data: bytes,
+    fpos: np.ndarray,
+    vrtypes: np.ndarray,
+    offsets: np.ndarray,
+    n_samples: int,
+) -> Optional[np.ndarray]:
+    """Batch-decode PGEN variants (hardcalls + 16-bit dosage tracks) via
+    the native pgenlib-replacement kernel. offsets: requested variant
+    indices; LD-compressed records resolve to their nearest non-LD base,
+    decoded once and shared. Returns [B, N] float64 ALT dosages
+    (missing = -3) or None (lib unavailable / unsupported record
+    encountered -> caller falls back to the python decoder)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    offsets = np.asarray(offsets, dtype=np.int64)
+    vr = vrtypes
+    # resolve LD bases: nearest preceding non-LD variant, shared per base
+    uniq: list = []
+    base_of: list = []
+    pos_of: dict = {}
+
+    def row_for(v: int, b: int) -> int:
+        if v not in pos_of:
+            uniq.append(v)
+            base_of.append(b)
+            pos_of[v] = len(uniq) - 1
+        return pos_of[v]
+
+    want = np.empty(len(offsets), dtype=np.int64)
+    for k, v in enumerate(offsets):
+        v = int(v)
+        if (int(vr[v]) & 6) == 2:
+            b = v - 1
+            while (int(vr[b]) & 6) == 2:
+                b -= 1
+            bi = row_for(b, -1)
+            want[k] = row_for(v, bi)
+        else:
+            want[k] = row_for(v, -1)
+
+    U = len(uniq)
+    B = len(offsets)
+    uniq_a = np.asarray(uniq, dtype=np.int64)
+    base_a = np.asarray(base_of, dtype=np.int64)
+    fpos_a = np.ascontiguousarray(fpos, dtype=np.uint64)
+    vr_a = np.ascontiguousarray(vrtypes, dtype=np.uint8)
+    codes_buf = np.empty((U, n_samples), dtype=np.uint8)
+    out = np.empty((B, n_samples), dtype=np.float64)
+    nfail = lib.pgen_decode_block(
+        data, fpos_a.ctypes.data, vr_a.ctypes.data, uniq_a.ctypes.data,
+        base_a.ctypes.data, ctypes.c_int64(U), ctypes.c_int64(n_samples),
+        want.ctypes.data, ctypes.c_int64(B), codes_buf.ctypes.data,
+        out.ctypes.data,
+    )
+    if nfail > 0:
+        return None
+    return out

@@ -208,3 +208,113 @@ def test_pgen_dosage_e2e_step2(tmp_path):
         info = float(td.pop(ii))
         assert 0.0 <= info <= 2.0  # MACH r2 can exceed 1 off-HWE
         assert lh.split() == td
+
+
+def test_pgen_all_vrtypes_native_matches_python(tmp_path):
+    """Synthetic PGEN exercising every supported hardcall encoding
+    (2-bit direct, onebit+exceptions, difflist-vs-constant 4/5/6/7,
+    LD-compressed 2 and inverted 3, and dosage tracks on top): the
+    native pgen_decode_block kernel must be bit-identical to the pure
+    python decoder, and both match hand-computed codes."""
+    import struct
+
+    from regenie_tpu.io.native import get_lib, pgen_decode_block_native
+    from regenie_tpu.io.pgen import PgenDecoder, open_pgen
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+
+    N = 13
+
+    def pack2(codes):
+        b = bytearray((N + 3) // 4)
+        for i, c in enumerate(codes):
+            b[i // 4] |= int(c) << (2 * (i % 4))
+        return bytes(b)
+
+    def difflist(ids, rare):
+        # single group (L<=64), sid_bytes=1 for N=13
+        L = len(ids)
+        out = bytearray([L])
+        if L == 0:
+            return bytes(out)
+        out.append(ids[0])
+        rb = bytearray((L + 3) // 4)
+        for k, c in enumerate(rare):
+            rb[k // 4] |= int(c) << (2 * (k % 4))
+        out += bytes(rb)
+        for k in range(1, L):
+            out.append(ids[k] - ids[k - 1])
+        return bytes(out)
+
+    base = np.array([0, 1, 2, 0, 0, 1, 2, 3, 0, 0, 1, 2, 0], dtype=np.uint8)
+    records, vrtypes, expected = [], [], []
+
+    # v0: 2-bit direct (LD base)
+    records.append(pack2(base)); vrtypes.append(0x00); expected.append(base.copy())
+    # v1: LD diff vs v0 (samples 2,5 -> 0, 7 -> 1)
+    e = base.copy(); e[[2, 5]] = 0; e[7] = 1
+    records.append(difflist([2, 5, 7], [0, 0, 1])); vrtypes.append(0x02); expected.append(e)
+    # v2: LD inverted vs v0 (hom swap) then sample 0 -> 3
+    e = base.copy(); e = np.where(e == 0, 2, np.where(e == 2, 0, e)).astype(np.uint8); e[0] = 3
+    records.append(difflist([0], [3])); vrtypes.append(0x03); expected.append(e)
+    # v3: difflist vs hom-ref (low2=0): samples 3,9 het
+    e = np.zeros(N, dtype=np.uint8); e[[3, 9]] = 1
+    records.append(difflist([3, 9], [1, 1])); vrtypes.append(0x04); expected.append(e)
+    # v4: all hom-ref, no payload
+    records.append(b""); vrtypes.append(0x05); expected.append(np.zeros(N, dtype=np.uint8))
+    # v5: difflist vs hom-alt (low2=2)
+    e = np.full(N, 2, dtype=np.uint8); e[[1, 12]] = [0, 1]
+    records.append(difflist([1, 12], [0, 1])); vrtypes.append(0x06); expected.append(e)
+    # v6: difflist vs missing (low2=3)
+    e = np.full(N, 3, dtype=np.uint8); e[[4, 6, 8]] = [2, 1, 0]
+    records.append(difflist([4, 6, 8], [2, 1, 0])); vrtypes.append(0x07); expected.append(e)
+    # v7: onebit common pair (0,1), exceptions 11 -> 2
+    bits = np.array([0, 1, 0, 1, 1, 0, 0, 0, 1, 0, 1, 0, 0], dtype=np.uint8)
+    e = bits.copy().astype(np.uint8); e[11] = 2
+    common2 = (0 << 2) | 1  # base=0, delta=1
+    rec = bytes([common2]) + np.packbits(bits, bitorder="little").tobytes() + difflist([11], [2])
+    records.append(rec); vrtypes.append(0x01); expected.append(e)
+    # v8: LD diff + deltalist dosage on samples 1,4; the LD base is the
+    # nearest preceding non-LD record = v7 (the onebit variant)
+    e = expected[7].copy(); e[10] = 3
+    rec = difflist([10], [3]) + bytes([2, 1, 3]) + np.array(
+        [20480, 28672], dtype=np.uint16).tobytes()
+    records.append(rec); vrtypes.append(0x22)
+    ed = e.astype(np.float64); ed[e == 3] = -3.0; ed[1] = 1.25; ed[4] = 1.75
+    expected.append(ed)
+    # v9: onebit + dense dosage
+    rec = bytes([common2]) + np.packbits(bits, bitorder="little").tobytes() + difflist([11], [2])
+    dense = (np.arange(N, dtype=np.uint16) * 2048)
+    dense[3] = 65535
+    rec += dense.tobytes()
+    records.append(rec); vrtypes.append(0x41)
+    ed = dense.astype(np.float64) / 16384.0; ed[3] = -3.0
+    expected.append(ed)
+
+    M = len(records)
+    header = b"\x6c\x1b\x10" + struct.pack("<II", M, N) + bytes([0x04])
+    first = len(header) + 8 + M + M
+    blob = header + struct.pack("<Q", first) + bytes(vrtypes) + bytes(
+        len(r) for r in records) + b"".join(records)
+    path = tmp_path / "all.pgen"
+    path.write_bytes(blob)
+
+    pf = open_pgen(str(path))
+    dec = PgenDecoder(pf)
+    offs = np.arange(M)
+    res = pgen_decode_block_native(pf._data, pf.fpos, pf.vrtypes, offs, N)
+    assert res is not None
+    for v in range(M):
+        exp = np.asarray(expected[v], dtype=np.float64)
+        if exp.dtype == np.float64 and (vrtypes[v] & 0x60) == 0:
+            exp = np.where(exp == 3, -3.0, exp)
+        py = dec.dosages(v)
+        np.testing.assert_array_equal(py, exp, err_msg=f"python v{v} vrtype={hex(vrtypes[v])}")
+        np.testing.assert_array_equal(res[v], exp, err_msg=f"native v{v} vrtype={hex(vrtypes[v])}")
+
+    # scattered subset incl. repeated LD bases resolves correctly
+    sub = np.array([8, 1, 2])
+    res2 = pgen_decode_block_native(pf._data, pf.fpos, pf.vrtypes, sub, N)
+    for k, v in enumerate(sub):
+        np.testing.assert_array_equal(res2[k], dec.dosages(int(v)))
