@@ -1,0 +1,90 @@
+"""Chi-square-mixture p-values (utils/quadforms) vs independent oracles.
+
+The reference gets these from vendored native code (qf/qfc.cpp Davies,
+Kuonen saddlepoint, Liu moments — SKAT.cpp:1468-1688); here they are
+validated against Monte-Carlo simulation, the exact single-lambda
+chi-square, and an exact two-equal-lambdas closed form (sum of two
+chi2_1 with equal weights = scaled chi2_2).
+"""
+
+import numpy as np
+import pytest
+from scipy.stats import chi2
+
+from regenie_tpu.utils.quadforms import (
+    chisq_mix_logp,
+    chisq_mix_pv,
+    davies_pv,
+    kuonen_pv,
+    liu_logp,
+)
+
+LAM = np.array([2.0, 1.0, 0.5, 0.25])
+
+
+def _mc_sf(q, lam, n=400_000, seed=3):
+    rng = np.random.default_rng(seed)
+    draws = (rng.standard_normal((n, len(lam))) ** 2) @ lam
+    return (draws > q).mean()
+
+
+def test_davies_matches_monte_carlo_moderate_tail():
+    for q in (2.0, 6.0, 12.0, 20.0):
+        mc = _mc_sf(q, LAM)
+        pv = davies_pv(q, LAM)
+        assert pv > 0
+        # MC std err ~ sqrt(p/n): 3-sigma agreement
+        se = np.sqrt(mc * (1 - mc) / 400_000) + 1e-12
+        assert abs(pv - mc) < 4 * se + 1e-4, (q, pv, mc)
+
+
+def test_single_lambda_exact():
+    for q in (0.5, 3.0, 30.0):
+        assert davies_pv(q, np.array([1.7])) == pytest.approx(
+            chi2.sf(q / 1.7, df=1), rel=1e-12
+        )
+
+
+def test_two_equal_lambdas_closed_form():
+    """lam*(X1+X2) with X_i ~ chi2_1 is lam * chi2_2, down to p~1e-10."""
+    lam = np.array([0.8, 0.8])
+    for q in (1.0, 5.0, 15.0, 40.0):
+        exact = chi2.sf(q / 0.8, df=2)
+        assert davies_pv(q, lam) == pytest.approx(exact, rel=1e-5)
+        # kuonen requires max-normalized lambdas (caller convention,
+        # SKAT.cpp:1474: newL = lambdas / lambdas.max())
+        ku = kuonen_pv(q / 0.8, lam / 0.8)
+        if ku > 0:
+            assert ku == pytest.approx(exact, rel=0.05)
+
+
+def test_kuonen_tracks_davies_in_deep_tail():
+    """Saddlepoint vs Davies for p down to ~1e-12: log-p within 1%
+    (the reference switches to Kuonen below p=1e-5, SKAT.cpp:1500).
+    Both called with max-normalized lambdas as the dispatcher does."""
+    lamn = LAM / LAM.max()
+    for q in (40.0, 70.0, 110.0):
+        qn = q / LAM.max()
+        dv = davies_pv(qn, lamn, strict=True)
+        ku = kuonen_pv(qn, lamn)
+        assert dv > 0 and ku > 0
+        assert abs(np.log10(dv) - np.log10(ku)) < 0.01 * abs(np.log10(dv)) + 0.02, q
+
+
+def test_liu_moment_match_moderate():
+    """Liu is the last-resort fallback: right order of magnitude."""
+    for q in (6.0, 20.0):
+        lp, _chival = liu_logp(q, LAM)
+        dv = davies_pv(q, LAM)
+        assert abs(lp - (-np.log10(dv))) < 0.15 * max(1.0, -np.log10(dv))
+
+
+def test_dispatch_chain_consistency():
+    """chisq_mix_pv / chisq_mix_logp agree with the underlying davies
+    value in the regimes where davies is used."""
+    for q in (6.0, 20.0):
+        pv = chisq_mix_pv(q, LAM)
+        lp, _ = chisq_mix_logp(q, LAM)
+        dv = davies_pv(q, LAM)
+        assert pv == pytest.approx(dv, rel=1e-4)
+        assert lp == pytest.approx(-np.log10(dv), rel=1e-4)
