@@ -163,3 +163,123 @@ def shard_array(mesh: Mesh, x, axis_index: int):
 
 def replicate(mesh: Mesh, x):
     return jax.device_put(x, NamedSharding(mesh, P(*([None] * np.ndim(x)))))
+
+
+# ---------------------------------------------------------------------------
+# 2-D mesh: variant(-block) axis x sample axis.
+#
+# The 1-D forms above shard ONE long dimension; at pod scale both
+# dimensions are long (N ~ 500K samples, thousands of step-1 blocks /
+# millions of step-2 variants). The 2-D mesh tiles the device grid so
+# each device holds a [B_tile, N_tile] patch: sample-axis reductions ride
+# psum over the "smp" rows while independent variant work spreads over
+# the "var" columns — the TPU analog of running the reference's
+# split-l0 jobs AND its per-machine chromosome shards at once.
+# ---------------------------------------------------------------------------
+
+VAR_AXIS = "var"
+SMP_AXIS = "smp"
+
+
+def mesh_2d_shape(n_devices: int) -> Tuple[int, int]:
+    """(n_var, n_smp) grid: the most-square factorization, biasing extra
+    devices to the sample axis (Gram psums ride the faster links)."""
+    a = int(np.sqrt(n_devices))
+    while n_devices % a:
+        a -= 1
+    return a, n_devices // a
+
+
+def make_mesh_2d(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    nv, ns = mesh_2d_shape(len(devs))
+    return Mesh(np.array(devs).reshape(nv, ns), (VAR_AXIS, SMP_AXIS))
+
+
+def shard_array_2d(mesh: Mesh, x, spec_axes):
+    """Place x on a 2-D mesh. spec_axes: tuple of mesh-axis names (or
+    None) per array dim, e.g. (VAR_AXIS, SMP_AXIS) for a [B, N] block."""
+    return jax.device_put(x, NamedSharding(mesh, P(*spec_axes)))
+
+
+def sharded_level0_blocks_2d(mesh: Mesh, G3, Y, maskf, lambdas, Neff):
+    """Step-1 level-0 LOOCV over SEVERAL blocks at once on a 2-D mesh.
+
+    G3: [Bk, B, N] (Bk blocks sharded over "var", N sharded over "smp");
+    Y/maskf: [N, P] sharded over "smp"; lambdas [J], Neff [P]
+    replicated. Returns W: [Bk, N, J, P] sharded (var, smp).
+
+    Each mesh row psums its blocks' Gram matrices over the sample axis
+    only ("smp"), runs the B x B eigendecompositions locally, and emits
+    its sample shard of the LOO predictions — different blocks never
+    synchronize (reference analog: independent --run-l0 jobs,
+    Data.cpp:244-309, without the shared filesystem)."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(VAR_AXIS, None, SMP_AXIS),
+            P(SMP_AXIS, None),
+            P(SMP_AXIS, None),
+            P(None),
+            P(None),
+        ),
+        out_specs=P(VAR_AXIS, SMP_AXIS, None, None),
+    )
+    def _l0(G_loc, Y_loc, m_loc, lam, neff):
+        def one_block(Gb):
+            GGt = jax.lax.psum(jnp.matmul(Gb, Gb.T, precision=_PREC), SMP_AXIS)
+            GTY = jax.lax.psum(jnp.matmul(Gb, Y_loc, precision=_PREC), SMP_AXIS)
+            d, V = jnp.linalg.eigh(GGt)
+            Wmat = jnp.matmul(V.T, GTY, precision=_PREC)
+            DL_inv = 1.0 / (d[:, None] + lam[None, :])
+            VtG = jnp.matmul(V.T, Gb, precision=_PREC)
+            gvec = jnp.matmul((VtG**2).T, DL_inv, precision=_PREC)
+            z2t = jnp.einsum("bn,bj,bp->njp", VtG, DL_inv, Wmat, precision=_PREC)
+            pred = (z2t - gvec[:, :, None] * Y_loc[:, None, :]) / (1.0 - gvec)[:, :, None]
+            pred = pred * m_loc[:, None, :]
+            p_mean = jax.lax.psum(pred.sum(axis=0), SMP_AXIS) / neff[None, :]
+            pred = (pred - p_mean[None]) * m_loc[:, None, :]
+            s2 = jax.lax.psum((pred**2).sum(axis=0), SMP_AXIS)
+            p_sd = jnp.sqrt(s2 / (neff[None, :] - 1.0))
+            return pred / p_sd[None]
+
+        return jax.vmap(one_block)(G_loc)
+
+    return _l0(G3, Y, maskf, lambdas, Neff)
+
+
+def sharded_score_qt_2d(mesh: Mesh, G, res, maskf, cov, scale_denom):
+    """Step-2 QT score test with BOTH axes sharded.
+
+    G: [B, N] sharded (var, smp); res/maskf/cov: [N, *] sharded over
+    "smp". Per-device partial matmuls over its sample shard are psum'd
+    over "smp"; variants stay independent across "var". Returns
+    (stats [B, P], denum [B, P], scale_fac [B]) sharded over "var"."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(VAR_AXIS, SMP_AXIS),
+            P(SMP_AXIS, None),
+            P(SMP_AXIS, None),
+            P(SMP_AXIS, None),
+        ),
+        out_specs=(P(VAR_AXIS, None), P(VAR_AXIS, None), P(VAR_AXIS)),
+    )
+    def _score(G_loc, res_loc, maskf_loc, cov_loc):
+        beta = jax.lax.psum(jnp.matmul(G_loc, cov_loc, precision=_PREC), SMP_AXIS)
+        Gr = G_loc - jnp.matmul(beta, cov_loc.T, precision=_PREC)
+        nrm2 = jax.lax.psum((Gr**2).sum(axis=1), SMP_AXIS)
+        scale_fac = jnp.sqrt(nrm2 / scale_denom)
+        Gr = Gr / jnp.where(scale_fac < 1e-12, 1.0, scale_fac)[:, None]
+        num = jax.lax.psum(jnp.matmul(Gr, res_loc, precision=_PREC), SMP_AXIS)
+        denum = jax.lax.psum(jnp.matmul(Gr**2, maskf_loc, precision=_PREC), SMP_AXIS)
+        stats = num / jnp.sqrt(denum)
+        return stats, denum, scale_fac
+
+    return _score(G, res, maskf, cov)

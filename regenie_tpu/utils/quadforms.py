@@ -1,7 +1,8 @@
 """P-values for mixtures of chi-square_1 variables: Q ~ sum lambda_i X_i.
 
 Replacement for the reference's vendored native libs (SURVEY.md §2.2):
-qf/qfc.cpp (Davies) -> Imhof-type numerical inversion via scipy quad;
+qf/qfc.cpp (Davies) -> vectorized Imhof CF inversion (phase-bounded
+Gauss-Legendre panels + van Wijngaarden tail acceleration, davies_pv);
 Kuonen saddlepoint (SKAT.cpp:1566-1688) and Liu moment-matching
 (SKAT.cpp:1625) reimplemented directly. Host scalar code — per variant
 set, never per sample (SURVEY.md §2.2 replacement strategy).

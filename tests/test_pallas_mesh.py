@@ -181,3 +181,79 @@ def test_onepass_qt_scorer_matches_two_step():
                                rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(np.asarray(sf1), np.asarray(sf), rtol=1e-9)
     np.testing.assert_array_equal(np.asarray(low1), np.asarray(low))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_2d_mesh_level0_blocks_matches_single_device():
+    """2-D (var x smp) mesh: several level-0 blocks solved concurrently,
+    Gram psums over the sample axis only, equal to the single-device
+    kernel per block."""
+    from regenie_tpu.models import step1 as m1
+    from regenie_tpu.parallel import mesh as pm
+
+    rng = np.random.default_rng(5)
+    Bk, B, N, P, J = 2, 10, 48, 3, 4  # Bk divisible by var-axis (2)
+    G3 = rng.normal(size=(Bk, B, N))
+    Y = rng.normal(size=(N, P))
+    maskf = (rng.random(size=(N, P)) > 0.1).astype(np.float64)
+    Y = Y * maskf
+    lambdas = np.array([5.0, 20.0, 80.0, 300.0])
+    neff = maskf.sum(axis=0)
+
+    refs = [
+        np.asarray(
+            m1.level0_loocv_block(
+                jnp.asarray(G3[k]), jnp.asarray(Y), jnp.asarray(maskf),
+                jnp.asarray(lambdas), jnp.asarray(neff),
+            )
+        )
+        for k in range(Bk)
+    ]
+
+    mesh = pm.make_mesh_2d(8)
+    assert mesh.devices.shape == (2, 4)
+    W = pm.sharded_level0_blocks_2d(
+        mesh,
+        pm.shard_array_2d(mesh, jnp.asarray(G3), (pm.VAR_AXIS, None, pm.SMP_AXIS)),
+        pm.shard_array_2d(mesh, jnp.asarray(Y), (pm.SMP_AXIS, None)),
+        pm.shard_array_2d(mesh, jnp.asarray(maskf), (pm.SMP_AXIS, None)),
+        jnp.asarray(lambdas), jnp.asarray(neff),
+    )
+    W = np.asarray(W)
+    for k in range(Bk):
+        np.testing.assert_allclose(W[k], refs[k], rtol=1e-10, atol=1e-10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_2d_mesh_score_qt_matches_numpy():
+    """2-D sharded step-2 scorer (psum over the sample axis) equals the
+    plain numpy score computation."""
+    from regenie_tpu.parallel import mesh as pm
+
+    rng = np.random.default_rng(6)
+    B, N, P, K = 16, 48, 3, 4
+    G = rng.normal(size=(B, N))
+    res = rng.normal(size=(N, P))
+    maskf = np.ones((N, P))
+    cov = np.linalg.qr(rng.normal(size=(N, K)))[0]
+
+    beta = G @ cov
+    Gr = G - beta @ cov.T
+    sf = np.linalg.norm(Gr, axis=1) / np.sqrt(N - K)
+    Grs = Gr / sf[:, None]
+    num = Grs @ res
+    den = (Grs**2) @ maskf
+    exp_stats = num / np.sqrt(den)
+
+    mesh = pm.make_mesh_2d(8)
+    stats, denum, sfac = pm.sharded_score_qt_2d(
+        mesh,
+        pm.shard_array_2d(mesh, jnp.asarray(G), (pm.VAR_AXIS, pm.SMP_AXIS)),
+        pm.shard_array_2d(mesh, jnp.asarray(res), (pm.SMP_AXIS, None)),
+        pm.shard_array_2d(mesh, jnp.asarray(maskf), (pm.SMP_AXIS, None)),
+        pm.shard_array_2d(mesh, jnp.asarray(cov), (pm.SMP_AXIS, None)),
+        float(N - K),
+    )
+    np.testing.assert_allclose(np.asarray(stats), exp_stats, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(sfac), sf, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(denum), den, rtol=1e-9)
