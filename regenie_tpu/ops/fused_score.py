@@ -1,0 +1,353 @@
+"""Fully fused Step-2 QT scorer: packed 2-bit PLINK bytes -> score stats
+in ONE pass over HBM, with the genotype matrix never materialized.
+
+The standard pipeline (decode -> impute -> residualize -> score) writes
+and re-reads a [B, N] float32 G three times; at UKB scale the HBM
+traffic on G dwarfs the MXU work. This kernel instead streams the raw
+packed bytes ([B, N/4] uint8 — 16x smaller than f32 G), decodes each
+2-bit plane in VMEM, and accumulates three MXU products against a
+combined per-sample operand
+
+    Wext = [cov (K) | res (P) | cov_k*maskf_p (K*P) | maskf (P) | ind (1)]
+
+(rows of excluded samples zeroed on the host):
+
+    S1[b, :] = sum_n  g0[b, n]      * Wext[n, :]   (missing coded as 0)
+    SQ[b, :] = sum_n  g0[b, n]^2    * Wext[n, :]
+    SM[b, :] = sum_n  miss[b, n]    * Wext[n, :]
+
+Everything the score test needs is then a tiny [B, C] epilogue:
+mean-imputation is the rank-1 update S1 + m_b*SM / SQ + m_b^2*SM
+(reference semantics: mean_impute_g, Geno.cpp; imputed slots contribute
+m_b to G and m_b^2 to G^2), allele flips G -> 2-G are algebraic in the
+same products, and the covariate projection follows the one-pass
+algebra of models/step2.score_qt_block_onepass.
+
+Reference behavior covered: parseSnpfromBed decode (Geno.cpp:2414),
+mean imputation + minor-allele flip (Geno.cpp:1983-2072),
+residualize_geno (Geno.cpp:3242), compute_score_qt
+(Step2_Models.cpp:343).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# tile sizes: TB SNP rows x TC packed bytes (= 4*TC samples) per cell.
+# TB large keeps the [4, TC, C] Wext tile re-read count (= B/TB) low;
+# VMEM at the defaults (v5e 16MB budget): decoded plane temporaries
+# dominate; TC=256 keeps the stack allocation under the limit.
+_TB = 1024
+_TC = 256
+
+
+class FusedConsts(NamedTuple):
+    """Host-precomputed constants for the fused scorer (one per
+    run/chromosome, shapes independent of the SNP block)."""
+
+    Wp: jax.Array  # [4, nbp, C] plane-ordered Wext; with split=True a
+    #               bfloat16 [4, nbp, 3*C] (hi|mid|lo splits, see below)
+    usum: jax.Array  # [C] column sums of ind-masked Wext (for flips)
+    covt_res: jax.Array  # [K, P]
+    Mmat: jax.Array  # [P, K, K]
+    n_ind: float  # number of included samples
+    K: int
+    P: int
+    scale_denom: float  # n_analyzed - ncov
+    split: bool = False  # bf16-split operand layout
+
+
+def build_consts(cov, res, maskf, ind, scale_denom, nb=None, dtype=np.float32,
+                 split=False):
+    """Build FusedConsts from per-sample arrays (numpy, float64 in).
+
+    cov: [N, K] orthonormal covariate basis (rows of excluded samples
+    arbitrary — zeroed here); res: [N, P] phenotype residuals;
+    maskf: [N, P] per-trait inclusion; ind: [N] bool sample inclusion;
+    nb: number of packed bytes per SNP (defaults to ceil(N/4)).
+
+    split=True emits Wp as bfloat16 [4, nbp, 3*C] with each f32 value
+    decomposed hi+mid+lo (24 mantissa bits): the decoded dosage planes
+    are EXACT in bf16 (values 0/1/2/4 and 0/1), so three native bf16
+    MXU passes reproduce f32-precision products at ~2x the speed of a
+    PRECISION.HIGHEST f32 dot.
+    """
+    cov = np.asarray(cov, np.float64)
+    res = np.asarray(res, np.float64)
+    maskf = np.asarray(maskf, np.float64)
+    ind = np.asarray(ind)
+    N, K = cov.shape
+    P = res.shape[1]
+    if nb is None:
+        nb = (N + 3) // 4
+    indf = ind.astype(np.float64)
+    covz = cov * indf[:, None]
+    resz = res * indf[:, None]
+    maskz = maskf * indf[:, None]
+    CM = (covz[:, :, None] * maskz[:, None, :]).reshape(N, K * P)
+    Wext = np.concatenate([covz, resz, CM, maskz, indf[:, None]], axis=1)
+    C = Wext.shape[1]
+    Cp = -(-C // 128) * 128  # pad columns to the MXU lane width
+    nbp = -(-nb // _TC) * _TC
+    # plane order: plane p, byte c -> file-order sample 4c + p
+    Wp = np.zeros((4, nbp, Cp), dtype=np.float64)
+    for p in range(4):
+        src = 4 * np.arange(nb) + p
+        valid = src < N
+        Wp[p, np.nonzero(valid)[0], :C] = Wext[src[valid]]
+    usum = Wext.sum(axis=0)
+    usum = np.pad(usum, (0, Cp - C))
+    Mmat = np.einsum("nk,np,nl->pkl", covz, maskz, covz)
+    covt_res = covz.T @ resz
+    if split:
+        # 3-way bf16 decomposition via jnp (numpy has no bfloat16)
+        w_j = jnp.asarray(Wp.astype(np.float32))
+        hi = w_j.astype(jnp.bfloat16)
+        r1 = w_j - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        Wp_out = jnp.concatenate([hi, mid, lo], axis=2)  # [4, nbp, 3*Cp]
+    else:
+        Wp_out = jnp.asarray(Wp.astype(dtype))
+    return FusedConsts(
+        Wp=Wp_out,
+        usum=jnp.asarray(usum.astype(dtype)),
+        covt_res=jnp.asarray(covt_res.astype(dtype)),
+        Mmat=jnp.asarray(Mmat.astype(dtype)),
+        n_ind=float(indf.sum()),
+        K=K,
+        P=P,
+        scale_denom=float(scale_denom),
+        split=bool(split),
+    )
+
+
+def _fused_kernel(raw_ref, wp_ref, s1_ref, sq_ref, sm_ref):
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        s1_ref[:] = jnp.zeros_like(s1_ref)
+        sq_ref[:] = jnp.zeros_like(sq_ref)
+        sm_ref[:] = jnp.zeros_like(sm_ref)
+
+    r = raw_ref[:].astype(jnp.int32)
+    acc1 = jnp.zeros_like(s1_ref)
+    accq = jnp.zeros_like(sq_ref)
+    accm = jnp.zeros_like(sm_ref)
+    for p in range(4):
+        codes = (r >> (2 * p)) & 3
+        # PLINK bed 2-bit codes: 0->hom alt (2), 1->missing, 2->het (1),
+        # 3->hom ref (0)  (buildLookupTable semantics, Geno.cpp:2414)
+        g = jnp.where(
+            codes == 0, 2.0, jnp.where(codes == 2, 1.0, 0.0)
+        ).astype(jnp.float32)
+        gq = jnp.where(
+            codes == 0, 4.0, jnp.where(codes == 2, 1.0, 0.0)
+        ).astype(jnp.float32)
+        m = (codes == 1).astype(jnp.float32)
+        w = wp_ref[p]
+        acc1 += jax.lax.dot(g, w, precision=jax.lax.Precision.HIGHEST)
+        accq += jax.lax.dot(gq, w, precision=jax.lax.Precision.HIGHEST)
+        accm += jax.lax.dot(m, w, precision=jax.lax.Precision.HIGHEST)
+    s1_ref[:] += acc1
+    sq_ref[:] += accq
+    sm_ref[:] += accm
+
+
+def _fused_kernel_split(raw_ref, wp_ref, s1_ref, sq_ref, sm_ref):
+    """bf16-split variant: wp_ref is [4, tc, 3*C] bfloat16 (hi|mid|lo);
+    dosage planes are exact in bf16, so one [tb, tc] x [tc, 3C] bf16 dot
+    per product + a 3-way column fold reproduces the f32 result."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        s1_ref[:] = jnp.zeros_like(s1_ref)
+        sq_ref[:] = jnp.zeros_like(sq_ref)
+        sm_ref[:] = jnp.zeros_like(sm_ref)
+
+    C = s1_ref.shape[1]
+    r = raw_ref[:].astype(jnp.int32)
+    acc1 = jnp.zeros_like(s1_ref)
+    accq = jnp.zeros_like(sq_ref)
+    accm = jnp.zeros_like(sm_ref)
+    for p in range(4):
+        codes = (r >> (2 * p)) & 3
+        g = jnp.where(
+            codes == 0, 2.0, jnp.where(codes == 2, 1.0, 0.0)
+        ).astype(jnp.bfloat16)
+        gq = jnp.where(
+            codes == 0, 4.0, jnp.where(codes == 2, 1.0, 0.0)
+        ).astype(jnp.bfloat16)
+        m = (codes == 1).astype(jnp.bfloat16)
+        w = wp_ref[p]
+        d1 = jax.lax.dot_general(
+            g, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq = jax.lax.dot_general(
+            gq, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dm = jax.lax.dot_general(
+            m, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc1 += d1[:, :C] + d1[:, C : 2 * C] + d1[:, 2 * C :]
+        accq += dq[:, :C] + dq[:, C : 2 * C] + dq[:, 2 * C :]
+        accm += dm[:, :C] + dm[:, C : 2 * C] + dm[:, 2 * C :]
+    s1_ref[:] += acc1
+    sq_ref[:] += accq
+    sm_ref[:] += accm
+
+
+@partial(jax.jit, static_argnames=("interpret", "tb", "tc"))
+def fused_products(raw, Wp, interpret=False, tb=_TB, tc=_TC):
+    """raw: [B, nbp] packed uint8 (zero-padded rows/cols); Wp: [4, nbp, C].
+    Returns (S1, SQ, SM) each [B, C] float32.
+
+    Padding safety: pad bytes decode to code 0 = dosage 2 per plane, but
+    the corresponding Wp rows are zero, so padded samples contribute 0
+    to every product."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, nbp = raw.shape
+    Cw = Wp.shape[2]
+    split = Wp.dtype == jnp.bfloat16
+    C = Cw // 3 if split else Cw
+    grid = (pl.cdiv(B, tb), pl.cdiv(nbp, tc))
+    outs = pl.pallas_call(
+        _fused_kernel_split if split else _fused_kernel,
+        out_shape=[jax.ShapeDtypeStruct((B, C), jnp.float32)] * 3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, tc), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tc, Cw), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, C), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        * 3,
+        interpret=interpret,
+    )(raw, Wp)
+    return outs
+
+
+def fused_products_xla(raw, Wp):
+    """XLA reference implementation of fused_products (for CPU runs and
+    bit-exactness tests of the pallas kernel). A bf16-split Wp is folded
+    back to f32 values first (value-equivalent, not rounding-exact)."""
+    if Wp.dtype == jnp.bfloat16:
+        C = Wp.shape[2] // 3
+        Wp = (
+            Wp[..., :C].astype(jnp.float32)
+            + Wp[..., C : 2 * C].astype(jnp.float32)
+            + Wp[..., 2 * C :].astype(jnp.float32)
+        )
+    B, nbp = raw.shape
+    prec = jax.lax.Precision.HIGHEST
+    S1 = 0.0
+    SQ = 0.0
+    SM = 0.0
+    dt = Wp.dtype
+    r = raw.astype(jnp.int32)
+    for p in range(4):
+        codes = (r >> (2 * p)) & 3
+        g = jnp.where(codes == 0, 2.0, jnp.where(codes == 2, 1.0, 0.0)).astype(dt)
+        gq = jnp.where(codes == 0, 4.0, jnp.where(codes == 2, 1.0, 0.0)).astype(dt)
+        m = (codes == 1).astype(dt)
+        w = Wp[p]
+        S1 = S1 + jnp.matmul(g, w, precision=prec)
+        SQ = SQ + jnp.matmul(gq, w, precision=prec)
+        SM = SM + jnp.matmul(m, w, precision=prec)
+    return S1, SQ, SM
+
+
+@partial(jax.jit, static_argnames=("K", "P", "scale_denom", "n_ind"))
+def fused_epilogue(S1, SQ, SM, flip, usum, covt_res, Mmat, K, P, scale_denom, n_ind):
+    """[B, C] products -> (stats, denum, scale_fac, low, af_num) on the
+    score_qt_block_onepass contract.
+
+    Applies (1) mean imputation as a rank-1 update in product space,
+    (2) minor-allele flip G -> 2*ind - G algebraically, (3) the
+    orthonormal-covariate projection identities.
+    flip: [B] bool. af_num: [B] imputed allele-count sum (for AF/MAC).
+    """
+    prec = jax.lax.Precision.HIGHEST
+    C_used = K + P + K * P + P + 1
+    S1 = S1[:, :C_used]
+    SQ = SQ[:, :C_used]
+    SM = SM[:, :C_used]
+    u = usum[:C_used]
+    icol = C_used - 1
+    n_obs = n_ind - SM[:, icol]  # included & nonmissing per SNP
+    m_b = S1[:, icol] / jnp.maximum(n_obs, 1.0)
+    # imputation: G += m_b at missing slots; G^2 += m_b^2 there
+    S1i = S1 + m_b[:, None] * SM
+    SQi = SQ + (m_b**2)[:, None] * SM
+    # flip: G' = 2*ind - G on included samples (flip_geno semantics)
+    #   G'@w  = 2*u - G@w ;  G'^2@w = 4*u - 4*G@w + G^2@w
+    f = flip[:, None].astype(S1.dtype)
+    S1f = (1.0 - f) * S1i + f * (2.0 * u[None, :] - S1i)
+    SQf = (1.0 - f) * SQi + f * (4.0 * u[None, :] - 4.0 * S1i + SQi)
+    af_num = S1f[:, icol]
+
+    A = S1f[:, :K]
+    numY = S1f[:, K : K + P]
+    T = S1f[:, K + P : K + P + K * P].reshape(-1, K, P)
+    g2m = SQf[:, K + P + K * P : K + P + K * P + P]
+    g2 = SQf[:, icol]
+    scale2 = (g2 - (A**2).sum(axis=1)) / scale_denom
+    scale_fac = jnp.sqrt(jnp.maximum(scale2, 0.0))
+    low = scale_fac < 1e-8
+    num_raw = numY - jnp.matmul(A, covt_res, precision=prec)
+    denum_raw = (
+        g2m
+        - 2.0 * jnp.einsum("bk,bkp->bp", A, T, precision=prec)
+        + jnp.einsum("bk,pkl,bl->bp", A, Mmat, A, precision=prec)
+    )
+    denum_raw = jnp.maximum(denum_raw, 1e-30)
+    stats = num_raw / jnp.sqrt(denum_raw)
+    denum = denum_raw / jnp.where(low, 1.0, scale2)[:, None]
+    return stats, denum, scale_fac, low, af_num
+
+
+def pad_raw(raw: np.ndarray, nbp: int | None = None) -> np.ndarray:
+    """Zero-pad packed bytes to the kernel's byte-tile multiple."""
+    B, nb = raw.shape
+    if nbp is None:
+        nbp = -(-nb // _TC) * _TC
+    if nbp == nb:
+        return raw
+    out = np.zeros((B, nbp), dtype=np.uint8)
+    out[:, :nb] = raw
+    return out
+
+
+def score_block_fused(raw, flip, consts: FusedConsts, interpret=False, use_pallas=True):
+    """End-to-end fused scorer for one packed block.
+
+    raw: [B, nbp] uint8 device/host array (pad with pad_raw);
+    flip: [B] bool. Returns (stats, denum, scale_fac, low, af_num)."""
+    prod = fused_products if use_pallas else fused_products_xla
+    if use_pallas:
+        S1, SQ, SM = prod(raw, consts.Wp, interpret=interpret)
+    else:
+        S1, SQ, SM = prod(raw, consts.Wp)
+    return fused_epilogue(
+        S1,
+        SQ,
+        SM,
+        flip,
+        consts.usum,
+        consts.covt_res,
+        consts.Mmat,
+        consts.K,
+        consts.P,
+        consts.scale_denom,
+        consts.n_ind,
+    )

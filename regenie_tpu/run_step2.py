@@ -13,6 +13,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -194,6 +195,14 @@ class Step2Engine:
             from .models.interaction import prep_interaction
 
             self.interaction = prep_interaction(params, pd, gd, log)
+
+    def refresh_masks(self):
+        """Re-derive cached per-trait mask arrays after pd.masked_indivs
+        changed (e.g. mask_samples_missing_loco runs post-construction)."""
+        self.maskf = self.pd.masked_indivs.astype(np.float64)
+        self.maskf_j = jnp.asarray(self.maskf)
+        self._op_cm = None  # onepass constants embed maskf
+        self._fused_chrom = None
 
     def prep_chrom(self, chrom: int):
         if chrom == self.cur_chrom:
@@ -473,25 +482,7 @@ class Step2Engine:
                     G_res, jnp.asarray(self.res), self.maskf_j, self.scale_denom,
                     self.strict,
                 )
-            bhat, se, chisq = m2.finalize_qt(stats, denum, scale_fac, self.scf_sv, flipped)
-            if params.mse_full:
-                # full-model MSE: Var(y|g) shrinks by the SNP's own fit
-                # (compute_score_qt tail, Step2_Models.cpp:434-440)
-                nk = params.n_analyzed - params.ncov_analyzed
-                adj = (nk - np.asarray(stats) ** 2) / (nk - 1.0)
-                adj = np.maximum(adj, 1e-12)
-                stats = np.asarray(stats) / np.sqrt(adj)
-                chisq = chisq / adj
-                se = se * np.sqrt(adj)
-            if params.t_test:
-                # --t-test: p from the t distribution with Neff-K-1 df
-                # (get_logp_ttest, Regenie.cpp:1827)
-                from .utils.stats import ttest_neglog10
-
-                df_t = pd.Neff - params.ncov_analyzed - 1
-                logp = ttest_neglog10(np.asarray(stats), df_t[None, :])
-            else:
-                logp = chisq_neglog10(chisq)
+            bhat, se, chisq, logp = self._qt_post(stats, denum, scale_fac, flipped)
             test_fail = np.zeros((B, P), dtype=bool)
             need_host = is_mask or self.interaction is not None
             if G_res is None and (params.mcc_test or need_host):
@@ -539,6 +530,183 @@ class Step2Engine:
             scale_fac=getattr(self, "last_scale_fac", None) if params.trait_mode == QT else None,
             mac_t=mac_t,
         )
+
+    def _qt_post(self, stats, denum, scale_fac, flipped):
+        """Shared QT tail: effect sizes + --mse-full + --t-test + logp
+        (compute_score_qt tail, Step2_Models.cpp:434-460)."""
+        params, pd = self.params, self.pd
+        bhat, se, chisq = m2.finalize_qt(stats, denum, scale_fac, self.scf_sv, flipped)
+        if params.mse_full:
+            # full-model MSE: Var(y|g) shrinks by the SNP's own fit
+            nk = params.n_analyzed - params.ncov_analyzed
+            adj = (nk - np.asarray(stats) ** 2) / (nk - 1.0)
+            adj = np.maximum(adj, 1e-12)
+            stats = np.asarray(stats) / np.sqrt(adj)
+            chisq = chisq / adj
+            se = se * np.sqrt(adj)
+        if params.t_test:
+            # --t-test: p from the t distribution with Neff-K-1 df
+            # (get_logp_ttest, Regenie.cpp:1827)
+            from .utils.stats import ttest_neglog10
+
+            df_t = pd.Neff - params.ncov_analyzed - 1
+            logp = ttest_neglog10(np.asarray(stats), df_t[None, :])
+        else:
+            logp = chisq_neglog10(chisq)
+        return bhat, se, chisq, logp
+
+    def fused_qt_ok(self) -> bool:
+        """Whether the fully fused packed-bytes scorer (ops/fused_score)
+        can replace decode->finalize->onepass for this run: QT, BED
+        hardcalls, additive coding, no consumer that needs a
+        materialized genotype matrix. REGENIE_TPU_FUSED=1/0 forces
+        on (XLA twin on CPU) / off."""
+        import os
+
+        env = os.environ.get("REGENIE_TPU_FUSED")
+        if env == "0":
+            return False
+        params = self.params
+        ok = (
+            params.trait_mode == QT
+            and self.gd._bed is not None
+            and params.test_type == 0
+            and not params.skip_cov_res
+            and not self.strict
+            and self.mesh is None
+            and not params.mcc_test
+            and self.interaction is None
+            and not getattr(params, "ref_first", False)
+        )
+        if not ok:
+            return False
+        if env == "1":
+            return True
+        return jax.default_backend() != "cpu"
+
+    def read_block_raw(self, bsnps) -> np.ndarray:
+        """[B, nbp] packed BED bytes for a block (file sample axis,
+        zero-padded to the fused kernel's byte-tile multiple)."""
+        from .ops import fused_score as fsc
+
+        gd = self.gd
+        offsets = np.array([s.offset for s in bsnps])
+        start, stop = int(offsets[0]), int(offsets[-1]) + 1
+        raw = gd._bed.read_block_bytes(start, stop - start)
+        if len(offsets) != stop - start:
+            raw = raw[offsets - start]
+        return fsc.pad_raw(np.ascontiguousarray(raw))
+
+    def _ensure_fused_consts(self):
+        """(Re)build the fused-scorer constants; res changes per
+        chromosome (LOCO offsets), so keyed on cur_chrom."""
+        if getattr(self, "_fused_chrom", None) == self.cur_chrom:
+            return
+        from .ops import fused_score as fsc
+
+        gd, pd = self.gd, self.pd
+        nfile = gd._bed.n_samples
+        nkept = self.params.n_samples
+        if gd._keep_all_samples:
+            cov_f, res_f = pd.new_cov, self.res
+            mask_f, ind_f = self.maskf, pd.ind_in_analysis
+        else:
+            idx = np.asarray(gd.sample_keep_idx)
+            cov_f = np.zeros((nfile, pd.new_cov.shape[1]))
+            cov_f[idx] = pd.new_cov
+            res_f = np.zeros((nfile, self.res.shape[1]))
+            res_f[idx] = self.res
+            mask_f = np.zeros((nfile, self.maskf.shape[1]))
+            mask_f[idx] = self.maskf
+            ind_f = np.zeros(nfile, dtype=bool)
+            ind_f[idx] = pd.ind_in_analysis
+        on_tpu = jax.default_backend() != "cpu"
+        dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+        self._fused_consts = fsc.build_consts(
+            cov_f, res_f, mask_f, ind_f, self.scale_denom,
+            nb=(nfile + 3) // 4, dtype=dtype, split=on_tpu,
+        )
+        self._fused_chrom = self.cur_chrom
+
+    def test_raw_block_fused(self, rawp, bsnps) -> Tuple[BlockResult, np.ndarray]:
+        """Fused pipeline for a packed BED block: three MXU products over
+        the raw bytes replace decode/impute/residualize/score AND the
+        per-variant stat pass (snp_stats_block) — AF/MAC/genotype counts
+        all come from the same product columns."""
+        from .ops import fused_score as fsc
+
+        params, pd = self.params, self.pd
+        self._ensure_fused_consts()
+        consts = self._fused_consts
+        B, P, K = len(bsnps), consts.P, consts.K
+        raw_j = jnp.asarray(rawp)
+        if jax.default_backend() != "cpu":
+            S1, SQ, SM = fsc.fused_products(raw_j, consts.Wp)
+        else:
+            S1, SQ, SM = fsc.fused_products_xla(raw_j, consts.Wp)
+        flipped = np.zeros(B, dtype=bool)  # QT never flips (with_flip=False)
+        stats, denum, scale_fac, low_var, _af_num = fsc.fused_epilogue(
+            S1, SQ, SM, jnp.asarray(flipped), consts.usum, consts.covt_res,
+            consts.Mmat, K, P, consts.scale_denom, consts.n_ind,
+        )
+        S1h, SQh, SMh = np.asarray(S1), np.asarray(SQ), np.asarray(SM)
+        stats = np.asarray(stats)
+        denum = np.asarray(denum)
+        scale_fac = np.asarray(scale_fac)
+        low_var = np.asarray(low_var)
+
+        # per-variant stats from the raw (pre-imputation) products
+        C_used = K + P + K * P + P + 1
+        icol = C_used - 1
+        msl = slice(K + P + K * P, K + P + K * P + P)
+        total1 = S1h[:, icol]
+        ns1 = consts.n_ind - SMh[:, icol]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            af1 = total1 / (2.0 * ns1)
+        mac1 = np.minimum(total1, 2.0 * ns1 - total1)
+        total_t = S1h[:, msl]
+        ns_t = pd.Neff[None, :] - SMh[:, msl]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            af_t = total_t / (2.0 * ns_t)
+        mac_t = np.minimum(total_t, 2.0 * ns_t - total_t)
+        n_aa1 = (SQh[:, icol] - total1) / 2.0
+        n_rr1 = ns1 - total1 + n_aa1
+
+        mac_gate = np.array([s.mac_fail_if_checked for s in bsnps])
+        mac_thr = np.array([
+            params.forced_mac if s.forced_mac_filter and params.forced_mac > 0
+            else params.min_mac
+            for s in bsnps
+        ])
+        mac_ignored = (mac1 < mac_thr) & mac_gate
+        self.n_ignored += int(mac_ignored.sum())  # low_var excluded (as
+        # in test_prepared_block: the tally counts MAC filtering only)
+        ignored = mac_ignored | low_var
+        ignored_trait = (mac_t < mac_thr[:, None]) & mac_gate[:, None]
+
+        bhat, se, chisq, logp = self._qt_post(stats, denum, scale_fac, flipped)
+        self.last_scale_fac = scale_fac
+        result = BlockResult(
+            bhat=bhat, se=se, chisq=chisq, logp=logp,
+            test_fail=np.zeros((B, P), dtype=bool),
+            ignored=ignored, ignored_trait=ignored_trait,
+            af_t=af_t, ns_t=ns_t, info_t=None, scale_fac=scale_fac,
+            mac_t=mac_t,
+        )
+        result.af1 = af1
+        result.ns1 = np.round(ns1).astype(np.int64)
+        result.n_rr = np.round(n_rr1).astype(np.int64)
+        result.n_aa = np.round(n_aa1).astype(np.int64)
+        if params.htp_out:
+            a_t = (SQh[:, msl] - total_t) / 2.0
+            het_t = total_t - 2.0 * a_t
+            rr_t = ns_t - het_t - a_t
+            gc = np.zeros((B, 6, P))
+            gc[:, 0, :] = rr_t
+            gc[:, 1, :] = het_t
+            gc[:, 2, :] = a_t
+            result.genocounts = np.round(gc).astype(np.int64)
+        return result, flipped
 
     def test_raw_block(self, G_raw, bsnps) -> Tuple[BlockResult, np.ndarray]:
         """Full pipeline for a raw genotype block (stats, filters, flip,
@@ -782,6 +950,7 @@ def run_step2(params: Params, log=print) -> None:
     if blup_files is not None:
         mask_samples_missing_loco(params, pd, blup_files, eng.id_to_ind)
         pd.Neff = pd.masked_indivs.sum(axis=0).astype(np.float64)
+        eng.refresh_masks()
 
     if params.write_samples:
         # per-trait analyzed-sample lists (write_ids, Pheno.cpp:1539)
@@ -869,7 +1038,13 @@ def run_step2(params: Params, log=print) -> None:
     # reference's multithreaded readChunk, Data.cpp:2944)
     from concurrent.futures import ThreadPoolExecutor
 
+    fused = eng.fused_qt_ok()
+    if fused:
+        log(" * fused packed-bytes scorer active (QT/BED fast path)")
+
     def _fetch(bsnps):
+        if fused:
+            return eng.read_block_raw(bsnps), None
         G = eng.read_block_device(bsnps)
         return G, eng.gd.last_info_num
 
@@ -881,7 +1056,22 @@ def run_step2(params: Params, log=print) -> None:
             fut = pool.submit(_fetch, todo[i + 1][1])
         eng._info_num_override = info_num
         eng.prep_chrom(chrom)
-        result, _ = eng.test_raw_block(G_raw, bsnps)
+        if fused and not (
+            eng.gd.sex is not None and eng.non_par_flags(bsnps).any()
+        ):
+            result, _ = eng.test_raw_block_fused(G_raw, bsnps)
+        elif fused:
+            # chrX non-PAR needs per-sample dosage compensation the
+            # product algebra can't express — decode and run standard
+            from .io.bed import decode_bed_bytes
+
+            nb = (eng.gd._bed.n_samples + 3) // 4
+            G_dec = decode_bed_bytes(G_raw[:, :nb], eng.gd._bed.n_samples)
+            if not eng.gd._keep_all_samples:
+                G_dec = G_dec[:, np.asarray(eng.gd.sample_keep_idx)]
+            result, _ = eng.test_raw_block(G_dec, bsnps)
+        else:
+            result, _ = eng.test_raw_block(G_raw, bsnps)
         write_block_rows(params, pd, writers, bsnps, result, test_name + condtl,
                          eng.model_type() + condtl)
         if eng.interaction is not None:
