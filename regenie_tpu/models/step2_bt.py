@@ -55,7 +55,20 @@ def _score_bt_kernel_factory():
         # G_res for the correction subset only
         return G_rows * gsm[None, :] - mm(A_rows, XW.T)
 
-    return _allpass, _gres_rows
+    @partial(jax.jit, static_argnames=("Pn", "Kp1"))
+    def _allpass_products(S1f, SQf, xwt, Pn, Kp1):
+        # same outputs as _allpass, but from the fused packed-bytes
+        # products (ops/fused_score.py): S1f = G Wext, SQf = G^2 Wext
+        # with Wext = [Wcat | gsm^2 | ...]
+        ncat = Pn * Kp1
+        S1 = S1f[:, :ncat].reshape(S1f.shape[0], Pn, Kp1)
+        A = S1[..., :-1]
+        q = S1[..., -1]
+        num = q - jnp.einsum("bpk,pk->bp", A, xwt, precision=_PREC)
+        denum = SQf[:, ncat : ncat + Pn] - (A**2).sum(-1)
+        return num, denum, S1
+
+    return _allpass, _gres_rows, _allpass_products
 
 
 _SCORE_BT_KERNEL = None
@@ -110,6 +123,12 @@ def _gres_rows_device(G_rows, gsm, XW, A_rows):
     return _get_bt_kernels()[1](
         G_rows, jnp.asarray(gsm), jnp.asarray(XW), A_rows
     )
+
+
+def allpass_from_products(S1f, SQf, fc: "_FusedConsts"):
+    """num/denum/S1 for all passing traits from fused product matrices
+    (finalized-G products; column layout [Wcat | gsm^2 | ...])."""
+    return _get_bt_kernels()[2](S1f, SQf, fc.xwt_j, len(fc.cols), fc.Kmax + 1)
 
 
 @dataclass
@@ -264,6 +283,32 @@ def prep_chromosome(params: Params, pd: PhenoData, blups: np.ndarray, log,
     return st
 
 
+class DenseGSource:
+    """Score-block genotype access backed by a materialized [B, N] G
+    (the standard decode->finalize path)."""
+
+    def __init__(self, G):
+        import jax.numpy as jnp
+
+        self.G_j = jnp.asarray(G)
+        self._G = None
+
+    @property
+    def n_snps(self):
+        return self.G_j.shape[0]
+
+    def allpass(self, fc):
+        return _score_bt_all_device(self.G_j, fc)
+
+    def rows_device(self, idx_j):
+        return self.G_j[idx_j]
+
+    def rows_host(self, idx):
+        if self._G is None:
+            self._G = np.asarray(self.G_j)
+        return self._G[idx]
+
+
 def score_block(
     params: Params,
     pd: PhenoData,
@@ -277,13 +322,14 @@ def score_block(
     """Batched BT score test + Firth/SPA corrections for one [B, N] block.
 
     Follows compute_score_bt (Step2_Models.cpp:470) per trait, batched
-    over SNPs. Returns (bhat, se, chisq, logp, test_fail, n_corrected,
-    n_failed)."""
+    over SNPs. G may be a [B, N] array or a GSource-like object (e.g.
+    the fused packed-bytes source in run_step2) exposing
+    allpass/rows_device/rows_host. Returns (bhat, se, chisq, logp,
+    test_fail, n_corrected, n_failed)."""
     import jax.numpy as jnp
 
-    G_j = jnp.asarray(G)  # [B, N] device-resident for the score matmuls
-    G = np.asarray(G)
-    B, N = G.shape
+    src = G if hasattr(G, "allpass") else DenseGSource(G)
+    B = src.n_snps
     P = params.n_pheno
     bhat = np.zeros((B, P))
     se = np.zeros((B, P))
@@ -298,7 +344,7 @@ def score_block(
         fc = st._fused = _FusedConsts(pd, st)
     if not fc.cols:
         return bhat, se, chisq, logp, test_fail, n_corrected, n_failed
-    num_all, denum_all, S1_all = _score_bt_all_device(G_j, fc)
+    num_all, denum_all, S1_all = src.allpass(fc)
     num_all = np.asarray(num_all)
     denum_all = np.asarray(denum_all)
 
@@ -333,16 +379,17 @@ def score_block(
                     # rebuild G_res only for the corrected rows
                     A_rows = S1_all[idx_j, j, : XW.shape[1]]
                     Gres_rows = np.asarray(
-                        _gres_rows_device(G_j[idx_j], gsm, XW, A_rows)
+                        _gres_rows_device(src.rows_device(idx_j), gsm, XW, A_rows)
                     )
                 if params.firth and not params.firth_approx:
                     # exact Firth: full covariate+SNP penalized fit per SNP
                     # (fit_firth_logistic_snp, Step2_Models.cpp:1062)
                     y = pd.phenotypes_raw[:, ph]
                     offset = st.blups[:, ph] * mask
-                    for b in idx:
+                    G_host_rows = src.rows_host(idx)
+                    for bi, b in enumerate(idx):
                         ok, beta1, se1, lrt = _exact_firth_snp(
-                            params, pd, y, G[b], offset, mask, st, ph
+                            params, pd, y, G_host_rows[bi], offset, mask, st, ph
                         )
                         if not ok:
                             fail_ph[b] = True

@@ -62,6 +62,34 @@ class FusedConsts(NamedTuple):
     split: bool = False  # bf16-split operand layout
 
 
+def plane_pack(Wext, nb, split, dtype=np.float32):
+    """[N, C] per-sample operand -> plane-ordered kernel operand.
+
+    Returns (Wp, usum): Wp is [4, nbp, Cp] (dtype) or the bf16
+    [4, nbp, 3*Cp] hi|mid|lo split; usum is the padded [Cp] column-sum
+    vector used by the flip algebra. Rows must already be zeroed for
+    excluded samples."""
+    N, C = Wext.shape
+    Cp = -(-C // 128) * 128  # pad columns to the MXU lane width
+    nbp = -(-nb // _TC) * _TC
+    # plane order: plane p, byte c -> file-order sample 4c + p
+    Wp = np.zeros((4, nbp, Cp), dtype=np.float64)
+    for p in range(4):
+        src = 4 * np.arange(nb) + p
+        valid = src < N
+        Wp[p, np.nonzero(valid)[0], :C] = Wext[src[valid]]
+    usum = np.pad(Wext.sum(axis=0), (0, Cp - C))
+    if split:
+        # 3-way bf16 decomposition via jnp (numpy has no bfloat16)
+        w_j = jnp.asarray(Wp.astype(np.float32))
+        hi = w_j.astype(jnp.bfloat16)
+        r1 = w_j - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.concatenate([hi, mid, lo], axis=2), usum
+    return jnp.asarray(Wp.astype(dtype)), usum
+
+
 def build_consts(cov, res, maskf, ind, scale_denom, nb=None, dtype=np.float32,
                  split=False):
     """Build FusedConsts from per-sample arrays (numpy, float64 in).
@@ -91,29 +119,9 @@ def build_consts(cov, res, maskf, ind, scale_denom, nb=None, dtype=np.float32,
     maskz = maskf * indf[:, None]
     CM = (covz[:, :, None] * maskz[:, None, :]).reshape(N, K * P)
     Wext = np.concatenate([covz, resz, CM, maskz, indf[:, None]], axis=1)
-    C = Wext.shape[1]
-    Cp = -(-C // 128) * 128  # pad columns to the MXU lane width
-    nbp = -(-nb // _TC) * _TC
-    # plane order: plane p, byte c -> file-order sample 4c + p
-    Wp = np.zeros((4, nbp, Cp), dtype=np.float64)
-    for p in range(4):
-        src = 4 * np.arange(nb) + p
-        valid = src < N
-        Wp[p, np.nonzero(valid)[0], :C] = Wext[src[valid]]
-    usum = Wext.sum(axis=0)
-    usum = np.pad(usum, (0, Cp - C))
+    Wp_out, usum = plane_pack(Wext, nb, split, dtype)
     Mmat = np.einsum("nk,np,nl->pkl", covz, maskz, covz)
     covt_res = covz.T @ resz
-    if split:
-        # 3-way bf16 decomposition via jnp (numpy has no bfloat16)
-        w_j = jnp.asarray(Wp.astype(np.float32))
-        hi = w_j.astype(jnp.bfloat16)
-        r1 = w_j - hi.astype(jnp.float32)
-        mid = r1.astype(jnp.bfloat16)
-        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-        Wp_out = jnp.concatenate([hi, mid, lo], axis=2)  # [4, nbp, 3*Cp]
-    else:
-        Wp_out = jnp.asarray(Wp.astype(dtype))
     return FusedConsts(
         Wp=Wp_out,
         usum=jnp.asarray(usum.astype(dtype)),
@@ -302,21 +310,11 @@ def fused_epilogue(S1, SQ, SM, flip, usum, covt_res, Mmat, K, P, scale_denom, n_
     """
     prec = jax.lax.Precision.HIGHEST
     C_used = K + P + K * P + P + 1
-    S1 = S1[:, :C_used]
-    SQ = SQ[:, :C_used]
-    SM = SM[:, :C_used]
-    u = usum[:C_used]
+    S1f, SQf = impute_flip_products(
+        S1[:, :C_used], SQ[:, :C_used], SM[:, :C_used], flip,
+        usum[:C_used], C_used - 1, n_ind,
+    )
     icol = C_used - 1
-    n_obs = n_ind - SM[:, icol]  # included & nonmissing per SNP
-    m_b = S1[:, icol] / jnp.maximum(n_obs, 1.0)
-    # imputation: G += m_b at missing slots; G^2 += m_b^2 there
-    S1i = S1 + m_b[:, None] * SM
-    SQi = SQ + (m_b**2)[:, None] * SM
-    # flip: G' = 2*ind - G on included samples (flip_geno semantics)
-    #   G'@w  = 2*u - G@w ;  G'^2@w = 4*u - 4*G@w + G^2@w
-    f = flip[:, None].astype(S1.dtype)
-    S1f = (1.0 - f) * S1i + f * (2.0 * u[None, :] - S1i)
-    SQf = (1.0 - f) * SQi + f * (4.0 * u[None, :] - 4.0 * S1i + SQi)
     af_num = S1f[:, icol]
 
     A = S1f[:, :K]
@@ -337,6 +335,81 @@ def fused_epilogue(S1, SQ, SM, flip, usum, covt_res, Mmat, K, P, scale_denom, n_
     stats = num_raw / jnp.sqrt(denum_raw)
     denum = denum_raw / jnp.where(low, 1.0, scale2)[:, None]
     return stats, denum, scale_fac, low, af_num
+
+
+@partial(jax.jit, static_argnames=("icol", "n_ind"))
+def impute_flip_products(S1, SQ, SM, flip, usum, icol, n_ind):
+    """Mean imputation + minor-allele flip applied IN PRODUCT SPACE to
+    the raw (missing-as-zero) products, for any Wext column layout.
+
+    S1/SQ/SM: [B, C]; flip: [B] bool; usum: [C] ind-masked column sums;
+    icol: index of the `ind` column (gives per-SNP dosage total and
+    missing count); n_ind: number of included samples. Returns
+    (S1f, SQf) — the products of the finalized genotype matrix
+    (mean_impute_g + flip_geno semantics, Geno.cpp:1983-2072)."""
+    n_obs = n_ind - SM[:, icol]  # included & nonmissing per SNP
+    m_b = S1[:, icol] / jnp.maximum(n_obs, 1.0)
+    # imputation: G += m_b at missing slots; G^2 += m_b^2 there
+    S1i = S1 + m_b[:, None] * SM
+    SQi = SQ + (m_b**2)[:, None] * SM
+    # flip: G' = 2*ind - G on included samples (flip_geno semantics)
+    #   G'@w  = 2*u - G@w ;  G'^2@w = 4*u - 4*G@w + G^2@w
+    f = flip[:, None].astype(S1.dtype)
+    S1f = (1.0 - f) * S1i + f * (2.0 * usum[None, :] - S1i)
+    SQf = (1.0 - f) * SQi + f * (4.0 * usum[None, :] - 4.0 * S1i + SQi)
+    return S1f, SQf
+
+
+def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool):
+    """One-dispatch jitted QT block function: products + epilogue + the
+    raw-product slices the host needs for per-variant stats. Built once
+    per chromosome — separate jit calls per block would each pay a
+    host<->device round trip."""
+    prod = fused_products if use_pallas else fused_products_xla
+    C_used = consts.K + consts.P + consts.K * consts.P + consts.P + 1
+
+    @jax.jit
+    def run(raw):
+        S1, SQ, SM = prod(raw, consts.Wp)
+        flip = jnp.zeros(raw.shape[0], bool)  # QT never flips
+        stats, denum, scale_fac, low, _af = fused_epilogue(
+            S1, SQ, SM, flip, consts.usum, consts.covt_res, consts.Mmat,
+            consts.K, consts.P, consts.scale_denom, consts.n_ind,
+        )
+        return stats, denum, scale_fac, low, S1[:, :C_used], SQ[:, :C_used], SM[:, :C_used]
+
+    return run
+
+
+def make_bt_block_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
+                     use_pallas: bool):
+    """One-dispatch jitted BT block function: products -> on-device
+    minor-allele flip decision -> imputation/flip in product space ->
+    all-trait score num/denum (the product-space twin of
+    step2_bt._allpass_products). Returns the raw product slices for host
+    stats plus (flip, num, denum, S1_all)."""
+    prod = fused_products if use_pallas else fused_products_xla
+    prec = jax.lax.Precision.HIGHEST
+    usum_j = jnp.asarray(usum[:C_used])
+    xwt_j = jnp.asarray(xwt)
+
+    @jax.jit
+    def run(raw):
+        S1, SQ, SM = prod(raw, Wp)
+        S1c, SQc, SMc = S1[:, :C_used], SQ[:, :C_used], SM[:, :C_used]
+        ns1 = n_ind - SMc[:, icol]
+        flip = S1c[:, icol] / jnp.maximum(ns1, 1.0) > 1.0
+        S1f, SQf = impute_flip_products(
+            S1c, SQc, SMc, flip, usum_j.astype(S1c.dtype), icol, n_ind
+        )
+        S1cat = S1f[:, :ncat].reshape(S1f.shape[0], Pn, Kp1)
+        A = S1cat[..., :-1]
+        q = S1cat[..., -1]
+        num = q - jnp.einsum("bpk,pk->bp", A, xwt_j.astype(S1c.dtype), precision=prec)
+        denum = SQf[:, ncat : ncat + Pn] - (A**2).sum(-1)
+        return S1c, SQc, SMc, flip, num, denum, S1cat
+
+    return run
 
 
 def pad_raw(raw: np.ndarray, nbp: int | None = None) -> np.ndarray:

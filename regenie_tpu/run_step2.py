@@ -126,6 +126,59 @@ def mask_samples_missing_loco(params, pd, blup_files, id_to_ind):
 
 
 @dataclass
+class _FusedBTConsts:
+    """Per-chromosome constants for the fused BT path: the plane-packed
+    Wext operand [Wcat | gsm^2 | maskf | case | ind] plus its column
+    layout (see Step2Engine._ensure_fused_consts)."""
+
+    fc: object  # step2_bt._FusedConsts (Wcat layout + xwt)
+    Wp: object  # [4, nbp, C'] kernel operand
+    usum: np.ndarray
+    ncat: int
+    Pn: int
+    Kp1: int
+    sl_mask: slice
+    sl_case: slice
+    icol: int
+    C_used: int
+    n_ind: float
+    nb: int
+
+
+class _FusedBTSource:
+    """step2_bt.score_block genotype source backed by fused products;
+    correction rows are decoded lazily from the on-device packed bytes
+    (the analog of the reference's per-SNP G_res rebuild,
+    Step2_Models.cpp:520-540)."""
+
+    def __init__(self, eng, raw_j, flip_j, num, denum, S1_all):
+        self.eng = eng
+        self.raw_j = raw_j
+        self.flip_j = flip_j
+        self._num = num
+        self._denum = denum
+        self._S1 = S1_all
+        self.n_snps = int(raw_j.shape[0])
+
+    def allpass(self, fc):
+        return self._num, self._denum, self._S1
+
+    def rows_device(self, idx_j):
+        from .ops.geno_ops import decode_bed_packed, finalize_block_step2
+
+        eng = self.eng
+        gd = eng.gd
+        nb = eng._fused_bt.nb
+        Graw = decode_bed_packed(self.raw_j[idx_j][:, :nb], gd._bed.n_samples)
+        if not gd._keep_all_samples:
+            Graw = Graw[:, jnp.asarray(gd.sample_keep_idx)]
+        return finalize_block_step2(Graw, eng.ind_j, self.flip_j[idx_j])
+
+    def rows_host(self, idx):
+        return np.asarray(self.rows_device(jnp.asarray(idx)))
+
+
+@dataclass
 class BlockResult:
     """Per-variant test outputs for a block, all phenos."""
 
@@ -555,12 +608,13 @@ class Step2Engine:
             logp = chisq_neglog10(chisq)
         return bhat, se, chisq, logp
 
-    def fused_qt_ok(self) -> bool:
+    def fused_ok(self) -> bool:
         """Whether the fully fused packed-bytes scorer (ops/fused_score)
-        can replace decode->finalize->onepass for this run: QT, BED
+        can replace decode->finalize->score for this run: QT or BT, BED
         hardcalls, additive coding, no consumer that needs a
-        materialized genotype matrix. REGENIE_TPU_FUSED=1/0 forces
-        on (XLA twin on CPU) / off."""
+        materialized genotype matrix (Firth/SPA correction rows are
+        decoded lazily from the on-device bytes). REGENIE_TPU_FUSED=1/0
+        forces on (XLA twin on CPU) / off."""
         import os
 
         env = os.environ.get("REGENIE_TPU_FUSED")
@@ -568,16 +622,19 @@ class Step2Engine:
             return False
         params = self.params
         ok = (
-            params.trait_mode == QT
+            params.trait_mode in (QT, BT)
             and self.gd._bed is not None
             and params.test_type == 0
-            and not params.skip_cov_res
-            and not self.strict
             and self.mesh is None
-            and not params.mcc_test
             and self.interaction is None
             and not getattr(params, "ref_first", False)
         )
+        if ok and params.trait_mode == QT:
+            ok = (
+                not params.skip_cov_res
+                and not self.strict
+                and not params.mcc_test
+            )
         if not ok:
             return False
         if env == "1":
@@ -597,36 +654,94 @@ class Step2Engine:
             raw = raw[offsets - start]
         return fsc.pad_raw(np.ascontiguousarray(raw))
 
+    def _scatter_file(self, x):
+        """Map a kept-sample-axis array onto the genotype file's sample
+        axis (zeros at dropped samples)."""
+        gd = self.gd
+        if gd._keep_all_samples:
+            return x
+        nfile = gd._bed.n_samples
+        idx = np.asarray(gd.sample_keep_idx)
+        out = np.zeros((nfile,) + x.shape[1:], dtype=np.float64)
+        out[idx] = x
+        return out
+
     def _ensure_fused_consts(self):
-        """(Re)build the fused-scorer constants; res changes per
-        chromosome (LOCO offsets), so keyed on cur_chrom."""
+        """(Re)build the fused-scorer constants; res (QT) / the null
+        refit state (BT) change per chromosome, so keyed on cur_chrom."""
         if getattr(self, "_fused_chrom", None) == self.cur_chrom:
             return
         from .ops import fused_score as fsc
 
-        gd, pd = self.gd, self.pd
+        gd, pd, params = self.gd, self.pd, self.params
         nfile = gd._bed.n_samples
-        nkept = self.params.n_samples
-        if gd._keep_all_samples:
-            cov_f, res_f = pd.new_cov, self.res
-            mask_f, ind_f = self.maskf, pd.ind_in_analysis
-        else:
-            idx = np.asarray(gd.sample_keep_idx)
-            cov_f = np.zeros((nfile, pd.new_cov.shape[1]))
-            cov_f[idx] = pd.new_cov
-            res_f = np.zeros((nfile, self.res.shape[1]))
-            res_f[idx] = self.res
-            mask_f = np.zeros((nfile, self.maskf.shape[1]))
-            mask_f[idx] = self.maskf
-            ind_f = np.zeros(nfile, dtype=bool)
-            ind_f[idx] = pd.ind_in_analysis
+        nb = (nfile + 3) // 4
         on_tpu = jax.default_backend() != "cpu"
         dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
-        self._fused_consts = fsc.build_consts(
-            cov_f, res_f, mask_f, ind_f, self.scale_denom,
-            nb=(nfile + 3) // 4, dtype=dtype, split=on_tpu,
-        )
+        if params.trait_mode == QT:
+            cov_f = self._scatter_file(pd.new_cov)
+            res_f = self._scatter_file(self.res)
+            mask_f = self._scatter_file(self.maskf)
+            ind_f = self._scatter_file(
+                pd.ind_in_analysis.astype(np.float64)
+            ).astype(bool)
+            self._fused_consts = fsc.build_consts(
+                cov_f, res_f, mask_f, ind_f, self.scale_denom,
+                nb=nb, dtype=dtype, split=on_tpu,
+            )
+            self._fused_fn = fsc.make_qt_block_fn(self._fused_consts, on_tpu)
+        else:  # BT
+            from .models import step2_bt
+
+            st = self.bt_state
+            P = params.n_pheno
+            cols_ok = [
+                ph for ph in range(P)
+                if pd.pheno_pass[ph] and st.X_gamma[ph] is not None
+            ]
+            fc = getattr(st, "_fused", None)
+            if fc is None or cols_ok != fc.cols:
+                fc = st._fused = step2_bt._FusedConsts(pd, st)
+            Pn, Kp1 = len(fc.cols), fc.Kmax + 1
+            ncat = Pn * Kp1
+            Wcat = np.asarray(fc.Wcat_j, dtype=np.float64)
+            gsm2 = st.gamma_sqrt_mask[:, fc.cols] ** 2
+            case = (
+                (pd.phenotypes_raw == 1) & pd.masked_indivs
+            ).astype(np.float64)
+            ind = pd.ind_in_analysis
+            Wext = np.concatenate(
+                [Wcat, gsm2, self.maskf, case,
+                 ind.astype(np.float64)[:, None]], axis=1,
+            )
+            Wext_f = self._scatter_file(Wext)
+            Wp, usum = fsc.plane_pack(Wext_f, nb, split=on_tpu, dtype=dtype)
+            C_used = ncat + Pn + P + P + 1
+            self._fused_bt = _FusedBTConsts(
+                fc=fc, Wp=Wp, usum=usum, ncat=ncat, Pn=Pn, Kp1=Kp1,
+                sl_mask=slice(ncat + Pn, ncat + Pn + P),
+                sl_case=slice(ncat + Pn + P, ncat + Pn + 2 * P),
+                icol=C_used - 1, C_used=C_used,
+                n_ind=float(ind.sum()), nb=nb,
+            )
+            self._fused_fn = fsc.make_bt_block_fn(
+                Wp, usum, np.asarray(fc.xwt_j), C_used, C_used - 1,
+                float(ind.sum()), ncat, Pn, Kp1, on_tpu,
+            )
         self._fused_chrom = self.cur_chrom
+
+    @staticmethod
+    def _mac_filters(params, bsnps, mac1, mac_t, B):
+        """Shared MAC gating (compute_mac, Geno.cpp:3100-3107)."""
+        mac_gate = np.array([s.mac_fail_if_checked for s in bsnps])
+        mac_thr = np.array([
+            params.forced_mac if s.forced_mac_filter and params.forced_mac > 0
+            else params.min_mac
+            for s in bsnps
+        ])
+        mac_ignored = (mac1 < mac_thr) & mac_gate
+        ignored_trait = (mac_t < mac_thr[:, None]) & mac_gate[:, None]
+        return mac_ignored, ignored_trait
 
     def test_raw_block_fused(self, rawp, bsnps) -> Tuple[BlockResult, np.ndarray]:
         """Fused pipeline for a packed BED block: three MXU products over
@@ -637,18 +752,13 @@ class Step2Engine:
 
         params, pd = self.params, self.pd
         self._ensure_fused_consts()
+        if params.trait_mode == BT:
+            return self._fused_block_bt(rawp, bsnps)
         consts = self._fused_consts
         B, P, K = len(bsnps), consts.P, consts.K
         raw_j = jnp.asarray(rawp)
-        if jax.default_backend() != "cpu":
-            S1, SQ, SM = fsc.fused_products(raw_j, consts.Wp)
-        else:
-            S1, SQ, SM = fsc.fused_products_xla(raw_j, consts.Wp)
         flipped = np.zeros(B, dtype=bool)  # QT never flips (with_flip=False)
-        stats, denum, scale_fac, low_var, _af_num = fsc.fused_epilogue(
-            S1, SQ, SM, jnp.asarray(flipped), consts.usum, consts.covt_res,
-            consts.Mmat, K, P, consts.scale_denom, consts.n_ind,
-        )
+        stats, denum, scale_fac, low_var, S1, SQ, SM = self._fused_fn(raw_j)
         S1h, SQh, SMh = np.asarray(S1), np.asarray(SQ), np.asarray(SM)
         stats = np.asarray(stats)
         denum = np.asarray(denum)
@@ -672,17 +782,10 @@ class Step2Engine:
         n_aa1 = (SQh[:, icol] - total1) / 2.0
         n_rr1 = ns1 - total1 + n_aa1
 
-        mac_gate = np.array([s.mac_fail_if_checked for s in bsnps])
-        mac_thr = np.array([
-            params.forced_mac if s.forced_mac_filter and params.forced_mac > 0
-            else params.min_mac
-            for s in bsnps
-        ])
-        mac_ignored = (mac1 < mac_thr) & mac_gate
+        mac_ignored, ignored_trait = self._mac_filters(params, bsnps, mac1, mac_t, B)
         self.n_ignored += int(mac_ignored.sum())  # low_var excluded (as
         # in test_prepared_block: the tally counts MAC filtering only)
         ignored = mac_ignored | low_var
-        ignored_trait = (mac_t < mac_thr[:, None]) & mac_gate[:, None]
 
         bhat, se, chisq, logp = self._qt_post(stats, denum, scale_fac, flipped)
         self.last_scale_fac = scale_fac
@@ -705,6 +808,94 @@ class Step2Engine:
             gc[:, 0, :] = rr_t
             gc[:, 1, :] = het_t
             gc[:, 2, :] = a_t
+            result.genocounts = np.round(gc).astype(np.int64)
+        return result, flipped
+
+    def _fused_block_bt(self, rawp, bsnps) -> Tuple[BlockResult, np.ndarray]:
+        """Fused BT pipeline: products against [Wcat | gsm^2 | maskf |
+        case | ind] give the all-trait score num/denum, every per-variant
+        statistic (incl. --af-cc and HTP case/control genotype counts),
+        and the imputation/flip corrections — Firth/SPA rows are decoded
+        lazily from the device-resident bytes via _FusedBTSource."""
+        from .models import step2_bt
+
+        params, pd = self.params, self.pd
+        fb = self._fused_bt
+        fc = fb.fc
+        B, P = len(bsnps), params.n_pheno
+        raw_j = jnp.asarray(rawp)
+        S1, SQ, SM, flip_j, num, denum, S1_all = self._fused_fn(raw_j)
+        S1h, SQh, SMh = np.asarray(S1), np.asarray(SQ), np.asarray(SM)
+
+        icol, msl, csl = fb.icol, fb.sl_mask, fb.sl_case
+        total1 = S1h[:, icol]
+        ns1 = fb.n_ind - SMh[:, icol]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            af1 = total1 / (2.0 * ns1)
+        mac1 = np.minimum(total1, 2.0 * ns1 - total1)
+        total_t = S1h[:, msl]
+        ns_t = pd.Neff[None, :] - SMh[:, msl]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            af_t = total_t / (2.0 * ns_t)
+        mac_t = np.minimum(total_t, 2.0 * ns_t - total_t)
+        n_aa1 = (SQh[:, icol] - total1) / 2.0
+        n_rr1 = ns1 - total1 + n_aa1
+
+        # minor-allele flip (with_flip: BT + additive) was decided on
+        # device inside the fused block fn
+        flipped = np.asarray(flip_j)
+        source = _FusedBTSource(self, raw_j, flip_j, num, denum, S1_all)
+
+        mac_ignored, ignored_trait = self._mac_filters(params, bsnps, mac1, mac_t, B)
+        self.n_ignored += int(mac_ignored.sum())
+        ignored = mac_ignored
+
+        bhat, se, chisq, logp, test_fail, ncorr, nfail = step2_bt.score_block(
+            params, pd, self.bt_state, source, flipped, ignored,
+            ignored_trait, self.log,
+        )
+        self.n_corrected += ncorr
+        self.n_failed += nfail
+        result = BlockResult(
+            bhat=bhat, se=se, chisq=chisq, logp=logp, test_fail=test_fail,
+            ignored=ignored, ignored_trait=ignored_trait,
+            af_t=af_t, ns_t=ns_t, info_t=None, scale_fac=None, mac_t=mac_t,
+        )
+        result.af1 = af1
+        result.ns1 = np.round(ns1).astype(np.int64)
+        result.n_rr = np.round(n_rr1).astype(np.int64)
+        result.n_aa = np.round(n_aa1).astype(np.int64)
+
+        # case-side raw products (pre-flip, matching update_af_cc /
+        # compute_genocounts semantics on G_raw)
+        if (params.af_cc or params.htp_out):
+            tot_case = S1h[:, csl]
+            case_mask = (pd.phenotypes_raw == 1) & pd.masked_indivs
+            case_n = case_mask.sum(axis=0).astype(np.float64)
+            ns_case = case_n[None, :] - SMh[:, csl]
+        if params.af_cc:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                result.af_case = tot_case / (2.0 * ns_case)
+                result.af_control = (total_t - tot_case) / (
+                    2.0 * (ns_t - ns_case)
+                )
+            result.ns_case = np.round(ns_case).astype(np.int64)
+            result.ns_control = np.round(ns_t - ns_case).astype(np.int64)
+        if params.htp_out:
+            # class counts: H = (SQ - S1)/2, E = 2*S1 - SQ per column set
+            a_case = (SQh[:, csl] - tot_case) / 2.0
+            het_case = tot_case - 2.0 * a_case
+            rr_case = ns_case - het_case - a_case
+            a_t = (SQh[:, msl] - total_t) / 2.0
+            het_t = total_t - 2.0 * a_t
+            rr_t = ns_t - het_t - a_t
+            gc = np.zeros((B, 6, P))
+            gc[:, 0, :] = rr_case
+            gc[:, 1, :] = het_case
+            gc[:, 2, :] = a_case
+            gc[:, 3, :] = rr_t - rr_case
+            gc[:, 4, :] = het_t - het_case
+            gc[:, 5, :] = a_t - a_case
             result.genocounts = np.round(gc).astype(np.int64)
         return result, flipped
 
@@ -1038,9 +1229,10 @@ def run_step2(params: Params, log=print) -> None:
     # reference's multithreaded readChunk, Data.cpp:2944)
     from concurrent.futures import ThreadPoolExecutor
 
-    fused = eng.fused_qt_ok()
+    fused = eng.fused_ok()
     if fused:
-        log(" * fused packed-bytes scorer active (QT/BED fast path)")
+        log(" * fused packed-bytes scorer active "
+            f"({'QT' if params.trait_mode == QT else 'BT'}/BED fast path)")
 
     def _fetch(bsnps):
         if fused:

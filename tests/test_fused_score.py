@@ -183,3 +183,49 @@ def test_fused_split_bf16_matches_f32():
     S1p, SQp, SMp = fs.fused_products(jnp.asarray(rawp), csp.Wp, interpret=True)
     for a, b in ((S1a, S1p), (SQa, SQp), (SMa, SMp)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-6, atol=1e-4)
+
+
+def test_fused_bt_cli_byte_identical(tmp_path):
+    """Fused BT path (products against [Wcat | gsm^2 | maskf | case |
+    ind], Firth/SPA correction rows decoded lazily from the packed
+    bytes) is byte-identical to the standard BT pipeline across
+    approx-Firth, SPA, exact-Firth + --af-cc, and HTP output."""
+    EX = "/root/reference/example"
+    fit = str(tmp_path / "fitb")
+    _run_cli([
+        "--step", "1", "--bed", f"{EX}/example",
+        "--exclude", f"{EX}/snplist_rm.txt",
+        "--covarFile", f"{EX}/covariates.txt",
+        "--phenoFile", f"{EX}/phenotype_bin.txt",
+        "--remove", f"{EX}/fid_iid_to_remove.txt",
+        "--bsize", "100", "--bt", "--out", fit,
+    ])
+    common = [
+        "--step", "2", "--bed", f"{EX}/example",
+        "--covarFile", f"{EX}/covariates.txt",
+        "--phenoFile", f"{EX}/phenotype_bin.txt",
+        "--remove", f"{EX}/fid_iid_to_remove.txt",
+        "--bsize", "200", "--bt", "--pred", fit + "_pred.list",
+    ]
+    scenarios = [
+        ["--firth", "--approx", "--pThresh", "0.01"],
+        ["--spa"],
+        ["--firth", "--pThresh", "0.05", "--af-cc"],
+        ["--htp", "TRIAL", "--firth", "--approx"],
+    ]
+    import glob, os as _os
+
+    for extra in scenarios:
+        std = str(tmp_path / "std")
+        fus = str(tmp_path / "fus")
+        _run_cli(common + extra + ["--out", std])
+        out = _run_cli(common + extra + ["--out", fus],
+                       {"REGENIE_TPU_FUSED": "1"})
+        assert "BT/BED fast path" in out
+        stds = sorted(glob.glob(std + "*_Y*.regenie"))
+        assert stds
+        for f in stds:
+            g = f.replace(std, fus)
+            assert open(f, "rb").read() == open(g, "rb").read(), (f, extra)
+            _os.remove(f)
+            _os.remove(g)
