@@ -622,7 +622,7 @@ class Step2Engine:
             return False
         params = self.params
         ok = (
-            params.trait_mode in (QT, BT)
+            params.trait_mode in (QT, BT, CT)
             and self.gd._bed is not None
             and params.test_type == 0
             and self.mesh is None
@@ -752,7 +752,7 @@ class Step2Engine:
 
         params, pd = self.params, self.pd
         self._ensure_fused_consts()
-        if params.trait_mode == BT:
+        if params.trait_mode in (BT, CT):
             return self._fused_block_bt(rawp, bsnps)
         consts = self._fused_consts
         B, P, K = len(bsnps), consts.P, consts.K
@@ -868,12 +868,12 @@ class Step2Engine:
 
         # case-side raw products (pre-flip, matching update_af_cc /
         # compute_genocounts semantics on G_raw)
-        if (params.af_cc or params.htp_out):
+        if (params.af_cc or params.htp_out) and params.trait_mode == BT:
             tot_case = S1h[:, csl]
             case_mask = (pd.phenotypes_raw == 1) & pd.masked_indivs
             case_n = case_mask.sum(axis=0).astype(np.float64)
             ns_case = case_n[None, :] - SMh[:, csl]
-        if params.af_cc:
+        if params.af_cc and params.trait_mode == BT:
             with np.errstate(divide="ignore", invalid="ignore"):
                 result.af_case = tot_case / (2.0 * ns_case)
                 result.af_control = (total_t - tot_case) / (
@@ -883,19 +883,24 @@ class Step2Engine:
             result.ns_control = np.round(ns_t - ns_case).astype(np.int64)
         if params.htp_out:
             # class counts: H = (SQ - S1)/2, E = 2*S1 - SQ per column set
-            a_case = (SQh[:, csl] - tot_case) / 2.0
-            het_case = tot_case - 2.0 * a_case
-            rr_case = ns_case - het_case - a_case
             a_t = (SQh[:, msl] - total_t) / 2.0
             het_t = total_t - 2.0 * a_t
             rr_t = ns_t - het_t - a_t
             gc = np.zeros((B, 6, P))
-            gc[:, 0, :] = rr_case
-            gc[:, 1, :] = het_case
-            gc[:, 2, :] = a_case
-            gc[:, 3, :] = rr_t - rr_case
-            gc[:, 4, :] = het_t - het_case
-            gc[:, 5, :] = a_t - a_case
+            if params.trait_mode == BT:
+                a_case = (SQh[:, csl] - tot_case) / 2.0
+                het_case = tot_case - 2.0 * a_case
+                rr_case = ns_case - het_case - a_case
+                gc[:, 0, :] = rr_case
+                gc[:, 1, :] = het_case
+                gc[:, 2, :] = a_case
+                gc[:, 3, :] = rr_t - rr_case
+                gc[:, 4, :] = het_t - het_case
+                gc[:, 5, :] = a_t - a_case
+            else:  # CT: all-sample counts (compute_genocounts else-branch)
+                gc[:, 0, :] = rr_t
+                gc[:, 1, :] = het_t
+                gc[:, 2, :] = a_t
             result.genocounts = np.round(gc).astype(np.int64)
         return result, flipped
 
@@ -1231,8 +1236,8 @@ def run_step2(params: Params, log=print) -> None:
 
     fused = eng.fused_ok()
     if fused:
-        log(" * fused packed-bytes scorer active "
-            f"({'QT' if params.trait_mode == QT else 'BT'}/BED fast path)")
+        mode_name = {QT: "QT", BT: "BT", CT: "CT"}[params.trait_mode]
+        log(f" * fused packed-bytes scorer active ({mode_name}/BED fast path)")
 
     def _fetch(bsnps):
         if fused:

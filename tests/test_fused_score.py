@@ -229,3 +229,41 @@ def test_fused_bt_cli_byte_identical(tmp_path):
             assert open(f, "rb").read() == open(g, "rb").read(), (f, extra)
             _os.remove(f)
             _os.remove(g)
+
+
+def test_fused_ct_cli_byte_identical(tmp_path):
+    """Fused CT (Poisson) path — step2_ct shares BTChromState and
+    score_block — byte-identical incl. HTP all-sample genotype counts."""
+    EX = "/root/reference/example"
+    fit = str(tmp_path / "fitc")
+    _run_cli([
+        "--step", "1", "--bed", f"{EX}/example",
+        "--exclude", f"{EX}/snplist_rm.txt",
+        "--covarFile", f"{EX}/covariates.txt",
+        "--phenoFile", f"{EX}/phenotype_bin.txt",
+        "--remove", f"{EX}/fid_iid_to_remove.txt",
+        "--bsize", "100", "--ct", "--out", fit,
+    ])
+    common = [
+        "--step", "2", "--bed", f"{EX}/example",
+        "--covarFile", f"{EX}/covariates.txt",
+        "--phenoFile", f"{EX}/phenotype_bin.txt",
+        "--remove", f"{EX}/fid_iid_to_remove.txt",
+        "--bsize", "200", "--ct", "--pred", fit + "_pred.list",
+    ]
+    import glob, os as _os
+
+    for extra in ([], ["--htp", "TRIAL"]):
+        std = str(tmp_path / "std")
+        fus = str(tmp_path / "fus")
+        _run_cli(common + extra + ["--out", std])
+        out = _run_cli(common + extra + ["--out", fus],
+                       {"REGENIE_TPU_FUSED": "1"})
+        assert "CT/BED fast path" in out
+        stds = sorted(glob.glob(std + "*_Y*.regenie"))
+        assert stds
+        for f in stds:
+            g = f.replace(std, fus)
+            assert open(f, "rb").read() == open(g, "rb").read(), (f, extra)
+            _os.remove(f)
+            _os.remove(g)
