@@ -298,21 +298,23 @@ def fused_products_xla(raw, Wp):
     return S1, SQ, SM
 
 
-@partial(jax.jit, static_argnames=("K", "P", "scale_denom", "n_ind"))
-def fused_epilogue(S1, SQ, SM, flip, usum, covt_res, Mmat, K, P, scale_denom, n_ind):
+@partial(jax.jit, static_argnames=("K", "P", "scale_denom", "n_ind", "test_type"))
+def fused_epilogue(S1, SQ, SM, flip, usum, covt_res, Mmat, K, P, scale_denom,
+                   n_ind, test_type=0):
     """[B, C] products -> (stats, denum, scale_fac, low, af_num) on the
     score_qt_block_onepass contract.
 
     Applies (1) mean imputation as a rank-1 update in product space,
-    (2) minor-allele flip G -> 2*ind - G algebraically, (3) the
+    (2) minor-allele flip G -> 2*ind - G algebraically (ADD) or the
+    DOM/REC recoding via the class-product identities, (3) the
     orthonormal-covariate projection identities.
     flip: [B] bool. af_num: [B] imputed allele-count sum (for AF/MAC).
     """
     prec = jax.lax.Precision.HIGHEST
     C_used = K + P + K * P + P + 1
-    S1f, SQf = impute_flip_products(
+    S1f, SQf = finalized_products(
         S1[:, :C_used], SQ[:, :C_used], SM[:, :C_used], flip,
-        usum[:C_used], C_used - 1, n_ind,
+        usum[:C_used], C_used - 1, n_ind, test_type,
     )
     icol = C_used - 1
     af_num = S1f[:, icol]
@@ -335,6 +337,41 @@ def fused_epilogue(S1, SQ, SM, flip, usum, covt_res, Mmat, K, P, scale_denom, n_
     stats = num_raw / jnp.sqrt(denum_raw)
     denum = denum_raw / jnp.where(low, 1.0, scale2)[:, None]
     return stats, denum, scale_fac, low, af_num
+
+
+def ref_first_products(S1, SQ, SM, usum):
+    """--ref-first: alleles are swapped at decode (G -> 2 - G on
+    NONMISSING entries, read_block_device semantics). In product space:
+    S1' = 2*(usum - SM) - S1, SQ' = 4*(usum - SM) - 4*S1 + SQ."""
+    nm = usum[None, :] - SM  # per-SNP nonmissing-included column sums
+    return 2.0 * nm - S1, 4.0 * nm - 4.0 * S1 + SQ
+
+
+def finalized_products(S1, SQ, SM, flip, usum, icol, n_ind, test_type=0):
+    """Products of the TESTED genotype coding, from the raw ADD products.
+
+    test_type 0 (ADD): mean-impute + optional minor-allele flip
+    (impute_flip_products). 1 (DOM, G==2 -> 1) and 2 (REC, G>=1 -> G-1):
+    the observed part is a linear combination of the class products
+    H = (SQ-S1)/2 and E = 2*S1-SQ, and the imputed slots carry the
+    transformed mean v (test_raw_block applies the recoding AFTER
+    imputation, so v = m unless m==2 for DOM / v = m-1 if m>=1 for REC).
+    Flips never combine with DOM/REC (with_flip requires ADD)."""
+    if test_type == 0:
+        return impute_flip_products(S1, SQ, SM, flip, usum, icol, n_ind)
+    n_obs = n_ind - SM[:, icol]
+    m_b = S1[:, icol] / jnp.maximum(n_obs, 1.0)
+    H = (SQ - S1) / 2.0
+    if test_type == 1:
+        E = 2.0 * S1 - SQ
+        v = jnp.where(m_b == 2.0, 1.0, m_b)
+        base = H + E
+    else:
+        v = jnp.where(m_b >= 1.0, m_b - 1.0, m_b)
+        base = H
+    S1f = base + v[:, None] * SM
+    SQf = base + (v**2)[:, None] * SM
+    return S1f, SQf
 
 
 @partial(jax.jit, static_argnames=("icol", "n_ind"))
@@ -360,7 +397,8 @@ def impute_flip_products(S1, SQ, SM, flip, usum, icol, n_ind):
     return S1f, SQf
 
 
-def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool):
+def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool, test_type=0,
+                     ref_first=False):
     """One-dispatch jitted QT block function: products + epilogue + the
     raw-product slices the host needs for per-variant stats. Built once
     per chromosome — separate jit calls per block would each pay a
@@ -371,23 +409,28 @@ def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool):
     @jax.jit
     def run(raw):
         S1, SQ, SM = prod(raw, consts.Wp)
+        S1c, SQc, SMc = S1[:, :C_used], SQ[:, :C_used], SM[:, :C_used]
+        if ref_first:
+            S1c, SQc = ref_first_products(
+                S1c, SQc, SMc, consts.usum[:C_used].astype(S1c.dtype)
+            )
         flip = jnp.zeros(raw.shape[0], bool)  # QT never flips
         stats, denum, scale_fac, low, _af = fused_epilogue(
-            S1, SQ, SM, flip, consts.usum, consts.covt_res, consts.Mmat,
-            consts.K, consts.P, consts.scale_denom, consts.n_ind,
+            S1c, SQc, SMc, flip, consts.usum, consts.covt_res, consts.Mmat,
+            consts.K, consts.P, consts.scale_denom, consts.n_ind, test_type,
         )
-        return stats, denum, scale_fac, low, S1[:, :C_used], SQ[:, :C_used], SM[:, :C_used]
+        return stats, denum, scale_fac, low, S1c, SQc, SMc
 
     return run
 
 
 def make_bt_block_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
-                     use_pallas: bool):
+                     use_pallas: bool, test_type=0, ref_first=False):
     """One-dispatch jitted BT block function: products -> on-device
-    minor-allele flip decision -> imputation/flip in product space ->
-    all-trait score num/denum (the product-space twin of
-    step2_bt._allpass_products). Returns the raw product slices for host
-    stats plus (flip, num, denum, S1_all)."""
+    minor-allele flip decision (ADD only) -> imputation/flip or DOM/REC
+    recoding in product space -> all-trait score num/denum (the
+    product-space twin of step2_bt._allpass_products). Returns the raw
+    product slices for host stats plus (flip, num, denum, S1_all)."""
     prod = fused_products if use_pallas else fused_products_xla
     prec = jax.lax.Precision.HIGHEST
     usum_j = jnp.asarray(usum[:C_used])
@@ -397,10 +440,18 @@ def make_bt_block_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
     def run(raw):
         S1, SQ, SM = prod(raw, Wp)
         S1c, SQc, SMc = S1[:, :C_used], SQ[:, :C_used], SM[:, :C_used]
-        ns1 = n_ind - SMc[:, icol]
-        flip = S1c[:, icol] / jnp.maximum(ns1, 1.0) > 1.0
-        S1f, SQf = impute_flip_products(
-            S1c, SQc, SMc, flip, usum_j.astype(S1c.dtype), icol, n_ind
+        if ref_first:
+            S1c, SQc = ref_first_products(
+                S1c, SQc, SMc, usum_j.astype(S1c.dtype)
+            )
+        if test_type == 0:
+            ns1 = n_ind - SMc[:, icol]
+            flip = S1c[:, icol] / jnp.maximum(ns1, 1.0) > 1.0
+        else:
+            flip = jnp.zeros(raw.shape[0], bool)
+        S1f, SQf = finalized_products(
+            S1c, SQc, SMc, flip, usum_j.astype(S1c.dtype), icol, n_ind,
+            test_type,
         )
         S1cat = S1f[:, :ncat].reshape(S1f.shape[0], Pn, Kp1)
         A = S1cat[..., :-1]

@@ -170,9 +170,16 @@ class _FusedBTSource:
         gd = eng.gd
         nb = eng._fused_bt.nb
         Graw = decode_bed_packed(self.raw_j[idx_j][:, :nb], gd._bed.n_samples)
+        if eng.params.ref_first:
+            Graw = jnp.where(Graw == -3, Graw, 2 - Graw).astype(jnp.int8)
         if not gd._keep_all_samples:
             Graw = Graw[:, jnp.asarray(gd.sample_keep_idx)]
-        return finalize_block_step2(Graw, eng.ind_j, self.flip_j[idx_j])
+        G = finalize_block_step2(Graw, eng.ind_j, self.flip_j[idx_j])
+        if eng.params.test_type == 1:
+            G = jnp.where(G == 2.0, 1.0, G)
+        elif eng.params.test_type == 2:
+            G = jnp.where(G >= 1.0, G - 1.0, G)
+        return G
 
     def rows_host(self, idx):
         return np.asarray(self.rows_device(jnp.asarray(idx)))
@@ -624,10 +631,8 @@ class Step2Engine:
         ok = (
             params.trait_mode in (QT, BT, CT)
             and self.gd._bed is not None
-            and params.test_type == 0
             and self.mesh is None
             and self.interaction is None
-            and not getattr(params, "ref_first", False)
         )
         if ok and params.trait_mode == QT:
             ok = (
@@ -689,7 +694,10 @@ class Step2Engine:
                 cov_f, res_f, mask_f, ind_f, self.scale_denom,
                 nb=nb, dtype=dtype, split=on_tpu,
             )
-            self._fused_fn = fsc.make_qt_block_fn(self._fused_consts, on_tpu)
+            self._fused_fn = fsc.make_qt_block_fn(
+                self._fused_consts, on_tpu, params.test_type,
+                bool(getattr(params, "ref_first", False)),
+            )
         else:  # BT
             from .models import step2_bt
 
@@ -726,7 +734,8 @@ class Step2Engine:
             )
             self._fused_fn = fsc.make_bt_block_fn(
                 Wp, usum, np.asarray(fc.xwt_j), C_used, C_used - 1,
-                float(ind.sum()), ncat, Pn, Kp1, on_tpu,
+                float(ind.sum()), ncat, Pn, Kp1, on_tpu, params.test_type,
+                bool(getattr(params, "ref_first", False)),
             )
         self._fused_chrom = self.cur_chrom
 
@@ -742,6 +751,16 @@ class Step2Engine:
         mac_ignored = (mac1 < mac_thr) & mac_gate
         ignored_trait = (mac_t < mac_thr[:, None]) & mac_gate[:, None]
         return mac_ignored, ignored_trait
+
+    def _rec_min_homs(self, S1h, SQh, SMh, icol, total1, ns1):
+        """--minHOMs recessive hom-carrier filter from the raw product
+        columns (parseSnpfromBed, Geno.cpp:2518): positive entries of the
+        REC-coded finalized G sum to hom_count + v*nmiss."""
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m_b = np.where(ns1 > 0, total1 / np.maximum(ns1, 1.0), 0.0)
+        v = np.where(m_b >= 1.0, m_b - 1.0, m_b)
+        H1 = (SQh[:, icol] - total1) / 2.0
+        return (H1 + v * SMh[:, icol]) < self.params.min_homs
 
     def test_raw_block_fused(self, rawp, bsnps) -> Tuple[BlockResult, np.ndarray]:
         """Fused pipeline for a packed BED block: three MXU products over
@@ -786,6 +805,10 @@ class Step2Engine:
         self.n_ignored += int(mac_ignored.sum())  # low_var excluded (as
         # in test_prepared_block: the tally counts MAC filtering only)
         ignored = mac_ignored | low_var
+        if params.test_type == 2 and params.min_homs > 0:
+            ignored = ignored | self._rec_min_homs(
+                S1h, SQh, SMh, icol, total1, ns1
+            )
 
         bhat, se, chisq, logp = self._qt_post(stats, denum, scale_fac, flipped)
         self.last_scale_fac = scale_fac
@@ -849,6 +872,10 @@ class Step2Engine:
         mac_ignored, ignored_trait = self._mac_filters(params, bsnps, mac1, mac_t, B)
         self.n_ignored += int(mac_ignored.sum())
         ignored = mac_ignored
+        if params.test_type == 2 and params.min_homs > 0:
+            ignored = ignored | self._rec_min_homs(
+                S1h, SQh, SMh, icol, total1, ns1
+            )
 
         bhat, se, chisq, logp, test_fail, ncorr, nfail = step2_bt.score_block(
             params, pd, self.bt_state, source, flipped, ignored,

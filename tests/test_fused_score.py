@@ -267,3 +267,57 @@ def test_fused_ct_cli_byte_identical(tmp_path):
             assert open(f, "rb").read() == open(g, "rb").read(), (f, extra)
             _os.remove(f)
             _os.remove(g)
+
+
+def test_fused_dom_rec_reffirst_byte_identical(tmp_path):
+    """DOM/REC recodings (class-product identities) and --ref-first
+    (rank-1 product transform) through the fused path are byte-identical
+    to the standard pipeline, incl. REC --minHOMs and BT Firth."""
+    EX = "/root/reference/example"
+    import glob, os as _os
+
+    fits = {}
+    for tag, pheno, extra1 in (
+        ("q", "phenotype.txt", []),
+        ("b", "phenotype_bin.txt", ["--bt"]),
+    ):
+        fit = str(tmp_path / f"fit{tag}")
+        _run_cli([
+            "--step", "1", "--bed", f"{EX}/example",
+            "--exclude", f"{EX}/snplist_rm.txt",
+            "--covarFile", f"{EX}/covariates.txt",
+            "--phenoFile", f"{EX}/{pheno}",
+            "--remove", f"{EX}/fid_iid_to_remove.txt",
+            "--bsize", "100", *extra1, "--out", fit,
+        ])
+        fits[tag] = fit
+    scenarios = [
+        ("q", "phenotype.txt", ["--test", "dominant"]),
+        ("q", "phenotype.txt", ["--test", "recessive", "--minHOMs", "5"]),
+        ("q", "phenotype.txt", ["--ref-first"]),
+        ("b", "phenotype_bin.txt",
+         ["--bt", "--test", "dominant", "--firth", "--approx"]),
+        ("b", "phenotype_bin.txt",
+         ["--bt", "--ref-first", "--firth", "--approx", "--pThresh", "0.02"]),
+    ]
+    for tag, pheno, extra in scenarios:
+        common = [
+            "--step", "2", "--bed", f"{EX}/example",
+            "--covarFile", f"{EX}/covariates.txt",
+            "--phenoFile", f"{EX}/{pheno}",
+            "--remove", f"{EX}/fid_iid_to_remove.txt",
+            "--bsize", "200", "--pred", fits[tag] + "_pred.list",
+        ]
+        std = str(tmp_path / "std")
+        fus = str(tmp_path / "fus")
+        _run_cli(common + extra + ["--out", std])
+        out = _run_cli(common + extra + ["--out", fus],
+                       {"REGENIE_TPU_FUSED": "1"})
+        assert "fast path" in out, extra
+        stds = sorted(glob.glob(std + "*_Y*.regenie"))
+        assert stds
+        for f in stds:
+            g = f.replace(std, fus)
+            assert open(f, "rb").read() == open(g, "rb").read(), (f, extra)
+            _os.remove(f)
+            _os.remove(g)
