@@ -153,6 +153,82 @@ int64_t bgen12_decode(const uint8_t* comp, const int64_t* offsets,
 }
 
 // ---------------------------------------------------------------------------
+// BGEN v1.2-8bit probability-PLANE extraction for the fused TPU scorer:
+// inflate only, no parse — emits the two per-sample probability bytes
+// de-interleaved (k0 = P(hom first allele), k1 = P(het)), with missing
+// samples marked by the impossible sentinel k0 = k1 = 255. The device
+// kernel reconstructs dosage = (2*k0 + k1)/255 (ref-last coding) and
+// its square from exact-bf16 byte planes.
+//
+// Fails (returns >0, caller falls back to the parsing decoder) if any
+// variant is not unphased diploid biallelic 8-bit, or if any
+// NON-missing sample has k0 + k1 > 255 (would clip p2 — the linear
+// ref-first identity 2 - ds would break there).
+// ---------------------------------------------------------------------------
+int64_t bgen12_extract_planes(const uint8_t* comp, const int64_t* offsets,
+                              const int64_t* csizes, const int64_t* usizes,
+                              int64_t n_var, int64_t n_samples,
+                              int compression, uint8_t* k0_out,
+                              uint8_t* k1_out) {
+  int64_t n_fail = 0;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic) reduction(+ : n_fail)
+#endif
+  for (int64_t v = 0; v < n_var; v++) {
+    const uint8_t* src = comp + offsets[v];
+    int64_t usize = usizes[v];
+    uint8_t* buf = new uint8_t[usize];
+    bool ok = true;
+    if (compression == 1) {
+      uLongf dlen = (uLongf)usize;
+      ok = (uncompress(buf, &dlen, src, (uLong)csizes[v]) == Z_OK) &&
+           ((int64_t)dlen == usize);
+    } else if (compression == 2) {
+      size_t r = ZSTD_decompress(buf, usize, src, csizes[v]);
+      ok = !ZSTD_isError(r) && ((int64_t)r == usize);
+    } else {
+      memcpy(buf, src, usize);
+    }
+    uint8_t* k0 = k0_out + v * n_samples;
+    uint8_t* k1 = k1_out + v * n_samples;
+    if (ok) {
+      uint32_t N;
+      memcpy(&N, buf, 4);
+      uint16_t K;
+      memcpy(&K, buf + 4, 2);
+      uint8_t minp = buf[6], maxp = buf[7];
+      const uint8_t* ploidy = buf + 8;
+      uint8_t phased = buf[8 + N];
+      uint8_t bits = buf[9 + N];
+      if ((int64_t)N != n_samples || K != 2 || minp != 2 || maxp != 2 ||
+          phased != 0 || bits != 8 ||
+          usize < (int64_t)(10 + N + 2 * (uint64_t)N)) {
+        ok = false;
+      } else {
+        const uint8_t* body = buf + 10 + N;
+        for (int64_t i = 0; i < n_samples; i++) {
+          if (ploidy[i] & 0x80) {
+            k0[i] = 255;
+            k1[i] = 255;
+            continue;
+          }
+          uint8_t a = body[2 * i], b = body[2 * i + 1];
+          if ((int)a + (int)b > 255) {
+            ok = false;
+            break;
+          }
+          k0[i] = a;
+          k1[i] = b;
+        }
+      }
+    }
+    if (!ok) n_fail += 1;
+    delete[] buf;
+  }
+  return n_fail;
+}
+
+// ---------------------------------------------------------------------------
 // PLINK2 PGEN hardcall+dosage block decode (pgenlib replacement,
 // SURVEY.md §2.2). Mirrors the tested pure-python decoder in
 // regenie_tpu/io/pgen.py bit-for-bit: vrtype 2-bit direct / onebit /

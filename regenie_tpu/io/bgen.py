@@ -330,6 +330,36 @@ def decode_block_native(
     return ds, iv
 
 
+def extract_planes_block(bf: BgenFile, indices):
+    """Inflate-only plane extraction for the fused TPU scorer: returns
+    [B, 2, N_file] uint8 probability planes (k0, k1; missing = 255/255
+    sentinel) or None -> caller falls back to the parsing decode. Keeps
+    the FILE sample axis — sample subsetting happens via zeroed operand
+    rows on device."""
+    from .native import bgen12_extract_planes_native
+
+    if bf.layout != 2 or bf.compression not in (1, 2):
+        return None
+    chunks, offs, cs, us = [], [], [], []
+    pos = 0
+    for idx in indices:
+        v = bf.variants[idx]
+        bf._fh.seek(v.geno_offset)
+        raw = bf._fh.read(v.geno_size)
+        (D,) = struct.unpack("<I", raw[:4])
+        payload = raw[4:]
+        chunks.append(payload)
+        offs.append(pos)
+        cs.append(len(payload))
+        us.append(D)
+        pos += len(payload)
+    return bgen12_extract_planes_native(
+        b"".join(chunks), np.array(offs, dtype=np.int64),
+        np.array(cs, dtype=np.int64), np.array(us, dtype=np.int64),
+        bf.n_samples_file, bf.compression,
+    )
+
+
 def _unpack_bits(body: np.ndarray, n_values: int, bits: int) -> np.ndarray:
     """General B-bit unpacking (rare path)."""
     bitarr = np.unpackbits(body[: (n_values * bits + 7) // 8], bitorder="little")

@@ -47,6 +47,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p,
     ]
+    if hasattr(lib, "bgen12_extract_planes"):
+        lib.bgen12_extract_planes.restype = ctypes.c_int64
+        lib.bgen12_extract_planes.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
     lib.pgen_decode_block.restype = ctypes.c_int64
     lib.pgen_decode_block.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -101,6 +108,41 @@ def bgen12_decode_native(
     if nfail > 0:
         return None  # caller falls back to python path for exotic layouts
     return dosage, info_num
+
+
+def bgen12_extract_planes_native(
+    comp: bytes,
+    offsets: np.ndarray,
+    csizes: np.ndarray,
+    usizes: np.ndarray,
+    n_samples: int,
+    compression: int,
+) -> Optional[np.ndarray]:
+    """Inflate-only BGEN v1.2-8bit plane extraction for the fused TPU
+    scorer: returns [B, 2, N] uint8 (k0 plane, k1 plane; missing
+    samples = 255/255 sentinel), or None when the lib is unavailable or
+    any variant is outside the fast layout (non-8-bit, phased, clipped
+    probabilities) — caller falls back to the parsing decoder."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "bgen12_extract_planes"):
+        return None
+    n_var = len(offsets)
+    planes = np.empty((n_var, 2, n_samples), dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    csizes = np.ascontiguousarray(csizes, dtype=np.int64)
+    usizes = np.ascontiguousarray(usizes, dtype=np.int64)
+    k0 = np.ascontiguousarray(planes[:, 0, :])
+    k1 = np.ascontiguousarray(planes[:, 1, :])
+    nfail = lib.bgen12_extract_planes(
+        comp, offsets.ctypes.data, csizes.ctypes.data, usizes.ctypes.data,
+        ctypes.c_int64(n_var), ctypes.c_int64(n_samples),
+        ctypes.c_int(compression), k0.ctypes.data, k1.ctypes.data,
+    )
+    if nfail > 0:
+        return None
+    planes[:, 0, :] = k0
+    planes[:, 1, :] = k1
+    return planes
 
 
 def pgen_decode_block_native(

@@ -91,7 +91,7 @@ def plane_pack(Wext, nb, split, dtype=np.float32):
 
 
 def build_consts(cov, res, maskf, ind, scale_denom, nb=None, dtype=np.float32,
-                 split=False):
+                 split=False, pack="plane"):
     """Build FusedConsts from per-sample arrays (numpy, float64 in).
 
     cov: [N, K] orthonormal covariate basis (rows of excluded samples
@@ -119,7 +119,10 @@ def build_consts(cov, res, maskf, ind, scale_denom, nb=None, dtype=np.float32,
     maskz = maskf * indf[:, None]
     CM = (covz[:, :, None] * maskz[:, None, :]).reshape(N, K * P)
     Wext = np.concatenate([covz, resz, CM, maskz, indf[:, None]], axis=1)
-    Wp_out, usum = plane_pack(Wext, nb, split, dtype)
+    if pack == "plane":
+        Wp_out, usum = plane_pack(Wext, nb, split, dtype)
+    else:  # sample-ordered operand (BGEN byte planes)
+        Wp_out, usum = sample_pack(Wext, split, dtype)
     Mmat = np.einsum("nk,np,nl->pkl", covz, maskz, covz)
     covt_res = covz.T @ resz
     return FusedConsts(
@@ -498,3 +501,213 @@ def score_block_fused(raw, flip, consts: FusedConsts, interpret=False, use_palla
         consts.scale_denom,
         consts.n_ind,
     )
+
+
+# ---------------------------------------------------------------------------
+# BGEN v1.2-8bit fused scorer: the host ships the two per-sample
+# probability BYTE planes (k0 = P(hom-first), k1 = P(het); missing =
+# 255/255 sentinel — 2 bytes/sample, 16x less transfer than float64
+# dosages) and the kernel reconstructs every dosage moment from EXACT
+# bf16 byte dots:
+#   d*255     = 2*k0 + k1                        (ref-last dosage)
+#   (d*255)^2 = 65536*h2 + 256*h1 + h0           (byte-split planes)
+#   info num  = (4*k0 + k1)/255 - d^2            (compute_aaf_info)
+# Missing samples are masked in-kernel; all downstream imputation /
+# flip / ref-first handling reuses the product-space identities above
+# (dosages are continuous: DOM/REC recoding is NOT linear here and the
+# caller must fall back for test_type != 0).
+# ---------------------------------------------------------------------------
+
+
+def sample_pack(Wext, split, dtype=np.float32, tile=None):
+    """[N, C] per-sample operand -> sample-ordered padded kernel operand
+    [Np, Cp] (or the bf16 [Np, 3*Cp] hi|mid|lo split) + padded usum."""
+    tile = tile or _TC
+    N, C = Wext.shape
+    Cp = -(-C // 128) * 128
+    Np = -(-N // tile) * tile
+    W = np.zeros((Np, Cp), dtype=np.float64)
+    W[:N, :C] = Wext
+    usum = np.pad(Wext.sum(axis=0), (0, Cp - C))
+    if split:
+        w_j = jnp.asarray(W.astype(np.float32))
+        hi = w_j.astype(jnp.bfloat16)
+        r1 = w_j - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.concatenate([hi, mid, lo], axis=1), usum
+    return jnp.asarray(W.astype(dtype)), usum
+
+
+def _bgen_kernel_split(pl_ref, wp_ref, d0_ref, d1_ref, q0_ref, q1_ref,
+                       q2_ref, m_ref):
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        for ref in (d0_ref, d1_ref, q0_ref, q1_ref, q2_ref, m_ref):
+            ref[:] = jnp.zeros_like(ref)
+
+    k0 = pl_ref[:, 0, :].astype(jnp.int32)
+    k1 = pl_ref[:, 1, :].astype(jnp.int32)
+    miss = (k0 + k1) > 255  # sentinel (extractor rejects clipped data)
+    k0 = jnp.where(miss, 0, k0)
+    k1 = jnp.where(miss, 0, k1)
+    d = 2 * k0 + k1
+    d2 = d * d
+    dn = (((1,), (0,)), ((), ()))
+    w = wp_ref[:]
+    pe = jnp.float32
+    d0_ref[:] += jax.lax.dot_general(k0.astype(jnp.bfloat16), w, dn, preferred_element_type=pe)
+    d1_ref[:] += jax.lax.dot_general(k1.astype(jnp.bfloat16), w, dn, preferred_element_type=pe)
+    q0_ref[:] += jax.lax.dot_general((d2 & 255).astype(jnp.bfloat16), w, dn, preferred_element_type=pe)
+    q1_ref[:] += jax.lax.dot_general(((d2 >> 8) & 255).astype(jnp.bfloat16), w, dn, preferred_element_type=pe)
+    q2_ref[:] += jax.lax.dot_general((d2 >> 16).astype(jnp.bfloat16), w, dn, preferred_element_type=pe)
+    m_ref[:] += jax.lax.dot_general(miss.astype(jnp.bfloat16), w, dn, preferred_element_type=pe)
+
+
+@partial(jax.jit, static_argnames=("interpret", "tb", "tc"))
+def bgen_fused_products(planes, Wp, interpret=False, tb=512, tc=_TC):
+    """planes: [B, 2, Np] uint8; Wp: [Np, Cw] (sample_pack). Returns
+    (S1, SQ, SM, IL) each [B, C] float32 — dosage, squared-dosage,
+    missing, and info-linear (4p0+p1) products of the raw (missing-as-
+    zero) dosages."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = planes.shape[0]
+    Cw = Wp.shape[1]
+    split = Wp.dtype == jnp.bfloat16
+    grid = (pl.cdiv(B, tb), pl.cdiv(planes.shape[2], tc))
+    outs = pl.pallas_call(
+        _bgen_kernel_split,
+        out_shape=[jax.ShapeDtypeStruct((B, Cw), jnp.float32)] * 6,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, 2, tc), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, Cw), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, Cw), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        * 6,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(planes, Wp)
+    return _bgen_combine(outs, Cw, split)
+
+
+def _bgen_combine(outs, Cw, split):
+    D0, D1, Q0, Q1, Q2, M = outs
+    if split:
+        C = Cw // 3
+
+        def fold(d):
+            return d[:, :C] + d[:, C : 2 * C] + d[:, 2 * C :]
+
+        D0, D1, Q0, Q1, Q2, M = map(fold, (D0, D1, Q0, Q1, Q2, M))
+    S1 = (2.0 * D0 + D1) / 255.0
+    SQ = (65536.0 * Q2 + 256.0 * Q1 + Q0) / (255.0 * 255.0)
+    IL = (4.0 * D0 + D1) / 255.0
+    return S1, SQ, M, IL
+
+
+def bgen_fused_products_xla(planes, Wp):
+    """XLA twin of bgen_fused_products (CPU runs / kernel tests). Wp may
+    be the f32/f64 sample_pack or the bf16 split (folded to values)."""
+    if Wp.dtype == jnp.bfloat16:
+        C = Wp.shape[1] // 3
+        Wp = (
+            Wp[:, :C].astype(jnp.float32)
+            + Wp[:, C : 2 * C].astype(jnp.float32)
+            + Wp[:, 2 * C :].astype(jnp.float32)
+        )
+    prec = jax.lax.Precision.HIGHEST
+    dt = Wp.dtype
+    k0 = planes[:, 0, :].astype(jnp.int32)
+    k1 = planes[:, 1, :].astype(jnp.int32)
+    miss = (k0 + k1) > 255
+    k0 = jnp.where(miss, 0, k0)
+    k1 = jnp.where(miss, 0, k1)
+    d2 = (2 * k0 + k1) ** 2
+    D0 = jnp.matmul(k0.astype(dt), Wp, precision=prec)
+    D1 = jnp.matmul(k1.astype(dt), Wp, precision=prec)
+    Q0 = jnp.matmul((d2 & 255).astype(dt), Wp, precision=prec)
+    Q1 = jnp.matmul(((d2 >> 8) & 255).astype(dt), Wp, precision=prec)
+    Q2 = jnp.matmul((d2 >> 16).astype(dt), Wp, precision=prec)
+    M = jnp.matmul(miss.astype(dt), Wp, precision=prec)
+    return _bgen_combine((D0, D1, Q0, Q1, Q2, M), Wp.shape[1], False)
+
+
+def _bgen_prepare(S1, SQ, SM, IL, usum_j, C_used, ref_first):
+    """Slice + optional --ref-first transform of the BGEN raw products,
+    including the info-linear column set: with ds' = 2 - ds and
+    ph' = p2 (unclipped), 4*p2 + p1 = 4 - 4*p0 - 3*p1 on nonmissing, so
+    IL' = 4*(u - SM) + IL - 4*S1 (from P0 = (IL - S1)/2, P1 = 2*S1 - IL
+    given IL = 4*P0 + P1 and S1 = 2*P0 + P1)."""
+    S1c, SQc, SMc, ILc = (
+        S1[:, :C_used], SQ[:, :C_used], SM[:, :C_used], IL[:, :C_used]
+    )
+    if ref_first:
+        u = usum_j[None, :]
+        ILc = 4.0 * (u - SMc) + ILc - 4.0 * S1c
+        S1c, SQc = ref_first_products(S1c, SQc, SMc, usum_j)
+    return S1c, SQc, SMc, ILc
+
+
+def make_qt_bgen_fn(consts: "FusedConsts", use_pallas: bool, ref_first=False):
+    """One-dispatch QT block function over BGEN probability byte planes.
+    Returns the QT score outputs plus the raw product slices and the
+    info-linear products (for the INFO column)."""
+    prod = bgen_fused_products if use_pallas else bgen_fused_products_xla
+    C_used = consts.K + consts.P + consts.K * consts.P + consts.P + 1
+
+    @jax.jit
+    def run(planes):
+        S1, SQ, SM, IL = prod(planes, consts.Wp)
+        S1c, SQc, SMc, ILc = _bgen_prepare(
+            S1, SQ, SM, IL, consts.usum[:C_used].astype(S1.dtype),
+            C_used, ref_first,
+        )
+        flip = jnp.zeros(planes.shape[0], bool)
+        stats, denum, scale_fac, low, _af = fused_epilogue(
+            S1c, SQc, SMc, flip, consts.usum, consts.covt_res, consts.Mmat,
+            consts.K, consts.P, consts.scale_denom, consts.n_ind, 0,
+        )
+        return stats, denum, scale_fac, low, S1c, SQc, SMc, ILc
+
+    return run
+
+
+def make_bt_bgen_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
+                    use_pallas: bool, ref_first=False):
+    """One-dispatch BT/CT block function over BGEN byte planes (ADD
+    coding only): products -> on-device flip -> product-space
+    finalization -> all-trait num/denum + info-linear products."""
+    prod = bgen_fused_products if use_pallas else bgen_fused_products_xla
+    prec = jax.lax.Precision.HIGHEST
+    usum_j = jnp.asarray(usum[:C_used])
+    xwt_j = jnp.asarray(xwt)
+
+    @jax.jit
+    def run(planes):
+        S1, SQ, SM, IL = prod(planes, Wp)
+        S1c, SQc, SMc, ILc = _bgen_prepare(
+            S1, SQ, SM, IL, usum_j.astype(S1.dtype), C_used, ref_first
+        )
+        ns1 = n_ind - SMc[:, icol]
+        flip = S1c[:, icol] / jnp.maximum(ns1, 1.0) > 1.0
+        S1f, SQf = impute_flip_products(
+            S1c, SQc, SMc, flip, usum_j.astype(S1c.dtype), icol, n_ind
+        )
+        S1cat = S1f[:, :ncat].reshape(S1f.shape[0], Pn, Kp1)
+        A = S1cat[..., :-1]
+        q = S1cat[..., -1]
+        num = q - jnp.einsum("bpk,pk->bp", A, xwt_j.astype(S1c.dtype), precision=prec)
+        denum = SQf[:, ncat : ncat + Pn] - (A**2).sum(-1)
+        return S1c, SQc, SMc, ILc, flip, num, denum, S1cat
+
+    return run

@@ -168,11 +168,29 @@ class _FusedBTSource:
 
         eng = self.eng
         gd = eng.gd
+        if gd._bgen is not None:
+            # reconstruct dosages for the correction subset from the
+            # device-resident probability byte planes
+            Nf = gd._bgen.n_samples_file
+            pl = self.raw_j[idx_j]
+            k0 = pl[:, 0, :Nf].astype(jnp.float32)
+            k1 = pl[:, 1, :Nf].astype(jnp.float32)
+            miss = (k0 + k1) > 255.0
+            ds = (2.0 * jnp.where(miss, 0.0, k0)
+                  + jnp.where(miss, 0.0, k1)) / 255.0
+            if eng.params.ref_first:
+                ds = 2.0 - ds
+            ds = jnp.where(miss, -3.0, ds)
+            if not gd._keep_all_samples:
+                ds = ds[:, jnp.asarray(gd.sample_keep_idx)]
+            return finalize_block_step2(ds, eng.ind_j, self.flip_j[idx_j])
         nb = eng._fused_bt.nb
-        Graw = decode_bed_packed(self.raw_j[idx_j][:, :nb], gd._bed.n_samples)
-        if eng.params.ref_first:
+        is_bed = gd._bed is not None
+        nsrc = gd._bed.n_samples if is_bed else eng.params.n_samples
+        Graw = decode_bed_packed(self.raw_j[idx_j][:, :nb], nsrc)
+        if is_bed and eng.params.ref_first:
             Graw = jnp.where(Graw == -3, Graw, 2 - Graw).astype(jnp.int8)
-        if not gd._keep_all_samples:
+        if is_bed and not gd._keep_all_samples:
             Graw = Graw[:, jnp.asarray(gd.sample_keep_idx)]
         G = finalize_block_step2(Graw, eng.ind_j, self.flip_j[idx_j])
         if eng.params.test_type == 1:
@@ -628,9 +646,26 @@ class Step2Engine:
         if env == "0":
             return False
         params = self.params
+        hardcall_src = self.gd._bed is not None or (
+            self.gd._pgen is not None and not params.dosage_mode
+        )
+        bgen_src = False
+        if self.gd._bgen is not None and params.test_type == 0:
+            from .io.native import get_lib
+
+            lib = get_lib()
+            # dosage products need the inflate-only native extractor;
+            # HTP / merged output want hardcall-threshold counts that
+            # are nonlinear in dosages
+            bgen_src = (
+                lib is not None
+                and hasattr(lib, "bgen12_extract_planes")
+                and not params.htp_out
+                and params.split_by_pheno
+            )
         ok = (
             params.trait_mode in (QT, BT, CT)
-            and self.gd._bed is not None
+            and (hardcall_src or bgen_src)
             and self.mesh is None
             and self.interaction is None
         )
@@ -646,26 +681,77 @@ class Step2Engine:
             return True
         return jax.default_backend() != "cpu"
 
+    _PACK_LUT = None
+
     def read_block_raw(self, bsnps) -> np.ndarray:
-        """[B, nbp] packed BED bytes for a block (file sample axis,
-        zero-padded to the fused kernel's byte-tile multiple)."""
+        """[B, nbp] packed 2-bit genotype bytes for a block, zero-padded
+        to the fused kernel's byte-tile multiple.
+
+        BED: the raw file bytes (file sample axis). PGEN hardcalls: the
+        decoded int8 block repacked into BED codes on the kept sample
+        axis — 32x less host->device traffic than shipping float64."""
         from .ops import fused_score as fsc
 
         gd = self.gd
-        offsets = np.array([s.offset for s in bsnps])
-        start, stop = int(offsets[0]), int(offsets[-1]) + 1
-        raw = gd._bed.read_block_bytes(start, stop - start)
-        if len(offsets) != stop - start:
-            raw = raw[offsets - start]
+        if gd._bgen is not None:
+            from .io.bgen import extract_planes_block
+
+            planes = extract_planes_block(gd._bgen, [s.offset for s in bsnps])
+            if planes is None:
+                return None  # exotic layout -> standard decode fallback
+            Nf = gd._bgen.n_samples_file
+            Np = -(-Nf // fsc._TC) * fsc._TC
+            if Np != Nf:
+                out = np.zeros((planes.shape[0], 2, Np), np.uint8)
+                out[:, :, :Nf] = planes
+                planes = out
+            return planes
+        if gd._bed is not None:
+            offsets = np.array([s.offset for s in bsnps])
+            start, stop = int(offsets[0]), int(offsets[-1]) + 1
+            raw = gd._bed.read_block_bytes(start, stop - start)
+            if len(offsets) != stop - start:
+                raw = raw[offsets - start]
+            return fsc.pad_raw(np.ascontiguousarray(raw))
+        # PGEN hardcalls -> BED 2-bit codes (0->3, 1->2, 2->0, miss->1)
+        if Step2Engine._PACK_LUT is None:
+            lut = np.zeros(256, np.uint8)
+            lut[0], lut[1], lut[2] = 3, 2, 0
+            lut[np.int8(-3).view(np.uint8)] = 1
+            Step2Engine._PACK_LUT = lut
+        G = gd.read_block(bsnps)
+        B, N = G.shape
+        c = Step2Engine._PACK_LUT[G.astype(np.int8).view(np.uint8)]
+        nb = (N + 3) // 4
+        if N != 4 * nb:
+            c = np.concatenate(
+                [c, np.zeros((B, 4 * nb - N), np.uint8)], axis=1
+            )
+        c = c.reshape(B, nb, 4)
+        raw = (
+            c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4)
+            | (c[:, :, 3] << 6)
+        ).astype(np.uint8)
         return fsc.pad_raw(np.ascontiguousarray(raw))
+
+    def _fused_nfile(self) -> int:
+        """Sample count on the fused byte-source's axis: the FILE axis
+        for BED bytes / BGEN planes, the kept axis for repacked PGEN."""
+        gd = self.gd
+        if gd._bed is not None:
+            return gd._bed.n_samples
+        if gd._bgen is not None:
+            return gd._bgen.n_samples_file
+        return self.params.n_samples
 
     def _scatter_file(self, x):
         """Map a kept-sample-axis array onto the genotype file's sample
-        axis (zeros at dropped samples)."""
+        axis (zeros at dropped samples). PGEN packed blocks are already
+        on the kept axis — identity."""
         gd = self.gd
-        if gd._keep_all_samples:
+        if gd._pgen is not None or gd._keep_all_samples:
             return x
-        nfile = gd._bed.n_samples
+        nfile = self._fused_nfile()
         idx = np.asarray(gd.sample_keep_idx)
         out = np.zeros((nfile,) + x.shape[1:], dtype=np.float64)
         out[idx] = x
@@ -679,10 +765,14 @@ class Step2Engine:
         from .ops import fused_score as fsc
 
         gd, pd, params = self.gd, self.pd, self.params
-        nfile = gd._bed.n_samples
+        is_bgen = gd._bgen is not None
+        nfile = self._fused_nfile()
         nb = (nfile + 3) // 4
         on_tpu = jax.default_backend() != "cpu"
         dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
+        # PGEN bytes are repacked post allele-handling on the kept axis;
+        # only raw BED file bytes still need the --ref-first transform
+        rf = bool(getattr(params, "ref_first", False)) and gd._bed is not None
         if params.trait_mode == QT:
             cov_f = self._scatter_file(pd.new_cov)
             res_f = self._scatter_file(self.res)
@@ -693,11 +783,17 @@ class Step2Engine:
             self._fused_consts = fsc.build_consts(
                 cov_f, res_f, mask_f, ind_f, self.scale_denom,
                 nb=nb, dtype=dtype, split=on_tpu,
+                pack="sample" if is_bgen else "plane",
             )
-            self._fused_fn = fsc.make_qt_block_fn(
-                self._fused_consts, on_tpu, params.test_type,
-                bool(getattr(params, "ref_first", False)),
-            )
+            if is_bgen:
+                self._fused_fn = fsc.make_qt_bgen_fn(
+                    self._fused_consts, on_tpu,
+                    bool(getattr(params, "ref_first", False)),
+                )
+            else:
+                self._fused_fn = fsc.make_qt_block_fn(
+                    self._fused_consts, on_tpu, params.test_type, rf,
+                )
         else:  # BT
             from .models import step2_bt
 
@@ -723,7 +819,10 @@ class Step2Engine:
                  ind.astype(np.float64)[:, None]], axis=1,
             )
             Wext_f = self._scatter_file(Wext)
-            Wp, usum = fsc.plane_pack(Wext_f, nb, split=on_tpu, dtype=dtype)
+            if is_bgen:
+                Wp, usum = fsc.sample_pack(Wext_f, split=on_tpu, dtype=dtype)
+            else:
+                Wp, usum = fsc.plane_pack(Wext_f, nb, split=on_tpu, dtype=dtype)
             C_used = ncat + Pn + P + P + 1
             self._fused_bt = _FusedBTConsts(
                 fc=fc, Wp=Wp, usum=usum, ncat=ncat, Pn=Pn, Kp1=Kp1,
@@ -732,11 +831,18 @@ class Step2Engine:
                 icol=C_used - 1, C_used=C_used,
                 n_ind=float(ind.sum()), nb=nb,
             )
-            self._fused_fn = fsc.make_bt_block_fn(
-                Wp, usum, np.asarray(fc.xwt_j), C_used, C_used - 1,
-                float(ind.sum()), ncat, Pn, Kp1, on_tpu, params.test_type,
-                bool(getattr(params, "ref_first", False)),
-            )
+            if is_bgen:
+                self._fused_fn = fsc.make_bt_bgen_fn(
+                    Wp, usum, np.asarray(fc.xwt_j), C_used, C_used - 1,
+                    float(ind.sum()), ncat, Pn, Kp1, on_tpu,
+                    bool(getattr(params, "ref_first", False)),
+                )
+            else:
+                self._fused_fn = fsc.make_bt_block_fn(
+                    Wp, usum, np.asarray(fc.xwt_j), C_used, C_used - 1,
+                    float(ind.sum()), ncat, Pn, Kp1, on_tpu, params.test_type, rf,
+                )
+        self._fused_is_bgen = is_bgen
         self._fused_chrom = self.cur_chrom
 
     @staticmethod
@@ -751,6 +857,15 @@ class Step2Engine:
         mac_ignored = (mac1 < mac_thr) & mac_gate
         ignored_trait = (mac_t < mac_thr[:, None]) & mac_gate[:, None]
         return mac_ignored, ignored_trait
+
+    def _fused_info_t(self, ILh, SQh, SMh, msl, ns_t, af_t):
+        """Per-trait MACH INFO from the product columns: the per-sample
+        info numerator 4*ph + p1 - ds^2 sums to IL - SQ over each trait
+        mask (compute_aaf_info, Geno.cpp:3110-3142)."""
+        info_num_t = ILh[:, msl] - SQh[:, msl]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            info_t = 1.0 - info_num_t / (2.0 * ns_t * af_t * (1.0 - af_t))
+        return np.where((af_t == 0) | (af_t == 1), 1.0, info_t)
 
     def _rec_min_homs(self, S1h, SQh, SMh, icol, total1, ns1):
         """--minHOMs recessive hom-carrier filter from the raw product
@@ -777,7 +892,13 @@ class Step2Engine:
         B, P, K = len(bsnps), consts.P, consts.K
         raw_j = jnp.asarray(rawp)
         flipped = np.zeros(B, dtype=bool)  # QT never flips (with_flip=False)
-        stats, denum, scale_fac, low_var, S1, SQ, SM = self._fused_fn(raw_j)
+        ILh = None
+        if getattr(self, "_fused_is_bgen", False):
+            (stats, denum, scale_fac, low_var,
+             S1, SQ, SM, IL) = self._fused_fn(raw_j)
+            ILh = np.asarray(IL)
+        else:
+            stats, denum, scale_fac, low_var, S1, SQ, SM = self._fused_fn(raw_j)
         S1h, SQh, SMh = np.asarray(S1), np.asarray(SQ), np.asarray(SM)
         stats = np.asarray(stats)
         denum = np.asarray(denum)
@@ -809,6 +930,11 @@ class Step2Engine:
             ignored = ignored | self._rec_min_homs(
                 S1h, SQh, SMh, icol, total1, ns1
             )
+        info_t = None
+        if ILh is not None:
+            info_t = self._fused_info_t(ILh, SQh, SMh, msl, ns_t, af_t)
+            if params.set_min_info:
+                ignored_trait = ignored_trait | (info_t < params.min_info)
 
         bhat, se, chisq, logp = self._qt_post(stats, denum, scale_fac, flipped)
         self.last_scale_fac = scale_fac
@@ -816,13 +942,15 @@ class Step2Engine:
             bhat=bhat, se=se, chisq=chisq, logp=logp,
             test_fail=np.zeros((B, P), dtype=bool),
             ignored=ignored, ignored_trait=ignored_trait,
-            af_t=af_t, ns_t=ns_t, info_t=None, scale_fac=scale_fac,
+            af_t=af_t, ns_t=ns_t, info_t=info_t, scale_fac=scale_fac,
             mac_t=mac_t,
         )
         result.af1 = af1
         result.ns1 = np.round(ns1).astype(np.int64)
-        result.n_rr = np.round(n_rr1).astype(np.int64)
-        result.n_aa = np.round(n_aa1).astype(np.int64)
+        if not getattr(self, "_fused_is_bgen", False):
+            # hardcall class counts (nonlinear for dosages)
+            result.n_rr = np.round(n_rr1).astype(np.int64)
+            result.n_aa = np.round(n_aa1).astype(np.int64)
         if params.htp_out:
             a_t = (SQh[:, msl] - total_t) / 2.0
             het_t = total_t - 2.0 * a_t
@@ -847,7 +975,13 @@ class Step2Engine:
         fc = fb.fc
         B, P = len(bsnps), params.n_pheno
         raw_j = jnp.asarray(rawp)
-        S1, SQ, SM, flip_j, num, denum, S1_all = self._fused_fn(raw_j)
+        ILh = None
+        if getattr(self, "_fused_is_bgen", False):
+            (S1, SQ, SM, IL, flip_j,
+             num, denum, S1_all) = self._fused_fn(raw_j)
+            ILh = np.asarray(IL)
+        else:
+            S1, SQ, SM, flip_j, num, denum, S1_all = self._fused_fn(raw_j)
         S1h, SQh, SMh = np.asarray(S1), np.asarray(SQ), np.asarray(SM)
 
         icol, msl, csl = fb.icol, fb.sl_mask, fb.sl_case
@@ -876,6 +1010,11 @@ class Step2Engine:
             ignored = ignored | self._rec_min_homs(
                 S1h, SQh, SMh, icol, total1, ns1
             )
+        info_t = None
+        if ILh is not None:
+            info_t = self._fused_info_t(ILh, SQh, SMh, msl, ns_t, af_t)
+            if params.set_min_info:
+                ignored_trait = ignored_trait | (info_t < params.min_info)
 
         bhat, se, chisq, logp, test_fail, ncorr, nfail = step2_bt.score_block(
             params, pd, self.bt_state, source, flipped, ignored,
@@ -886,12 +1025,13 @@ class Step2Engine:
         result = BlockResult(
             bhat=bhat, se=se, chisq=chisq, logp=logp, test_fail=test_fail,
             ignored=ignored, ignored_trait=ignored_trait,
-            af_t=af_t, ns_t=ns_t, info_t=None, scale_fac=None, mac_t=mac_t,
+            af_t=af_t, ns_t=ns_t, info_t=info_t, scale_fac=None, mac_t=mac_t,
         )
         result.af1 = af1
         result.ns1 = np.round(ns1).astype(np.int64)
-        result.n_rr = np.round(n_rr1).astype(np.int64)
-        result.n_aa = np.round(n_aa1).astype(np.int64)
+        if not getattr(self, "_fused_is_bgen", False):
+            result.n_rr = np.round(n_rr1).astype(np.int64)
+            result.n_aa = np.round(n_aa1).astype(np.int64)
 
         # case-side raw products (pre-flip, matching update_af_cc /
         # compute_genocounts semantics on G_raw)
@@ -1264,38 +1404,34 @@ def run_step2(params: Params, log=print) -> None:
     fused = eng.fused_ok()
     if fused:
         mode_name = {QT: "QT", BT: "BT", CT: "CT"}[params.trait_mode]
-        log(f" * fused packed-bytes scorer active ({mode_name}/BED fast path)")
+        src_name = ("BED" if eng.gd._bed is not None
+                    else "BGEN" if eng.gd._bgen is not None else "PGEN")
+        log(f" * fused packed-bytes scorer active ({mode_name}/{src_name} fast path)")
 
     def _fetch(bsnps):
-        if fused:
-            return eng.read_block_raw(bsnps), None
+        if fused and not (
+            eng.gd.sex is not None and eng.non_par_flags(bsnps).any()
+        ):
+            raw = eng.read_block_raw(bsnps)
+            if raw is not None:
+                return ("raw", raw), None
         G = eng.read_block_device(bsnps)
-        return G, eng.gd.last_info_num
+        return ("g", G), eng.gd.last_info_num
 
     pool = ThreadPoolExecutor(max_workers=1)
     fut = pool.submit(_fetch, todo[0][1]) if todo else None
     for i, (chrom, bsnps) in enumerate(todo):
-        G_raw, info_num = fut.result()
+        (kind, data), info_num = fut.result()
         if i + 1 < len(todo):
             fut = pool.submit(_fetch, todo[i + 1][1])
         eng._info_num_override = info_num
         eng.prep_chrom(chrom)
-        if fused and not (
-            eng.gd.sex is not None and eng.non_par_flags(bsnps).any()
-        ):
-            result, _ = eng.test_raw_block_fused(G_raw, bsnps)
-        elif fused:
-            # chrX non-PAR needs per-sample dosage compensation the
-            # product algebra can't express — decode and run standard
-            from .io.bed import decode_bed_bytes
-
-            nb = (eng.gd._bed.n_samples + 3) // 4
-            G_dec = decode_bed_bytes(G_raw[:, :nb], eng.gd._bed.n_samples)
-            if not eng.gd._keep_all_samples:
-                G_dec = G_dec[:, np.asarray(eng.gd.sample_keep_idx)]
-            result, _ = eng.test_raw_block(G_dec, bsnps)
+        if kind == "raw":
+            result, _ = eng.test_raw_block_fused(data, bsnps)
         else:
-            result, _ = eng.test_raw_block(G_raw, bsnps)
+            # standard pipeline (non-fused run, chrX non-PAR dosage
+            # compensation, or exotic BGEN layout fallback)
+            result, _ = eng.test_raw_block(data, bsnps)
         write_block_rows(params, pd, writers, bsnps, result, test_name + condtl,
                          eng.model_type() + condtl)
         if eng.interaction is not None:

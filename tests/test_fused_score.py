@@ -321,3 +321,219 @@ def test_fused_dom_rec_reffirst_byte_identical(tmp_path):
             assert open(f, "rb").read() == open(g, "rb").read(), (f, extra)
             _os.remove(f)
             _os.remove(g)
+
+
+def test_fused_pgen_cli_byte_identical(tmp_path):
+    """PGEN hardcall blocks repacked to 2-bit codes on the kept sample
+    axis run the same fused path (32x less transfer than float64) —
+    byte-identical for QT, DOM, and BT Firth."""
+    EX = "/root/reference/example"
+    import glob, os as _os
+
+    fits = {}
+    for tag, pheno, extra1 in (
+        ("q", "phenotype.txt", []),
+        ("b", "phenotype_bin.txt", ["--bt"]),
+    ):
+        fit = str(tmp_path / f"fit{tag}")
+        _run_cli([
+            "--step", "1", "--pgen", f"{EX}/example",
+            "--exclude", f"{EX}/snplist_rm.txt",
+            "--covarFile", f"{EX}/covariates.txt",
+            "--phenoFile", f"{EX}/{pheno}",
+            "--remove", f"{EX}/fid_iid_to_remove.txt",
+            "--bsize", "100", *extra1, "--out", fit,
+        ])
+        fits[tag] = fit
+    scenarios = [
+        ("q", "phenotype.txt", []),
+        ("q", "phenotype.txt", ["--test", "dominant"]),
+        ("b", "phenotype_bin.txt",
+         ["--bt", "--firth", "--approx", "--pThresh", "0.02"]),
+    ]
+    for tag, pheno, extra in scenarios:
+        common = [
+            "--step", "2", "--pgen", f"{EX}/example",
+            "--covarFile", f"{EX}/covariates.txt",
+            "--phenoFile", f"{EX}/{pheno}",
+            "--remove", f"{EX}/fid_iid_to_remove.txt",
+            "--bsize", "200", "--pred", fits[tag] + "_pred.list",
+        ]
+        std = str(tmp_path / "std")
+        fus = str(tmp_path / "fus")
+        _run_cli(common + extra + ["--out", std])
+        out = _run_cli(common + extra + ["--out", fus],
+                       {"REGENIE_TPU_FUSED": "1"})
+        assert "PGEN fast path" in out, extra
+        stds = sorted(glob.glob(std + "*_Y*.regenie"))
+        assert stds
+        for f in stds:
+            g = f.replace(std, fus)
+            assert open(f, "rb").read() == open(g, "rb").read(), (f, extra)
+            _os.remove(f)
+            _os.remove(g)
+
+
+def _mk_bgen_case(seed, B=32, N=517, P=3, K=4):
+    rng = np.random.default_rng(seed)
+    k0 = rng.integers(0, 200, size=(B, N)).astype(np.uint8)
+    k1 = np.minimum(
+        rng.integers(0, 200, size=(B, N)), 255 - k0.astype(np.int64)
+    ).astype(np.uint8)
+    miss = rng.random(size=(B, N)) < 0.04
+    k0 = np.where(miss, 255, k0).astype(np.uint8)
+    k1 = np.where(miss, 255, k1).astype(np.uint8)
+    ind = rng.random(N) > 0.1
+    res = rng.normal(size=(N, P))
+    maskf = (rng.random(size=(N, P)) > 0.08).astype(np.float64)
+    covz = np.linalg.qr(rng.normal(size=(N, K)) * ind[:, None])[0]
+    return k0, k1, miss, ind, res * ind[:, None], maskf * ind[:, None], covz
+
+
+def test_bgen_fused_products_match_dosage_pipeline():
+    """BGEN byte-plane products (dosage / square / missing / info-linear)
+    equal the dense dosage-matrix products, and the epilogue reproduces
+    the standard finalize+onepass scorer on the dosage matrix."""
+    k0, k1, miss, ind, resz, maskz, covz = _mk_bgen_case(0)
+    B, N = k0.shape
+    P, K = resz.shape[1], covz.shape[1]
+    sden = float(ind.sum() - K)
+
+    # dense dosage reference (missing = -3)
+    ds = np.where(miss, -3.0, (2.0 * np.where(miss, 0, k0).astype(np.float64)
+                               + np.where(miss, 0, k1)) / 255.0)
+    Gfin = np.asarray(finalize_block_step2(
+        jnp.asarray(ds), jnp.asarray(ind), jnp.asarray(np.zeros(B, bool))
+    ))
+    CM, Mmat, ctr = m2.onepass_constants(covz, maskz, resz)
+    exp = m2.score_qt_block_onepass(
+        jnp.asarray(Gfin), jnp.asarray(covz), jnp.asarray(resz),
+        jnp.asarray(maskz), jnp.asarray(CM), jnp.asarray(Mmat),
+        jnp.asarray(ctr), sden,
+    )
+
+    indf = ind.astype(np.float64)
+    Wext = np.concatenate(
+        [covz, resz, (covz[:, :, None] * maskz[:, None, :]).reshape(N, K * P),
+         maskz, indf[:, None]], axis=1,
+    )
+    Wp, usum = fs.sample_pack(Wext, split=False, dtype=np.float64)
+    Np = Wp.shape[0]
+    planes = np.zeros((B, 2, Np), np.uint8)
+    planes[:, 0, :N] = k0
+    planes[:, 1, :N] = k1
+    S1, SQ, SM, IL = fs.bgen_fused_products_xla(jnp.asarray(planes), Wp)
+
+    C_used = Wext.shape[1]
+    stats, denum, sf, low, _af = fs.fused_epilogue(
+        S1[:, :C_used], SQ[:, :C_used], SM[:, :C_used],
+        jnp.asarray(np.zeros(B, bool)), jnp.asarray(usum),
+        jnp.asarray(covz.T @ resz), jnp.asarray(Mmat), K, P, sden,
+        float(indf.sum()),
+    )
+    np.testing.assert_allclose(np.asarray(stats), np.asarray(exp[0]),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(denum), np.asarray(exp[1]),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sf), np.asarray(exp[2]), rtol=1e-9)
+
+    # info-linear product: sum over nonmissing of (4p0+p1)*w
+    p0 = np.where(miss, 0, k0).astype(np.float64) / 255.0
+    p1v = np.where(miss, 0, k1).astype(np.float64) / 255.0
+    exp_il = (4.0 * p0 + p1v) @ Wext
+    np.testing.assert_allclose(np.asarray(IL)[:, :C_used], exp_il,
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_bgen_fused_pallas_interpret_matches_xla():
+    k0, k1, miss, ind, resz, maskz, covz = _mk_bgen_case(3, B=8, N=300)
+    N = k0.shape[1]
+    Wext = np.concatenate([covz, resz, maskz, ind.astype(float)[:, None]], axis=1)
+    Wp32, _ = fs.sample_pack(Wext, split=False, dtype=np.float32)
+    Wpsp, _ = fs.sample_pack(Wext, split=True)
+    Np = Wp32.shape[0]
+    planes = np.zeros((k0.shape[0], 2, Np), np.uint8)
+    planes[:, 0, :N] = k0
+    planes[:, 1, :N] = k1
+    pj = jnp.asarray(planes)
+    ref = fs.bgen_fused_products_xla(pj, Wp32)
+    out = fs.bgen_fused_products(pj, Wpsp, interpret=True, tb=8)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-3)
+
+
+def _assert_rows_equiv(f, g, rtol=1e-9, context=None):
+    """Rows numerically identical to print precision: same shape, same
+    NA pattern, every numeric field equal within rtol. (The BGEN fused
+    path sums integer byte products before the /255 scaling; the
+    standard path rounds each per-sample dosage first — f64 1e-16
+    differences can flip the last printed digit, so byte equality is
+    not guaranteed there.)"""
+    la = open(f).read().splitlines()
+    lb = open(g).read().splitlines()
+    assert len(la) == len(lb), (f, context)
+    assert la[0] == lb[0]
+    for ra, rb in zip(la[1:], lb[1:]):
+        ta, tb = ra.split(), rb.split()
+        assert len(ta) == len(tb), (ra, rb, context)
+        for xa, xb in zip(ta, tb):
+            if xa == xb:
+                continue
+            fa, fb = float(xa), float(xb)  # raises if NA mismatch
+            assert abs(fa - fb) <= rtol * max(1.0, abs(fa)), (ra, rb, context)
+
+
+def test_fused_bgen_cli_byte_identical(tmp_path):
+    """BGEN v1.2-8bit fused path (probability byte planes, dosage
+    moments from exact-bf16 dots, INFO from the info-linear products,
+    correction rows reconstructed on device) matches the standard decode
+    pipeline to print precision (byte-identical up to last-digit f64
+    rounding-order effects)."""
+    EX = "/root/reference/example"
+    import glob, os as _os
+
+    fits = {}
+    for tag, pheno, extra1 in (
+        ("q", "phenotype.txt", []),
+        ("b", "phenotype_bin.txt", ["--bt"]),
+    ):
+        fit = str(tmp_path / f"fit{tag}")
+        _run_cli([
+            "--step", "1", "--bed", f"{EX}/example",
+            "--exclude", f"{EX}/snplist_rm.txt",
+            "--covarFile", f"{EX}/covariates.txt",
+            "--phenoFile", f"{EX}/{pheno}",
+            "--remove", f"{EX}/fid_iid_to_remove.txt",
+            "--bsize", "100", *extra1, "--out", fit,
+        ])
+        fits[tag] = fit
+    scenarios = [
+        ("q", "phenotype.txt", []),
+        ("q", "phenotype.txt", ["--ref-first"]),
+        ("q", "phenotype.txt", ["--minINFO", "0.97"]),
+        ("b", "phenotype_bin.txt",
+         ["--bt", "--firth", "--approx", "--pThresh", "0.02"]),
+        ("b", "phenotype_bin.txt", ["--bt", "--spa", "--af-cc"]),
+    ]
+    for tag, pheno, extra in scenarios:
+        common = [
+            "--step", "2", "--bgen", f"{EX}/example.bgen",
+            "--covarFile", f"{EX}/covariates.txt",
+            "--phenoFile", f"{EX}/{pheno}",
+            "--remove", f"{EX}/fid_iid_to_remove.txt",
+            "--bsize", "200", "--pred", fits[tag] + "_pred.list",
+        ]
+        std = str(tmp_path / "std")
+        fus = str(tmp_path / "fus")
+        _run_cli(common + extra + ["--out", std])
+        out = _run_cli(common + extra + ["--out", fus],
+                       {"REGENIE_TPU_FUSED": "1"})
+        assert "BGEN fast path" in out, extra
+        stds = sorted(glob.glob(std + "*_Y*.regenie"))
+        assert stds
+        for f in stds:
+            g = f.replace(std, fus)
+            _assert_rows_equiv(f, g, context=extra)
+            _os.remove(f)
+            _os.remove(g)
