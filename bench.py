@@ -177,6 +177,9 @@ def main():
         try:
             if have_alarm:
                 signal.alarm(budget)  # covers backend init + compile
+            # untimed warmup: compile + backend init must not pollute
+            # the transfer-inclusive figure
+            jax.block_until_ready(fn(jnp.asarray(blocks[0])))
             # transfer-inclusive round (stderr only): fresh host buffers
             t0 = time.perf_counter()
             outs = [fn(jnp.asarray(rb)) for rb in blocks]

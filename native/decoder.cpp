@@ -93,6 +93,7 @@ int64_t bgen12_decode(const uint8_t* comp, const int64_t* offsets,
     }
     double* ds = dosage + v * n_samples;
     double* iv = info_num + v * n_samples;
+    if (usize < 10) ok = false;
     if (ok) {
       uint32_t N;
       memcpy(&N, buf, 4);
@@ -100,10 +101,18 @@ int64_t bgen12_decode(const uint8_t* comp, const int64_t* offsets,
       memcpy(&K, buf + 4, 2);
       uint8_t minp = buf[6], maxp = buf[7];
       const uint8_t* ploidy = buf + 8;
-      uint8_t phased = buf[8 + N];
-      uint8_t bits = buf[9 + N];
+      // validate the N-dependent extent before dereferencing past the
+      // ploidy array (truncated/corrupt block -> fail, not OOB read)
+      uint8_t phased = 1, bits = 0;
+      if ((int64_t)N == n_samples &&
+          usize >= (int64_t)(10 + (uint64_t)N + 2 * (uint64_t)N)) {
+        phased = buf[8 + N];
+        bits = buf[9 + N];
+      }
       if ((int64_t)N != n_samples || K != 2 || minp != 2 || maxp != 2 ||
-          phased != 0 || (bits != 8 && bits != 16)) {
+          phased != 0 || (bits != 8 && bits != 16) ||
+          (bits == 16 &&
+           usize < (int64_t)(10 + (uint64_t)N + 4 * (uint64_t)N))) {
         ok = false;
       } else {
         const uint8_t* body = buf + 10 + N;
@@ -168,8 +177,7 @@ int64_t bgen12_decode(const uint8_t* comp, const int64_t* offsets,
 int64_t bgen12_extract_planes(const uint8_t* comp, const int64_t* offsets,
                               const int64_t* csizes, const int64_t* usizes,
                               int64_t n_var, int64_t n_samples,
-                              int compression, uint8_t* k0_out,
-                              uint8_t* k1_out) {
+                              int compression, uint8_t* planes_out) {
   int64_t n_fail = 0;
 #if defined(_OPENMP)
 #pragma omp parallel for schedule(dynamic) reduction(+ : n_fail)
@@ -189,38 +197,46 @@ int64_t bgen12_extract_planes(const uint8_t* comp, const int64_t* offsets,
     } else {
       memcpy(buf, src, usize);
     }
-    uint8_t* k0 = k0_out + v * n_samples;
-    uint8_t* k1 = k1_out + v * n_samples;
-    if (ok) {
+    uint8_t* k0 = planes_out + v * 2 * n_samples;
+    uint8_t* k1 = k0 + n_samples;
+    if (ok && usize >= 10) {
       uint32_t N;
       memcpy(&N, buf, 4);
       uint16_t K;
       memcpy(&K, buf + 4, 2);
       uint8_t minp = buf[6], maxp = buf[7];
-      const uint8_t* ploidy = buf + 8;
-      uint8_t phased = buf[8 + N];
-      uint8_t bits = buf[9 + N];
+      // validate the full header+body extent BEFORE dereferencing the
+      // N-dependent offsets (a truncated/corrupt block must fail,
+      // not read out of bounds)
       if ((int64_t)N != n_samples || K != 2 || minp != 2 || maxp != 2 ||
-          phased != 0 || bits != 8 ||
-          usize < (int64_t)(10 + N + 2 * (uint64_t)N)) {
+          usize < (int64_t)(10 + (uint64_t)N + 2 * (uint64_t)N)) {
         ok = false;
       } else {
-        const uint8_t* body = buf + 10 + N;
-        for (int64_t i = 0; i < n_samples; i++) {
-          if (ploidy[i] & 0x80) {
-            k0[i] = 255;
-            k1[i] = 255;
-            continue;
+        const uint8_t* ploidy = buf + 8;
+        uint8_t phased = buf[8 + N];
+        uint8_t bits = buf[9 + N];
+        if (phased != 0 || bits != 8) {
+          ok = false;
+        } else {
+          const uint8_t* body = buf + 10 + N;
+          for (int64_t i = 0; i < n_samples; i++) {
+            if (ploidy[i] & 0x80) {
+              k0[i] = 255;
+              k1[i] = 255;
+              continue;
+            }
+            uint8_t a = body[2 * i], b = body[2 * i + 1];
+            if ((int)a + (int)b > 255) {
+              ok = false;
+              break;
+            }
+            k0[i] = a;
+            k1[i] = b;
           }
-          uint8_t a = body[2 * i], b = body[2 * i + 1];
-          if ((int)a + (int)b > 255) {
-            ok = false;
-            break;
-          }
-          k0[i] = a;
-          k1[i] = b;
         }
       }
+    } else {
+      ok = false;
     }
     if (!ok) n_fail += 1;
     delete[] buf;

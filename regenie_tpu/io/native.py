@@ -51,8 +51,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.bgen12_extract_planes.restype = ctypes.c_int64
         lib.bgen12_extract_planes.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_void_p,
         ]
     lib.pgen_decode_block.restype = ctypes.c_int64
     lib.pgen_decode_block.argtypes = [
@@ -131,17 +130,13 @@ def bgen12_extract_planes_native(
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     csizes = np.ascontiguousarray(csizes, dtype=np.int64)
     usizes = np.ascontiguousarray(usizes, dtype=np.int64)
-    k0 = np.ascontiguousarray(planes[:, 0, :])
-    k1 = np.ascontiguousarray(planes[:, 1, :])
     nfail = lib.bgen12_extract_planes(
         comp, offsets.ctypes.data, csizes.ctypes.data, usizes.ctypes.data,
         ctypes.c_int64(n_var), ctypes.c_int64(n_samples),
-        ctypes.c_int(compression), k0.ctypes.data, k1.ctypes.data,
+        ctypes.c_int(compression), planes.ctypes.data,
     )
     if nfail > 0:
         return None
-    planes[:, 0, :] = k0
-    planes[:, 1, :] = k1
     return planes
 
 

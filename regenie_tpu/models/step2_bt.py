@@ -55,20 +55,7 @@ def _score_bt_kernel_factory():
         # G_res for the correction subset only
         return G_rows * gsm[None, :] - mm(A_rows, XW.T)
 
-    @partial(jax.jit, static_argnames=("Pn", "Kp1"))
-    def _allpass_products(S1f, SQf, xwt, Pn, Kp1):
-        # same outputs as _allpass, but from the fused packed-bytes
-        # products (ops/fused_score.py): S1f = G Wext, SQf = G^2 Wext
-        # with Wext = [Wcat | gsm^2 | ...]
-        ncat = Pn * Kp1
-        S1 = S1f[:, :ncat].reshape(S1f.shape[0], Pn, Kp1)
-        A = S1[..., :-1]
-        q = S1[..., -1]
-        num = q - jnp.einsum("bpk,pk->bp", A, xwt, precision=_PREC)
-        denum = SQf[:, ncat : ncat + Pn] - (A**2).sum(-1)
-        return num, denum, S1
-
-    return _allpass, _gres_rows, _allpass_products
+    return _allpass, _gres_rows
 
 
 _SCORE_BT_KERNEL = None
@@ -123,12 +110,6 @@ def _gres_rows_device(G_rows, gsm, XW, A_rows):
     return _get_bt_kernels()[1](
         G_rows, jnp.asarray(gsm), jnp.asarray(XW), A_rows
     )
-
-
-def allpass_from_products(S1f, SQf, fc: "_FusedConsts"):
-    """num/denum/S1 for all passing traits from fused product matrices
-    (finalized-G products; column layout [Wcat | gsm^2 | ...])."""
-    return _get_bt_kernels()[2](S1f, SQf, fc.xwt_j, len(fc.cols), fc.Kmax + 1)
 
 
 @dataclass

@@ -408,10 +408,14 @@ def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool, test_type=0,
     host<->device round trip."""
     prod = fused_products if use_pallas else fused_products_xla
     C_used = consts.K + consts.P + consts.K * consts.P + consts.P + 1
+    # the Wext operand can be GBs at biobank scale (N x 3C bf16): pass
+    # it as an argument (device buffer by handle), never as a captured
+    # jit constant that would be inlined into the executable
+    Wp_dev = jax.device_put(consts.Wp)
 
     @jax.jit
-    def run(raw):
-        S1, SQ, SM = prod(raw, consts.Wp)
+    def _run(raw, Wp):
+        S1, SQ, SM = prod(raw, Wp)
         S1c, SQc, SMc = S1[:, :C_used], SQ[:, :C_used], SM[:, :C_used]
         if ref_first:
             S1c, SQc = ref_first_products(
@@ -423,6 +427,9 @@ def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool, test_type=0,
             consts.K, consts.P, consts.scale_denom, consts.n_ind, test_type,
         )
         return stats, denum, scale_fac, low, S1c, SQc, SMc
+
+    def run(raw):
+        return _run(raw, Wp_dev)
 
     return run
 
@@ -438,10 +445,11 @@ def make_bt_block_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
     prec = jax.lax.Precision.HIGHEST
     usum_j = jnp.asarray(usum[:C_used])
     xwt_j = jnp.asarray(xwt)
+    Wp_dev = jax.device_put(Wp)  # by handle, not a baked-in constant
 
     @jax.jit
-    def run(raw):
-        S1, SQ, SM = prod(raw, Wp)
+    def _run(raw, Wp_a):
+        S1, SQ, SM = prod(raw, Wp_a)
         S1c, SQc, SMc = S1[:, :C_used], SQ[:, :C_used], SM[:, :C_used]
         if ref_first:
             S1c, SQc = ref_first_products(
@@ -462,6 +470,9 @@ def make_bt_block_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
         num = q - jnp.einsum("bpk,pk->bp", A, xwt_j.astype(S1c.dtype), precision=prec)
         denum = SQf[:, ncat : ncat + Pn] - (A**2).sum(-1)
         return S1c, SQc, SMc, flip, num, denum, S1cat
+
+    def run(raw):
+        return _run(raw, Wp_dev)
 
     return run
 
@@ -557,13 +568,14 @@ def _bgen_kernel_split(pl_ref, wp_ref, d0_ref, d1_ref, q0_ref, q1_ref,
     d2 = d * d
     dn = (((1,), (0,)), ((), ()))
     w = wp_ref[:]
+    dt = w.dtype  # bf16 split operand, or f32 for the unsplit layout
     pe = jnp.float32
-    d0_ref[:] += jax.lax.dot_general(k0.astype(jnp.bfloat16), w, dn, preferred_element_type=pe)
-    d1_ref[:] += jax.lax.dot_general(k1.astype(jnp.bfloat16), w, dn, preferred_element_type=pe)
-    q0_ref[:] += jax.lax.dot_general((d2 & 255).astype(jnp.bfloat16), w, dn, preferred_element_type=pe)
-    q1_ref[:] += jax.lax.dot_general(((d2 >> 8) & 255).astype(jnp.bfloat16), w, dn, preferred_element_type=pe)
-    q2_ref[:] += jax.lax.dot_general((d2 >> 16).astype(jnp.bfloat16), w, dn, preferred_element_type=pe)
-    m_ref[:] += jax.lax.dot_general(miss.astype(jnp.bfloat16), w, dn, preferred_element_type=pe)
+    d0_ref[:] += jax.lax.dot_general(k0.astype(dt), w, dn, preferred_element_type=pe)
+    d1_ref[:] += jax.lax.dot_general(k1.astype(dt), w, dn, preferred_element_type=pe)
+    q0_ref[:] += jax.lax.dot_general((d2 & 255).astype(dt), w, dn, preferred_element_type=pe)
+    q1_ref[:] += jax.lax.dot_general(((d2 >> 8) & 255).astype(dt), w, dn, preferred_element_type=pe)
+    q2_ref[:] += jax.lax.dot_general((d2 >> 16).astype(dt), w, dn, preferred_element_type=pe)
+    m_ref[:] += jax.lax.dot_general(miss.astype(dt), w, dn, preferred_element_type=pe)
 
 
 @partial(jax.jit, static_argnames=("interpret", "tb", "tc"))
@@ -664,10 +676,11 @@ def make_qt_bgen_fn(consts: "FusedConsts", use_pallas: bool, ref_first=False):
     info-linear products (for the INFO column)."""
     prod = bgen_fused_products if use_pallas else bgen_fused_products_xla
     C_used = consts.K + consts.P + consts.K * consts.P + consts.P + 1
+    Wp_dev = jax.device_put(consts.Wp)  # by handle, not a constant
 
     @jax.jit
-    def run(planes):
-        S1, SQ, SM, IL = prod(planes, consts.Wp)
+    def _run(planes, Wp):
+        S1, SQ, SM, IL = prod(planes, Wp)
         S1c, SQc, SMc, ILc = _bgen_prepare(
             S1, SQ, SM, IL, consts.usum[:C_used].astype(S1.dtype),
             C_used, ref_first,
@@ -678,6 +691,9 @@ def make_qt_bgen_fn(consts: "FusedConsts", use_pallas: bool, ref_first=False):
             consts.K, consts.P, consts.scale_denom, consts.n_ind, 0,
         )
         return stats, denum, scale_fac, low, S1c, SQc, SMc, ILc
+
+    def run(planes):
+        return _run(planes, Wp_dev)
 
     return run
 
@@ -691,10 +707,11 @@ def make_bt_bgen_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
     prec = jax.lax.Precision.HIGHEST
     usum_j = jnp.asarray(usum[:C_used])
     xwt_j = jnp.asarray(xwt)
+    Wp_dev = jax.device_put(Wp)  # by handle, not a constant
 
     @jax.jit
-    def run(planes):
-        S1, SQ, SM, IL = prod(planes, Wp)
+    def _run(planes, Wp_a):
+        S1, SQ, SM, IL = prod(planes, Wp_a)
         S1c, SQc, SMc, ILc = _bgen_prepare(
             S1, SQ, SM, IL, usum_j.astype(S1.dtype), C_used, ref_first
         )
@@ -709,5 +726,8 @@ def make_bt_bgen_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
         num = q - jnp.einsum("bpk,pk->bp", A, xwt_j.astype(S1c.dtype), precision=prec)
         denum = SQf[:, ncat : ncat + Pn] - (A**2).sum(-1)
         return S1c, SQc, SMc, ILc, flip, num, denum, S1cat
+
+    def run(planes):
+        return _run(planes, Wp_dev)
 
     return run

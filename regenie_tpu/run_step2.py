@@ -696,9 +696,14 @@ class Step2Engine:
         if gd._bgen is not None:
             from .io.bgen import extract_planes_block
 
+            if getattr(self, "_fused_bgen_failed", False):
+                return None
             planes = extract_planes_block(gd._bgen, [s.offset for s in bsnps])
             if planes is None:
-                return None  # exotic layout -> standard decode fallback
+                # exotic layout (non-8-bit / phased / clipped): latch the
+                # failure so later blocks skip the doubled decompression
+                self._fused_bgen_failed = True
+                return None
             Nf = gd._bgen.n_samples_file
             Np = -(-Nf // fsc._TC) * fsc._TC
             if Np != Nf:
@@ -923,13 +928,14 @@ class Step2Engine:
         n_rr1 = ns1 - total1 + n_aa1
 
         mac_ignored, ignored_trait = self._mac_filters(params, bsnps, mac1, mac_t, B)
-        self.n_ignored += int(mac_ignored.sum())  # low_var excluded (as
-        # in test_prepared_block: the tally counts MAC filtering only)
-        ignored = mac_ignored | low_var
         if params.test_type == 2 and params.min_homs > 0:
-            ignored = ignored | self._rec_min_homs(
+            mac_ignored = mac_ignored | self._rec_min_homs(
                 S1h, SQh, SMh, icol, total1, ns1
             )
+        # low_var excluded from the tally (as in test_prepared_block:
+        # it counts MAC/minHOMs filtering only)
+        self.n_ignored += int(mac_ignored.sum())
+        ignored = mac_ignored | low_var
         info_t = None
         if ILh is not None:
             info_t = self._fused_info_t(ILh, SQh, SMh, msl, ns_t, af_t)
@@ -1004,12 +1010,12 @@ class Step2Engine:
         source = _FusedBTSource(self, raw_j, flip_j, num, denum, S1_all)
 
         mac_ignored, ignored_trait = self._mac_filters(params, bsnps, mac1, mac_t, B)
-        self.n_ignored += int(mac_ignored.sum())
-        ignored = mac_ignored
         if params.test_type == 2 and params.min_homs > 0:
-            ignored = ignored | self._rec_min_homs(
+            mac_ignored = mac_ignored | self._rec_min_homs(
                 S1h, SQh, SMh, icol, total1, ns1
             )
+        self.n_ignored += int(mac_ignored.sum())
+        ignored = mac_ignored
         info_t = None
         if ILh is not None:
             info_t = self._fused_info_t(ILh, SQh, SMh, msl, ns_t, af_t)
@@ -1089,14 +1095,9 @@ class Step2Engine:
         # --extract-or/--exclude-or: MAC filter only where the gate is set;
         # --force-mac-filter: separate threshold for flagged variants
         # (compute_mac, Geno.cpp:3100-3107)
-        mac_gate = np.array([s.mac_fail_if_checked for s in bsnps])
-        mac_thr = np.array([
-            params.forced_mac if s.forced_mac_filter and params.forced_mac > 0
-            else params.min_mac
-            for s in bsnps
-        ])
-        ignored = (mac1 < mac_thr) & mac_gate
-        ignored_trait = (sb["mac"] < mac_thr[:, None]) & mac_gate[:, None]
+        ignored, ignored_trait = self._mac_filters(
+            params, bsnps, mac1, sb["mac"], len(bsnps)
+        )
 
         # the prefetch thread mutates gd.last_info_num for the NEXT block;
         # the loop pins this block's numerators on the engine instead
