@@ -90,6 +90,47 @@ def plane_pack(Wext, nb, split, dtype=np.float32):
     return jnp.asarray(Wp.astype(dtype)), usum
 
 
+def plane_order_rows(X, nb):
+    """[N, C] -> plane-ordered [4, nbp, C] float64 (the row permutation
+    used by plane_pack, without padding columns)."""
+    N, C = X.shape
+    nbp = -(-nb // _TC) * _TC
+    out = np.zeros((4, nbp, C), dtype=np.float64)
+    for p in range(4):
+        src = 4 * np.arange(nb) + p
+        valid = src < N
+        out[p, np.nonzero(valid)[0]] = X[src[valid]]
+    return out
+
+
+def bf16_split3(w_j):
+    """f32 device array -> (hi, mid, lo) bf16 split components."""
+    hi = w_j.astype(jnp.bfloat16)
+    r1 = w_j - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def patch_res_columns(Wp_dev, res_planes, K, P, Cp, split):
+    """Per-chromosome operand update: overwrite the residual columns
+    [K:K+P] of a plane-packed Wext (and each bf16 split third) with the
+    new LOCO residuals — a device-side slice update instead of
+    re-packing and re-uploading the multi-GB operand.
+
+    Wp_dev: [4, nbp, Cp] plane layout or [Np, Cp] sample layout (x3
+    columns when split); res_planes: matching leading dims x [P]."""
+    if split:
+        r_j = jnp.asarray(res_planes, dtype=jnp.float32)
+        hi, mid, lo = bf16_split3(r_j)
+        Wp_dev = Wp_dev.at[..., K : K + P].set(hi)
+        Wp_dev = Wp_dev.at[..., Cp + K : Cp + K + P].set(mid)
+        Wp_dev = Wp_dev.at[..., 2 * Cp + K : 2 * Cp + K + P].set(lo)
+        return Wp_dev
+    r_j = jnp.asarray(res_planes).astype(Wp_dev.dtype)
+    return Wp_dev.at[..., K : K + P].set(r_j)
+
+
 def build_consts(cov, res, maskf, ind, scale_denom, nb=None, dtype=np.float32,
                  split=False, pack="plane"):
     """Build FusedConsts from per-sample arrays (numpy, float64 in).

@@ -281,6 +281,7 @@ class Step2Engine:
         self.maskf_j = jnp.asarray(self.maskf)
         self._op_cm = None  # onepass constants embed maskf
         self._fused_chrom = None
+        self._fused_static = None
 
     def prep_chrom(self, chrom: int):
         if chrom == self.cur_chrom:
@@ -779,16 +780,49 @@ class Step2Engine:
         # only raw BED file bytes still need the --ref-first transform
         rf = bool(getattr(params, "ref_first", False)) and gd._bed is not None
         if params.trait_mode == QT:
-            cov_f = self._scatter_file(pd.new_cov)
             res_f = self._scatter_file(self.res)
-            mask_f = self._scatter_file(self.maskf)
-            ind_f = self._scatter_file(
-                pd.ind_in_analysis.astype(np.float64)
-            ).astype(bool)
-            self._fused_consts = fsc.build_consts(
-                cov_f, res_f, mask_f, ind_f, self.scale_denom,
-                nb=nb, dtype=dtype, split=on_tpu,
-                pack="sample" if is_bgen else "plane",
+            static = getattr(self, "_fused_static", None)
+            if static is None:
+                # chromosome-independent part packed ONCE: cov/CM/mask/
+                # ind columns; residual columns start zero and are
+                # patched per chromosome on device (at UKB scale the
+                # full operand is GBs — rebuilding it 23x would dominate
+                # step-2 prep)
+                cov_f = self._scatter_file(pd.new_cov)
+                mask_f = self._scatter_file(self.maskf)
+                ind_f = self._scatter_file(
+                    pd.ind_in_analysis.astype(np.float64)
+                ).astype(bool)
+                base = fsc.build_consts(
+                    cov_f, np.zeros_like(res_f), mask_f, ind_f,
+                    self.scale_denom, nb=nb, dtype=dtype, split=on_tpu,
+                    pack="sample" if is_bgen else "plane",
+                )
+                covz_f = cov_f * ind_f.astype(np.float64)[:, None]
+                Cp = -(-(base.K + base.P + base.K * base.P + base.P + 1)
+                       // 128) * 128
+                self._fused_static = (
+                    base, covz_f, np.asarray(base.usum, dtype=np.float64), Cp,
+                )
+            base, covz_f, usum_static, Cp = self._fused_static
+            K, P = base.K, base.P
+            if is_bgen:
+                Np = base.Wp.shape[0]
+                res_pl = np.zeros((Np, P), np.float64)
+                res_pl[: res_f.shape[0]] = res_f
+            else:
+                res_pl = fsc.plane_order_rows(res_f, nb)
+            Wp = fsc.patch_res_columns(
+                base.Wp, res_pl.astype(np.float32) if on_tpu else res_pl,
+                K, P, Cp, on_tpu,
+            )
+            u = usum_static.copy()
+            u[K : K + P] = res_f.sum(axis=0)
+            self._fused_consts = fsc.FusedConsts(
+                Wp=Wp, usum=jnp.asarray(u.astype(dtype)),
+                covt_res=jnp.asarray((covz_f.T @ res_f).astype(dtype)),
+                Mmat=base.Mmat, n_ind=base.n_ind, K=K, P=P,
+                scale_denom=base.scale_denom, split=base.split,
             )
             if is_bgen:
                 self._fused_fn = fsc.make_qt_bgen_fn(

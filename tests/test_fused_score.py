@@ -537,3 +537,34 @@ def test_fused_bgen_cli_byte_identical(tmp_path):
             _assert_rows_equiv(f, g, context=extra)
             _os.remove(f)
             _os.remove(g)
+
+
+def test_fused_multichrom_res_patching(tmp_path):
+    """3-chromosome run: the per-chromosome residual-column patch of the
+    static packed operand reproduces the full-rebuild outputs exactly."""
+    EX = "/root/reference/example"
+    import glob
+
+    fit = str(tmp_path / "f3")
+    _run_cli([
+        "--step", "1", "--bed", f"{EX}/example_3chr",
+        "--covarFile", f"{EX}/covariates.txt",
+        "--phenoFile", f"{EX}/phenotype.txt",
+        "--bsize", "100", "--out", fit,
+    ])
+    common = [
+        "--step", "2", "--bed", f"{EX}/example_3chr",
+        "--covarFile", f"{EX}/covariates.txt",
+        "--phenoFile", f"{EX}/phenotype.txt",
+        "--bsize", "150", "--pred", fit + "_pred.list",
+    ]
+    std = str(tmp_path / "std")
+    fus = str(tmp_path / "fus")
+    _run_cli(common + ["--out", std])
+    out = _run_cli(common + ["--out", fus], {"REGENIE_TPU_FUSED": "1"})
+    assert "fast path" in out
+    stds = sorted(glob.glob(std + "*_Y*.regenie"))
+    assert stds
+    for f in stds:
+        g = f.replace(std, fus)
+        assert open(f, "rb").read() == open(g, "rb").read(), f
