@@ -591,8 +591,8 @@ def sample_pack(Wext, split, dtype=np.float32, tile=None):
     return jnp.asarray(W.astype(dtype)), usum
 
 
-def _bgen_kernel_split(pl_ref, wp_ref, d0_ref, d1_ref, q0_ref, q1_ref,
-                       q2_ref, m_ref):
+def _bgen_kernel_split(pl_ref, wp_ref, wq_ref, d0_ref, d1_ref, q0_ref,
+                       q1_ref, q2_ref, m_ref):
     from jax.experimental import pallas as pl
 
     @pl.when(pl.program_id(1) == 0)
@@ -609,59 +609,89 @@ def _bgen_kernel_split(pl_ref, wp_ref, d0_ref, d1_ref, q0_ref, q1_ref,
     d2 = d * d
     dn = (((1,), (0,)), ((), ()))
     w = wp_ref[:]
+    # the squared-dosage products feed only the SQ-consumer columns
+    # ([gsm^2|maskf|case|ind] tail) — dot them against the narrow
+    # operand instead of the full width (1.5-1.7x fewer MXU flops at
+    # biobank trait counts)
+    wq = wq_ref[:]
     dt = w.dtype  # bf16 split operand, or f32 for the unsplit layout
     pe = jnp.float32
     d0_ref[:] += jax.lax.dot_general(k0.astype(dt), w, dn, preferred_element_type=pe)
     d1_ref[:] += jax.lax.dot_general(k1.astype(dt), w, dn, preferred_element_type=pe)
-    q0_ref[:] += jax.lax.dot_general((d2 & 255).astype(dt), w, dn, preferred_element_type=pe)
-    q1_ref[:] += jax.lax.dot_general(((d2 >> 8) & 255).astype(dt), w, dn, preferred_element_type=pe)
-    q2_ref[:] += jax.lax.dot_general((d2 >> 16).astype(dt), w, dn, preferred_element_type=pe)
+    q0_ref[:] += jax.lax.dot_general((d2 & 255).astype(dt), wq, dn, preferred_element_type=pe)
+    q1_ref[:] += jax.lax.dot_general(((d2 >> 8) & 255).astype(dt), wq, dn, preferred_element_type=pe)
+    q2_ref[:] += jax.lax.dot_general((d2 >> 16).astype(dt), wq, dn, preferred_element_type=pe)
     m_ref[:] += jax.lax.dot_general(miss.astype(dt), w, dn, preferred_element_type=pe)
 
 
-@partial(jax.jit, static_argnames=("interpret", "tb", "tc"))
-def bgen_fused_products(planes, Wp, interpret=False, tb=512, tc=_TC):
-    """planes: [B, 2, Np] uint8; Wp: [Np, Cw] (sample_pack). Returns
-    (S1, SQ, SM, IL) each [B, C] float32 — dosage, squared-dosage,
-    missing, and info-linear (4p0+p1) products of the raw (missing-as-
-    zero) dosages."""
+@partial(jax.jit, static_argnames=("interpret", "tb", "tc", "qs", "C_used"))
+def bgen_fused_products(planes, Wp, Wq=None, qs=0, C_used=None,
+                        interpret=False, tb=512, tc=_TC):
+    """planes: [B, 2, Np] uint8; Wp: [Np, Cw] (sample_pack); Wq: the
+    narrow SQ-consumer operand (sample_pack of Wext[:, qs:]), or None
+    to use the full width. Returns (S1, SQ, SM, IL) each [B, C]
+    float32 — dosage, squared-dosage, missing, and info-linear (4p0+p1)
+    products of the raw (missing-as-zero) dosages. With a narrow Wq,
+    SQ's columns outside [qs:C_used] are ZERO."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B = planes.shape[0]
     Cw = Wp.shape[1]
+    if Wq is None:
+        Wq = Wp
+        qs = 0
+    Cwq = Wq.shape[1]
     split = Wp.dtype == jnp.bfloat16
     grid = (pl.cdiv(B, tb), pl.cdiv(planes.shape[2], tc))
     outs = pl.pallas_call(
         _bgen_kernel_split,
-        out_shape=[jax.ShapeDtypeStruct((B, Cw), jnp.float32)] * 6,
+        out_shape=[jax.ShapeDtypeStruct((B, Cw), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((B, Cwq), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct((B, Cw), jnp.float32)],
         grid=grid,
         in_specs=[
             pl.BlockSpec((tb, 2, tc), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, Cw), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, Cwq), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((tb, Cw), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
         ]
-        * 6,
+        * 2
+        + [pl.BlockSpec((tb, Cwq), lambda i, j: (i, 0), memory_space=pltpu.VMEM)]
+        * 3
+        + [pl.BlockSpec((tb, Cw), lambda i, j: (i, 0), memory_space=pltpu.VMEM)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(planes, Wp)
-    return _bgen_combine(outs, Cw, split)
+    )(planes, Wp, Wq)
+    D0, D1, Q0, Q1, Q2, M = outs
+    S1, SQn, SM, IL = _bgen_combine((D0, D1, Q0, Q1, Q2, M), Cw, split, Cwq)
+    if qs:
+        # scatter the narrow SQ back onto the full column frame (the
+        # non-q columns are never consumed downstream)
+        C = S1.shape[1]
+        nq = (C_used - qs) if C_used is not None else SQn.shape[1]
+        SQ = jnp.zeros_like(S1).at[:, qs : qs + nq].set(SQn[:, :nq])
+    else:
+        SQ = SQn
+    return S1, SQ, SM, IL
 
 
-def _bgen_combine(outs, Cw, split):
+def _bgen_combine(outs, Cw, split, Cwq=None):
     D0, D1, Q0, Q1, Q2, M = outs
     if split:
         C = Cw // 3
+        Cq = (Cwq if Cwq is not None else Cw) // 3
 
-        def fold(d):
-            return d[:, :C] + d[:, C : 2 * C] + d[:, 2 * C :]
+        def fold(d, c):
+            return d[:, :c] + d[:, c : 2 * c] + d[:, 2 * c :]
 
-        D0, D1, Q0, Q1, Q2, M = map(fold, (D0, D1, Q0, Q1, Q2, M))
+        D0, D1, M = (fold(x, C) for x in (D0, D1, M))
+        Q0, Q1, Q2 = (fold(x, Cq) for x in (Q0, Q1, Q2))
     S1 = (2.0 * D0 + D1) / 255.0
     SQ = (65536.0 * Q2 + 256.0 * Q1 + Q0) / (255.0 * 255.0)
     IL = (4.0 * D0 + D1) / 255.0
@@ -711,17 +741,25 @@ def _bgen_prepare(S1, SQ, SM, IL, usum_j, C_used, ref_first):
     return S1c, SQc, SMc, ILc
 
 
-def make_qt_bgen_fn(consts: "FusedConsts", use_pallas: bool, ref_first=False):
+def make_qt_bgen_fn(consts: "FusedConsts", use_pallas: bool, ref_first=False,
+                    Wq=None, qs=0):
     """One-dispatch QT block function over BGEN probability byte planes.
     Returns the QT score outputs plus the raw product slices and the
-    info-linear products (for the INFO column)."""
-    prod = bgen_fused_products if use_pallas else bgen_fused_products_xla
+    info-linear products (for the INFO column). Wq/qs: optional narrow
+    SQ-consumer operand (sample_pack of Wext[:, qs:])."""
     C_used = consts.K + consts.P + consts.K * consts.P + consts.P + 1
     Wp_dev = jax.device_put(consts.Wp)  # by handle, not a constant
+    Wq_dev = jax.device_put(Wq) if (Wq is not None and use_pallas) else None
+    use_q = Wq_dev is not None
 
     @jax.jit
-    def _run(planes, Wp):
-        S1, SQ, SM, IL = prod(planes, Wp)
+    def _run(planes, Wp, Wq_a):
+        if use_pallas:
+            S1, SQ, SM, IL = bgen_fused_products(
+                planes, Wp, Wq_a, qs if use_q else 0, C_used
+            )
+        else:
+            S1, SQ, SM, IL = bgen_fused_products_xla(planes, Wp)
         S1c, SQc, SMc, ILc = _bgen_prepare(
             S1, SQ, SM, IL, consts.usum[:C_used].astype(S1.dtype),
             C_used, ref_first,
@@ -734,25 +772,32 @@ def make_qt_bgen_fn(consts: "FusedConsts", use_pallas: bool, ref_first=False):
         return stats, denum, scale_fac, low, S1c, SQc, SMc, ILc
 
     def run(planes):
-        return _run(planes, Wp_dev)
+        return _run(planes, Wp_dev, Wq_dev if use_q else Wp_dev)
 
     return run
 
 
 def make_bt_bgen_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
-                    use_pallas: bool, ref_first=False):
+                    use_pallas: bool, ref_first=False, Wq=None, qs=0):
     """One-dispatch BT/CT block function over BGEN byte planes (ADD
     coding only): products -> on-device flip -> product-space
-    finalization -> all-trait num/denum + info-linear products."""
-    prod = bgen_fused_products if use_pallas else bgen_fused_products_xla
+    finalization -> all-trait num/denum + info-linear products.
+    Wq/qs: optional narrow SQ-consumer operand."""
     prec = jax.lax.Precision.HIGHEST
     usum_j = jnp.asarray(usum[:C_used])
     xwt_j = jnp.asarray(xwt)
     Wp_dev = jax.device_put(Wp)  # by handle, not a constant
+    Wq_dev = jax.device_put(Wq) if (Wq is not None and use_pallas) else None
+    use_q = Wq_dev is not None
 
     @jax.jit
-    def _run(planes, Wp_a):
-        S1, SQ, SM, IL = prod(planes, Wp_a)
+    def _run(planes, Wp_a, Wq_a):
+        if use_pallas:
+            S1, SQ, SM, IL = bgen_fused_products(
+                planes, Wp_a, Wq_a, qs if use_q else 0, C_used
+            )
+        else:
+            S1, SQ, SM, IL = bgen_fused_products_xla(planes, Wp_a)
         S1c, SQc, SMc, ILc = _bgen_prepare(
             S1, SQ, SM, IL, usum_j.astype(S1.dtype), C_used, ref_first
         )
@@ -769,6 +814,6 @@ def make_bt_bgen_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
         return S1c, SQc, SMc, ILc, flip, num, denum, S1cat
 
     def run(planes):
-        return _run(planes, Wp_dev)
+        return _run(planes, Wp_dev, Wq_dev if use_q else Wp_dev)
 
     return run

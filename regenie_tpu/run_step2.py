@@ -804,6 +804,14 @@ class Step2Engine:
                 self._fused_static = (
                     base, covz_f, np.asarray(base.usum, dtype=np.float64), Cp,
                 )
+                if is_bgen:
+                    tailz = np.concatenate(
+                        [mask_f * ind_f.astype(np.float64)[:, None],
+                         ind_f.astype(np.float64)[:, None]], axis=1,
+                    )
+                    self._fused_qt_Wq, _ = fsc.sample_pack(
+                        tailz, split=on_tpu, dtype=dtype
+                    )
             base, covz_f, usum_static, Cp = self._fused_static
             K, P = base.K, base.P
             if is_bgen:
@@ -828,6 +836,7 @@ class Step2Engine:
                 self._fused_fn = fsc.make_qt_bgen_fn(
                     self._fused_consts, on_tpu,
                     bool(getattr(params, "ref_first", False)),
+                    Wq=self._fused_qt_Wq, qs=K + P + K * P,
                 )
             else:
                 self._fused_fn = fsc.make_qt_block_fn(
@@ -871,10 +880,14 @@ class Step2Engine:
                 n_ind=float(ind.sum()), nb=nb,
             )
             if is_bgen:
+                Wq, _ = fsc.sample_pack(
+                    Wext_f[:, ncat:], split=on_tpu, dtype=dtype
+                )
                 self._fused_fn = fsc.make_bt_bgen_fn(
                     Wp, usum, np.asarray(fc.xwt_j), C_used, C_used - 1,
                     float(ind.sum()), ncat, Pn, Kp1, on_tpu,
                     bool(getattr(params, "ref_first", False)),
+                    Wq=Wq, qs=ncat,
                 )
             else:
                 self._fused_fn = fsc.make_bt_block_fn(
