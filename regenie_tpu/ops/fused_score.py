@@ -8,9 +8,14 @@ packed bytes ([B, N/4] uint8 — 16x smaller than f32 G), decodes each
 2-bit plane in VMEM, and accumulates three MXU products against a
 combined per-sample operand
 
-    Wext = [cov (K) | res (P) | cov_k*maskf_p (K*P) | maskf (P) | ind (1)]
+    Wext = [cov (K) | res (P) | cov_k*maskf_p (K*nI) | maskf (P) | ind (1)]
 
-(rows of excluded samples zeroed on the host):
+(rows of excluded samples zeroed on the host). The CM interaction
+columns exist only for the nI traits with missing phenotype values
+(`FusedConsts.inc`): a complete trait sees the identity masked Gram, so
+its denum collapses to g2m - ||A||^2 and its K columns drop from the
+operand — at biobank trait counts (P=50, K~20) this shrinks the
+dominant K*P block to K*nI:
 
     S1[b, :] = sum_n  g0[b, n]      * Wext[n, :]   (missing coded as 0)
     SQ[b, :] = sum_n  g0[b, n]^2    * Wext[n, :]
@@ -60,6 +65,15 @@ class FusedConsts(NamedTuple):
     P: int
     scale_denom: float  # n_analyzed - ncov
     split: bool = False  # bf16-split operand layout
+    inc: tuple = None  # incomplete-trait indices (None = all P traits
+    #                    carry CM interaction columns — legacy layout)
+
+    def n_inc(self) -> int:
+        return self.P if self.inc is None else len(self.inc)
+
+    def layout_C(self) -> int:
+        """Used columns: [cov K | res P | CM K*n_inc | maskf P | ind]."""
+        return self.K + self.P + self.K * self.n_inc() + self.P + 1
 
 
 def plane_pack(Wext, nb, split, dtype=np.float32):
@@ -158,13 +172,24 @@ def build_consts(cov, res, maskf, ind, scale_denom, nb=None, dtype=np.float32,
     covz = cov * indf[:, None]
     resz = res * indf[:, None]
     maskz = maskf * indf[:, None]
-    CM = (covz[:, :, None] * maskz[:, None, :]).reshape(N, K * P)
+    # CM interaction columns exist only for traits with MISSING
+    # phenotype values: for a complete trait the masked Gram is the
+    # identity (orthonormal cov) and denum collapses to g2m - ||A||^2,
+    # so K columns per complete trait drop out of the operand entirely
+    # (the dominant width at biobank trait counts)
+    inc = tuple(
+        int(p) for p in range(P)
+        if maskz[:, p].sum() < indf.sum() - 0.5
+    )
+    CM = (
+        covz[:, :, None] * maskz[:, None, list(inc)]
+    ).reshape(N, K * len(inc))
     Wext = np.concatenate([covz, resz, CM, maskz, indf[:, None]], axis=1)
     if pack == "plane":
         Wp_out, usum = plane_pack(Wext, nb, split, dtype)
     else:  # sample-ordered operand (BGEN byte planes)
         Wp_out, usum = sample_pack(Wext, split, dtype)
-    Mmat = np.einsum("nk,np,nl->pkl", covz, maskz, covz)
+    Mmat = np.einsum("nk,np,nl->pkl", covz, maskz[:, list(inc)], covz)
     covt_res = covz.T @ resz
     return FusedConsts(
         Wp=Wp_out,
@@ -176,6 +201,7 @@ def build_consts(cov, res, maskf, ind, scale_denom, nb=None, dtype=np.float32,
         P=P,
         scale_denom=float(scale_denom),
         split=bool(split),
+        inc=inc,
     )
 
 
@@ -342,20 +368,26 @@ def fused_products_xla(raw, Wp):
     return S1, SQ, SM
 
 
-@partial(jax.jit, static_argnames=("K", "P", "scale_denom", "n_ind", "test_type"))
+@partial(jax.jit, static_argnames=("K", "P", "scale_denom", "n_ind",
+                                   "test_type", "inc"))
 def fused_epilogue(S1, SQ, SM, flip, usum, covt_res, Mmat, K, P, scale_denom,
-                   n_ind, test_type=0):
+                   n_ind, test_type=0, inc=None):
     """[B, C] products -> (stats, denum, scale_fac, low, af_num) on the
     score_qt_block_onepass contract.
 
     Applies (1) mean imputation as a rank-1 update in product space,
     (2) minor-allele flip G -> 2*ind - G algebraically (ADD) or the
     DOM/REC recoding via the class-product identities, (3) the
-    orthonormal-covariate projection identities.
+    orthonormal-covariate projection identities. Traits NOT in `inc`
+    (= complete phenotypes) have no CM columns: their denum is exactly
+    g2m - ||A||^2; Mmat covers only the `inc` traits.
     flip: [B] bool. af_num: [B] imputed allele-count sum (for AF/MAC).
     """
     prec = jax.lax.Precision.HIGHEST
-    C_used = K + P + K * P + P + 1
+    if inc is None:
+        inc = tuple(range(P))
+    nI = len(inc)
+    C_used = K + P + K * nI + P + 1
     S1f, SQf = finalized_products(
         S1[:, :C_used], SQ[:, :C_used], SM[:, :C_used], flip,
         usum[:C_used], C_used - 1, n_ind, test_type,
@@ -365,18 +397,22 @@ def fused_epilogue(S1, SQ, SM, flip, usum, covt_res, Mmat, K, P, scale_denom,
 
     A = S1f[:, :K]
     numY = S1f[:, K : K + P]
-    T = S1f[:, K + P : K + P + K * P].reshape(-1, K, P)
-    g2m = SQf[:, K + P + K * P : K + P + K * P + P]
+    g2m = SQf[:, K + P + K * nI : K + P + K * nI + P]
     g2 = SQf[:, icol]
-    scale2 = (g2 - (A**2).sum(axis=1)) / scale_denom
+    A2 = (A**2).sum(axis=1)
+    scale2 = (g2 - A2) / scale_denom
     scale_fac = jnp.sqrt(jnp.maximum(scale2, 0.0))
     low = scale_fac < 1e-8
     num_raw = numY - jnp.matmul(A, covt_res, precision=prec)
-    denum_raw = (
-        g2m
-        - 2.0 * jnp.einsum("bk,bkp->bp", A, T, precision=prec)
-        + jnp.einsum("bk,pkl,bl->bp", A, Mmat, A, precision=prec)
-    )
+    denum_raw = g2m - A2[:, None]  # exact for complete traits
+    if nI:
+        T = S1f[:, K + P : K + P + K * nI].reshape(-1, K, nI)
+        denum_inc = (
+            g2m[:, jnp.asarray(inc)]
+            - 2.0 * jnp.einsum("bk,bkp->bp", A, T, precision=prec)
+            + jnp.einsum("bk,pkl,bl->bp", A, Mmat, A, precision=prec)
+        )
+        denum_raw = denum_raw.at[:, jnp.asarray(inc)].set(denum_inc)
     denum_raw = jnp.maximum(denum_raw, 1e-30)
     stats = num_raw / jnp.sqrt(denum_raw)
     denum = denum_raw / jnp.where(low, 1.0, scale2)[:, None]
@@ -448,7 +484,7 @@ def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool, test_type=0,
     per chromosome — separate jit calls per block would each pay a
     host<->device round trip."""
     prod = fused_products if use_pallas else fused_products_xla
-    C_used = consts.K + consts.P + consts.K * consts.P + consts.P + 1
+    C_used = consts.layout_C()
     # the Wext operand can be GBs at biobank scale (N x 3C bf16): pass
     # it as an argument (device buffer by handle), never as a captured
     # jit constant that would be inlined into the executable
@@ -466,6 +502,7 @@ def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool, test_type=0,
         stats, denum, scale_fac, low, _af = fused_epilogue(
             S1c, SQc, SMc, flip, consts.usum, consts.covt_res, consts.Mmat,
             consts.K, consts.P, consts.scale_denom, consts.n_ind, test_type,
+            consts.inc,
         )
         return stats, denum, scale_fac, low, S1c, SQc, SMc
 
@@ -552,6 +589,8 @@ def score_block_fused(raw, flip, consts: FusedConsts, interpret=False, use_palla
         consts.P,
         consts.scale_denom,
         consts.n_ind,
+        0,
+        consts.inc,
     )
 
 
@@ -747,7 +786,7 @@ def make_qt_bgen_fn(consts: "FusedConsts", use_pallas: bool, ref_first=False,
     Returns the QT score outputs plus the raw product slices and the
     info-linear products (for the INFO column). Wq/qs: optional narrow
     SQ-consumer operand (sample_pack of Wext[:, qs:])."""
-    C_used = consts.K + consts.P + consts.K * consts.P + consts.P + 1
+    C_used = consts.layout_C()
     Wp_dev = jax.device_put(consts.Wp)  # by handle, not a constant
     Wq_dev = jax.device_put(Wq) if (Wq is not None and use_pallas) else None
     use_q = Wq_dev is not None
@@ -768,6 +807,7 @@ def make_qt_bgen_fn(consts: "FusedConsts", use_pallas: bool, ref_first=False,
         stats, denum, scale_fac, low, _af = fused_epilogue(
             S1c, SQc, SMc, flip, consts.usum, consts.covt_res, consts.Mmat,
             consts.K, consts.P, consts.scale_denom, consts.n_ind, 0,
+            consts.inc,
         )
         return stats, denum, scale_fac, low, S1c, SQc, SMc, ILc
 

@@ -799,8 +799,7 @@ class Step2Engine:
                     pack="sample" if is_bgen else "plane",
                 )
                 covz_f = cov_f * ind_f.astype(np.float64)[:, None]
-                Cp = -(-(base.K + base.P + base.K * base.P + base.P + 1)
-                       // 128) * 128
+                Cp = -(-base.layout_C() // 128) * 128
                 self._fused_static = (
                     base, covz_f, np.asarray(base.usum, dtype=np.float64), Cp,
                 )
@@ -831,12 +830,14 @@ class Step2Engine:
                 covt_res=jnp.asarray((covz_f.T @ res_f).astype(dtype)),
                 Mmat=base.Mmat, n_ind=base.n_ind, K=K, P=P,
                 scale_denom=base.scale_denom, split=base.split,
+                inc=base.inc,
             )
             if is_bgen:
                 self._fused_fn = fsc.make_qt_bgen_fn(
                     self._fused_consts, on_tpu,
                     bool(getattr(params, "ref_first", False)),
-                    Wq=self._fused_qt_Wq, qs=K + P + K * P,
+                    Wq=self._fused_qt_Wq,
+                    qs=self._fused_consts.layout_C() - (P + 1),
                 )
             else:
                 self._fused_fn = fsc.make_qt_block_fn(
@@ -958,9 +959,9 @@ class Step2Engine:
         low_var = np.asarray(low_var)
 
         # per-variant stats from the raw (pre-imputation) products
-        C_used = K + P + K * P + P + 1
+        C_used = consts.layout_C()
         icol = C_used - 1
-        msl = slice(K + P + K * P, K + P + K * P + P)
+        msl = slice(C_used - 1 - P, C_used - 1)
         total1 = S1h[:, icol]
         ns1 = consts.n_ind - SMh[:, icol]
         with np.errstate(divide="ignore", invalid="ignore"):
