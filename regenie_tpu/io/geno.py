@@ -100,6 +100,38 @@ class GenoData:
         self.last_info_num = None
         return G
 
+    def read_block_device(self, block_snps: List[SnpInfo],
+                          force_packed: bool = False):
+        """Read a genotype block, shipping PACKED 2-bit bytes to the
+        accelerator and decoding there when the input is BED and a
+        non-CPU backend is active (4x less host->device traffic than
+        int8; 16x less than f32; no host-side decode either). Falls
+        back to the host decode path otherwise.
+
+        Returns [B, N] int8 (device or host array). Shared by the
+        step-1 level-0 loop and step-2 block scoring."""
+        import jax
+
+        if self._bed is not None and (force_packed
+                                      or jax.default_backend() != "cpu"):
+            import jax.numpy as jnp
+
+            from ..ops.geno_ops import decode_bed_packed
+
+            offsets = np.array([s.offset for s in block_snps])
+            start, stop = int(offsets[0]), int(offsets[-1]) + 1
+            raw = self._bed.read_block_bytes(start, stop - start)
+            Gd = decode_bed_packed(jnp.asarray(raw), self._bed.n_samples)
+            if getattr(self.params, "ref_first", False):
+                Gd = jnp.where(Gd == -3, Gd, 2 - Gd).astype(jnp.int8)
+            if len(offsets) != stop - start:
+                Gd = Gd[jnp.asarray(offsets - start)]
+            if not self._keep_all_samples:
+                Gd = Gd[:, jnp.asarray(self.sample_keep_idx)]
+            self.last_info_num = None
+            return Gd
+        return self.read_block(block_snps)
+
     def read_block_scattered(self, block_snps: List[SnpInfo]) -> np.ndarray:
         """Decode an arbitrary (possibly non-contiguous) variant list.
 

@@ -253,12 +253,15 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=1)
-    fut = pool.submit(gd.read_block, blocks[0][1]) if blocks else None
+    # BED blocks ship as packed 2-bit bytes decoded on the accelerator
+    # (GenoData.read_block_device): 4x less host->device traffic than
+    # int8 and no host-side LUT decode in the prefetch thread
+    fut = pool.submit(gd.read_block_device, blocks[0][1]) if blocks else None
     for bidx, (chrom, bsnps) in enumerate(blocks):
         chr_nblocks[chrom] = chr_nblocks.get(chrom, 0) + 1
         G_raw = fut.result()
         if bidx + 1 < len(blocks):
-            fut = pool.submit(gd.read_block, blocks[bidx + 1][1])
+            fut = pool.submit(gd.read_block_device, blocks[bidx + 1][1])
         G = prepare_block_step1(jnp.asarray(G_raw), ind_j)
         G, scale_G = m1.residualize_geno_block(G, cov_j, scale_denom)
         if not np.all(np.asarray(scale_G) > params.numtol):
@@ -267,6 +270,7 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
         if params.alpha_prior != -1:
             # MAF-dependent prior on effect sizes: scale each SNP row by
             # [p(1-p)]^((1+alpha)/2) (residualize_genotypes, Data.cpp:215)
+            G_raw = np.asarray(G_raw)  # host copy (device array on TPU)
             valid = (G_raw != -3) & pd.ind_in_analysis[None, :]
             total = np.where(valid, G_raw, 0).sum(axis=1, dtype=np.float64)
             af = total / (2.0 * valid.sum(axis=1))

@@ -363,30 +363,9 @@ class Step2Engine:
             raise NotImplementedError("trait mode not yet implemented in step 2")
 
     def read_block_device(self, bsnps, force_packed: bool = False):
-        """Read a genotype block, shipping PACKED 2-bit bytes to the
-        accelerator and decoding there when the input is BED and a
-        non-CPU backend is active (4x less host->device traffic than
-        int8; 16x less than f32). Falls back to the host decode path
-        otherwise. Returns [B, N] int8 (device or host array)."""
-        import jax
-
-        gd = self.gd
-        if gd._bed is not None and (force_packed or jax.default_backend() != "cpu"):
-            from .ops.geno_ops import decode_bed_packed
-
-            offsets = np.array([s.offset for s in bsnps])
-            start, stop = int(offsets[0]), int(offsets[-1]) + 1
-            raw = gd._bed.read_block_bytes(start, stop - start)
-            Gd = decode_bed_packed(jnp.asarray(raw), gd._bed.n_samples)
-            if getattr(self.params, "ref_first", False):
-                Gd = jnp.where(Gd == -3, Gd, 2 - Gd).astype(jnp.int8)
-            if len(offsets) != stop - start:
-                Gd = Gd[jnp.asarray(offsets - start)]
-            if not gd._keep_all_samples:
-                Gd = Gd[:, jnp.asarray(gd.sample_keep_idx)]
-            gd.last_info_num = None
-            return Gd
-        return gd.read_block(bsnps)
+        """Packed-bytes device decode for BED (io/geno.py
+        GenoData.read_block_device); host decode otherwise."""
+        return self.gd.read_block_device(bsnps, force_packed)
 
     def pheno_counts(self, ph):
         """(n_cases_or_total, n_controls_or_None) for HTP gene rows."""
