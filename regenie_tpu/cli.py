@@ -804,6 +804,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         log(f"ERROR: {e}")
         log_fh.close()
         raise
+    if getattr(params, "debug", False):
+        from .utils.stats import peak_rss_line
+
+        log(peak_rss_line())
     log(f"Elapsed time : {time.time()-t0:.5g}s")
     log("End time: " + time.strftime("%a %b %d %H:%M:%S %Y"))
     log_fh.close()

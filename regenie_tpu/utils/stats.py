@@ -91,6 +91,20 @@ def convert_logp_raw(logp) -> str:
     return "%.1fe-%d" % (10.0**res, base)
 
 
+def peak_rss_line() -> str:
+    """Peak resident-set size from /proc/self/status (get_mem,
+    Regenie.cpp:1942-1959; printed in debug mode at end of run)."""
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmHWM:"):
+                    kb = float(line.split()[1])
+                    return f" * peak memory usage : {kb / 1e6:.1f}GB"
+    except OSError:
+        pass
+    return " * peak memory usage : unavailable"
+
+
 def usage_info_line(params) -> str:
     """Approximate host-memory estimate (print_usage_info,
     Regenie.cpp:1510-1552): per-sample double vectors held in RAM."""
