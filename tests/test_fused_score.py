@@ -65,6 +65,7 @@ def test_fused_products_algebra_matches_pipeline(seed):
     stats, denum, sf, low, af_num = fs.fused_epilogue(
         S1, SQ, SM, jnp.asarray(flip), consts.usum, consts.covt_res,
         consts.Mmat, consts.K, consts.P, consts.scale_denom, consts.n_ind,
+        inc=consts.inc,
     )
     np.testing.assert_allclose(np.asarray(stats), np.asarray(exp_stats),
                                rtol=1e-9, atol=1e-9)
@@ -78,6 +79,34 @@ def test_fused_products_algebra_matches_pipeline(seed):
         finalize_block_step2(jnp.asarray(G_int8), jnp.asarray(ind), jnp.asarray(flip))
     )
     np.testing.assert_allclose(np.asarray(af_num), Gfin.sum(axis=1), rtol=1e-9)
+
+
+@pytest.mark.parametrize("n_complete", [1, 3])
+def test_fused_cm_elision_mixed_traits(n_complete):
+    """Traits with complete phenotypes carry no CM operand columns
+    (denum = g2m - ||A||^2 exactly); mixed complete/incomplete trait
+    sets must still match the full reference pipeline."""
+    N, P, K = 601, 3, 4
+    raw, nb, ind, flip, covz, resz, maskz, sden = _mk_case(11, N=N, P=P, K=K)
+    indf = ind.astype(np.float64)
+    for p in range(n_complete):  # make trait p complete
+        maskz[:, p] = indf
+    exp = _reference(raw, nb, N, ind, flip, covz, resz, maskz, sden)
+
+    consts = fs.build_consts(covz, resz, maskz, ind, sden, nb=nb,
+                             dtype=np.float64)
+    assert len(consts.inc) == P - n_complete
+    assert consts.layout_C() == K + P + K * (P - n_complete) + P + 1
+    rawp = fs.pad_raw(raw)
+    stats, denum, sf, low, _af = fs.score_block_fused(
+        jnp.asarray(rawp), jnp.asarray(flip), consts, use_pallas=False
+    )
+    np.testing.assert_allclose(np.asarray(stats), np.asarray(exp[0]),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(denum), np.asarray(exp[1]),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(sf), np.asarray(exp[2]), rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(low), np.asarray(exp[3]))
 
 
 def test_fused_products_f32_close():
