@@ -1295,6 +1295,34 @@ def write_block_rows(params, pd, writers, bsnps, r: BlockResult, test_name="ADD"
                 )
             )
         return
+    # hot path: whole-column native rendering (OpenMP snprintf), one
+    # call per trait; byte-identical to the per-row loop below
+    from .io.output import block_prefixes, format_block_single
+
+    prefix = None
+    for ph in range(params.n_pheno):
+        if not pd.pheno_pass[ph] or writers[ph] is None:
+            continue
+        if prefix is None:
+            prefix = block_prefixes(bsnps)
+        payload = format_block_single(
+            params, prefix[0], prefix[1], test_name,
+            skip=r.ignored | r.ignored_trait[:, ph],
+            af=r.af_t[:, ph],
+            info=r.info_t[:, ph] if r.info_t is not None else None,
+            n=r.ns_t[:, ph], beta=r.bhat[:, ph], se=r.se[:, ph],
+            chisq=r.chisq[:, ph], logp=r.logp[:, ph],
+            test_fail=r.test_fail[:, ph],
+            af_case=r.af_case[:, ph] if r.af_case is not None else None,
+            af_control=r.af_control[:, ph] if r.af_control is not None else None,
+            ns_case=r.ns_case[:, ph] if r.ns_case is not None else None,
+            ns_control=r.ns_control[:, ph] if r.ns_control is not None else None,
+        )
+        if payload is None:
+            break  # native lib unavailable -> per-row fallback for all
+        writers[ph].write(payload)
+    else:
+        return
     for b in range(B):
         if r.ignored[b]:
             continue
@@ -1447,6 +1475,13 @@ def run_step2(params: Params, log=print) -> None:
         return ("g", G), eng.gd.last_info_num
 
     pool = ThreadPoolExecutor(max_workers=1)
+    # ordered async output: a single writer worker renders + writes
+    # block k's rows (native snprintf path releases the GIL) while the
+    # device scores block k+1; bounded queue caps buffered results.
+    # Interaction runs keep synchronous writes (they interleave extra
+    # rows into the same files).
+    wpool = ThreadPoolExecutor(max_workers=1)
+    wpending: list = []
     fut = pool.submit(_fetch, todo[0][1]) if todo else None
     for i, (chrom, bsnps) in enumerate(todo):
         (kind, data), info_num = fut.result()
@@ -1460,9 +1495,16 @@ def run_step2(params: Params, log=print) -> None:
             # standard pipeline (non-fused run, chrX non-PAR dosage
             # compensation, or exotic BGEN layout fallback)
             result, _ = eng.test_raw_block(data, bsnps)
-        write_block_rows(params, pd, writers, bsnps, result, test_name + condtl,
-                         eng.model_type() + condtl)
-        if eng.interaction is not None:
+        if eng.interaction is None:
+            while len(wpending) > 4:
+                wpending.pop(0).result()
+            wpending.append(wpool.submit(
+                write_block_rows, params, pd, writers, bsnps, result,
+                test_name + condtl, eng.model_type() + condtl,
+            ))
+        else:
+            write_block_rows(params, pd, writers, bsnps, result,
+                             test_name + condtl, eng.model_type() + condtl)
             from .models.interaction import apply_interaction_block
 
             apply_interaction_block(
@@ -1471,6 +1513,9 @@ def run_step2(params: Params, log=print) -> None:
             )
 
     pool.shutdown(wait=False)
+    for w in wpending:
+        w.result()  # drain + surface writer errors before closing files
+    wpool.shutdown(wait=True)
     if hasattr(eng, "_info_num_override"):
         del eng._info_num_override
     closed = set()
