@@ -557,4 +557,148 @@ int64_t format_sumstat_single(const char* prefix_buf, const int64_t* prefix_off,
   return total;
 }
 
+// ---------------------------------------------------------------------------
+// HTPv4 row formatting (print_sum_stats_htp, Step2_Models.cpp:2548-2646).
+// Same batching scheme as format_sumstat_single. prefix rows carry
+// "Name\tChr\tPos\tRef\tAlt"; mid is the constant
+// "\tTrait\tCohort\tModel" chunk of the call's trait. genocounts:
+// [B, 6] int64 (cases RR/RA/AA, controls RR/RA/AA) or null.
+// trait codes: 0=QT 1=BT 2=CT 3=T2E (matches regenie_tpu.config).
+// ---------------------------------------------------------------------------
+static int fmt_pval_raw(char* q, double logp) {
+  // convert_logp_raw (Regenie.cpp:1700): %f above 1e-3, %g down to
+  // double-min, manual mantissa/exponent split below
+  const double log_dbl_min = -log10(2.2250738585072014e-308) - 1.0;
+  if (logp <= 3.0) return snprintf(q, 32, "%f", pow(10.0, -logp));
+  if (logp <= log_dbl_min) return snprintf(q, 32, "%g", pow(10.0, -logp));
+  const double thr = log(9.95) / log(10.0);
+  long long base = (long long)ceil(logp);
+  double res = (double)base - logp;
+  if (res >= thr) {
+    res = 0.0;
+    base += 1;
+  }
+  return snprintf(q, 32, "%.1fe-%lld", pow(10.0, res), base);
+}
+
+int64_t format_sumstat_htp(
+    const char* prefix_buf, const int64_t* prefix_off, int64_t B,
+    const uint8_t* skip, const char* mid, int trait, int firth, int uncapped,
+    int has_info, double zcrit, const double* beta, const double* se,
+    const double* chisq, const double* logp, const double* af,
+    const double* info, const double* mac, const int64_t* genocounts,
+    int64_t neff, const uint8_t* test_fail, char* out, int64_t* row_len) {
+  const int64_t mid_len = (int64_t)strlen(mid);
+  const int64_t budget = 352 + mid_len;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t b = 0; b < B; b++) {
+    if (skip[b]) {
+      row_len[b] = 0;
+      continue;
+    }
+    char* p = out + prefix_off[b] + b * budget;
+    char* q = p;
+    const int64_t plen = prefix_off[b + 1] - prefix_off[b];
+    memcpy(q, prefix_buf + prefix_off[b], plen);
+    q += plen;
+    memcpy(q, mid, mid_len);
+    q += mid_len;
+    const bool test_pass = !test_fail[b];
+    const bool print_beta = test_pass && se[b] >= 0 && !std::isnan(se[b]);
+    const bool print_pv =
+        test_pass && chisq[b] >= 0 && !std::isnan(logp[b]);
+    char outp[36];
+    if (print_pv) {
+      const double cap = 308.0;
+      if (!uncapped && logp[b] > cap)
+        fmt_pval_raw(outp, cap);
+      else if (logp[b] > 0)
+        fmt_pval_raw(outp, logp[b]);
+      else
+        snprintf(outp, 32, "0.9999999");
+    } else {
+      snprintf(outp, 32, "NA");
+    }
+    const int64_t* g = genocounts ? genocounts + b * 6 : nullptr;
+    const bool is_bt = trait == 1;
+    if (print_pv && !print_beta) {
+      q += snprintf(q, 64, "\tNA\tNA\tNA\t%s", outp);
+    } else if (!print_pv && !print_beta) {
+      q += snprintf(q, 32, "\tNA\tNA\tNA\tNA");
+    } else if (!is_bt || (firth && test_pass)) {
+      if (trait == 0)
+        q += snprintf(q, 96, "\t%g\t%g\t%g", beta[b],
+                      beta[b] - zcrit * se[b], beta[b] + zcrit * se[b]);
+      else
+        q += snprintf(q, 96, "\t%g\t%g\t%g", exp(beta[b]),
+                      exp(beta[b] - zcrit * se[b]),
+                      exp(beta[b] + zcrit * se[b]));
+      q += snprintf(q, 40, "\t%s", print_pv ? outp : "NA");
+    } else {  // BT spa/logistic: allelic OR from genotype counts
+      if (print_pv && g) {
+        const double eff =
+            (2.0 * g[3] + g[4] + 0.5) * (2.0 * g[2] + g[1] + 0.5) /
+            ((2.0 * g[5] + g[4] + 0.5) * (2.0 * g[0] + g[1] + 0.5));
+        const double c = chisq[b] > 1e-300 ? chisq[b] : 1e-300;
+        const double outse = fabs(log(eff)) / sqrt(c);
+        q += snprintf(q, 136, "\t%g\t%g\t%g\t%s", eff,
+                      eff * exp(-zcrit * outse), eff * exp(zcrit * outse),
+                      outp);
+      } else {
+        q += snprintf(q, 32, "\tNA\tNA\tNA\tNA");
+      }
+    }
+    if (af[b] >= 0)
+      q += snprintf(q, 32, "\t%g", af[b]);
+    else
+      q += snprintf(q, 16, "\tNA");
+    if (mac[b] > 0 && g) {
+      q += snprintf(q, 96, "\t%lld\t%lld\t%lld\t%lld",
+                    (long long)(g[0] + g[1] + g[2]), (long long)g[0],
+                    (long long)g[1], (long long)g[2]);
+      if (trait == 1 || trait == 3)
+        q += snprintf(q, 96, "\t%lld\t%lld\t%lld\t%lld",
+                      (long long)(g[3] + g[4] + g[5]), (long long)g[3],
+                      (long long)g[4], (long long)g[5]);
+      else
+        q += snprintf(q, 32, "\tNA\tNA\tNA\tNA");
+    } else {
+      if (neff >= 0)
+        q += snprintf(q, 32, "\t%lld", (long long)neff);
+      else
+        q += snprintf(q, 16, "\tNA");
+      q += snprintf(q, 48, "\tNA\tNA\tNA\tNA\tNA\tNA\tNA");
+    }
+    // key=value info column (joined with ';', LOG10P always present)
+    q += snprintf(q, 8, "\t");
+    if (print_beta) {
+      if (trait != 0 && test_pass)
+        q += snprintf(q, 80, "REGENIE_BETA=%g;REGENIE_SE=%g;", beta[b],
+                      se[b]);
+      else if (trait != 0)
+        q += snprintf(q, 48, "REGENIE_BETA=NA;REGENIE_SE=NA;");
+      else
+        q += snprintf(q, 48, "REGENIE_SE=%g;", se[b]);
+    }
+    if (has_info && info && info[b] >= 0)
+      q += snprintf(q, 40, "INFO=%g;", info[b]);
+    if (mac[b] >= 0) q += snprintf(q, 40, "MAC=%g;", mac[b]);
+    if (print_pv)
+      q += snprintf(q, 48, "LOG10P=%g\n", logp[b]);
+    else
+      q += snprintf(q, 24, "LOG10P=NA\n");
+    row_len[b] = q - p;
+  }
+  int64_t total = 0;
+  for (int64_t b = 0; b < B; b++) {
+    if (!row_len[b]) continue;
+    const char* src = out + prefix_off[b] + b * budget;
+    if (out + total != src) memmove(out + total, src, row_len[b]);
+    total += row_len[b];
+  }
+  return total;
+}
+
 }  // extern "C"

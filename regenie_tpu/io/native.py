@@ -64,6 +64,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
         ]
         lib.sumstat_field_budget.restype = ctypes.c_int64
+    if hasattr(lib, "format_sumstat_htp"):
+        lib.format_sumstat_htp.restype = ctypes.c_int64
+        lib.format_sumstat_htp.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
     lib.pgen_decode_block.restype = ctypes.c_int64
     lib.pgen_decode_block.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,

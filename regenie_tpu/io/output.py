@@ -172,6 +172,63 @@ def format_block_single(params, prefix_buf, prefix_off, test, skip, af,
     return out[:total].tobytes().decode("ascii")
 
 
+def htp_prefixes(bsnps) -> tuple:
+    """Concatenated per-variant HTP row prefixes "Name\\tChr\\tPos\\tRef\\tAlt"."""
+    buf = bytearray()
+    off = np.empty(len(bsnps) + 1, np.int64)
+    off[0] = 0
+    for i, s in enumerate(bsnps):
+        buf += f"{s.ID}\t{s.chrom}\t{s.physpos}\t{s.allele1}\t{s.allele2}".encode()
+        off[i + 1] = len(buf)
+    return np.frombuffer(bytes(buf), np.uint8), off
+
+
+def format_block_htp(params, prefix_buf, prefix_off, pheno_name, model, skip,
+                     beta, se, chisq, logp, af, info, mac, genocounts, neff,
+                     test_fail) -> Optional[str]:
+    """Native batch renderer for the HTPv4 format (format_sumstat_htp in
+    native/decoder.cpp), byte-identical to sumstat_line_htp. Returns
+    None when the native lib is unavailable."""
+    from ..config import BT, CT, T2E
+    from .native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "format_sumstat_htp"):
+        return None
+    B = len(prefix_off) - 1
+    mid = f"\t{pheno_name}\t{params.cohort_name}\t{model}"
+
+    def f64(x):
+        return np.ascontiguousarray(x, np.float64)
+
+    beta, se = f64(beta), f64(se)
+    chisq, logp, af = f64(chisq), f64(logp), f64(af)
+    mac = f64(mac if mac is not None else np.full(B, -1.0))
+    skip = np.ascontiguousarray(skip, np.uint8)
+    test_fail = np.ascontiguousarray(test_fail, np.uint8)
+    has_info = bool(params.dosage_mode) and info is not None
+    info = f64(info) if has_info else None
+    gc = (np.ascontiguousarray(genocounts, np.int64)
+          if genocounts is not None else None)
+    trait = {BT: 1, CT: 2, T2E: 3}.get(params.trait_mode, 0)
+    budget = 352 + len(mid.encode())
+    out = np.empty(int(prefix_off[-1]) + B * budget, np.uint8)
+    row_len = np.empty(B, np.int64)
+    pb = np.ascontiguousarray(prefix_buf, np.uint8)
+    po = np.ascontiguousarray(prefix_off, np.int64)
+    total = lib.format_sumstat_htp(
+        pb.ctypes.data, po.ctypes.data, B, skip.ctypes.data, mid.encode(),
+        trait, int(bool(params.firth)), int(bool(params.uncapped_pvals)),
+        int(has_info), float(params.zcrit),
+        beta.ctypes.data, se.ctypes.data, chisq.ctypes.data, logp.ctypes.data,
+        af.ctypes.data, info.ctypes.data if has_info else 0, mac.ctypes.data,
+        gc.ctypes.data if gc is not None else 0,
+        int(neff) if neff is not None else -1,
+        test_fail.ctypes.data, out.ctypes.data, row_len.ctypes.data,
+    )
+    return out[:total].tobytes().decode("ascii")
+
+
 def header_htp() -> str:
     """HTPv4 header (print_header_output_htp, Step2_Models.cpp:2400)."""
     cols = [

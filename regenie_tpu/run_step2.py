@@ -1240,8 +1240,37 @@ def write_block_rows(params, pd, writers, bsnps, r: BlockResult, test_name="ADD"
                      model_type=None):
     B = len(bsnps)
     if params.htp_out:
-        from .io.output import sumstat_line_htp
+        from .io.output import format_block_htp, htp_prefixes, sumstat_line_htp
 
+        # hot path: whole-column native rendering, one call per trait
+        prefix = None
+        for ph in range(params.n_pheno):
+            if not pd.pheno_pass[ph] or writers[ph] is None:
+                continue
+            if prefix is None:
+                prefix = htp_prefixes(bsnps)
+            tname_out = pd.pheno_names[ph]
+            if params.htp_use_eventname and params.t2e_map:
+                tname_out = params.t2e_map.get(tname_out, tname_out)
+            payload = format_block_htp(
+                params, prefix[0], prefix[1], tname_out,
+                model_type or test_name,
+                skip=r.ignored | r.ignored_trait[:, ph],
+                beta=r.bhat[:, ph], se=r.se[:, ph], chisq=r.chisq[:, ph],
+                logp=r.logp[:, ph], af=r.af_t[:, ph],
+                info=(r.info_t[:, ph] if r.info_t is not None
+                      else np.ones(B))
+                if params.dosage_mode else None,
+                mac=r.mac_t[:, ph] if r.mac_t is not None else None,
+                genocounts=r.genocounts[:, :, ph]
+                if r.genocounts is not None else None,
+                neff=pd.Neff[ph], test_fail=r.test_fail[:, ph],
+            )
+            if payload is None:
+                break  # native lib unavailable -> per-row fallback
+            writers[ph].write(payload)
+        else:
+            return
         for b in range(B):
             if r.ignored[b]:
                 continue

@@ -104,3 +104,76 @@ def test_native_rows_no_info_matrix_prints_one():
     )
     for line in got.splitlines():
         assert line.split()[6] == "1"
+
+
+class _PH:
+    """Params stand-in for HTP rows."""
+    def __init__(self, trait_mode, firth=False, dosage_mode=False,
+                 uncapped_pvals=False):
+        from regenie_tpu.config import QT
+        self.trait_mode = trait_mode
+        self.firth = firth
+        self.dosage_mode = dosage_mode
+        self.uncapped_pvals = uncapped_pvals
+        self.cohort_name = "COHORT1"
+        self.zcrit = 1.959963984540054
+        self.af_cc = False
+
+
+@pytest.mark.skipif(get_lib() is None or not hasattr(get_lib(), "format_sumstat_htp"),
+                    reason="native lib unavailable")
+@pytest.mark.parametrize("trait,firth,dosage,gc", [
+    ("qt", False, False, True), ("qt", False, True, False),
+    ("bt", False, False, True), ("bt", True, True, True),
+    ("bt", False, False, False), ("t2e", True, False, True),
+])
+def test_native_htp_rows_match_python(trait, firth, dosage, gc):
+    from regenie_tpu.config import BT, QT, T2E
+
+    tm = {"qt": QT, "bt": BT, "t2e": T2E}[trait]
+    rng = np.random.default_rng(abs(hash((trait, firth, dosage, gc))) % 2**31)
+    B = 211
+    params = _PH(tm, firth=firth, dosage_mode=dosage)
+    snps = _snps(B, rng)
+    beta = rng.normal(size=B)
+    se = np.abs(rng.normal(size=B))
+    se[rng.random(B) < 0.08] = np.nan
+    se[rng.random(B) < 0.05] = -1.0
+    chisq = np.abs(rng.normal(size=B)) * 10.0 ** rng.integers(-2, 3, B)
+    chisq[rng.random(B) < 0.05] = -1.0
+    logp = np.abs(rng.normal(size=B)) * 10.0 ** rng.integers(-2, 3, B)
+    logp[rng.random(B) < 0.05] = 0.0       # -> "0.9999999"
+    logp[rng.random(B) < 0.05] = 400.0     # above the 308 cap
+    logp[rng.random(B) < 0.04] = np.nan
+    af = np.where(rng.random(B) < 0.1, -1.0, rng.random(B))
+    info = rng.random(B)
+    mac = rng.integers(0, 5000, B).astype(float)
+    mac[rng.random(B) < 0.1] = -1.0
+    genocounts = rng.integers(0, 3000, (B, 6)) if gc else None
+    test_fail = rng.random(B) < 0.1
+    skip = rng.random(B) < 0.12
+    neff = 123456
+
+    pb, po = O.htp_prefixes(snps)
+    got = O.format_block_htp(
+        params, pb, po, "Y_one", "ADD", skip=skip, beta=beta, se=se,
+        chisq=chisq, logp=logp, af=af, info=info if dosage else None,
+        mac=mac, genocounts=genocounts, neff=neff, test_fail=test_fail,
+    )
+    assert got is not None
+    want = []
+    for b in range(B):
+        if skip[b]:
+            continue
+        want.append(O.sumstat_line_htp(
+            params, snps[b], "Y_one", "ADD", beta[b], se[b], chisq[b],
+            logp[b], af[b], info[b] if dosage else None, mac[b],
+            genocounts[b] if gc else None,
+            test_pass=not test_fail[b], neff=neff,
+        ))
+    want = "".join(want)
+    if got != want:
+        ga, wa = got.splitlines(), want.splitlines()
+        for i, (x, y) in enumerate(zip(ga, wa)):
+            assert x == y, f"row {i}:\nnative: {x}\npython: {y}"
+    assert got == want
