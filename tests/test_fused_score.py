@@ -109,6 +109,34 @@ def test_fused_cm_elision_mixed_traits(n_complete):
     np.testing.assert_array_equal(np.asarray(low), np.asarray(exp[3]))
 
 
+def test_fused_pallas_narrow_operand_complete_traits():
+    """All-complete traits shrink the operand to [cov|res|maskf|ind]
+    (no CM block) — the pallas kernel (interpret) must match XLA and
+    the reference pipeline at the narrow width (the bench.py shape)."""
+    N, P, K = 601, 3, 4
+    raw, nb, ind, flip, covz, resz, maskz, sden = _mk_case(5, B=16, N=N, P=P, K=K)
+    maskz = np.tile(ind.astype(np.float64)[:, None], (1, P))  # complete
+    exp = _reference(raw, nb, N, ind, flip, covz, resz, maskz, sden)
+    consts = fs.build_consts(covz, resz, maskz, ind, sden, nb=nb,
+                             dtype=np.float32)
+    assert consts.inc == ()
+    rawp = fs.pad_raw(raw)
+    S1x, SQx, SMx = fs.fused_products_xla(jnp.asarray(rawp), consts.Wp)
+    S1p, SQp, SMp = fs.fused_products(jnp.asarray(rawp), consts.Wp,
+                                      interpret=True)
+    np.testing.assert_allclose(np.asarray(S1p), np.asarray(S1x), rtol=1e-5,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(SQp), np.asarray(SQx), rtol=1e-5,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(SMp), np.asarray(SMx), rtol=1e-5,
+                               atol=1e-4)
+    stats, denum, sf, low, _af = fs.score_block_fused(
+        jnp.asarray(rawp), jnp.asarray(flip), consts, use_pallas=False
+    )
+    np.testing.assert_allclose(np.asarray(stats), np.asarray(exp[0]),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_fused_products_f32_close():
     """f32 products (the production dtype) stay print-precision close."""
     N = 601
