@@ -701,4 +701,76 @@ int64_t format_sumstat_htp(
   return total;
 }
 
+// ---------------------------------------------------------------------------
+// Merged-format row (--no-split; print_sum_stats_all,
+// Step2_Models.cpp:2457-2500): one row per variant, P [BETA SE CHISQ
+// LOG10P] column groups. beta/se/chisq/logp/fail are [B, P] row-major
+// with unusable traits pre-masked to (-1,-1,-1,-1,fail=1) by the caller.
+// ---------------------------------------------------------------------------
+int64_t format_sumstat_all(const char* prefix_buf, const int64_t* prefix_off,
+                           int64_t B, const uint8_t* skip, const char* test,
+                           int has_info, int64_t P, const double* af1,
+                           const double* info1, const int32_t* ns1,
+                           const int32_t* n_rr, const int32_t* n_aa,
+                           const double* beta, const double* se,
+                           const double* chisq, const double* logp,
+                           const uint8_t* fail, char* out, int64_t* row_len) {
+  const int64_t budget = 160 + 64 * P;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t b = 0; b < B; b++) {
+    if (skip[b]) {
+      row_len[b] = 0;
+      continue;
+    }
+    char* p = out + prefix_off[b] + b * budget;
+    char* q = p;
+    const int64_t plen = prefix_off[b + 1] - prefix_off[b];
+    memcpy(q, prefix_buf + prefix_off[b], plen);
+    q += plen;
+    if (af1[b] >= 0)
+      q += snprintf(q, 32, " %g", af1[b]);
+    else
+      q += snprintf(q, 16, " NA");
+    if (has_info) {
+      if (info1 != nullptr && info1[b] >= 0)
+        q += snprintf(q, 32, " %g", info1[b]);
+      else
+        q += snprintf(q, 16, " NA");
+    }
+    q += snprintf(q, 16, " %d", ns1[b]);
+    if (n_rr[b] >= 0)
+      q += snprintf(q, 48, " %d %d %d", n_rr[b], ns1[b] - n_rr[b] - n_aa[b],
+                    n_aa[b]);
+    else
+      q += snprintf(q, 16, " NA NA NA");
+    q += snprintf(q, 48, " %s", test);
+    for (int64_t ph = 0; ph < P; ph++) {
+      const int64_t k = b * P + ph;
+      const bool print_se = (se[k] >= 0) && !std::isnan(se[k]);
+      const bool print_pv =
+          (chisq[k] >= 0) && !fail[k] && !std::isnan(logp[k]);
+      if (print_se)
+        q += snprintf(q, 64, " %g %g", beta[k], se[k]);
+      else
+        q += snprintf(q, 16, " NA NA");
+      if (print_pv)
+        q += snprintf(q, 64, " %g %g", chisq[k], logp[k]);
+      else
+        q += snprintf(q, 16, " NA NA");
+    }
+    q += snprintf(q, 8, " NA\n");
+    row_len[b] = q - p;
+  }
+  int64_t total = 0;
+  for (int64_t b = 0; b < B; b++) {
+    if (!row_len[b]) continue;
+    const char* src = out + prefix_off[b] + b * budget;
+    if (out + total != src) memmove(out + total, src, row_len[b]);
+    total += row_len[b];
+  }
+  return total;
+}
+
 }  // extern "C"

@@ -64,6 +64,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
         ]
         lib.sumstat_field_budget.restype = ctypes.c_int64
+    if hasattr(lib, "format_sumstat_all"):
+        lib.format_sumstat_all.restype = ctypes.c_int64
+        lib.format_sumstat_all.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
     if hasattr(lib, "format_sumstat_htp"):
         lib.format_sumstat_htp.restype = ctypes.c_int64
         lib.format_sumstat_htp.argtypes = [

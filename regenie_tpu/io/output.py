@@ -172,6 +172,52 @@ def format_block_single(params, prefix_buf, prefix_off, test, skip, af,
     return out[:total].tobytes().decode("ascii")
 
 
+def format_block_all(params, prefix_buf, prefix_off, test, skip, af1, info1,
+                     ns1, n_rr, n_aa, beta, se, chisq, logp,
+                     fail) -> Optional[str]:
+    """Native batch renderer for the merged --no-split format
+    (format_sumstat_all in native/decoder.cpp), byte-identical to
+    sumstat_line_all. beta/se/chisq/logp/fail: [B, P] with unusable
+    traits pre-masked to (-1, -1, -1, -1, fail=True). Returns None when
+    the native lib is unavailable."""
+    from .native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "format_sumstat_all") or len(test) > 40:
+        return None
+    B = len(prefix_off) - 1
+    P = beta.shape[1]
+
+    def f64(x):
+        return np.ascontiguousarray(x, np.float64)
+
+    def i32(x):
+        return np.ascontiguousarray(x, np.int32)
+
+    af1 = f64(af1)
+    beta, se = f64(beta), f64(se)
+    chisq, logp = f64(chisq), f64(logp)
+    ns1, n_rr, n_aa = i32(ns1), i32(n_rr), i32(n_aa)
+    skip = np.ascontiguousarray(skip, np.uint8)
+    fail = np.ascontiguousarray(fail, np.uint8)
+    has_info = bool(params.dosage_mode)
+    if has_info:
+        info1 = f64(info1 if info1 is not None else np.ones(B))
+    out = np.empty(int(prefix_off[-1]) + B * (160 + 64 * P), np.uint8)
+    row_len = np.empty(B, np.int64)
+    pb = np.ascontiguousarray(prefix_buf, np.uint8)
+    po = np.ascontiguousarray(prefix_off, np.int64)
+    total = lib.format_sumstat_all(
+        pb.ctypes.data, po.ctypes.data, B, skip.ctypes.data, test.encode(),
+        int(has_info), P, af1.ctypes.data,
+        info1.ctypes.data if has_info else 0, ns1.ctypes.data,
+        n_rr.ctypes.data, n_aa.ctypes.data, beta.ctypes.data, se.ctypes.data,
+        chisq.ctypes.data, logp.ctypes.data, fail.ctypes.data,
+        out.ctypes.data, row_len.ctypes.data,
+    )
+    return out[:total].tobytes().decode("ascii")
+
+
 def htp_prefixes(bsnps) -> tuple:
     """Concatenated per-variant HTP row prefixes "Name\\tChr\\tPos\\tRef\\tAlt"."""
     buf = bytearray()

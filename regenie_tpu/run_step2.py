@@ -1297,8 +1297,35 @@ def write_block_rows(params, pd, writers, bsnps, r: BlockResult, test_name="ADD"
                 )
         return
     if not params.split_by_pheno:
-        from .io.output import sumstat_line_all
+        from .io.output import (block_prefixes, format_block_all,
+                                sumstat_line_all)
 
+        # hot path: whole-block native rendering; unusable traits are
+        # pre-masked to the (-1,-1,-1,-1,fail) tuple the Python loop uses
+        P = params.n_pheno
+        bad = np.zeros((B, P), bool)
+        for ph in range(P):
+            if not pd.pheno_pass[ph]:
+                bad[:, ph] = True
+        bad |= r.ignored_trait[:, :P].astype(bool)
+        pre = block_prefixes(bsnps)
+        payload = format_block_all(
+            params, pre[0], pre[1], test_name,
+            skip=r.ignored,
+            af1=r.af1 if r.af1 is not None else np.full(B, -1.0),
+            info1=r.info1 if r.info1 is not None else None,
+            ns1=r.ns1 if r.ns1 is not None else np.zeros(B),
+            n_rr=r.n_rr if r.n_rr is not None else np.full(B, -1),
+            n_aa=r.n_aa if r.n_aa is not None else np.full(B, -1),
+            beta=np.where(bad, -1.0, r.bhat[:, :P]),
+            se=np.where(bad, -1.0, r.se[:, :P]),
+            chisq=np.where(bad, -1.0, r.chisq[:, :P]),
+            logp=np.where(bad, -1.0, r.logp[:, :P]),
+            fail=bad | r.test_fail[:, :P].astype(bool),
+        )
+        if payload is not None:
+            writers[0].write(payload)
+            return
         for b in range(B):
             if r.ignored[b]:
                 continue

@@ -177,3 +177,48 @@ def test_native_htp_rows_match_python(trait, firth, dosage, gc):
         for i, (x, y) in enumerate(zip(ga, wa)):
             assert x == y, f"row {i}:\nnative: {x}\npython: {y}"
     assert got == want
+
+
+@pytest.mark.skipif(get_lib() is None or not hasattr(get_lib(), "format_sumstat_all"),
+                    reason="native lib unavailable")
+@pytest.mark.parametrize("dosage,gc", [(False, True), (True, False)])
+def test_native_all_rows_match_python(dosage, gc):
+    rng = np.random.default_rng(abs(hash(("all", dosage, gc))) % 2**31)
+    B, P = 173, 5
+    params = _P(dosage_mode=dosage)
+    snps = _snps(B, rng)
+    af1 = np.where(rng.random(B) < 0.1, -1.0, rng.random(B))
+    info1 = rng.random(B)
+    ns1 = rng.integers(100, 500000, B)
+    n_rr = rng.integers(0, 1000, B) if gc else np.full(B, -1)
+    n_aa = rng.integers(0, 1000, B) if gc else np.full(B, -1)
+    beta = rng.normal(size=(B, P))
+    se = np.abs(rng.normal(size=(B, P)))
+    se[rng.random((B, P)) < 0.07] = np.nan
+    se[rng.random((B, P)) < 0.05] = -1.0
+    chisq = np.abs(rng.normal(size=(B, P)))
+    chisq[rng.random((B, P)) < 0.05] = -1.0
+    logp = np.abs(rng.normal(size=(B, P))) * 30
+    logp[rng.random((B, P)) < 0.04] = np.nan
+    fail = rng.random((B, P)) < 0.1
+    skip = rng.random(B) < 0.12
+
+    pb, po = O.block_prefixes(snps)
+    got = O.format_block_all(
+        params, pb, po, "ADD", skip=skip, af1=af1,
+        info1=info1 if dosage else None, ns1=ns1, n_rr=n_rr, n_aa=n_aa,
+        beta=beta, se=se, chisq=chisq, logp=logp, fail=fail,
+    )
+    assert got is not None
+    want = []
+    for b in range(B):
+        if skip[b]:
+            continue
+        per = [(beta[b, p], se[b, p], chisq[b, p], logp[b, p], not fail[b, p])
+               for p in range(P)]
+        want.append(O.sumstat_line_all(
+            params, snps[b], "ADD", af1[b],
+            info1[b] if dosage else None, int(ns1[b]), int(n_rr[b]),
+            int(n_aa[b]), per,
+        ))
+    assert got == "".join(want)
