@@ -12,6 +12,7 @@
 #include <cstdio>
 #include <cstring>
 #include <cmath>
+#include <locale.h>
 #include <zlib.h>
 #include <zstd.h>
 
@@ -489,9 +490,61 @@ int64_t pgen_decode_block(const uint8_t* data, const uint64_t* fpos,
 // skip[b] != 0 omits the row. out must hold prefix_off[B] + B*FIELD_BUDGET
 // bytes. Returns the total byte length written.
 // ---------------------------------------------------------------------------
+// Per-row byte budgets for the batched renderers: the Python wrapper
+// sizes the output buffer from these getters, so the formulas live in
+// exactly one place. HTP carries 576 of field headroom — enough for
+// full-width 20-digit int64 genocount fields from a corrupt upstream
+// count, which must not overrun into the adjacent row's slot
+// mid-render (the merged format's per-pheno groups get 64 bytes each
+// on top of its 160-byte head).
 static const int64_t SUMSTAT_FIELD_BUDGET = 224;
+static const int64_t HTP_FIELD_BUDGET = 576;
+static const int64_t ALL_FIELD_BUDGET_HEAD = 160;
+static const int64_t ALL_FIELD_BUDGET_PER_PHENO = 64;
 
 int64_t sumstat_field_budget() { return SUMSTAT_FIELD_BUDGET; }
+int64_t htp_field_budget() { return HTP_FIELD_BUDGET; }
+int64_t all_field_budget(int64_t P) {
+  return ALL_FIELD_BUDGET_HEAD + ALL_FIELD_BUDGET_PER_PHENO * P;
+}
+
+// %g with NaN always rendered unsigned "nan" (Python f"{x:g}" parity —
+// glibc %g prints "-nan" for sign-bit NaNs, a token the reference
+// format never emits).
+static inline int fmt_g(char* q, size_t n, double x) {
+  if (std::isnan(x)) return snprintf(q, n, "nan");
+  return snprintf(q, n, "%g", x);
+}
+
+// separator + %g in one step
+static inline int fmt_sep_g(char* q, char sep, double x) {
+  q[0] = sep;
+  return 1 + fmt_g(q + 1, 32, x);
+}
+
+// LC_NUMERIC-pinned "C" locale: snprintf %g honors the process locale,
+// so a comma-decimal LC_NUMERIC set by an unrelated library would
+// corrupt every numeric field. Each render thread pins "C" for the
+// duration of the row loop (uselocale is per-thread).
+static locale_t c_numeric_locale() {
+  static locale_t loc = newlocale(LC_NUMERIC_MASK, "C", (locale_t)0);
+  return loc;
+}
+
+// serial front-to-back compaction of rows written at their disjoint
+// analytic offsets (dest <= src throughout); returns total bytes
+static int64_t compact_rows(char* out, const int64_t* prefix_off,
+                            int64_t budget, const int64_t* row_len,
+                            int64_t B) {
+  int64_t total = 0;
+  for (int64_t b = 0; b < B; b++) {
+    if (!row_len[b]) continue;
+    const char* src = out + prefix_off[b] + b * budget;
+    if (out + total != src) memmove(out + total, src, row_len[b]);
+    total += row_len[b];
+  }
+  return total;
+}
 
 int64_t format_sumstat_single(const char* prefix_buf, const int64_t* prefix_off,
                               int64_t B, const uint8_t* skip, const char* test,
@@ -504,57 +557,63 @@ int64_t format_sumstat_single(const char* prefix_buf, const int64_t* prefix_off,
                               const uint8_t* test_fail, char* out,
                               int64_t* row_len) {
 #if defined(_OPENMP)
-#pragma omp parallel for schedule(static)
+#pragma omp parallel
 #endif
-  for (int64_t b = 0; b < B; b++) {
-    if (skip[b]) {
-      row_len[b] = 0;
-      continue;
-    }
-    char* p = out + prefix_off[b] + b * SUMSTAT_FIELD_BUDGET;
-    char* q = p;
-    const int64_t plen = prefix_off[b + 1] - prefix_off[b];
-    memcpy(q, prefix_buf + prefix_off[b], plen);
-    q += plen;
-    if (af[b] >= 0) {
-      q += snprintf(q, 32, " %g", af[b]);
-      if (af_cc) q += snprintf(q, 64, " %g %g", af_case[b], af_control[b]);
-    } else {
-      q += snprintf(q, 16, " NA");
-      if (af_cc) q += snprintf(q, 16, " NA NA");
-    }
-    if (has_info) {
-      if (info != nullptr && info[b] >= 0)
-        q += snprintf(q, 32, " %g", info[b]);
-      else
+  {
+    locale_t prev = uselocale(c_numeric_locale());
+#if defined(_OPENMP)
+#pragma omp for schedule(static)
+#endif
+    for (int64_t b = 0; b < B; b++) {
+      if (skip[b]) {
+        row_len[b] = 0;
+        continue;
+      }
+      char* p = out + prefix_off[b] + b * SUMSTAT_FIELD_BUDGET;
+      char* q = p;
+      const int64_t plen = prefix_off[b + 1] - prefix_off[b];
+      memcpy(q, prefix_buf + prefix_off[b], plen);
+      q += plen;
+      if (af[b] >= 0) {
+        q += fmt_sep_g(q, ' ', af[b]);
+        if (af_cc) {
+          q += fmt_sep_g(q, ' ', af_case[b]);
+          q += fmt_sep_g(q, ' ', af_control[b]);
+        }
+      } else {
         q += snprintf(q, 16, " NA");
+        if (af_cc) q += snprintf(q, 16, " NA NA");
+      }
+      if (has_info) {
+        if (info != nullptr && info[b] >= 0)
+          q += fmt_sep_g(q, ' ', info[b]);
+        else
+          q += snprintf(q, 16, " NA");
+      }
+      q += snprintf(q, 16, " %d", n[b]);
+      if (af_cc) q += snprintf(q, 32, " %d %d", ns_case[b], ns_control[b]);
+      q += snprintf(q, 48, " %s", test);
+      const bool print_se = (se[b] >= 0) && !std::isnan(se[b]);
+      const bool print_pv =
+          (chisq[b] >= 0) && !test_fail[b] && !std::isnan(logp[b]);
+      if (print_se) {
+        q += fmt_sep_g(q, ' ', beta[b]);
+        q += fmt_sep_g(q, ' ', se[b]);
+      } else {
+        q += snprintf(q, 16, " NA NA");
+      }
+      if (print_pv) {
+        q += fmt_sep_g(q, ' ', chisq[b]);
+        q += fmt_sep_g(q, ' ', logp[b]);
+      } else {
+        q += snprintf(q, 16, " NA NA");
+      }
+      q += snprintf(q, 16, test_fail[b] ? " TEST_FAIL\n" : " NA\n");
+      row_len[b] = q - p;
     }
-    q += snprintf(q, 16, " %d", n[b]);
-    if (af_cc) q += snprintf(q, 32, " %d %d", ns_case[b], ns_control[b]);
-    q += snprintf(q, 48, " %s", test);
-    const bool print_se = (se[b] >= 0) && !std::isnan(se[b]);
-    const bool print_pv =
-        (chisq[b] >= 0) && !test_fail[b] && !std::isnan(logp[b]);
-    if (print_se)
-      q += snprintf(q, 64, " %g %g", beta[b], se[b]);
-    else
-      q += snprintf(q, 16, " NA NA");
-    if (print_pv)
-      q += snprintf(q, 64, " %g %g", chisq[b], logp[b]);
-    else
-      q += snprintf(q, 16, " NA NA");
-    q += snprintf(q, 16, test_fail[b] ? " TEST_FAIL\n" : " NA\n");
-    row_len[b] = q - p;
+    uselocale(prev);
   }
-  // serial front-to-back compaction (dest <= src throughout)
-  int64_t total = 0;
-  for (int64_t b = 0; b < B; b++) {
-    if (!row_len[b]) continue;
-    const char* src = out + prefix_off[b] + b * SUMSTAT_FIELD_BUDGET;
-    if (out + total != src) memmove(out + total, src, row_len[b]);
-    total += row_len[b];
-  }
-  return total;
+  return compact_rows(out, prefix_off, SUMSTAT_FIELD_BUDGET, row_len, B);
 }
 
 // ---------------------------------------------------------------------------
@@ -589,116 +648,136 @@ int64_t format_sumstat_htp(
     const double* info, const double* mac, const int64_t* genocounts,
     int64_t neff, const uint8_t* test_fail, char* out, int64_t* row_len) {
   const int64_t mid_len = (int64_t)strlen(mid);
-  const int64_t budget = 352 + mid_len;
+  const int64_t budget = HTP_FIELD_BUDGET + mid_len;
 #if defined(_OPENMP)
-#pragma omp parallel for schedule(static)
+#pragma omp parallel
 #endif
-  for (int64_t b = 0; b < B; b++) {
-    if (skip[b]) {
-      row_len[b] = 0;
-      continue;
-    }
-    char* p = out + prefix_off[b] + b * budget;
-    char* q = p;
-    const int64_t plen = prefix_off[b + 1] - prefix_off[b];
-    memcpy(q, prefix_buf + prefix_off[b], plen);
-    q += plen;
-    memcpy(q, mid, mid_len);
-    q += mid_len;
-    const bool test_pass = !test_fail[b];
-    const bool print_beta = test_pass && se[b] >= 0 && !std::isnan(se[b]);
-    const bool print_pv =
-        test_pass && chisq[b] >= 0 && !std::isnan(logp[b]);
-    char outp[36];
-    if (print_pv) {
-      const double cap = 308.0;
-      if (!uncapped && logp[b] > cap)
-        fmt_pval_raw(outp, cap);
-      else if (logp[b] > 0)
-        fmt_pval_raw(outp, logp[b]);
-      else
-        snprintf(outp, 32, "0.9999999");
-    } else {
-      snprintf(outp, 32, "NA");
-    }
-    const int64_t* g = genocounts ? genocounts + b * 6 : nullptr;
-    const bool is_bt = trait == 1;
-    if (print_pv && !print_beta) {
-      q += snprintf(q, 64, "\tNA\tNA\tNA\t%s", outp);
-    } else if (!print_pv && !print_beta) {
-      q += snprintf(q, 32, "\tNA\tNA\tNA\tNA");
-    } else if (!is_bt || (firth && test_pass)) {
-      if (trait == 0)
-        q += snprintf(q, 96, "\t%g\t%g\t%g", beta[b],
-                      beta[b] - zcrit * se[b], beta[b] + zcrit * se[b]);
-      else
-        q += snprintf(q, 96, "\t%g\t%g\t%g", exp(beta[b]),
-                      exp(beta[b] - zcrit * se[b]),
-                      exp(beta[b] + zcrit * se[b]));
-      q += snprintf(q, 40, "\t%s", print_pv ? outp : "NA");
-    } else {  // BT spa/logistic: allelic OR from genotype counts
-      if (print_pv && g) {
-        const double eff =
-            (2.0 * g[3] + g[4] + 0.5) * (2.0 * g[2] + g[1] + 0.5) /
-            ((2.0 * g[5] + g[4] + 0.5) * (2.0 * g[0] + g[1] + 0.5));
-        const double c = chisq[b] > 1e-300 ? chisq[b] : 1e-300;
-        const double outse = fabs(log(eff)) / sqrt(c);
-        q += snprintf(q, 136, "\t%g\t%g\t%g\t%s", eff,
-                      eff * exp(-zcrit * outse), eff * exp(zcrit * outse),
-                      outp);
-      } else {
-        q += snprintf(q, 32, "\tNA\tNA\tNA\tNA");
+  {
+    locale_t prev = uselocale(c_numeric_locale());
+#if defined(_OPENMP)
+#pragma omp for schedule(static)
+#endif
+    for (int64_t b = 0; b < B; b++) {
+      if (skip[b]) {
+        row_len[b] = 0;
+        continue;
       }
-    }
-    if (af[b] >= 0)
-      q += snprintf(q, 32, "\t%g", af[b]);
-    else
-      q += snprintf(q, 16, "\tNA");
-    if (mac[b] > 0 && g) {
-      q += snprintf(q, 96, "\t%lld\t%lld\t%lld\t%lld",
-                    (long long)(g[0] + g[1] + g[2]), (long long)g[0],
-                    (long long)g[1], (long long)g[2]);
-      if (trait == 1 || trait == 3)
-        q += snprintf(q, 96, "\t%lld\t%lld\t%lld\t%lld",
-                      (long long)(g[3] + g[4] + g[5]), (long long)g[3],
-                      (long long)g[4], (long long)g[5]);
-      else
+      char* p = out + prefix_off[b] + b * budget;
+      char* q = p;
+      const int64_t plen = prefix_off[b + 1] - prefix_off[b];
+      memcpy(q, prefix_buf + prefix_off[b], plen);
+      q += plen;
+      memcpy(q, mid, mid_len);
+      q += mid_len;
+      const bool test_pass = !test_fail[b];
+      const bool print_beta = test_pass && se[b] >= 0 && !std::isnan(se[b]);
+      const bool print_pv =
+          test_pass && chisq[b] >= 0 && !std::isnan(logp[b]);
+      char outp[36];
+      if (print_pv) {
+        const double cap = 308.0;
+        if (!uncapped && logp[b] > cap)
+          fmt_pval_raw(outp, cap);
+        else if (logp[b] > 0)
+          fmt_pval_raw(outp, logp[b]);
+        else
+          snprintf(outp, 32, "0.9999999");
+      } else {
+        snprintf(outp, 32, "NA");
+      }
+      const int64_t* g = genocounts ? genocounts + b * 6 : nullptr;
+      const bool is_bt = trait == 1;
+      if (print_pv && !print_beta) {
+        q += snprintf(q, 64, "\tNA\tNA\tNA\t%s", outp);
+      } else if (!print_pv && !print_beta) {
         q += snprintf(q, 32, "\tNA\tNA\tNA\tNA");
-    } else {
-      if (neff >= 0)
-        q += snprintf(q, 32, "\t%lld", (long long)neff);
+      } else if (!is_bt || (firth && test_pass)) {
+        if (trait == 0) {
+          q += fmt_sep_g(q, '\t', beta[b]);
+          q += fmt_sep_g(q, '\t', beta[b] - zcrit * se[b]);
+          q += fmt_sep_g(q, '\t', beta[b] + zcrit * se[b]);
+        } else {
+          q += fmt_sep_g(q, '\t', exp(beta[b]));
+          q += fmt_sep_g(q, '\t', exp(beta[b] - zcrit * se[b]));
+          q += fmt_sep_g(q, '\t', exp(beta[b] + zcrit * se[b]));
+        }
+        q += snprintf(q, 40, "\t%s", print_pv ? outp : "NA");
+      } else {  // BT spa/logistic: allelic OR from genotype counts
+        if (print_pv && g) {
+          const double eff =
+              (2.0 * g[3] + g[4] + 0.5) * (2.0 * g[2] + g[1] + 0.5) /
+              ((2.0 * g[5] + g[4] + 0.5) * (2.0 * g[0] + g[1] + 0.5));
+          const double c = chisq[b] > 1e-300 ? chisq[b] : 1e-300;
+          const double outse = fabs(log(eff)) / sqrt(c);
+          q += fmt_sep_g(q, '\t', eff);
+          q += fmt_sep_g(q, '\t', eff * exp(-zcrit * outse));
+          q += fmt_sep_g(q, '\t', eff * exp(zcrit * outse));
+          q += snprintf(q, 40, "\t%s", outp);
+        } else {
+          q += snprintf(q, 32, "\tNA\tNA\tNA\tNA");
+        }
+      }
+      if (af[b] >= 0)
+        q += fmt_sep_g(q, '\t', af[b]);
       else
         q += snprintf(q, 16, "\tNA");
-      q += snprintf(q, 48, "\tNA\tNA\tNA\tNA\tNA\tNA\tNA");
+      if (mac[b] > 0 && g) {
+        q += snprintf(q, 96, "\t%lld\t%lld\t%lld\t%lld",
+                      (long long)(g[0] + g[1] + g[2]), (long long)g[0],
+                      (long long)g[1], (long long)g[2]);
+        if (trait == 1 || trait == 3)
+          q += snprintf(q, 96, "\t%lld\t%lld\t%lld\t%lld",
+                        (long long)(g[3] + g[4] + g[5]), (long long)g[3],
+                        (long long)g[4], (long long)g[5]);
+        else
+          q += snprintf(q, 32, "\tNA\tNA\tNA\tNA");
+      } else {
+        if (neff >= 0)
+          q += snprintf(q, 32, "\t%lld", (long long)neff);
+        else
+          q += snprintf(q, 16, "\tNA");
+        q += snprintf(q, 48, "\tNA\tNA\tNA\tNA\tNA\tNA\tNA");
+      }
+      // key=value info column (joined with ';', LOG10P always present).
+      // print_beta implies test_pass, so the BT/T2E branch always has
+      // values (the Python formatter's REGENIE_BETA=NA arm mirrors the
+      // reference's unreachable code, output.py:368).
+      q += snprintf(q, 8, "\t");
+      if (print_beta) {
+        if (trait != 0) {
+          q += snprintf(q, 32, "REGENIE_BETA=");
+          q += fmt_g(q, 32, beta[b]);
+          q += snprintf(q, 32, ";REGENIE_SE=");
+          q += fmt_g(q, 32, se[b]);
+          q += snprintf(q, 8, ";");
+        } else {
+          q += snprintf(q, 32, "REGENIE_SE=");
+          q += fmt_g(q, 32, se[b]);
+          q += snprintf(q, 8, ";");
+        }
+      }
+      if (has_info && info && info[b] >= 0) {
+        q += snprintf(q, 16, "INFO=");
+        q += fmt_g(q, 32, info[b]);
+        q += snprintf(q, 8, ";");
+      }
+      if (mac[b] >= 0) {
+        q += snprintf(q, 16, "MAC=");
+        q += fmt_g(q, 32, mac[b]);
+        q += snprintf(q, 8, ";");
+      }
+      if (print_pv) {
+        q += snprintf(q, 16, "LOG10P=");
+        q += fmt_g(q, 32, logp[b]);
+        q += snprintf(q, 8, "\n");
+      } else {
+        q += snprintf(q, 24, "LOG10P=NA\n");
+      }
+      row_len[b] = q - p;
     }
-    // key=value info column (joined with ';', LOG10P always present)
-    q += snprintf(q, 8, "\t");
-    if (print_beta) {
-      if (trait != 0 && test_pass)
-        q += snprintf(q, 80, "REGENIE_BETA=%g;REGENIE_SE=%g;", beta[b],
-                      se[b]);
-      else if (trait != 0)
-        q += snprintf(q, 48, "REGENIE_BETA=NA;REGENIE_SE=NA;");
-      else
-        q += snprintf(q, 48, "REGENIE_SE=%g;", se[b]);
-    }
-    if (has_info && info && info[b] >= 0)
-      q += snprintf(q, 40, "INFO=%g;", info[b]);
-    if (mac[b] >= 0) q += snprintf(q, 40, "MAC=%g;", mac[b]);
-    if (print_pv)
-      q += snprintf(q, 48, "LOG10P=%g\n", logp[b]);
-    else
-      q += snprintf(q, 24, "LOG10P=NA\n");
-    row_len[b] = q - p;
+    uselocale(prev);
   }
-  int64_t total = 0;
-  for (int64_t b = 0; b < B; b++) {
-    if (!row_len[b]) continue;
-    const char* src = out + prefix_off[b] + b * budget;
-    if (out + total != src) memmove(out + total, src, row_len[b]);
-    total += row_len[b];
-  }
-  return total;
+  return compact_rows(out, prefix_off, budget, row_len, B);
 }
 
 // ---------------------------------------------------------------------------
@@ -715,62 +794,66 @@ int64_t format_sumstat_all(const char* prefix_buf, const int64_t* prefix_off,
                            const double* beta, const double* se,
                            const double* chisq, const double* logp,
                            const uint8_t* fail, char* out, int64_t* row_len) {
-  const int64_t budget = 160 + 64 * P;
+  const int64_t budget = all_field_budget(P);
 #if defined(_OPENMP)
-#pragma omp parallel for schedule(static)
+#pragma omp parallel
 #endif
-  for (int64_t b = 0; b < B; b++) {
-    if (skip[b]) {
-      row_len[b] = 0;
-      continue;
-    }
-    char* p = out + prefix_off[b] + b * budget;
-    char* q = p;
-    const int64_t plen = prefix_off[b + 1] - prefix_off[b];
-    memcpy(q, prefix_buf + prefix_off[b], plen);
-    q += plen;
-    if (af1[b] >= 0)
-      q += snprintf(q, 32, " %g", af1[b]);
-    else
-      q += snprintf(q, 16, " NA");
-    if (has_info) {
-      if (info1 != nullptr && info1[b] >= 0)
-        q += snprintf(q, 32, " %g", info1[b]);
+  {
+    locale_t prev = uselocale(c_numeric_locale());
+#if defined(_OPENMP)
+#pragma omp for schedule(static)
+#endif
+    for (int64_t b = 0; b < B; b++) {
+      if (skip[b]) {
+        row_len[b] = 0;
+        continue;
+      }
+      char* p = out + prefix_off[b] + b * budget;
+      char* q = p;
+      const int64_t plen = prefix_off[b + 1] - prefix_off[b];
+      memcpy(q, prefix_buf + prefix_off[b], plen);
+      q += plen;
+      if (af1[b] >= 0)
+        q += fmt_sep_g(q, ' ', af1[b]);
       else
         q += snprintf(q, 16, " NA");
-    }
-    q += snprintf(q, 16, " %d", ns1[b]);
-    if (n_rr[b] >= 0)
-      q += snprintf(q, 48, " %d %d %d", n_rr[b], ns1[b] - n_rr[b] - n_aa[b],
-                    n_aa[b]);
-    else
-      q += snprintf(q, 16, " NA NA NA");
-    q += snprintf(q, 48, " %s", test);
-    for (int64_t ph = 0; ph < P; ph++) {
-      const int64_t k = b * P + ph;
-      const bool print_se = (se[k] >= 0) && !std::isnan(se[k]);
-      const bool print_pv =
-          (chisq[k] >= 0) && !fail[k] && !std::isnan(logp[k]);
-      if (print_se)
-        q += snprintf(q, 64, " %g %g", beta[k], se[k]);
+      if (has_info) {
+        if (info1 != nullptr && info1[b] >= 0)
+          q += fmt_sep_g(q, ' ', info1[b]);
+        else
+          q += snprintf(q, 16, " NA");
+      }
+      q += snprintf(q, 16, " %d", ns1[b]);
+      if (n_rr[b] >= 0)
+        q += snprintf(q, 48, " %d %d %d", n_rr[b],
+                      ns1[b] - n_rr[b] - n_aa[b], n_aa[b]);
       else
-        q += snprintf(q, 16, " NA NA");
-      if (print_pv)
-        q += snprintf(q, 64, " %g %g", chisq[k], logp[k]);
-      else
-        q += snprintf(q, 16, " NA NA");
+        q += snprintf(q, 16, " NA NA NA");
+      q += snprintf(q, 48, " %s", test);
+      for (int64_t ph = 0; ph < P; ph++) {
+        const int64_t k = b * P + ph;
+        const bool print_se = (se[k] >= 0) && !std::isnan(se[k]);
+        const bool print_pv =
+            (chisq[k] >= 0) && !fail[k] && !std::isnan(logp[k]);
+        if (print_se) {
+          q += fmt_sep_g(q, ' ', beta[k]);
+          q += fmt_sep_g(q, ' ', se[k]);
+        } else {
+          q += snprintf(q, 16, " NA NA");
+        }
+        if (print_pv) {
+          q += fmt_sep_g(q, ' ', chisq[k]);
+          q += fmt_sep_g(q, ' ', logp[k]);
+        } else {
+          q += snprintf(q, 16, " NA NA");
+        }
+      }
+      q += snprintf(q, 8, " NA\n");
+      row_len[b] = q - p;
     }
-    q += snprintf(q, 8, " NA\n");
-    row_len[b] = q - p;
+    uselocale(prev);
   }
-  int64_t total = 0;
-  for (int64_t b = 0; b < B; b++) {
-    if (!row_len[b]) continue;
-    const char* src = out + prefix_off[b] + b * budget;
-    if (out + total != src) memmove(out + total, src, row_len[b]);
-    total += row_len[b];
-  }
-  return total;
+  return compact_rows(out, prefix_off, budget, row_len, B);
 }
 
 }  // extern "C"

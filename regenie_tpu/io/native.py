@@ -64,6 +64,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
         ]
         lib.sumstat_field_budget.restype = ctypes.c_int64
+    if hasattr(lib, "htp_field_budget"):
+        lib.htp_field_budget.restype = ctypes.c_int64
+    if hasattr(lib, "all_field_budget"):
+        lib.all_field_budget.restype = ctypes.c_int64
+        lib.all_field_budget.argtypes = [ctypes.c_int64]
     if hasattr(lib, "format_sumstat_all"):
         lib.format_sumstat_all.restype = ctypes.c_int64
         lib.format_sumstat_all.argtypes = [

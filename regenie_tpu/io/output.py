@@ -107,6 +107,26 @@ def block_prefixes(bsnps) -> tuple:
     return np.frombuffer(bytes(buf), np.uint8), off
 
 
+def _f64(x):
+    return np.ascontiguousarray(x, np.float64)
+
+
+def _i32(x):
+    return np.ascontiguousarray(x, np.int32)
+
+
+def native_formatter(name: str):
+    """The native lib if it exports `name`, else None — callers probe
+    this once before building per-block operands so fallback systems
+    skip the array prep."""
+    from .native import get_lib
+
+    lib = get_lib()
+    if lib is None or not hasattr(lib, name):
+        return None
+    return lib
+
+
 def format_block_single(params, prefix_buf, prefix_off, test, skip, af,
                         info, n, beta, se, chisq, logp, test_fail,
                         af_case=None, af_control=None, ns_case=None,
@@ -120,19 +140,11 @@ def format_block_single(params, prefix_buf, prefix_off, test, skip, af,
 
     Returns the rendered rows as one str, or None when the native lib
     is unavailable (callers fall back to the Python loop)."""
-    from .native import get_lib
-
-    lib = get_lib()
-    if lib is None or not hasattr(lib, "format_sumstat_single") or len(test) > 40:
+    lib = native_formatter("format_sumstat_single")
+    if lib is None or len(test) > 40:
         return None
     B = len(prefix_off) - 1
-
-    def f64(x):
-        return np.ascontiguousarray(x, np.float64)
-
-    def i32(x):
-        return np.ascontiguousarray(x, np.int32)
-
+    f64, i32 = _f64, _i32
     af = f64(af)
     beta, se = f64(beta), f64(se)
     chisq, logp = f64(chisq), f64(logp)
@@ -169,7 +181,7 @@ def format_block_single(params, prefix_buf, prefix_off, test, skip, af,
         ptr(beta), ptr(se), ptr(chisq), ptr(logp), ptr(test_fail),
         ptr(out), ptr(row_len),
     )
-    return out[:total].tobytes().decode("ascii")
+    return out[:total].tobytes().decode("utf-8")
 
 
 def format_block_all(params, prefix_buf, prefix_off, test, skip, af1, info1,
@@ -180,20 +192,12 @@ def format_block_all(params, prefix_buf, prefix_off, test, skip, af1, info1,
     sumstat_line_all. beta/se/chisq/logp/fail: [B, P] with unusable
     traits pre-masked to (-1, -1, -1, -1, fail=True). Returns None when
     the native lib is unavailable."""
-    from .native import get_lib
-
-    lib = get_lib()
-    if lib is None or not hasattr(lib, "format_sumstat_all") or len(test) > 40:
+    lib = native_formatter("format_sumstat_all")
+    if lib is None or len(test) > 40:
         return None
     B = len(prefix_off) - 1
     P = beta.shape[1]
-
-    def f64(x):
-        return np.ascontiguousarray(x, np.float64)
-
-    def i32(x):
-        return np.ascontiguousarray(x, np.int32)
-
+    f64, i32 = _f64, _i32
     af1 = f64(af1)
     beta, se = f64(beta), f64(se)
     chisq, logp = f64(chisq), f64(logp)
@@ -203,7 +207,8 @@ def format_block_all(params, prefix_buf, prefix_off, test, skip, af1, info1,
     has_info = bool(params.dosage_mode)
     if has_info:
         info1 = f64(info1 if info1 is not None else np.ones(B))
-    out = np.empty(int(prefix_off[-1]) + B * (160 + 64 * P), np.uint8)
+    out = np.empty(int(prefix_off[-1]) + B * int(lib.all_field_budget(P)),
+                   np.uint8)
     row_len = np.empty(B, np.int64)
     pb = np.ascontiguousarray(prefix_buf, np.uint8)
     po = np.ascontiguousarray(prefix_off, np.int64)
@@ -215,7 +220,7 @@ def format_block_all(params, prefix_buf, prefix_off, test, skip, af1, info1,
         chisq.ctypes.data, logp.ctypes.data, fail.ctypes.data,
         out.ctypes.data, row_len.ctypes.data,
     )
-    return out[:total].tobytes().decode("ascii")
+    return out[:total].tobytes().decode("utf-8")
 
 
 def htp_prefixes(bsnps) -> tuple:
@@ -236,17 +241,14 @@ def format_block_htp(params, prefix_buf, prefix_off, pheno_name, model, skip,
     native/decoder.cpp), byte-identical to sumstat_line_htp. Returns
     None when the native lib is unavailable."""
     from ..config import BT, CT, T2E
-    from .native import get_lib
 
-    lib = get_lib()
-    if lib is None or not hasattr(lib, "format_sumstat_htp"):
+    lib = native_formatter("format_sumstat_htp")
+    if lib is None:
         return None
     B = len(prefix_off) - 1
     mid = f"\t{pheno_name}\t{params.cohort_name}\t{model}"
 
-    def f64(x):
-        return np.ascontiguousarray(x, np.float64)
-
+    f64 = _f64
     beta, se = f64(beta), f64(se)
     chisq, logp, af = f64(chisq), f64(logp), f64(af)
     mac = f64(mac if mac is not None else np.full(B, -1.0))
@@ -257,7 +259,7 @@ def format_block_htp(params, prefix_buf, prefix_off, pheno_name, model, skip,
     gc = (np.ascontiguousarray(genocounts, np.int64)
           if genocounts is not None else None)
     trait = {BT: 1, CT: 2, T2E: 3}.get(params.trait_mode, 0)
-    budget = 352 + len(mid.encode())
+    budget = int(lib.htp_field_budget()) + len(mid.encode())
     out = np.empty(int(prefix_off[-1]) + B * budget, np.uint8)
     row_len = np.empty(B, np.int64)
     pb = np.ascontiguousarray(prefix_buf, np.uint8)
@@ -272,7 +274,7 @@ def format_block_htp(params, prefix_buf, prefix_off, pheno_name, model, skip,
         int(neff) if neff is not None else -1,
         test_fail.ctypes.data, out.ctypes.data, row_len.ctypes.data,
     )
-    return out[:total].tobytes().decode("ascii")
+    return out[:total].tobytes().decode("utf-8")
 
 
 def header_htp() -> str:

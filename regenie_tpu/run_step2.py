@@ -1240,36 +1240,35 @@ def write_block_rows(params, pd, writers, bsnps, r: BlockResult, test_name="ADD"
                      model_type=None):
     B = len(bsnps)
     if params.htp_out:
-        from .io.output import format_block_htp, htp_prefixes, sumstat_line_htp
+        from .io.output import (format_block_htp, htp_prefixes,
+                                native_formatter, sumstat_line_htp)
 
         # hot path: whole-column native rendering, one call per trait
-        prefix = None
-        for ph in range(params.n_pheno):
-            if not pd.pheno_pass[ph] or writers[ph] is None:
-                continue
-            if prefix is None:
-                prefix = htp_prefixes(bsnps)
-            tname_out = pd.pheno_names[ph]
-            if params.htp_use_eventname and params.t2e_map:
-                tname_out = params.t2e_map.get(tname_out, tname_out)
-            payload = format_block_htp(
-                params, prefix[0], prefix[1], tname_out,
-                model_type or test_name,
-                skip=r.ignored | r.ignored_trait[:, ph],
-                beta=r.bhat[:, ph], se=r.se[:, ph], chisq=r.chisq[:, ph],
-                logp=r.logp[:, ph], af=r.af_t[:, ph],
-                info=(r.info_t[:, ph] if r.info_t is not None
-                      else np.ones(B))
-                if params.dosage_mode else None,
-                mac=r.mac_t[:, ph] if r.mac_t is not None else None,
-                genocounts=r.genocounts[:, :, ph]
-                if r.genocounts is not None else None,
-                neff=pd.Neff[ph], test_fail=r.test_fail[:, ph],
-            )
-            if payload is None:
-                break  # native lib unavailable -> per-row fallback
-            writers[ph].write(payload)
-        else:
+        # (capability probed before any per-block operand prep)
+        if native_formatter("format_sumstat_htp") is not None:
+            prefix = None
+            for ph in range(params.n_pheno):
+                if not pd.pheno_pass[ph] or writers[ph] is None:
+                    continue
+                if prefix is None:
+                    prefix = htp_prefixes(bsnps)
+                tname_out = pd.pheno_names[ph]
+                if params.htp_use_eventname and params.t2e_map:
+                    tname_out = params.t2e_map.get(tname_out, tname_out)
+                writers[ph].write(format_block_htp(
+                    params, prefix[0], prefix[1], tname_out,
+                    model_type or test_name,
+                    skip=r.ignored | r.ignored_trait[:, ph],
+                    beta=r.bhat[:, ph], se=r.se[:, ph], chisq=r.chisq[:, ph],
+                    logp=r.logp[:, ph], af=r.af_t[:, ph],
+                    info=(r.info_t[:, ph] if r.info_t is not None
+                          else np.ones(B))
+                    if params.dosage_mode else None,
+                    mac=r.mac_t[:, ph] if r.mac_t is not None else None,
+                    genocounts=r.genocounts[:, :, ph]
+                    if r.genocounts is not None else None,
+                    neff=pd.Neff[ph], test_fail=r.test_fail[:, ph],
+                ))
             return
         for b in range(B):
             if r.ignored[b]:
@@ -1298,33 +1297,34 @@ def write_block_rows(params, pd, writers, bsnps, r: BlockResult, test_name="ADD"
         return
     if not params.split_by_pheno:
         from .io.output import (block_prefixes, format_block_all,
-                                sumstat_line_all)
+                                native_formatter, sumstat_line_all)
 
         # hot path: whole-block native rendering; unusable traits are
-        # pre-masked to the (-1,-1,-1,-1,fail) tuple the Python loop uses
-        P = params.n_pheno
-        bad = np.zeros((B, P), bool)
-        for ph in range(P):
-            if not pd.pheno_pass[ph]:
-                bad[:, ph] = True
-        bad |= r.ignored_trait[:, :P].astype(bool)
-        pre = block_prefixes(bsnps)
-        payload = format_block_all(
-            params, pre[0], pre[1], test_name,
-            skip=r.ignored,
-            af1=r.af1 if r.af1 is not None else np.full(B, -1.0),
-            info1=r.info1 if r.info1 is not None else None,
-            ns1=r.ns1 if r.ns1 is not None else np.zeros(B),
-            n_rr=r.n_rr if r.n_rr is not None else np.full(B, -1),
-            n_aa=r.n_aa if r.n_aa is not None else np.full(B, -1),
-            beta=np.where(bad, -1.0, r.bhat[:, :P]),
-            se=np.where(bad, -1.0, r.se[:, :P]),
-            chisq=np.where(bad, -1.0, r.chisq[:, :P]),
-            logp=np.where(bad, -1.0, r.logp[:, :P]),
-            fail=bad | r.test_fail[:, :P].astype(bool),
-        )
-        if payload is not None:
-            writers[0].write(payload)
+        # pre-masked to the (-1,-1,-1,-1,fail) tuple the Python loop
+        # uses (capability probed before any per-block operand prep)
+        if (native_formatter("format_sumstat_all") is not None
+                and len(test_name) <= 40):
+            P = params.n_pheno
+            bad = np.zeros((B, P), bool)
+            for ph in range(P):
+                if not pd.pheno_pass[ph]:
+                    bad[:, ph] = True
+            bad |= r.ignored_trait[:, :P].astype(bool)
+            pre = block_prefixes(bsnps)
+            writers[0].write(format_block_all(
+                params, pre[0], pre[1], test_name,
+                skip=r.ignored,
+                af1=r.af1 if r.af1 is not None else np.full(B, -1.0),
+                info1=r.info1 if r.info1 is not None else None,
+                ns1=r.ns1 if r.ns1 is not None else np.zeros(B),
+                n_rr=r.n_rr if r.n_rr is not None else np.full(B, -1),
+                n_aa=r.n_aa if r.n_aa is not None else np.full(B, -1),
+                beta=np.where(bad, -1.0, r.bhat[:, :P]),
+                se=np.where(bad, -1.0, r.se[:, :P]),
+                chisq=np.where(bad, -1.0, r.chisq[:, :P]),
+                logp=np.where(bad, -1.0, r.logp[:, :P]),
+                fail=bad | r.test_fail[:, :P].astype(bool),
+            ))
             return
         for b in range(B):
             if r.ignored[b]:
@@ -1353,31 +1353,32 @@ def write_block_rows(params, pd, writers, bsnps, r: BlockResult, test_name="ADD"
         return
     # hot path: whole-column native rendering (OpenMP snprintf), one
     # call per trait; byte-identical to the per-row loop below
-    from .io.output import block_prefixes, format_block_single
+    # (capability probed before any per-block operand prep)
+    from .io.output import block_prefixes, format_block_single, native_formatter
 
-    prefix = None
-    for ph in range(params.n_pheno):
-        if not pd.pheno_pass[ph] or writers[ph] is None:
-            continue
-        if prefix is None:
-            prefix = block_prefixes(bsnps)
-        payload = format_block_single(
-            params, prefix[0], prefix[1], test_name,
-            skip=r.ignored | r.ignored_trait[:, ph],
-            af=r.af_t[:, ph],
-            info=r.info_t[:, ph] if r.info_t is not None else None,
-            n=r.ns_t[:, ph], beta=r.bhat[:, ph], se=r.se[:, ph],
-            chisq=r.chisq[:, ph], logp=r.logp[:, ph],
-            test_fail=r.test_fail[:, ph],
-            af_case=r.af_case[:, ph] if r.af_case is not None else None,
-            af_control=r.af_control[:, ph] if r.af_control is not None else None,
-            ns_case=r.ns_case[:, ph] if r.ns_case is not None else None,
-            ns_control=r.ns_control[:, ph] if r.ns_control is not None else None,
-        )
-        if payload is None:
-            break  # native lib unavailable -> per-row fallback for all
-        writers[ph].write(payload)
-    else:
+    if (native_formatter("format_sumstat_single") is not None
+            and len(test_name) <= 40):
+        prefix = None
+        for ph in range(params.n_pheno):
+            if not pd.pheno_pass[ph] or writers[ph] is None:
+                continue
+            if prefix is None:
+                prefix = block_prefixes(bsnps)
+            writers[ph].write(format_block_single(
+                params, prefix[0], prefix[1], test_name,
+                skip=r.ignored | r.ignored_trait[:, ph],
+                af=r.af_t[:, ph],
+                info=r.info_t[:, ph] if r.info_t is not None else None,
+                n=r.ns_t[:, ph], beta=r.bhat[:, ph], se=r.se[:, ph],
+                chisq=r.chisq[:, ph], logp=r.logp[:, ph],
+                test_fail=r.test_fail[:, ph],
+                af_case=r.af_case[:, ph] if r.af_case is not None else None,
+                af_control=(r.af_control[:, ph]
+                            if r.af_control is not None else None),
+                ns_case=r.ns_case[:, ph] if r.ns_case is not None else None,
+                ns_control=(r.ns_control[:, ph]
+                            if r.ns_control is not None else None),
+            ))
         return
     for b in range(B):
         if r.ignored[b]:
@@ -1538,40 +1539,53 @@ def run_step2(params: Params, log=print) -> None:
     # rows into the same files).
     wpool = ThreadPoolExecutor(max_workers=1)
     wpending: list = []
-    fut = pool.submit(_fetch, todo[0][1]) if todo else None
-    for i, (chrom, bsnps) in enumerate(todo):
-        (kind, data), info_num = fut.result()
-        if i + 1 < len(todo):
-            fut = pool.submit(_fetch, todo[i + 1][1])
-        eng._info_num_override = info_num
-        eng.prep_chrom(chrom)
-        if kind == "raw":
-            result, _ = eng.test_raw_block_fused(data, bsnps)
-        else:
-            # standard pipeline (non-fused run, chrX non-PAR dosage
-            # compensation, or exotic BGEN layout fallback)
-            result, _ = eng.test_raw_block(data, bsnps)
-        if eng.interaction is None:
-            while len(wpending) > 4:
-                wpending.pop(0).result()
-            wpending.append(wpool.submit(
-                write_block_rows, params, pd, writers, bsnps, result,
-                test_name + condtl, eng.model_type() + condtl,
-            ))
-        else:
-            write_block_rows(params, pd, writers, bsnps, result,
-                             test_name + condtl, eng.model_type() + condtl)
-            from .models.interaction import apply_interaction_block
+    try:
+        fut = pool.submit(_fetch, todo[0][1]) if todo else None
+        for i, (chrom, bsnps) in enumerate(todo):
+            (kind, data), info_num = fut.result()
+            if i + 1 < len(todo):
+                fut = pool.submit(_fetch, todo[i + 1][1])
+            eng._info_num_override = info_num
+            eng.prep_chrom(chrom)
+            if kind == "raw":
+                result, _ = eng.test_raw_block_fused(data, bsnps)
+            else:
+                # standard pipeline (non-fused run, chrX non-PAR dosage
+                # compensation, or exotic BGEN layout fallback)
+                result, _ = eng.test_raw_block(data, bsnps)
+            if eng.interaction is None:
+                while len(wpending) > 4:
+                    wpending.pop(0).result()
+                wpending.append(wpool.submit(
+                    write_block_rows, params, pd, writers, bsnps, result,
+                    test_name + condtl, eng.model_type() + condtl,
+                ))
+            else:
+                write_block_rows(params, pd, writers, bsnps, result,
+                                 test_name + condtl,
+                                 eng.model_type() + condtl)
+                from .models.interaction import apply_interaction_block
 
-            apply_interaction_block(
-                params, eng, bsnps, eng.last_G_imputed, eng.last_G_res, result,
-                writers, test_name,
-            )
+                apply_interaction_block(
+                    params, eng, bsnps, eng.last_G_imputed, eng.last_G_res,
+                    result, writers, test_name,
+                )
+    finally:
+        # drain + surface writer errors even when scoring raised, so
+        # output files close deterministically and a disk-full from the
+        # async writer isn't swallowed behind the compute exception
+        pool.shutdown(wait=False)
+        werr = None
+        for w in wpending:
+            try:
+                w.result()
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                werr = werr or e
+        wpool.shutdown(wait=True)
+        import sys as _sys
 
-    pool.shutdown(wait=False)
-    for w in wpending:
-        w.result()  # drain + surface writer errors before closing files
-    wpool.shutdown(wait=True)
+        if werr is not None and _sys.exc_info()[0] is None:
+            raise werr  # no compute exception in flight to preserve
     if hasattr(eng, "_info_num_override"):
         del eng._info_num_override
     closed = set()
