@@ -546,8 +546,13 @@ static int64_t compact_rows(char* out, const int64_t* prefix_off,
   return total;
 }
 
+// test_buf/test_off: optional per-row TEST strings (interaction rows
+// carry distinct -INT_* suffixes); when test_off is null every row uses
+// the constant `test`. Per-row tests must be <= 46 bytes (wrapper caps
+// at 40, same as the constant-test path).
 int64_t format_sumstat_single(const char* prefix_buf, const int64_t* prefix_off,
                               int64_t B, const uint8_t* skip, const char* test,
+                              const char* test_buf, const int64_t* test_off,
                               int af_cc, int has_info, const double* af,
                               const double* af_case, const double* af_control,
                               const double* info, const int32_t* n,
@@ -592,7 +597,14 @@ int64_t format_sumstat_single(const char* prefix_buf, const int64_t* prefix_off,
       }
       q += snprintf(q, 16, " %d", n[b]);
       if (af_cc) q += snprintf(q, 32, " %d %d", ns_case[b], ns_control[b]);
-      q += snprintf(q, 48, " %s", test);
+      if (test_off != nullptr) {
+        const int64_t tlen = test_off[b + 1] - test_off[b];
+        q[0] = ' ';
+        memcpy(q + 1, test_buf + test_off[b], tlen);
+        q += 1 + tlen;
+      } else {
+        q += snprintf(q, 48, " %s", test);
+      }
       const bool print_se = (se[b] >= 0) && !std::isnan(se[b]);
       const bool print_pv =
           (chisq[b] >= 0) && !test_fail[b] && !std::isnan(logp[b]);

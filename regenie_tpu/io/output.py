@@ -130,7 +130,7 @@ def native_formatter(name: str):
 def format_block_single(params, prefix_buf, prefix_off, test, skip, af,
                         info, n, beta, se, chisq, logp, test_fail,
                         af_case=None, af_control=None, ns_case=None,
-                        ns_control=None) -> Optional[str]:
+                        ns_control=None, tests=None) -> Optional[str]:
     """Native batch renderer for the split single-pheno format: one call
     formats a whole [B] block x trait column (snprintf %g, OpenMP over
     rows in native/decoder.cpp format_sumstat_single) — byte-identical
@@ -144,6 +144,15 @@ def format_block_single(params, prefix_buf, prefix_off, test, skip, af,
     if lib is None or len(test) > 40:
         return None
     B = len(prefix_off) - 1
+    test_buf = test_off = None
+    if tests is not None:
+        # per-row TEST strings (interaction -INT_* suffixes); each must
+        # fit the constant-test byte budget
+        test_buf, test_off = tests
+        if len(test_off) != B + 1 or (np.diff(test_off) > 40).any():
+            return None
+        test_buf = np.ascontiguousarray(test_buf, np.uint8)
+        test_off = np.ascontiguousarray(test_off, np.int64)
     f64, i32 = _f64, _i32
     af = f64(af)
     beta, se = f64(beta), f64(se)
@@ -174,6 +183,7 @@ def format_block_single(params, prefix_buf, prefix_off, test, skip, af,
 
     total = lib.format_sumstat_single(
         ptr(pb), ptr(po), B, ptr(skip), test.encode(),
+        ptr(test_buf), ptr(test_off),
         int(af_cc), int(has_info), ptr(af),
         ptr(af_case) if af_cc else 0, ptr(af_control) if af_cc else 0,
         ptr(info) if has_info else 0, ptr(n),

@@ -395,6 +395,11 @@ def _robust_block_batched(params, eng, bsnps, idx, G_raw, G_res, result,
             scf_i, Dmin, Z, tau, V3, s2 = (np.asarray(o) for o in outs)
             V4 = None
         nc = Z.shape[1]
+        if not params.print_vcov and _write_int_rows_block(
+            params, eng, writers, bsnps, chunk, scf_i, Dmin, Z, tau, V3, s2,
+            V4, result, test_name, beg, K, scale_fac,
+        ):
+            continue
         for si, b in enumerate(chunk):
             if scf_i[si].min() < params.numtol or Dmin[si] < params.numtol:
                 continue
@@ -758,6 +763,189 @@ def _bt_firth_rows(params, eng, writers, snp, b, ph, H, y, mask, beg, K,
                 chisq, lp, True,
             )
         )
+
+
+def _write_int_rows_block(params, eng, writers, bsnps, chunk, scf_i, Dmin,
+                          Z, tau, V3, s2, V4, result, test_name, beg, K,
+                          scale_fac) -> bool:
+    """Columnar twin of the per-(SNP, trait) _write_int_rows loop for
+    the batched robust path: row statistics vectorized over
+    (SNP, trait, row-template) and rendered through the native batch
+    formatter with per-row TEST strings — exact per-file row order
+    (SNP-major, template-minor) and the same %g byte formatting.
+
+    Returns False (caller falls back to the scalar loop) when the
+    native formatter is unavailable or a TEST string exceeds its byte
+    budget; nothing is written in that case."""
+    from ..io.output import (block_prefixes, format_block_single,
+                             native_formatter)
+
+    if native_formatter("format_sumstat_single") is None:
+        return False
+    st, pd = eng.interaction, eng.pd
+    P = params.n_pheno
+    S = len(chunk)
+    keep_s = ~((scf_i.min(axis=1) < params.numtol)
+               | (Dmin < params.numtol))
+    if not keep_s.any():
+        return True
+    # Vsel [S, P, nc, nc]: model-based / HC3 / HC4 per (SNP, trait),
+    # mirroring the scalar selection
+    nc = Z.shape[1]
+    if params.no_robust:
+        denom = pd.Neff - params.ncov_analyzed - nc  # [P]
+        Vsel = (s2 / denom[None, :])[:, :, None, None] * Z[:, None, :, :]
+    else:
+        Vsel = V3
+        if params.force_hc4 and V4 is not None:
+            mac = (result.mac_t[chunk]
+                   if result.mac_t is not None else np.full((S, P), np.inf))
+            rare = mac <= params.rare_mac_inter
+            Vsel = np.where(rare[:, :, None, None], V4, V3)
+    diag = np.einsum("spjj->spj", Vsel)  # [S, P, nc]
+
+    # row templates (same order as _write_int_rows)
+    evar = st.evar_name
+    sfx, term = [], []
+    for j in range(beg):
+        if st.is_cat:
+            sfx.append(f"-INT_{evar}={st.lvl_names[j]}")
+        elif params.int_add_esq and j != 0:
+            sfx.append(f"-INT_{evar}^2")
+        else:
+            sfx.append(f"-INT_{evar}")
+        term.append(j)
+    sfx.append("-INT_SNP")
+    term.append(beg)
+    if K > 1:
+        for j in range(K):
+            sfx.append(f"-INT_SNPx{evar}={st.lvl_names[j]}")
+            term.append(beg + 1 + j)
+        sfx.append(f"-INT_SNPx{evar}")
+        term.append(-1)  # joint over the K interaction terms
+    else:
+        sfx.append(f"-INT_SNPx{evar}")
+        term.append(beg + 1)
+    sfx.append(f"-INT_{1+K}DF")
+    term.append(-2)  # joint df=1+K
+    T = len(sfx)
+    tests = [test_name + s for s in sfx]
+    if max(len(t) for t in tests) > 40:
+        return False
+
+    # scales [S, P, T] (joint rows carry the -1 NA sentinels)
+    scale_Yp = np.asarray(pd.scale_Y) * np.asarray(eng.p_sd_yres)  # [P]
+    sf_g = (np.asarray(scale_fac)[chunk]
+            if scale_fac is not None else np.ones(S))
+    beta_o = np.full((S, P, T), -1.0)
+    se_o = np.full((S, P, T), -1.0)
+    tstat = np.full((S, P, T), -1.0)
+    lp = np.full((S, P, T), -1.0)
+    ncs = len(st.scl_E)
+    for t in range(T):
+        j = term[t]
+        if j < 0:
+            continue
+        if j < beg:
+            scl = (scale_Yp / st.scl_E[min(t, ncs - 1)])[None, :]
+        elif j == beg:
+            scl = scale_Yp[None, :] / sf_g[:, None]
+        else:
+            scl = scale_Yp[None, :] / scf_i[:, j - (beg + 1)][:, None]
+        tt = tau[:, j, :] ** 2 / diag[:, :, j]
+        tstat[:, :, t] = tt
+        lp[:, :, t] = chisq_neglog10(tt)
+        beta_o[:, :, t] = tau[:, j, :] * scl
+        se_o[:, :, t] = np.sqrt(diag[:, :, j]) * scl
+    if K > 1:
+        sub = Vsel[:, :, beg + 1 : beg + 1 + K, beg + 1 : beg + 1 + K]
+        bi = tau[:, beg + 1 : beg + 1 + K, :].transpose(0, 2, 1)  # [S,P,K]
+        tt = np.abs(np.einsum(
+            "spk,spkl,spl->sp", bi, np.linalg.inv(sub), bi))
+        tstat[:, :, T - 2] = tt
+        lp[:, :, T - 2] = chisq_neglog10_df(tt, K)
+    sub = Vsel[:, :, beg : beg + 1 + K, beg : beg + 1 + K]
+    bj = tau[:, beg : beg + 1 + K, :].transpose(0, 2, 1)
+    tt = np.abs(np.einsum("spk,spkl,spl->sp", bj, np.linalg.inv(sub), bj))
+    tstat[:, :, T - 1] = tt
+    lp[:, :, T - 1] = chisq_neglog10_df(tt, 1 + K)
+
+    # per-SNP byte segments reused across traits
+    kept = np.flatnonzero(keep_s)
+    pref_seg = {}
+    for si in kept:
+        s = bsnps[chunk[si]]
+        pref_seg[si] = (
+            f"{s.chrom} {s.physpos} {s.ID} {s.allele1} {s.allele2}".encode()
+        )
+    tbytes = [t.encode() for t in tests]
+    tseg = b"".join(tbytes)
+    tlens = np.array([len(t) for t in tbytes], np.int64)
+
+    # all-kept row-prefix buffer built once; per-trait subsets (rows
+    # ignored for that trait only) rebuild from the cached segments
+    full_buf = bytearray()
+    for si in kept:
+        full_buf += pref_seg[si] * T
+    plens = np.repeat(
+        np.array([len(pref_seg[si]) for si in kept], np.int64), T)
+    full_off = np.zeros(len(kept) * T + 1, np.int64)
+    full_off[1:] = plens.cumsum()
+    full_pb = np.frombuffer(bytes(full_buf), np.uint8)
+    kept_list = list(kept)
+
+    payloads = []
+    for ph in range(P):
+        if not pd.pheno_pass[ph] or writers[ph] is None:
+            payloads.append(None)
+            continue
+        sel = [si for si in kept if not result.ignored_trait[chunk[si], ph]]
+        if not sel:
+            payloads.append("")
+            continue
+        nsel = len(sel)
+        if nsel == len(kept_list):
+            pb_rows, off = full_pb, full_off
+        else:
+            buf = bytearray()
+            off = np.empty(nsel * T + 1, np.int64)
+            off[0] = 0
+            k = 0
+            for si in sel:
+                seg = pref_seg[si]
+                for _ in range(T):
+                    buf += seg
+                    k += 1
+                    off[k] = len(buf)
+            pb_rows = np.frombuffer(bytes(buf), np.uint8)
+        toff = np.zeros(nsel * T + 1, np.int64)
+        toff[1:] = np.tile(tlens, nsel).cumsum()
+        af_r = np.repeat(result.af_t[chunk][sel, ph], T)
+        n_r = np.repeat(result.ns_t[chunk][sel, ph], T)
+        if params.dosage_mode:
+            iv = (result.info_t[chunk][sel, ph]
+                  if result.info_t is not None else np.ones(nsel))
+            info_r = np.repeat(iv, T)
+        else:
+            info_r = None
+        payload = format_block_single(
+            params, pb_rows, off, "",
+            skip=np.zeros(nsel * T, np.uint8),
+            af=af_r, info=info_r, n=n_r,
+            beta=beta_o[sel, ph, :].reshape(-1),
+            se=se_o[sel, ph, :].reshape(-1),
+            chisq=tstat[sel, ph, :].reshape(-1),
+            logp=lp[sel, ph, :].reshape(-1),
+            test_fail=np.zeros(nsel * T, np.uint8),
+            tests=(np.frombuffer(tseg * nsel, np.uint8), toff),
+        )
+        if payload is None:
+            return False
+        payloads.append(payload)
+    for ph, payload in enumerate(payloads):
+        if payload:
+            writers[ph].write(payload)
+    return True
 
 
 def _write_int_rows(params, eng, writers, snp, b, ph, bhat, Vmat, beg, K,
