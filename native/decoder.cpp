@@ -868,4 +868,63 @@ int64_t format_sumstat_all(const char* prefix_buf, const int64_t* prefix_off,
   return compact_rows(out, prefix_off, budget, row_len, B);
 }
 
+// ---------------------------------------------------------------------------
+// Parallel gzip: the input splits into ~chunk-byte pieces, each
+// deflated as an independent gzip member (RFC 1952 §2.2 — a gzip file
+// is a series of members, and every standard reader concatenates
+// them), OpenMP over pieces. Single-threaded zlib caps --gz output at
+// ~50MB/s — at 570M-row biobank scale that's ~20min of wall-clock the
+// reference also pays (Boost gzip); this removes it.
+// out must hold n + n/1000 + 64 per chunk (deflateBound-ish).
+// Returns compressed size, or -1 on error.
+// ---------------------------------------------------------------------------
+int64_t gzip_compress_members(const uint8_t* in, int64_t n, int level,
+                              int64_t chunk, uint8_t* out, int64_t out_cap) {
+  if (chunk <= 0) chunk = 1 << 20;
+  const int64_t n_chunks = n > 0 ? (n + chunk - 1) / chunk : 0;
+  if (n_chunks == 0) return 0;
+  int64_t* csize = new int64_t[n_chunks];
+  const int64_t slot = chunk + chunk / 1000 + 64;
+  uint8_t* scratch = new uint8_t[n_chunks * slot];
+  bool fail = false;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int64_t c = 0; c < n_chunks; c++) {
+    const int64_t beg = c * chunk;
+    const int64_t len = (beg + chunk <= n) ? chunk : n - beg;
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    // windowBits 15+16 = gzip wrapper
+    if (deflateInit2(&zs, level, Z_DEFLATED, 15 + 16, 8,
+                     Z_DEFAULT_STRATEGY) != Z_OK) {
+      fail = true;
+      csize[c] = 0;
+      continue;
+    }
+    zs.next_in = const_cast<uint8_t*>(in + beg);
+    zs.avail_in = (uInt)len;
+    zs.next_out = scratch + c * slot;
+    zs.avail_out = (uInt)slot;
+    const int ret = deflate(&zs, Z_FINISH);
+    csize[c] = (ret == Z_STREAM_END) ? (int64_t)zs.total_out : 0;
+    if (ret != Z_STREAM_END) fail = true;
+    deflateEnd(&zs);
+  }
+  int64_t total = 0;
+  if (!fail) {
+    for (int64_t c = 0; c < n_chunks; c++) {
+      if (total + csize[c] > out_cap) {
+        fail = true;
+        break;
+      }
+      memcpy(out + total, scratch + c * slot, csize[c]);
+      total += csize[c];
+    }
+  }
+  delete[] scratch;
+  delete[] csize;
+  return fail ? -1 : total;
+}
+
 }  // extern "C"

@@ -20,12 +20,83 @@ def open_read(path: str) -> IO[str]:
     return open(path, "r", encoding="utf-8")
 
 
-def open_write(path: str, gz: bool = False) -> IO[str]:
+def open_write(path: str, gz: bool = False, parallel_gz: bool = False) -> IO[str]:
     if gz or path.endswith(".gz"):
         if not path.endswith(".gz"):
             path += ".gz"
+        if parallel_gz:
+            w = ParallelGzipWriter.maybe(path)
+            if w is not None:
+                return w
         return io.TextIOWrapper(gzip.open(path, "wb", compresslevel=6), encoding="utf-8")
     return open(path, "w", encoding="utf-8")
+
+
+class ParallelGzipWriter:
+    """Text-mode .gz writer backed by the native multi-member deflate
+    (gzip_compress_members, native/decoder.cpp): buffered text flushes
+    as independently-deflated gzip members, OpenMP over ~1MB pieces.
+    The output is a standard multi-member gzip stream (RFC 1952 §2.2)
+    every reader concatenates; single-threaded zlib (~50MB/s, what the
+    reference's Boost gzip pays too) comes off the hot sumstat path."""
+
+    FLUSH_AT = 8 << 20
+
+    def __init__(self, path: str, lib):
+        self._fh = open(path, "wb")
+        self._lib = lib
+        self._buf = bytearray()
+
+    @staticmethod
+    def maybe(path: str) -> "ParallelGzipWriter | None":
+        from .native import get_lib
+
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "gzip_compress_members"):
+            return None
+        return ParallelGzipWriter(path, lib)
+
+    def write(self, s: str) -> int:
+        self._buf += s.encode("utf-8")
+        if len(self._buf) >= self.FLUSH_AT:
+            self._flush_members()
+        return len(s)
+
+    def _flush_members(self):
+        import numpy as np
+
+        if not self._buf:
+            return
+        data = np.frombuffer(bytes(self._buf), np.uint8)
+        self._buf.clear()
+        cap = len(data) + len(data) // 500 + 4096
+        out = np.empty(cap, np.uint8)
+        n = self._lib.gzip_compress_members(
+            data.ctypes.data, len(data), 6, 1 << 20, out.ctypes.data, cap
+        )
+        if n < 0:  # native failure: fall back to a plain member
+            self._fh.write(gzip.compress(bytes(data), compresslevel=6))
+            return
+        self._fh.write(out[:n].tobytes())
+
+    def flush(self):
+        self._flush_members()
+        self._fh.flush()
+
+    def close(self):
+        self._flush_members()
+        self._fh.close()
+
+    @property
+    def closed(self):
+        return self._fh.closed
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
 
 _SPLIT_RE = re.compile(r"[ \t]+")

@@ -65,6 +65,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
         ]
         lib.sumstat_field_budget.restype = ctypes.c_int64
+    if hasattr(lib, "gzip_compress_members"):
+        lib.gzip_compress_members.restype = ctypes.c_int64
+        lib.gzip_compress_members.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
     if hasattr(lib, "htp_field_budget"):
         lib.htp_field_budget.restype = ctypes.c_int64
     if hasattr(lib, "all_field_budget"):

@@ -1206,7 +1206,7 @@ def setup_writers(params: Params, pheno_names: List[str], pheno_pass=None,
         from .io.output import header_all
 
         path = f"{params.out_prefix}.regenie" + (".gz" if params.gz_out else "")
-        fh = open_write(path, gz=params.gz_out)
+        fh = open_write(path, gz=params.gz_out, parallel_gz=True)
         if pre_header:
             fh.write(pre_header)
         fh.write(header_all(params))
@@ -1227,7 +1227,7 @@ def setup_writers(params: Params, pheno_names: List[str], pheno_pass=None,
             continue
         suffix = ".regenie" + (".gz" if params.gz_out else "")
         path = f"{params.out_prefix}_{name}{suffix}"
-        fh = open_write(path, gz=params.gz_out)
+        fh = open_write(path, gz=params.gz_out, parallel_gz=True)
         if pre_header:
             fh.write(pre_header)
         fh.write(hdr)
@@ -1621,7 +1621,7 @@ def run_multitrait(params: Params, eng: Step2Engine, log=print) -> None:
     log(f" * # blocks: [{params.total_n_block}]")
 
     path = f"{params.out_prefix}.regenie" + (".gz" if params.gz_out else "")
-    fh = open_write(path, gz=params.gz_out)
+    fh = open_write(path, gz=params.gz_out, parallel_gz=True)
     fh.write(mt_header(params.n_pheno))
 
     t0 = time.time()
@@ -1675,7 +1675,7 @@ def run_multiphen(params: Params, eng: Step2Engine, log=print) -> None:
     log(f" * # blocks: [{params.total_n_block}]")
 
     path = f"{params.out_prefix}.regenie" + (".gz" if params.gz_out else "")
-    fh = open_write(path, gz=params.gz_out)
+    fh = open_write(path, gz=params.gz_out, parallel_gz=True)
     fh.write(multiphen_header())
     mask0 = pd.masked_indivs[:, 0]
 
