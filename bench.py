@@ -37,6 +37,13 @@ import numpy as np
 
 def main():
     import jax
+
+    # REGENIE_TPU_PLATFORM=cpu: config-level override (the env-var path
+    # can hang when a remote PJRT plugin registered at interpreter
+    # start is unreachable)
+    plat = os.environ.get("REGENIE_TPU_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
     from regenie_tpu.models import step2 as m2
@@ -237,4 +244,19 @@ def main():
 
 
 if __name__ == "__main__":
+    # watchdog: a dead remote-TPU tunnel hangs inside backend init with
+    # no exception to catch — fail loudly instead of hanging the caller
+    import threading
+
+    def _abort():
+        sys.stderr.write(
+            "bench: watchdog expired (TPU backend unresponsive?)\n"
+        )
+        sys.stderr.flush()
+        os._exit(3)
+
+    wd = threading.Timer(float(os.environ.get("BENCH_TIMEOUT", 1200)), _abort)
+    wd.daemon = True
+    wd.start()
     main()
+    os._exit(0)  # don't wait on stray non-daemon threads
