@@ -869,6 +869,50 @@ int64_t format_sumstat_all(const char* prefix_buf, const int64_t* prefix_off,
 }
 
 // ---------------------------------------------------------------------------
+// LOCO/PRS prediction rows (write_predictions, Data.cpp:1795): R rows
+// of "label v_1 .. v_N \n" with %g values and NA for masked samples —
+// [23 chromosomes, N samples] per trait is 460M values at biobank
+// scale, far too hot for a per-value Python loop.
+// out must hold R * (16 + 15*N) bytes.
+// ---------------------------------------------------------------------------
+int64_t format_loco_rows(const double* vals, int64_t R, int64_t N,
+                         const uint8_t* mask, const int32_t* labels,
+                         char* out, int64_t* row_len) {
+  const int64_t budget = 16 + 15 * N;
+#if defined(_OPENMP)
+#pragma omp parallel
+#endif
+  {
+    locale_t prev = uselocale(c_numeric_locale());
+#if defined(_OPENMP)
+#pragma omp for schedule(static)
+#endif
+    for (int64_t r = 0; r < R; r++) {
+      char* p = out + r * budget;
+      char* q = p;
+      q += snprintf(q, 16, "%d", labels[r]);
+      const double* v = vals + r * N;
+      for (int64_t i = 0; i < N; i++) {
+        if (mask[i])
+          q += fmt_sep_g(q, ' ', v[i]);
+        else
+          q += snprintf(q, 8, " NA");
+      }
+      q += snprintf(q, 8, " \n");
+      row_len[r] = q - p;
+    }
+    uselocale(prev);
+  }
+  int64_t total = 0;
+  for (int64_t r = 0; r < R; r++) {
+    const char* src = out + r * budget;
+    if (out + total != src) memmove(out + total, src, row_len[r]);
+    total += row_len[r];
+  }
+  return total;
+}
+
+// ---------------------------------------------------------------------------
 // Parallel gzip: the input splits into ~chunk-byte pieces, each
 // deflated as an independent gzip member (RFC 1952 §2.2 — a gzip file
 // is a series of members, and every standard reader concatenates

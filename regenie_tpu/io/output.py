@@ -94,6 +94,27 @@ def sumstat_line_single(
     return " ".join(parts) + "\n"
 
 
+def format_value_rows(vals, mask, labels) -> Optional[str]:
+    """Native renderer for labeled %g value rows with per-sample NA
+    masking ("label v_1 .. v_N \\n" — the .loco/.prs prediction format,
+    format_loco_rows in native/decoder.cpp). vals: [R, N] float64;
+    mask: [N] bool; labels: [R] ints. None if the lib is unavailable."""
+    lib = native_formatter("format_loco_rows")
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, np.float64)
+    R, N = vals.shape
+    mask = np.ascontiguousarray(mask, np.uint8)
+    labels = np.ascontiguousarray(labels, np.int32)
+    out = np.empty(R * (16 + 15 * N), np.uint8)
+    row_len = np.empty(R, np.int64)
+    total = lib.format_loco_rows(
+        vals.ctypes.data, R, N, mask.ctypes.data, labels.ctypes.data,
+        out.ctypes.data, row_len.ctypes.data,
+    )
+    return out[:total].tobytes().decode("ascii")
+
+
 def block_prefixes(bsnps) -> tuple:
     """Concatenated per-variant row prefixes "CHROM GENPOS ID A0 A1"
     for the native batch formatter (built once per block, reused by

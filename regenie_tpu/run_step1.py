@@ -668,14 +668,25 @@ def _log_tau_table(log, params: Params, h_l1, cumsum, best, neff, cumsum_full=No
 def _write_loco(path, header, params: Params, pd: PhenoData, ph, predictions, total, chr_order, id_order):
     """Write per-chromosome LOCO predictions (write_predictions, Data.cpp:1795)."""
     mask = pd.masked_indivs[:, ph]
-    with open_write(path, gz=params.gz_out) as fh:
+    with open_write(path, gz=params.gz_out, parallel_gz=True) as fh:
         fh.write(header)
         chr_idx = {c: i for i, c in enumerate(chr_order)}
-        for chrom in range(1, params.n_chrom + 1):
-            vals = total.copy()
+        # native whole-matrix rendering ([n_chrom, N] %g values):
+        # 460M per-value Python fmt calls at biobank scale otherwise
+        from .io.output import format_value_rows
+
+        chroms = list(range(1, params.n_chrom + 1))
+        V = np.tile(np.asarray(total)[id_order], (len(chroms), 1))
+        for r, chrom in enumerate(chroms):
             if chrom in chr_idx:
-                vals = vals - predictions[:, chr_idx[chrom]]
+                V[r] -= np.asarray(predictions)[id_order, chr_idx[chrom]]
+        payload = format_value_rows(V, mask[id_order], chroms)
+        if payload is not None:
+            fh.write(payload)
+            return
+        for r, chrom in enumerate(chroms):
+            vals = V[r]
             row = [str(chrom)]
-            for i in id_order:
-                row.append(fmt(vals[i]) if mask[i] else "NA")
+            for k in range(len(id_order)):
+                row.append(fmt(vals[k]) if mask[id_order[k]] else "NA")
             fh.write(" ".join(row) + " \n")
