@@ -520,10 +520,20 @@ def _level1_and_output(params, gd, pd, W_all, offsets, taus, h_l1, chr_nblocks, 
                 mask = pd.masked_indivs[:, ph]
                 with open_write(prs_path, gz=params.gz_out) as fh:
                     fh.write(header)
-                    row = ["0"] + [
-                        fmt(total[i]) if mask[i] else "NA" for i in id_order
-                    ]
-                    fh.write(" ".join(row) + " \n")
+                    from .io.output import format_value_rows
+
+                    payload = format_value_rows(
+                        np.asarray(total)[id_order][None, :],
+                        mask[id_order], [0],
+                    )
+                    if payload is not None:
+                        fh.write(payload)
+                    else:
+                        row = ["0"] + [
+                            fmt(total[i]) if mask[i] else "NA"
+                            for i in id_order
+                        ]
+                        fh.write(" ".join(row) + " \n")
                 prs_list.write(f"{name} {prs_path if params.use_rel_path else os.path.abspath(prs_path)}\n")
             if firth_list is not None and params.trait_mode == BT:
                 fpath = _write_null_firth_step1(
