@@ -33,7 +33,7 @@ for _b in range(256):
         _LUT[_b, _j] = _MAP[(_b >> (_j * 2)) & 3]
 
 
-@dataclass
+@dataclass(slots=True)
 class SnpInfo:
     """Per-variant metadata (reference `struct snp`, Geno.hpp:47-62)."""
 
@@ -49,7 +49,7 @@ class SnpInfo:
     forced_mac_filter: bool = False  # --force-mac-filter member
 
 
-@dataclass
+@dataclass(slots=True)
 class SampleInfo:
     FID: str
     IID: str
