@@ -913,6 +913,46 @@ int64_t format_loco_rows(const double* vals, int64_t R, int64_t N,
 }
 
 // ---------------------------------------------------------------------------
+// Generic prefixed %g rows: "prefix v_1 .. v_K\n" (multi-trait /
+// LD-text style outputs where every field after the string prefix is a
+// %g double). skip[r] != 0 omits the row.
+// out must hold prefix_off[R] + R*(15*K + 8) bytes.
+// ---------------------------------------------------------------------------
+int64_t format_prefixed_float_rows(const char* prefix_buf,
+                                   const int64_t* prefix_off, int64_t R,
+                                   int64_t K, const uint8_t* skip,
+                                   const double* vals, char* out,
+                                   int64_t* row_len) {
+  const int64_t budget = 15 * K + 8;
+#if defined(_OPENMP)
+#pragma omp parallel
+#endif
+  {
+    locale_t prev = uselocale(c_numeric_locale());
+#if defined(_OPENMP)
+#pragma omp for schedule(static)
+#endif
+    for (int64_t r = 0; r < R; r++) {
+      if (skip != nullptr && skip[r]) {
+        row_len[r] = 0;
+        continue;
+      }
+      char* p = out + prefix_off[r] + r * budget;
+      char* q = p;
+      const int64_t plen = prefix_off[r + 1] - prefix_off[r];
+      memcpy(q, prefix_buf + prefix_off[r], plen);
+      q += plen;
+      const double* v = vals + r * K;
+      for (int64_t k = 0; k < K; k++) q += fmt_sep_g(q, ' ', v[k]);
+      *q++ = '\n';
+      row_len[r] = q - p;
+    }
+    uselocale(prev);
+  }
+  return compact_rows(out, prefix_off, budget, row_len, R);
+}
+
+// ---------------------------------------------------------------------------
 // Parallel gzip: the input splits into ~chunk-byte pieces, each
 // deflated as an independent gzip member (RFC 1952 §2.2 — a gzip file
 // is a series of members, and every standard reader concatenates

@@ -65,6 +65,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
         ]
         lib.sumstat_field_budget.restype = ctypes.c_int64
+    if hasattr(lib, "format_prefixed_float_rows"):
+        lib.format_prefixed_float_rows.restype = ctypes.c_int64
+        lib.format_prefixed_float_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
     if hasattr(lib, "format_loco_rows"):
         lib.format_loco_rows.restype = ctypes.c_int64
         lib.format_loco_rows.argtypes = [

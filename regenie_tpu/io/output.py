@@ -115,6 +115,29 @@ def format_value_rows(vals, mask, labels) -> Optional[str]:
     return out[:total].tobytes().decode("ascii")
 
 
+def format_float_rows(prefix_buf, prefix_off, vals, skip=None) -> Optional[str]:
+    """Native renderer for "prefix v_1 .. v_K\\n" rows where every
+    post-prefix field is %g (multi-trait output style). vals: [R, K]
+    float64. None if the native lib is unavailable."""
+    lib = native_formatter("format_prefixed_float_rows")
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, np.float64)
+    R, K = vals.shape
+    pb = np.ascontiguousarray(prefix_buf, np.uint8)
+    po = np.ascontiguousarray(prefix_off, np.int64)
+    sk = (np.ascontiguousarray(skip, np.uint8)
+          if skip is not None else None)
+    out = np.empty(int(po[-1]) + R * (15 * K + 8), np.uint8)
+    row_len = np.empty(R, np.int64)
+    total = lib.format_prefixed_float_rows(
+        pb.ctypes.data, po.ctypes.data, R, K,
+        sk.ctypes.data if sk is not None else 0, vals.ctypes.data,
+        out.ctypes.data, row_len.ctypes.data,
+    )
+    return out[:total].tobytes().decode("utf-8")
+
+
 def block_prefixes(bsnps) -> tuple:
     """Concatenated per-variant row prefixes "CHROM GENPOS ID A0 A1"
     for the native batch formatter (built once per block, reused by

@@ -1646,9 +1646,26 @@ def run_multitrait(params: Params, eng: Step2Engine, log=print) -> None:
         )
         ignored = ignored | np.asarray(low_var)
         r = run_mt_block(mt_state, np.asarray(G_res), params)
-        for b in range(len(bsnps)):
+        n_ignored += int(np.asarray(ignored).sum())
+        # columnar native rendering: after the 5-string prefix every
+        # mt_line field is %g, so rows render as one prefixed float
+        # matrix (per-row Python fallback below)
+        from .io.output import block_prefixes, format_float_rows
+
+        Bn = len(bsnps)
+        V = np.column_stack(
+            [sb["mac"][:, 0], sb["af"][:, 0],
+             np.full(Bn, mt_state.neff0), r["minp"], r["minq"], r["logp"],
+             r["qnnls"][:, None], r["z_uni"], r["z_pc"], r["z_rpc"],
+             r["z_apc"]]
+        )
+        pre = block_prefixes(bsnps)
+        payload = format_float_rows(pre[0], pre[1], V, skip=ignored)
+        if payload is not None:
+            fh.write(payload)
+            continue
+        for b in range(Bn):
             if ignored[b]:
-                n_ignored += 1
                 continue
             fh.write(
                 mt_line(bsnps[b], sb["mac"][b, 0], sb["af"][b, 0],
