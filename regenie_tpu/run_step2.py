@@ -1832,10 +1832,27 @@ def run_ldcomp(params: Params, eng: Step2Engine, log=print) -> None:
         LD = LD / sds[:, None] / sds[None, :]
     if params.cor_out_txt:
         with open_write(params.out_prefix + ".corr") as fh:
-            for i in range(M):
-                fh.write(" ".join(fmt(LD[i, j]) for j in range(M)))
-                if i < M - 1:
-                    fh.write("\n")
+            from .io.output import format_float_rows
+
+            payload = None
+            if M > 0:
+                # first column renders as the row "prefix", the rest as
+                # the %g float matrix; rows join with single newlines
+                buf = bytearray()
+                off = np.zeros(M + 1, np.int64)
+                for i in range(M):
+                    buf += fmt(LD[i, 0]).encode()
+                    off[i + 1] = len(buf)
+                payload = format_float_rows(
+                    np.frombuffer(bytes(buf), np.uint8), off, LD[:, 1:]
+                )
+            if payload is not None:
+                fh.write(payload[:-1])  # newline separates, not ends
+            else:
+                for i in range(M):
+                    fh.write(" ".join(fmt(LD[i, j]) for j in range(M)))
+                    if i < M - 1:
+                        fh.write("\n")
     else:
         # binary: uint16-quantized r^2, upper triangle (print_ld, Data.cpp:4440)
         mult = (1 << 16) - 1
