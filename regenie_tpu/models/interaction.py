@@ -329,15 +329,30 @@ def apply_interaction_block(params, eng, bsnps, G_raw, G_res, result, writers, t
     P = params.n_pheno
     B = len(bsnps)
     robust_idx = []
+    bt_idx = []
     for b in range(B):
         if result.ignored[b]:
             continue
         if st.interaction_snp_name and bsnps[b].ID == st.interaction_snp_name:
             continue
-        g_raw = np.asarray(G_raw[b], dtype=np.float64)
         if params.trait_mode == BT:
-            _test_snp_bt(params, eng, bsnps[b], b, g_raw, result, writers, test_name)
+            # batched device IRLS on accelerator backends; the adaptive
+            # per-SNP solver wins on CPU (early-exit per element).
+            # REGENIE_TPU_BATCH_INT=1 / REGENIE_TPU_NO_BATCH_INT force.
+            import jax as _jax
+
+            use_batched = not os.environ.get("REGENIE_TPU_NO_BATCH_INT") and (
+                os.environ.get("REGENIE_TPU_BATCH_INT")
+                or _jax.default_backend() != "cpu"
+            )
+            if use_batched:
+                bt_idx.append(b)
+            else:
+                g_raw = np.asarray(G_raw[b], dtype=np.float64)
+                _test_snp_bt(params, eng, bsnps[b], b, g_raw, result,
+                             writers, test_name)
             continue
+        g_raw = np.asarray(G_raw[b], dtype=np.float64)
         mac_b = result.af_t[b] * 2 * result.ns_t[b]
         mac_b = np.minimum(mac_b, 2 * result.ns_t[b] - mac_b)
         use_hlm = (
@@ -351,6 +366,13 @@ def apply_interaction_block(params, eng, bsnps, G_raw, G_res, result, writers, t
                              writers, test_name)
         else:
             robust_idx.append(b)
+    if bt_idx:
+        if not _bt_block_batched(params, eng, bsnps, bt_idx, G_raw, result,
+                                 writers, test_name):
+            for b in bt_idx:
+                _test_snp_bt(params, eng, bsnps[b], b,
+                             np.asarray(G_raw[b], dtype=np.float64), result,
+                             writers, test_name)
     if robust_idx:
         _robust_block_batched(
             params, eng, bsnps, robust_idx, G_raw, G_res, result, writers, test_name
@@ -555,6 +577,360 @@ def _test_snp_hlm(params, eng, snp, b, g_raw, result, writers, test_name):
         ones = np.ones(M.shape[1])
         _write_int_rows(params, eng, writers, snp, b, ph, bhat, Vmat, beg, K,
                         1.0, ones[:K], ones[:K], result, test_name)
+
+
+_BT_IRLS_KERNELS = {}
+
+
+def _bt_irls_kernel(C, niter_max, check_hs_dev, tol):
+    """Device-batched twin of glm.fit_logistic_irls for Q refit designs
+    sharing (y, offset, mask): the same Newton-from-working-response /
+    5-step deviance line search / score-stop / divergence-abort state
+    machine, per-element masks instead of early returns
+    (apply_interaction_tests_bt refits, Interaction.cpp:441-664).
+
+    Float64 on-device (TPU runs f64 via XLA software emulation — the
+    score-based stopping at tol=1e-6 is not reachable in f32 at biobank
+    N). Returns (beta [Q, C], ok [Q])."""
+    key = (C, niter_max, check_hs_dev, float(tol))
+    if key in _BT_IRLS_KERNELS:
+        return _BT_IRLS_KERNELS[key]
+    import jax
+    import jax.numpy as jnp
+
+    ETA_MIN, ETA_MAX = -30.0, 30.0
+    eps = float(10 * np.finfo(np.float64).eps)
+
+    def pvec(eta):
+        pi = 1.0 - 1.0 / (jnp.exp(jnp.clip(eta, ETA_MIN, ETA_MAX)) + 1.0)
+        pi = jnp.where(eta > ETA_MAX, 1.0 / (1.0 + eps), pi)
+        pi = jnp.where(eta < ETA_MIN, eps / (1.0 + eps), pi)
+        return pi
+
+    def dev_of(y, pi, maskf):
+        nll = jnp.where(y == 0, -jnp.log(1.0 - pi), -jnp.log(pi))
+        return 2.0 * jnp.sum(nll * maskf, axis=-1)
+
+    @jax.jit
+    def run(H, y, offset, maskf):
+        # H [Q, N, C]; y/offset/maskf [N]
+        Q = H.shape[0]
+        maskb = maskf > 0
+        beta = jnp.zeros((Q, C), jnp.float64)
+        betanew = beta
+        eta = jnp.broadcast_to(offset, H.shape[:2]).astype(jnp.float64)
+        pi = pvec(eta)
+        dev_old = dev_of(y, pi, maskf)
+        done = jnp.zeros(Q, bool)
+        conv = jnp.zeros(Q, bool)
+        small = jnp.zeros(Q, bool)
+        diff_dev = jnp.full(Q, jnp.inf)
+
+        def body(i, st):
+            beta, betanew, eta, pi, dev_old, done, conv, small, diff_dev = st
+            active = ~done
+            niter_cur = i + 1
+            w = jnp.where(maskb, pi * (1.0 - pi), 1.0)
+            wzero = (w == 0).any(axis=-1)
+            done = done | (active & wzero)  # fail, result = beta
+            active = active & ~wzero
+            z = jnp.where(maskb, eta - offset + (y - pi) / w, 0.0)
+            mw = maskf * w
+            A = jnp.einsum("qnc,qn,qnd->qcd", H, mw, H)
+            rhs = jnp.einsum("qnc,qn->qc", H, mw * z)
+            # pinv (min-norm) rather than solve: the scalar path's
+            # np.linalg.lstsq survives singular designs
+            bn = jnp.einsum("qcd,qd->qc", jnp.linalg.pinv(A), rhs)
+
+            # 5-step halving line search (freeze each element's first
+            # accepted point); early-exits once every element accepted
+            def ls_body(ls_st):
+                t, bcur, ls_ok, eta_a, pi_a, dev_a = ls_st
+                eta_t = offset + jnp.einsum("qnc,qc->qn", H, bcur)
+                pi_t = pvec(eta_t)
+                dev_t = dev_of(y, pi_t, maskf)
+                valid = jnp.all(
+                    ((pi_t > 0) & (pi_t < 1)) | ~maskb, axis=-1
+                ) & jnp.isfinite(dev_t)
+                cond = valid & ((dev_t < dev_old) if check_hs_dev else True)
+                newly = cond & ~ls_ok
+                eta_a = jnp.where(newly[:, None], eta_t, eta_a)
+                pi_a = jnp.where(newly[:, None], pi_t, pi_a)
+                dev_a = jnp.where(newly, dev_t, dev_a)
+                bfix = jnp.where(ls_ok[:, None] | newly[:, None],
+                                 bcur, (beta + bcur) / 2.0)
+                return (t + 1, bfix, ls_ok | cond, eta_a, pi_a, dev_a)
+
+            def ls_cond(ls_st):
+                t, _b, ls_ok, *_ = ls_st
+                return (t < 5) & ~jnp.all(ls_ok | ~active)
+
+            ls_st = (0, bn, jnp.zeros_like(done), eta, pi, dev_old)
+            _t, bcur, ls_ok, eta_a, pi_a, dev_a = jax.lax.while_loop(
+                ls_cond, ls_body, ls_st)
+            done = done | (active & ~ls_ok)  # fail, result = beta
+            active = active & ls_ok
+
+            score = jnp.einsum(
+                "qnc,qn->qc", H, maskf * (y - pi_a))
+            smax = jnp.abs(score).max(axis=-1)
+            conv_now = active & (smax < tol)
+            conv = conv | conv_now
+            done = done | conv_now
+            # conv elements keep betanew = bcur as the result
+            betanew = jnp.where(active[:, None], bcur, betanew)
+            active = active & ~conv_now
+            small = small | (active & (niter_cur < 20) & (smax < 1.0))
+            diverged = active & small & (niter_cur > 20) & (smax > 5.0)
+            done = done | diverged  # fail, result = beta
+            active = active & ~diverged
+            dd = jnp.abs(dev_a - dev_old) / (0.1 + jnp.abs(dev_a))
+            diff_dev = jnp.where(active, dd, diff_dev)
+            beta = jnp.where(active[:, None], bcur, beta)
+            dev_old = jnp.where(active, dev_a, dev_old)
+            eta = jnp.where(active[:, None], eta_a, eta)
+            pi = jnp.where(active[:, None], pi_a, pi)
+            return (beta, betanew, eta, pi, dev_old, done, conv, small,
+                    diff_dev)
+
+        def outer_cond(ist):
+            i, st = ist
+            return (i < niter_max) & ~jnp.all(st[5])  # st[5] = done
+
+        def outer_body(ist):
+            i, st = ist
+            return i + 1, body(i, st)
+
+        st = (beta, betanew, eta, pi, dev_old, done, conv, small, diff_dev)
+        _i, st = jax.lax.while_loop(outer_cond, outer_body, (0, st))
+        beta, betanew, _eta, _pi, _dev, done, conv, _small, diff_dev = st
+        # not-done elements: converged iff diff_dev in (0, tol)
+        tail_ok = (~done) & (diff_dev != 0) & (diff_dev < tol)
+        ok = conv | tail_ok
+        # scalar returns betanew on convergence AND on tail exhaustion;
+        # mid-loop failures return the last accepted beta (callers only
+        # use it when ok)
+        out = jnp.where((conv | ~done)[:, None], betanew, beta)
+        return out, ok
+
+    _BT_IRLS_KERNELS[key] = run
+    return run
+
+
+def _bt_block_batched(params, eng, bsnps, idx, G_raw, result, writers,
+                      test_name) -> bool:
+    """Device-batched BT interaction tests for the eligible SNPs of a
+    block: the per-(SNP, trait) logistic refits of _test_snp_bt become
+    two masked batched IRLS passes (+ batched eigh/sandwich algebra) on
+    the accelerator, rows render columnar. Control flow, skip
+    semantics, and row order match the scalar path; traits with Firth
+    LRT fallbacks keep the per-SNP writer for exact row interleaving.
+
+    Returns False to fall back entirely (--print-vcov / no native
+    formatter / oversized TEST strings)."""
+    import jax
+
+    # f64 everywhere (TPU: XLA software emulation) — the IRLS stopping
+    # contract (score tol 1e-6 at biobank N) is unreachable in f32
+    with jax.enable_x64(True):
+        return _bt_block_batched_x64(params, eng, bsnps, idx, G_raw,
+                                     result, writers, test_name)
+
+
+def _bt_block_batched_x64(params, eng, bsnps, idx, G_raw, result, writers,
+                          test_name) -> bool:
+    import jax.numpy as jnp
+
+    from ..io.output import native_formatter
+
+    st, pd, bt = eng.interaction, eng.pd, eng.bt_state
+    if params.print_vcov or native_formatter("format_sumstat_single") is None:
+        return False
+    beg = params.interaction_istart
+    K = params.ncov_interaction
+    tmpl = _int_row_templates(params, st, beg, K, test_name)
+    if tmpl is None:
+        return False
+    term, tests = tmpl
+    T = len(tests)
+    np_ = 1 + K
+    lpfirth = -np.log10(params.alpha_pvalue)
+    lpbase = -np.log10(0.05)
+    P = params.n_pheno
+    cov = pd.new_cov
+    N, ncov = cov.shape
+    Ke = st.E_res.shape[1]
+    C = Ke + 1 + K
+    denom = float(params.n_analyzed - ncov)
+    flipped = np.asarray(
+        getattr(eng, "last_flipped", np.zeros(len(bsnps), bool)))
+    G_np = np.asarray(G_raw, dtype=np.float64)
+    run_t = _bt_irls_kernel(C, params.niter_max, True, params.numtol)
+    run_f = _bt_irls_kernel(C, params.niter_max, False, params.numtol)
+    cov_j = jnp.asarray(cov, jnp.float64)
+    E_j = jnp.asarray(st.E, jnp.float64)
+    Er_j = jnp.asarray(st.E_res, jnp.float64)
+    ncs = len(st.scl_E)
+    # chunk so the [S, N, C] f64 design stays ~200MB
+    S_max = max(1, int(2.0e8 / max(1, 8 * N * C)))
+
+    for c0 in range(0, len(idx), S_max):
+        chunk = list(idx[c0 : c0 + S_max])
+        real_S = len(chunk)
+        if len(idx) > S_max and real_S < S_max:
+            # pad the remainder chunk to the steady shape (one compile)
+            chunk = chunk + [chunk[-1]] * (S_max - real_S)
+        S = len(chunk)
+        g = jnp.asarray(G_np[chunk])  # [S, N]
+        # batched residualize_matrix (orthonormal covariate basis)
+        gres = g - (g @ cov_j) @ cov_j.T
+        scf_g = np.asarray(
+            jnp.sqrt((gres**2).sum(axis=1)) / np.sqrt(denom))
+        iMat = E_j[None, :, :] * g[:, :, None]  # [S, N, K]
+        bsk = jnp.einsum("snk,nc->skc", iMat, cov_j)
+        ires = iMat - jnp.einsum("nc,skc->snk", cov_j, bsk)
+        scf_i = np.asarray(
+            jnp.sqrt((ires**2).sum(axis=1)) / np.sqrt(denom))
+        skip_s = (scf_g < params.numtol) | (scf_i.min(axis=1) < params.numtol)
+        H = jnp.concatenate(
+            [jnp.broadcast_to(Er_j, (S, N, Ke)),
+             (gres / jnp.maximum(jnp.asarray(scf_g), 1e-300)[:, None])[:, :, None],
+             ires / jnp.maximum(jnp.asarray(scf_i), 1e-300)[:, None, :]],
+            axis=2,
+        )
+        bsign = np.where(flipped[chunk], -1.0, 1.0)
+
+        beta_o = np.full((S, P, T), -1.0)
+        se_o = np.full((S, P, T), -1.0)
+        tstat = np.full((S, P, T), -1.0)
+        lp = np.full((S, P, T), -1.0)
+        emit = np.zeros((S, P), bool)
+        scalar_ph = []  # traits with Firth fallbacks -> per-SNP writes
+        H_np = None
+        per_ph = {}
+        for ph in range(P):
+            if not pd.pheno_pass[ph] or writers[ph] is None:
+                continue
+            y_j = jnp.asarray(pd.phenotypes_raw[:, ph], jnp.float64)
+            maskf = pd.masked_indivs[:, ph].astype(np.float64)
+            mf_j = jnp.asarray(maskf)
+            off_j = jnp.asarray(bt.eta_null[:, ph], jnp.float64)
+            b1, o1 = run_t(H, y_j, off_j, mf_j)
+            ok = np.asarray(o1)
+            beta = np.asarray(b1)
+            if (~ok).any():
+                b2, o2 = run_f(H, y_j, off_j, mf_j)
+                ok2 = np.asarray(o2)
+                beta = np.where(ok[:, None], beta, np.asarray(b2))
+                ok = ok | ok2
+            beta_j = jnp.asarray(beta)
+            eta = off_j + jnp.einsum("snc,sc->sn", H, beta_j)
+            from .glm import get_pvec as _gp
+
+            pi = jnp.asarray(_gp(np.asarray(eta)))
+            w = jnp.where(jnp.asarray(maskf > 0), pi * (1.0 - pi), 0.0)
+            A = jnp.einsum("snc,sn,snd->scd", H, w, H)
+            D, V = jnp.linalg.eigh(A)
+            Dmin = np.asarray(D.min(axis=1))
+            Vmat = jnp.einsum("sik,sk,sjk->sij", V, 1.0 / D, V)
+            Vm = np.asarray(Vmat)
+            dg = np.einsum("sjj->sj", Vm)
+            tb = beta**2 / dg
+            lp_w = chisq_neglog10(tb[:, beg : beg + np_])
+            mac_b = (np.asarray(result.mac_t)[chunk, ph]
+                     if result.mac_t is not None else np.full(S, np.inf))
+            use_rob = np.full(S, bool(params.force_robust))
+            if not params.no_robust:
+                use_rob |= (mac_b > params.rare_mac_inter) & (
+                    lp_w > lpbase).any(axis=1)
+            bad = np.zeros(S, bool)
+            Vfin = Vm
+            if use_rob.any():
+                WX = H * jnp.sqrt(w)[:, :, None]
+                hvec = jnp.einsum("snc,scd,snd->sn", WX, Vmat, WX)
+                r = jnp.where(jnp.asarray(maskf > 0),
+                              (y_j - pi) / (1.0 - hvec), 0.0)
+                Vr = jnp.einsum("snc,sn,snd->scd", H, r**2, H)
+                VmR = np.asarray(Vmat @ Vr @ Vmat)
+                dgR = np.einsum("sjj->sj", VmR)
+                bad = use_rob & (dgR.min(axis=1) < 0)
+                Vfin = np.where(use_rob[:, None, None], VmR, Vm)
+                dg = np.where(use_rob[:, None], dgR, dg)
+            bhat = beta * bsign[:, None]
+            firth_m = np.zeros(S, bool)
+            if params.firth:
+                tf = np.abs(beta[:, beg + 1 : beg + 1 + K] ** 2
+                            / dg[:, beg + 1 : beg + 1 + K])
+                firth_m = (chisq_neglog10(tf) >= lpfirth).any(axis=1)
+            usable = (ok & ~skip_s & (Dmin >= params.numtol) & ~bad
+                      & ~np.asarray(result.ignored_trait)[chunk, ph])
+            usable[real_S:] = False  # padded rows
+            per_ph[ph] = (bhat, Vfin, dg, usable, firth_m)
+            if (usable & firth_m).any():
+                scalar_ph.append(ph)
+                continue
+            rows_ok = usable & ~firth_m
+            if not rows_ok.any():
+                continue
+            emit[:, ph] = rows_ok
+            # per-row scales: E mains 1/scl_E, G 1/scf_g, inter 1/scf_i
+            for t in range(T):
+                j = term[t]
+                if j < 0:
+                    continue
+                if j < beg:
+                    scl = np.full(S, 1.0 / st.scl_E[min(t, ncs - 1)])
+                elif j == beg:
+                    scl = 1.0 / scf_g
+                else:
+                    scl = 1.0 / scf_i[:, j - (beg + 1)]
+                tt = bhat[:, j] ** 2 / dg[:, j]
+                tstat[:, ph, t] = tt
+                lp[:, ph, t] = chisq_neglog10(tt)
+                beta_o[:, ph, t] = bhat[:, j] * scl
+                se_o[:, ph, t] = np.sqrt(dg[:, j]) * scl
+            if K > 1:
+                sub = Vfin[:, beg + 1 : beg + 1 + K, beg + 1 : beg + 1 + K]
+                bi = bhat[:, beg + 1 : beg + 1 + K]
+                tt = np.abs(np.einsum(
+                    "sk,skl,sl->s", bi, np.linalg.inv(sub), bi))
+                tstat[:, ph, T - 2] = tt
+                lp[:, ph, T - 2] = chisq_neglog10_df(tt, K)
+            sub = Vfin[:, beg : beg + 1 + K, beg : beg + 1 + K]
+            bj = bhat[:, beg : beg + 1 + K]
+            tt = np.abs(np.einsum(
+                "sk,skl,sl->s", bj, np.linalg.inv(sub), bj))
+            tstat[:, ph, T - 1] = tt
+            lp[:, ph, T - 1] = chisq_neglog10_df(tt, 1 + K)
+
+        if emit.any():
+            if not _render_int_rows(params, eng, writers, bsnps, chunk,
+                                    emit, tests, beta_o, se_o, tstat, lp,
+                                    result):
+                return False
+        for ph in scalar_ph:
+            # exact row interleaving: per-SNP writes for traits with
+            # Firth LRT fallback rows (batched fit results reused)
+            bhat, Vfin, dg, usable, firth_m = per_ph[ph]
+            if H_np is None:
+                H_np = np.asarray(H)
+            y = pd.phenotypes_raw[:, ph]
+            mask = pd.masked_indivs[:, ph]
+            for si in range(S):
+                if not usable[si]:
+                    continue
+                b = chunk[si]
+                if firth_m[si]:
+                    _bt_firth_rows(params, eng, writers, bsnps[b], b, ph,
+                                   H_np[si], y, mask, beg, K, scf_g[si],
+                                   scf_i[si], result, test_name,
+                                   float(bsign[si]))
+                else:
+                    _write_int_rows(params, eng, writers, bsnps[b], b, ph,
+                                    bhat[si], Vfin[si], beg, K,
+                                    1.0 / scf_g[si], 1.0 / scf_i[si],
+                                    1.0 / st.scl_E, result, test_name)
+    return True
 
 
 def _test_snp_bt(params, eng, snp, b, g_raw, result, writers, test_name):
@@ -765,6 +1141,39 @@ def _bt_firth_rows(params, eng, writers, snp, b, ph, H, y, mask, beg, K,
         )
 
 
+def _int_row_templates(params, st, beg, K, test_name):
+    """The fixed per-SNP row-template list of _write_int_rows:
+    (term indices, TEST strings). term -1 = K-df joint, -2 = (1+K)-df
+    joint. None when a TEST string exceeds the native byte budget."""
+    evar = st.evar_name
+    sfx, term = [], []
+    for j in range(beg):
+        if st.is_cat:
+            sfx.append(f"-INT_{evar}={st.lvl_names[j]}")
+        elif params.int_add_esq and j != 0:
+            sfx.append(f"-INT_{evar}^2")
+        else:
+            sfx.append(f"-INT_{evar}")
+        term.append(j)
+    sfx.append("-INT_SNP")
+    term.append(beg)
+    if K > 1:
+        for j in range(K):
+            sfx.append(f"-INT_SNPx{evar}={st.lvl_names[j]}")
+            term.append(beg + 1 + j)
+        sfx.append(f"-INT_SNPx{evar}")
+        term.append(-1)  # joint over the K interaction terms
+    else:
+        sfx.append(f"-INT_SNPx{evar}")
+        term.append(beg + 1)
+    sfx.append(f"-INT_{1+K}DF")
+    term.append(-2)  # joint df=1+K
+    tests = [test_name + s for s in sfx]
+    if max(len(t) for t in tests) > 40:
+        return None
+    return term, tests
+
+
 def _write_int_rows_block(params, eng, writers, bsnps, chunk, scf_i, Dmin,
                           Z, tau, V3, s2, V4, result, test_name, beg, K,
                           scale_fac) -> bool:
@@ -804,34 +1213,11 @@ def _write_int_rows_block(params, eng, writers, bsnps, chunk, scf_i, Dmin,
             Vsel = np.where(rare[:, :, None, None], V4, V3)
     diag = np.einsum("spjj->spj", Vsel)  # [S, P, nc]
 
-    # row templates (same order as _write_int_rows)
-    evar = st.evar_name
-    sfx, term = [], []
-    for j in range(beg):
-        if st.is_cat:
-            sfx.append(f"-INT_{evar}={st.lvl_names[j]}")
-        elif params.int_add_esq and j != 0:
-            sfx.append(f"-INT_{evar}^2")
-        else:
-            sfx.append(f"-INT_{evar}")
-        term.append(j)
-    sfx.append("-INT_SNP")
-    term.append(beg)
-    if K > 1:
-        for j in range(K):
-            sfx.append(f"-INT_SNPx{evar}={st.lvl_names[j]}")
-            term.append(beg + 1 + j)
-        sfx.append(f"-INT_SNPx{evar}")
-        term.append(-1)  # joint over the K interaction terms
-    else:
-        sfx.append(f"-INT_SNPx{evar}")
-        term.append(beg + 1)
-    sfx.append(f"-INT_{1+K}DF")
-    term.append(-2)  # joint df=1+K
-    T = len(sfx)
-    tests = [test_name + s for s in sfx]
-    if max(len(t) for t in tests) > 40:
+    tmpl = _int_row_templates(params, st, beg, K, test_name)
+    if tmpl is None:
         return False
+    term, tests = tmpl
+    T = len(tests)
 
     # scales [S, P, T] (joint rows carry the -1 NA sentinels)
     scale_Yp = np.asarray(pd.scale_Y) * np.asarray(eng.p_sd_yres)  # [P]
@@ -870,54 +1256,55 @@ def _write_int_rows_block(params, eng, writers, bsnps, chunk, scf_i, Dmin,
     tstat[:, :, T - 1] = tt
     lp[:, :, T - 1] = chisq_neglog10_df(tt, 1 + K)
 
-    # per-SNP byte segments reused across traits
-    kept = np.flatnonzero(keep_s)
+    emit = keep_s[:, None] & ~np.asarray(
+        result.ignored_trait[chunk][:, :P], bool)
+    return _render_int_rows(params, eng, writers, bsnps, chunk, emit, tests,
+                            beta_o, se_o, tstat, lp, result)
+
+
+def _render_int_rows(params, eng, writers, bsnps, chunk, emit, tests,
+                     beta_o, se_o, tstat, lp, result) -> bool:
+    """Pack + natively render precomputed interaction row stats.
+
+    emit: [S, P] bool — which (SNP, trait) row groups to write;
+    beta_o/se_o/tstat/lp: [S, P, T] (NA sentinels = -1); tests: the T
+    per-template TEST strings. Rows per trait file emit SNP-major,
+    template-minor (the scalar loop's order)."""
+    from ..io.output import format_block_single
+
+    pd = eng.pd
+    S, P, T = beta_o.shape
     pref_seg = {}
-    for si in kept:
-        s = bsnps[chunk[si]]
-        pref_seg[si] = (
-            f"{s.chrom} {s.physpos} {s.ID} {s.allele1} {s.allele2}".encode()
-        )
     tbytes = [t.encode() for t in tests]
     tseg = b"".join(tbytes)
     tlens = np.array([len(t) for t in tbytes], np.int64)
-
-    # all-kept row-prefix buffer built once; per-trait subsets (rows
-    # ignored for that trait only) rebuild from the cached segments
-    full_buf = bytearray()
-    for si in kept:
-        full_buf += pref_seg[si] * T
-    plens = np.repeat(
-        np.array([len(pref_seg[si]) for si in kept], np.int64), T)
-    full_off = np.zeros(len(kept) * T + 1, np.int64)
-    full_off[1:] = plens.cumsum()
-    full_pb = np.frombuffer(bytes(full_buf), np.uint8)
-    kept_list = list(kept)
 
     payloads = []
     for ph in range(P):
         if not pd.pheno_pass[ph] or writers[ph] is None:
             payloads.append(None)
             continue
-        sel = [si for si in kept if not result.ignored_trait[chunk[si], ph]]
-        if not sel:
+        sel = np.flatnonzero(emit[:, ph])
+        if not len(sel):
             payloads.append("")
             continue
         nsel = len(sel)
-        if nsel == len(kept_list):
-            pb_rows, off = full_pb, full_off
-        else:
-            buf = bytearray()
-            off = np.empty(nsel * T + 1, np.int64)
-            off[0] = 0
-            k = 0
-            for si in sel:
-                seg = pref_seg[si]
-                for _ in range(T):
-                    buf += seg
-                    k += 1
-                    off[k] = len(buf)
-            pb_rows = np.frombuffer(bytes(buf), np.uint8)
+        buf = bytearray()
+        off = np.empty(nsel * T + 1, np.int64)
+        off[0] = 0
+        k = 0
+        for si in sel:
+            seg = pref_seg.get(si)
+            if seg is None:
+                s = bsnps[chunk[si]]
+                seg = (f"{s.chrom} {s.physpos} {s.ID} "
+                       f"{s.allele1} {s.allele2}").encode()
+                pref_seg[si] = seg
+            for _ in range(T):
+                buf += seg
+                k += 1
+                off[k] = len(buf)
+        pb_rows = np.frombuffer(bytes(buf), np.uint8)
         toff = np.zeros(nsel * T + 1, np.int64)
         toff[1:] = np.tile(tlens, nsel).cumsum()
         af_r = np.repeat(result.af_t[chunk][sel, ph], T)

@@ -127,3 +127,48 @@ def test_condtl_categorical_docker_scenario(tmp_path):
     rows = [l for l in open(out + "_Y1.regenie") if l.startswith("1 1 ")]
     assert sum("ADD-INT" in l for l in rows) == 5
     assert any(l.split()[7] == "ADD-CONDTL" for l in rows)
+
+
+def test_bt_batched_matches_scalar(tmp_path):
+    """The device-batched BT interaction path (REGENIE_TPU_BATCH_INT=1)
+    reproduces the per-SNP solver: identical row structure, numeric
+    fields within IRLS-tolerance drift (the two paths stop along
+    ulp-different trajectories at the same 1e-6 score tolerance)."""
+    outs = {}
+    for mode, extra in (("bat", {"REGENIE_TPU_BATCH_INT": "1"}),
+                        ("sca", {"REGENIE_TPU_NO_BATCH_INT": "1"})):
+        out = str(tmp_path / mode)
+        env = dict(os.environ)
+        env["REGENIE_TPU_PLATFORM"] = "cpu"
+        env.update(extra)
+        r = subprocess.run(
+            [sys.executable, "-m", "regenie_tpu", "--step", "2",
+             "--bed", f"{EX}/example", "--covarFile", f"{EX}/covariates.txt",
+             "--phenoFile", f"{EX}/phenotype_bin.txt", "--bt",
+             "--remove", f"{EX}/fid_iid_to_remove.txt", "--bsize", "200",
+             "--ignore-pred", "--firth", "--approx", "--pThresh", "0.9",
+             "--interaction", "V1", "--out", out],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=900,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        outs[mode] = out
+    for t in ("Y1", "Y2"):
+        a = open(outs["bat"] + f"_{t}.regenie").read().splitlines()
+        b = open(outs["sca"] + f"_{t}.regenie").read().splitlines()
+        assert len(a) == len(b)
+        ndiff = 0
+        for la, lb in zip(a, b):
+            if la == lb:
+                continue
+            ndiff += 1
+            ta, tb = la.split(), lb.split()
+            assert len(ta) == len(tb)
+            for xa, xb in zip(ta, tb):
+                if xa == xb:
+                    continue
+                fa, fb = float(xa), float(xb)  # raises on NA-pattern diff
+                assert abs(fa - fb) <= 1e-4 * max(abs(fa), abs(fb), 1e-2), (
+                    la, lb)
+        # structural identity: the vast majority of rows byte-match
+        assert ndiff <= len(a) * 0.01, f"{t}: {ndiff} rows differ"
