@@ -330,6 +330,7 @@ def apply_interaction_block(params, eng, bsnps, G_raw, G_res, result, writers, t
     B = len(bsnps)
     robust_idx = []
     bt_idx = []
+    hlm_idx = []
     for b in range(B):
         if result.ignored[b]:
             continue
@@ -360,12 +361,43 @@ def apply_interaction_block(params, eng, bsnps, G_raw, G_res, result, writers, t
             and (mac_b < params.rare_mac_inter).any()
         )
         if use_hlm:
-            _test_snp_hlm(params, eng, bsnps[b], b, g_raw, result, writers, test_name)
+            if os.environ.get("REGENIE_TPU_NO_BATCH_INT"):
+                _test_snp_hlm(params, eng, bsnps[b], b, g_raw, result,
+                              writers, test_name)
+            else:
+                hlm_idx.append(b)
         elif os.environ.get("REGENIE_TPU_NO_BATCH_INT"):
             _test_snp_robust(params, eng, bsnps[b], b, g_raw, G_res[b], result,
                              writers, test_name)
         else:
             robust_idx.append(b)
+    # shared block-level stat buffers: HLM and robust SNPs of a mixed
+    # block render in ONE call so the file keeps the per-SNP row order
+    out = None
+    if hlm_idx and robust_idx:
+        from ..io.output import native_formatter
+
+        tmpl = _int_row_templates(
+            params, st, params.interaction_istart,
+            params.ncov_interaction, test_name)
+        if (tmpl is not None and not params.print_vcov
+                and native_formatter("format_sumstat_single") is not None):
+            T = len(tmpl[1])
+            out = {
+                "tests": tmpl[1],
+                "beta": np.full((B, P, T), -1.0),
+                "se": np.full((B, P, T), -1.0),
+                "chisq": np.full((B, P, T), -1.0),
+                "logp": np.full((B, P, T), -1.0),
+                "emit": np.zeros((B, P), bool),
+            }
+    if hlm_idx:
+        if not _hlm_block_batched(params, eng, bsnps, hlm_idx, G_raw, result,
+                                  writers, test_name, out):
+            for b in hlm_idx:
+                _test_snp_hlm(params, eng, bsnps[b], b,
+                              np.asarray(G_raw[b], dtype=np.float64), result,
+                              writers, test_name)
     if bt_idx:
         if not _bt_block_batched(params, eng, bsnps, bt_idx, G_raw, result,
                                  writers, test_name):
@@ -375,12 +407,17 @@ def apply_interaction_block(params, eng, bsnps, G_raw, G_res, result, writers, t
                              writers, test_name)
     if robust_idx:
         _robust_block_batched(
-            params, eng, bsnps, robust_idx, G_raw, G_res, result, writers, test_name
+            params, eng, bsnps, robust_idx, G_raw, G_res, result, writers,
+            test_name, out
         )
+    if out is not None and out["emit"].any():
+        _render_int_rows(params, eng, writers, bsnps, list(range(B)),
+                         out["emit"], out["tests"], out["beta"], out["se"],
+                         out["chisq"], out["logp"], result)
 
 
 def _robust_block_batched(params, eng, bsnps, idx, G_raw, G_res, result,
-                          writers, test_name):
+                          writers, test_name, out=None):
     """Device-batched HC3/HC4 sandwich tests for all robust-eligible SNPs
     of a block (same math as _test_snp_robust, per-SNP loop replaced by
     einsum batches)."""
@@ -419,7 +456,7 @@ def _robust_block_batched(params, eng, bsnps, idx, G_raw, G_res, result,
         nc = Z.shape[1]
         if not params.print_vcov and _write_int_rows_block(
             params, eng, writers, bsnps, chunk, scf_i, Dmin, Z, tau, V3, s2,
-            V4, result, test_name, beg, K, scale_fac,
+            V4, result, test_name, beg, K, scale_fac, out,
         ):
             continue
         for si, b in enumerate(chunk):
@@ -577,6 +614,122 @@ def _test_snp_hlm(params, eng, snp, b, g_raw, result, writers, test_name):
         ones = np.ones(M.shape[1])
         _write_int_rows(params, eng, writers, snp, b, ph, bhat, Vmat, beg, K,
                         1.0, ones[:K], ones[:K], result, test_name)
+
+
+def _hlm_block_batched(params, eng, bsnps, idx, G_raw, result, writers,
+                       test_name, out=None) -> bool:
+    """Batched twin of _test_snp_hlm: the per-(SNP, trait) whitened
+    projections/eigh solves become [S, N, C] einsum batches; rows render
+    columnar. Replicates the scalar path's abort semantics (a
+    low-eigenvalue design stops that SNP's remaining traits).
+
+    Returns False to fall back to the per-SNP loop."""
+    import jax.numpy as jnp
+
+    from ..io.output import native_formatter
+
+    st, pd = eng.interaction, eng.pd
+    if params.print_vcov or native_formatter("format_sumstat_single") is None:
+        return False
+    h = st.hlm
+    K = params.ncov_interaction
+    beg = params.interaction_istart
+    tmpl = _int_row_templates(params, st, beg, K, test_name)
+    if tmpl is None:
+        return False
+    term, tests = tmpl
+    T = len(tests)
+    P = params.n_pheno
+    N = h.Vlin.shape[0]
+    C = (0 if params.gwas_condtl else st.E.shape[1]) + h.Vlin.shape[1]
+    G_np = np.asarray(G_raw, dtype=np.float64)
+    E_j = None if params.gwas_condtl else jnp.asarray(st.E)
+    Vlin_j = jnp.asarray(h.Vlin)
+    yres_j = jnp.asarray(h.yres)
+    Ds_j = jnp.asarray(h.Dinv_sqrt)
+    ncs = len(st.scl_E)
+    S_max = max(1, int(2.0e8 / max(1, 8 * N * C)))
+
+    for c0 in range(0, len(idx), S_max):
+        chunk = list(idx[c0 : c0 + S_max])
+        real_S = len(chunk)
+        if len(idx) > S_max and real_S < S_max:
+            chunk = chunk + [chunk[-1]] * (S_max - real_S)
+        S = len(chunk)
+        g = jnp.asarray(G_np[chunk])  # [S, N]
+        parts = [] if E_j is None else [jnp.broadcast_to(
+            E_j, (S, N, E_j.shape[1]))]
+        parts.append(Vlin_j[None, :, :] * g[:, :, None])
+        M = jnp.concatenate(parts, axis=2)  # [S, N, C]
+
+        beta_o = np.full((S, P, T), -1.0)
+        se_o = np.full((S, P, T), -1.0)
+        tstat = np.full((S, P, T), -1.0)
+        lp = np.full((S, P, T), -1.0)
+        emit = np.zeros((S, P), bool)
+        alive = np.ones(S, bool)
+        alive[real_S:] = False
+        ig = np.asarray(result.ignored_trait)[chunk][:, :P]
+        for ph in range(P):
+            if not pd.pheno_pass[ph] or writers[ph] is None:
+                continue
+            if not alive.any():
+                break
+            Mm = M * Ds_j[None, :, ph, None]
+            Px = jnp.asarray(h.Px[ph])
+            t1 = jnp.einsum("nq,snc->sqc", Px, Mm)
+            Xres = Mm - jnp.einsum("nq,sqc->snc", Px, t1)
+            A = jnp.einsum("snc,snd->scd", Xres, Xres)
+            D, V = jnp.linalg.eigh(A)
+            Dmin = np.asarray(D.min(axis=1))
+            Vmat = np.asarray(jnp.einsum("sik,sk,sjk->sij", V, 1.0 / D, V))
+            Xty = jnp.einsum("snj,n->sj", Xres, yres_j[:, ph])
+            bhat = np.asarray(jnp.einsum(
+                "sij,sj->si", jnp.asarray(Vmat), Xty))
+            dfail = Dmin < params.numtol
+            # an ignored trait is skipped before the eigh in the scalar
+            # path, so it cannot abort that SNP
+            dfail = dfail & ~ig[:, ph]
+            this = alive & ~dfail & ~ig[:, ph]
+            alive = alive & ~dfail
+            emit[:, ph] = this
+            dg = np.einsum("sjj->sj", Vmat)
+            for t in range(T):
+                j = term[t]
+                if j < 0:
+                    continue
+                tt = bhat[:, j] ** 2 / dg[:, j]
+                tstat[:, ph, t] = tt
+                lp[:, ph, t] = chisq_neglog10(tt)
+                beta_o[:, ph, t] = bhat[:, j]
+                se_o[:, ph, t] = np.sqrt(dg[:, j])
+            if K > 1:
+                sub = Vmat[:, beg + 1 : beg + 1 + K, beg + 1 : beg + 1 + K]
+                bi = bhat[:, beg + 1 : beg + 1 + K]
+                tt = np.abs(np.einsum(
+                    "sk,skl,sl->s", bi, np.linalg.inv(sub), bi))
+                tstat[:, ph, T - 2] = tt
+                lp[:, ph, T - 2] = chisq_neglog10_df(tt, K)
+            sub = Vmat[:, beg : beg + 1 + K, beg : beg + 1 + K]
+            bj = bhat[:, beg : beg + 1 + K]
+            tt = np.abs(np.einsum(
+                "sk,skl,sl->s", bj, np.linalg.inv(sub), bj))
+            tstat[:, ph, T - 1] = tt
+            lp[:, ph, T - 1] = chisq_neglog10_df(tt, 1 + K)
+        if out is not None:
+            rs = slice(None, real_S)
+            rows = chunk[:real_S]
+            out["beta"][rows] = beta_o[rs]
+            out["se"][rows] = se_o[rs]
+            out["chisq"][rows] = tstat[rs]
+            out["logp"][rows] = lp[rs]
+            out["emit"][rows] = emit[rs]
+        elif emit.any():
+            if not _render_int_rows(params, eng, writers, bsnps, chunk,
+                                    emit, tests, beta_o, se_o, tstat, lp,
+                                    result):
+                return False
+    return True
 
 
 _BT_IRLS_KERNELS = {}
@@ -1176,7 +1329,7 @@ def _int_row_templates(params, st, beg, K, test_name):
 
 def _write_int_rows_block(params, eng, writers, bsnps, chunk, scf_i, Dmin,
                           Z, tau, V3, s2, V4, result, test_name, beg, K,
-                          scale_fac) -> bool:
+                          scale_fac, out=None) -> bool:
     """Columnar twin of the per-(SNP, trait) _write_int_rows loop for
     the batched robust path: row statistics vectorized over
     (SNP, trait, row-template) and rendered through the native batch
@@ -1258,6 +1411,13 @@ def _write_int_rows_block(params, eng, writers, bsnps, chunk, scf_i, Dmin,
 
     emit = keep_s[:, None] & ~np.asarray(
         result.ignored_trait[chunk][:, :P], bool)
+    if out is not None:
+        out["beta"][chunk] = beta_o
+        out["se"][chunk] = se_o
+        out["chisq"][chunk] = tstat
+        out["logp"][chunk] = lp
+        out["emit"][chunk] = emit
+        return True
     return _render_int_rows(params, eng, writers, bsnps, chunk, emit, tests,
                             beta_o, se_o, tstat, lp, result)
 
