@@ -121,3 +121,34 @@ def test_qt_hlm_path_used_for_rare(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     hlm_rows = [l for l in open(out + "_Y1.regenie") if "INT_SNPxV1" in l]
     assert len(hlm_rows) == 1000
+
+
+@pytest.mark.parametrize("rare_mac,label", [(100000, "all_hlm"),
+                                            (200, "mixed")])
+def test_hlm_batched_matches_scalar(tmp_path, rare_mac, label):
+    """Batched HLM interaction rows (and mixed HLM/robust blocks) are
+    byte-identical to the per-SNP path, including per-SNP row order in
+    mixed blocks."""
+    outs = {}
+    for mode, extra in (("bat", {}),
+                        ("sca", {"REGENIE_TPU_NO_BATCH_INT": "1"})):
+        out = str(tmp_path / f"{label}_{mode}")
+        env = dict(os.environ)
+        env["REGENIE_TPU_PLATFORM"] = "cpu"
+        env.update(extra)
+        r = subprocess.run(
+            [sys.executable, "-m", "regenie_tpu", "--step", "2",
+             "--bed", f"{EX}/example", "--covarFile", f"{EX}/covariates.txt",
+             "--phenoFile", f"{EX}/phenotype.txt",
+             "--remove", f"{EX}/fid_iid_to_remove.txt", "--bsize", "200",
+             "--ignore-pred", "--interaction", "V1",
+             "--rare-mac", str(rare_mac), "--out", out],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=900,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        outs[mode] = out
+    for t in ("Y1", "Y2"):
+        a = open(outs["bat"] + f"_{t}.regenie").read()
+        b = open(outs["sca"] + f"_{t}.regenie").read()
+        assert a == b, f"{label} {t}: batched != scalar"
