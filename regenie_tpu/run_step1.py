@@ -228,6 +228,17 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
         valid_j = jnp.asarray(valid.astype(np.float64))
         nmax = int(fold_sizes.max())
         W_all = _alloc_W((params.cv_folds, nmax, len(blocks) * J, P))
+        # device-side fold gather for G: folds are contiguous sample
+        # ranges, so [K, nmax] indices replace the host round trip
+        # (device->host G + pad_folds restack + re-upload was the
+        # dominant non-compute cost of the K-fold level-0 loop); pad
+        # slots gather row 0 and are zeroed by the kernel's valid mask
+        fold_idx = np.zeros((params.cv_folds, nmax), np.int32)
+        pos = 0
+        for k, szk in enumerate(fold_sizes):
+            fold_idx[k, :szk] = pos + np.arange(szk)
+            pos += int(szk)
+        fold_idx_j = jnp.asarray(fold_idx)
 
     # multi-chip: sample-axis sharding for the level-0 Gram/LOO solves
     # (§2.3.4 — psum over ICI replaces the split-L0 file protocol)
@@ -321,9 +332,9 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
                 Wb = m1.level0_loocv_block(G, Y_j, jnp.asarray(maskf), lambdas_j, Neff_j)
             W_all[:, bidx * J : (bidx + 1) * J, :] = np.asarray(Wb)
         else:
-            Gf, _ = m1.pad_folds(np.asarray(G), fold_sizes, axis=1)
+            Gf_j = jnp.transpose(jnp.take(G, fold_idx_j, axis=1), (1, 0, 2))
             Wb = m1.level0_kfold_block(
-                jnp.asarray(Gf), Y_folds_j, mask_folds_j, valid_j, lambdas_j, Neff_j
+                Gf_j, Y_folds_j, mask_folds_j, valid_j, lambdas_j, Neff_j
             )
             W_all[:, :, bidx * J : (bidx + 1) * J, :] = np.asarray(Wb)
     pool.shutdown(wait=False)
