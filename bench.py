@@ -259,4 +259,6 @@ if __name__ == "__main__":
     wd.daemon = True
     wd.start()
     main()
+    sys.stdout.flush()  # os._exit skips interpreter cleanup/flush
+    sys.stderr.flush()
     os._exit(0)  # don't wait on stray non-daemon threads

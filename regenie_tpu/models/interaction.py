@@ -331,22 +331,25 @@ def apply_interaction_block(params, eng, bsnps, G_raw, G_res, result, writers, t
     robust_idx = []
     bt_idx = []
     hlm_idx = []
+    # loop-invariant routing decisions (hoisted from the per-SNP loop)
+    no_batch = bool(os.environ.get("REGENIE_TPU_NO_BATCH_INT"))
+    if params.trait_mode == BT:
+        # batched device IRLS on accelerator backends; the adaptive
+        # per-SNP solver wins on CPU (early-exit per element).
+        # REGENIE_TPU_BATCH_INT=1 / REGENIE_TPU_NO_BATCH_INT force.
+        import jax as _jax
+
+        bt_use_batched = not no_batch and (
+            os.environ.get("REGENIE_TPU_BATCH_INT")
+            or _jax.default_backend() != "cpu"
+        )
     for b in range(B):
         if result.ignored[b]:
             continue
         if st.interaction_snp_name and bsnps[b].ID == st.interaction_snp_name:
             continue
         if params.trait_mode == BT:
-            # batched device IRLS on accelerator backends; the adaptive
-            # per-SNP solver wins on CPU (early-exit per element).
-            # REGENIE_TPU_BATCH_INT=1 / REGENIE_TPU_NO_BATCH_INT force.
-            import jax as _jax
-
-            use_batched = not os.environ.get("REGENIE_TPU_NO_BATCH_INT") and (
-                os.environ.get("REGENIE_TPU_BATCH_INT")
-                or _jax.default_backend() != "cpu"
-            )
-            if use_batched:
+            if bt_use_batched:
                 bt_idx.append(b)
             else:
                 g_raw = np.asarray(G_raw[b], dtype=np.float64)
@@ -361,12 +364,12 @@ def apply_interaction_block(params, eng, bsnps, G_raw, G_res, result, writers, t
             and (mac_b < params.rare_mac_inter).any()
         )
         if use_hlm:
-            if os.environ.get("REGENIE_TPU_NO_BATCH_INT"):
+            if no_batch:
                 _test_snp_hlm(params, eng, bsnps[b], b, g_raw, result,
                               writers, test_name)
             else:
                 hlm_idx.append(b)
-        elif os.environ.get("REGENIE_TPU_NO_BATCH_INT"):
+        elif no_batch:
             _test_snp_robust(params, eng, bsnps[b], b, g_raw, G_res[b], result,
                              writers, test_name)
         else:
@@ -618,6 +621,18 @@ def _test_snp_hlm(params, eng, snp, b, g_raw, result, writers, test_name):
 
 def _hlm_block_batched(params, eng, bsnps, idx, G_raw, result, writers,
                        test_name, out=None) -> bool:
+    import jax
+
+    # f64 on device like the scalar path it replaces (TPU: XLA f64
+    # emulation; without this the [S,N,C] Gram sums over biobank N
+    # would silently run f32/bf16)
+    with jax.enable_x64(True):
+        return _hlm_block_batched_x64(params, eng, bsnps, idx, G_raw,
+                                      result, writers, test_name, out)
+
+
+def _hlm_block_batched_x64(params, eng, bsnps, idx, G_raw, result, writers,
+                           test_name, out=None) -> bool:
     """Batched twin of _test_snp_hlm: the per-(SNP, trait) whitened
     projections/eigh solves become [S, N, C] einsum batches; rows render
     columnar. Replicates the scalar path's abort semantics (a
@@ -647,14 +662,14 @@ def _hlm_block_batched(params, eng, bsnps, idx, G_raw, result, writers,
     Vlin_j = jnp.asarray(h.Vlin)
     yres_j = jnp.asarray(h.yres)
     Ds_j = jnp.asarray(h.Dinv_sqrt)
-    ncs = len(st.scl_E)
     S_max = max(1, int(2.0e8 / max(1, 8 * N * C)))
 
     for c0 in range(0, len(idx), S_max):
         chunk = list(idx[c0 : c0 + S_max])
         real_S = len(chunk)
-        if len(idx) > S_max and real_S < S_max:
-            chunk = chunk + [chunk[-1]] * (S_max - real_S)
+        S_pad = min(S_max, -(-real_S // 64) * 64)  # shape buckets of 64
+        if real_S < S_pad:
+            chunk = chunk + [chunk[-1]] * (S_pad - real_S)
         S = len(chunk)
         g = jnp.asarray(G_np[chunk])  # [S, N]
         parts = [] if E_j is None else [jnp.broadcast_to(
@@ -730,6 +745,18 @@ def _hlm_block_batched(params, eng, bsnps, idx, G_raw, result, writers,
                                     result):
                 return False
     return True
+
+
+def _pvec_jnp(eta):
+    """Device twin of glm.get_pvec (same clamping constants)."""
+    import jax.numpy as jnp
+
+    ETA_MIN, ETA_MAX = -30.0, 30.0
+    eps = float(10 * np.finfo(np.float64).eps)
+    pi = 1.0 - 1.0 / (jnp.exp(jnp.clip(eta, ETA_MIN, ETA_MAX)) + 1.0)
+    pi = jnp.where(eta > ETA_MAX, 1.0 / (1.0 + eps), pi)
+    pi = jnp.where(eta < ETA_MIN, eps / (1.0 + eps), pi)
+    return pi
 
 
 _BT_IRLS_KERNELS = {}
@@ -930,9 +957,11 @@ def _bt_block_batched_x64(params, eng, bsnps, idx, G_raw, result, writers,
     for c0 in range(0, len(idx), S_max):
         chunk = list(idx[c0 : c0 + S_max])
         real_S = len(chunk)
-        if len(idx) > S_max and real_S < S_max:
-            # pad the remainder chunk to the steady shape (one compile)
-            chunk = chunk + [chunk[-1]] * (S_max - real_S)
+        # pad to 64-wide shape buckets: eligible-SNP counts vary per
+        # block and each distinct S would recompile the IRLS kernels
+        S_pad = min(S_max, -(-real_S // 64) * 64)
+        if real_S < S_pad:
+            chunk = chunk + [chunk[-1]] * (S_pad - real_S)
         S = len(chunk)
         g = jnp.asarray(G_np[chunk])  # [S, N]
         # batched residualize_matrix (orthonormal covariate basis)
@@ -978,9 +1007,7 @@ def _bt_block_batched_x64(params, eng, bsnps, idx, G_raw, result, writers,
                 ok = ok | ok2
             beta_j = jnp.asarray(beta)
             eta = off_j + jnp.einsum("snc,sc->sn", H, beta_j)
-            from .glm import get_pvec as _gp
-
-            pi = jnp.asarray(_gp(np.asarray(eta)))
+            pi = _pvec_jnp(eta)
             w = jnp.where(jnp.asarray(maskf > 0), pi * (1.0 - pi), 0.0)
             A = jnp.einsum("snc,sn,snd->scd", H, w, H)
             D, V = jnp.linalg.eigh(A)
@@ -1435,6 +1462,8 @@ def _render_int_rows(params, eng, writers, bsnps, chunk, emit, tests,
     pd = eng.pd
     S, P, T = beta_o.shape
     pref_seg = {}
+    buf_cache = {}  # emit-column pattern -> (pb_rows, off); traits
+    #                 usually share the same selected-SNP set
     tbytes = [t.encode() for t in tests]
     tseg = b"".join(tbytes)
     tlens = np.array([len(t) for t in tbytes], np.int64)
@@ -1449,22 +1478,28 @@ def _render_int_rows(params, eng, writers, bsnps, chunk, emit, tests,
             payloads.append("")
             continue
         nsel = len(sel)
-        buf = bytearray()
-        off = np.empty(nsel * T + 1, np.int64)
-        off[0] = 0
-        k = 0
-        for si in sel:
-            seg = pref_seg.get(si)
-            if seg is None:
-                s = bsnps[chunk[si]]
-                seg = (f"{s.chrom} {s.physpos} {s.ID} "
-                       f"{s.allele1} {s.allele2}").encode()
-                pref_seg[si] = seg
-            for _ in range(T):
-                buf += seg
-                k += 1
-                off[k] = len(buf)
-        pb_rows = np.frombuffer(bytes(buf), np.uint8)
+        ckey = emit[:, ph].tobytes()
+        cached = buf_cache.get(ckey)
+        if cached is not None:
+            pb_rows, off = cached
+        else:
+            buf = bytearray()
+            off = np.empty(nsel * T + 1, np.int64)
+            off[0] = 0
+            k = 0
+            for si in sel:
+                seg = pref_seg.get(si)
+                if seg is None:
+                    s = bsnps[chunk[si]]
+                    seg = (f"{s.chrom} {s.physpos} {s.ID} "
+                           f"{s.allele1} {s.allele2}").encode()
+                    pref_seg[si] = seg
+                for _ in range(T):
+                    buf += seg
+                    k += 1
+                    off[k] = len(buf)
+            pb_rows = np.frombuffer(bytes(buf), np.uint8)
+            buf_cache[ckey] = (pb_rows, off)
         toff = np.zeros(nsel * T + 1, np.int64)
         toff[1:] = np.tile(tlens, nsel).cumsum()
         af_r = np.repeat(result.af_t[chunk][sel, ph], T)
