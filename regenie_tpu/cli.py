@@ -88,7 +88,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the LD matrix as text instead of binary")
     g.add_argument("--skip-scaleG", action="store_true",
                    help="unscaled G'G in LD-matrix mode (covariance, not correlation)")
-    g.add_argument("--ld-sparse-thr", type=float, default=0.0)
+    g.add_argument("--sparse-thr", type=float, default=None,
+                   help="threshold used to sparsify the LD matrix")
     g.add_argument("--condition-list", default=None, help="file with variant IDs to condition on")
     g.add_argument("--condition-file", default=None, help="FORMAT,FILE with conditioning variants")
     g.add_argument("--interaction", default=None, help="covariate for GxE interaction test")
@@ -214,7 +215,6 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--use-adam", action="store_true",
                    help="accepted; ADAM is already the automatic fallback")
     g.add_argument("--adam-mini", action="store_true", help="accepted no-op")
-    g.add_argument("--sparse-thr", type=float, default=None, help="accepted no-op (dense device path)")
     g.add_argument("--prop-zero-thr", type=float, default=None, help="accepted no-op (dense device path)")
     g.add_argument("--condition-file-sample", default=None,
                    help="sample file for the --condition-file BGEN")
@@ -703,6 +703,13 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.condition_file = args.condition_file
 
     # LD matrix mode (Regenie.cpp:522-530)
+    if args.sparse_thr is not None:
+        # validated whenever the flag is passed (Regenie.cpp:919-924)
+        if not args.skip_scaleG:
+            raise SystemExit("ERROR: cannot use --sparse-thr without --skip-scaleG")
+        if args.sparse_thr < 0 or args.sparse_thr >= 1:
+            raise SystemExit(
+                "ERROR: invalid value passed in --sparse-thr (must be in [0,1)")
     if args.compute_corr or args.output_corr_text:
         params.get_cor_mat = True
         params.ld_list_file = args.ld_extract
@@ -711,7 +718,7 @@ def args_to_params(args: argparse.Namespace) -> Params:
         )
         params.cor_out_txt = args.output_corr_text or args.skip_scaleG
         params.skip_scaleG = args.skip_scaleG
-        params.ld_sparse_thr = args.ld_sparse_thr
+        params.ld_sparse_thr = args.sparse_thr or 0.0
         params.skip_blups = True
         params.strict_mode = True
         params.trait_mode = QT

@@ -91,9 +91,15 @@ def build_masks_for_set(
     ind = ind_in_analysis
     maskf = masked_indivs.astype(np.float64)
 
-    # singleton flag: rounded MAC == 1 (compute_mac, Geno.cpp:2961)
+    # singleton flag: rounded MAC == 1 (compute_mac, Geno.cpp:3084)
     if singleton_custom is not None:
         singleton = singleton_custom
+    elif params.singleton_carriers:
+        # --singleton-carrier: exactly one carrier of the counted allele
+        # (ncarriers counted at dosage >= 0.5, Geno.cpp:2020/2298/2457;
+        # singleton = (ncarriers == 1), Geno.cpp:3085)
+        ncarriers = ((G >= 0.5) & ind[None, :]).sum(axis=1)
+        singleton = ncarriers == 1
     else:
         singleton = np.floor(mac1 + 0.5) == 1
 

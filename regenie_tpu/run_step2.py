@@ -42,22 +42,29 @@ def read_pred_list(path: str) -> Dict[str, str]:
 
 def read_loco_chr(
     path: str, chrom: int, id_to_ind: Dict[str, int], n_samples: int,
-    mask: np.ndarray,
+    mask: np.ndarray, use_prs: bool = False,
 ) -> np.ndarray:
     """Read one chromosome row from a .loco file (blup_read_chr,
-    Step2_Models.cpp:51-150). Returns [N] blup vector (0 where masked)."""
+    Step2_Models.cpp:51-150). Returns [N] blup vector (0 where masked).
+
+    With use_prs (--use-prs), the file is a whole-genome .prs written by
+    --print-prs: a single row labeled 0 used for every chromosome
+    (blup_read, Pheno.cpp:1297-1312; blup_read_chr skips per-chromosome
+    reads, Step2_Models.cpp:60)."""
     blup = np.zeros(n_samples)
     with open_read(path) as fh:
         header = string_split(fh.readline())
         if header[0] != "FID_IID":
             raise ValueError("header of blup file must start with FID_IID")
-        for _ in range(chrom - 1):
-            fh.readline()
+        if not use_prs:
+            for _ in range(chrom - 1):
+                fh.readline()
         toks = string_split(fh.readline())
         if len(toks) != len(header):
             raise ValueError("blup file row length mismatch")
-        if int(toks[0]) != chrom:
-            raise ValueError(f"blup file row starts with {toks[0]} instead of {chrom}")
+        expect = 0 if use_prs else chrom
+        if int(toks[0]) != expect:
+            raise ValueError(f"blup file row starts with {toks[0]} instead of {expect}")
         for col in range(1, len(header)):
             key = header[col]
             if key not in id_to_ind:
@@ -115,6 +122,10 @@ def mask_samples_missing_loco(params, pd, blup_files, id_to_ind):
         with open_read(path) as fh:
             header = string_split(fh.readline())
             vals = string_split(fh.readline())
+        if params.use_prs and vals[0] != "0":
+            # --use-prs expects whole-genome .prs files (blup_read,
+            # Pheno.cpp:1297)
+            raise ValueError(f"second line must start with 0 (={vals[0]})")
         present = np.zeros(params.n_samples, dtype=bool)
         for col in range(1, len(header)):
             key = header[col]
@@ -295,7 +306,7 @@ class Step2Engine:
                     continue
                 blups[:, ph] = read_loco_chr(
                     self.blup_files[name], chrom, self.id_to_ind, N,
-                    pd.masked_indivs[:, ph],
+                    pd.masked_indivs[:, ph], use_prs=params.use_prs,
                 )
                 # LTCO: also remove the extra chromosome's contribution
                 # (blup_read_chr, Step2_Models.cpp:121)
@@ -1812,7 +1823,7 @@ def run_ldcomp(params: Params, eng: Step2Engine, log=print) -> None:
     G_j = jnp.asarray(G)
     cov_j = jnp.asarray(pd.new_cov)
     G_j = G_j - m2.mm(m2.mm(G_j, cov_j), cov_j.T)
-    LD = np.asarray(m2.mm(G_j, G_j.T))
+    LD = np.array(m2.mm(G_j, G_j.T))  # writable host copy (diag edits below)
     G = np.asarray(G_j)
 
     # snplist
@@ -1827,11 +1838,45 @@ def run_ldcomp(params: Params, eng: Step2Engine, log=print) -> None:
             for nm in absent:
                 fh.write(nm + "\n")
 
+    # negative but numerically-zero diagonal entries (rounding error):
+    # zero those rows/cols (ld_comp, Data.cpp:4104-4108; params.tol=1e-8)
+    dvec = np.diag(LD)
+    bad = (dvec < 0) & (np.abs(dvec) < 1e-8)
+    if bad.any():
+        LD[bad, :] = 0.0
+        LD[:, bad] = 0.0
+
     if not params.skip_scaleG:
-        sds = np.sqrt(np.where(np.diag(LD) <= 0, params.numtol, np.diag(LD)))
+        d = np.diag(LD)
+        sds = np.sqrt(np.where(d <= 0, params.numtol, d))
+        np.fill_diagonal(LD, sds**2)  # Data.cpp:4112-4113
         LD = LD / sds[:, None] / sds[None, :]
-    if params.cor_out_txt:
+    else:
+        # keep covariance; clamp the diagonal (Data.cpp:4117)
+        np.fill_diagonal(LD, np.maximum(np.diag(LD), params.numtol))
+
+    if params.ld_sparse_thr > 0:
+        # sparse text format (Data.cpp:4123-4140): "M N" header (implied
+        # by --skip-scaleG, setup_output Data.cpp:1993), one line of
+        # per-variant SDs, then 1-based "i j corr" rows for the upper
+        # triangle where |corr| >= thr
         with open_write(params.out_prefix + ".corr") as fh:
+            fh.write(f"{M} {params.n_samples}\n")
+            sds = np.sqrt(np.diag(LD))
+            fh.write(" ".join(fmt(s) for s in sds) + "\n")
+            C = LD / sds[:, None] / sds[None, :]
+            iu_i, iu_j = np.triu_indices(M, k=1)
+            keep = np.abs(C[iu_i, iu_j]) >= params.ld_sparse_thr
+            fh.write("".join(
+                f"{i+1} {j+1} {fmt(C[i, j])}\n"
+                for i, j in zip(iu_i[keep], iu_j[keep])
+            ))
+    elif params.cor_out_txt:
+        with open_write(params.out_prefix + ".corr") as fh:
+            if params.skip_scaleG:
+                # "M N" header precedes the matrix (setup_output,
+                # Data.cpp:1993)
+                fh.write(f"{M} {params.n_samples}\n")
             from .io.output import format_float_rows
 
             payload = None
@@ -1854,10 +1899,13 @@ def run_ldcomp(params: Params, eng: Step2Engine, log=print) -> None:
                     if i < M - 1:
                         fh.write("\n")
     else:
-        # binary: uint16-quantized r^2, upper triangle (print_ld, Data.cpp:4440)
+        # binary: int32 [n_samples, M] header (setup_output,
+        # Data.cpp:1996-2000) then uint16-quantized r^2 upper triangle
+        # (print_ld, Data.cpp:4440)
         mult = (1 << 16) - 1
         iu = np.triu_indices(M, k=1)
         vals = (LD[iu] ** 2 * mult + 0.5).astype(np.uint16)
         with open(params.out_prefix + ".corr", "wb") as fh:
+            fh.write(np.array([params.n_samples, M], dtype=np.int32).tobytes())
             fh.write(vals.tobytes())
     log(f" * wrote [{params.out_prefix}.corr]")
