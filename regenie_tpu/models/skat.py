@@ -382,6 +382,33 @@ def _skato_tests(params, results, Sm, Km, rho_vec, nnz, P, with_skat, with_skato
     pvs_skato_acat = np.full((P, 2), -1.0)
     pvs_acato = np.full((P, 2), -1.0)
     pvs_skato = np.full((P, 2), -1.0)
+
+    # The mixture-SF grid for the SKATO integral depends only on the
+    # mask's lambdas, so one grid (sized to the widest phenotype's
+    # integration range) is shared across all P phenotypes — at biobank
+    # trait counts the grid's Davies evaluations dominate the VC-test
+    # host time (get_skato_pv is per-trait in the reference,
+    # SKAT.cpp:560)
+    grid_sf = None
+    if with_skato:
+        flip = 1 - rho_vec
+        dlt_hi_max = 0.0
+        qmins = {}
+        for ph in range(P):
+            if (pvs[ph] < 0).any():
+                continue
+            minp = max(_DBL_DMIN, 10.0 ** (-pvs[ph].max()))
+            qmin = _skato_qmin(minp, nrho, cvals)
+            qmins[ph] = (minp, qmin)
+            with np.errstate(divide="ignore"):
+                ratio0 = np.where(flip > 0, qmin / np.where(flip > 0, flip, 1.0), np.inf)
+            dlt_hi = max((float(np.min(ratio0)) - mu) * fdavies + mu, mu * 4, 1.0)
+            if not np.isfinite(dlt_hi):
+                dlt_hi = mu * 100
+            dlt_hi_max = max(dlt_hi_max, dlt_hi)
+        if qmins:
+            grid_sf = _skato_grid(dlt_hi_max, skato_lambdas)
+
     for ph in range(P):
         if (pvs[ph] < 0).any():
             continue
@@ -394,9 +421,9 @@ def _skato_tests(params, results, Sm, Km, rho_vec, nnz, P, with_skat, with_skato
             lp = get_acat(lps)
             pvs_acato[ph] = [float(neglog10_to_chisq(np.array([lp]))[0]), lp]
         if with_skato:
-            minp = max(_DBL_DMIN, 10.0 ** (-pvs[ph].max()))
+            minp, qmin = qmins[ph]
             lp, cv = _skato_integral(
-                minp, nrho, cvals, tau, rho_vec, mu, fdavies, skato_lambdas
+                minp, qmin, nrho, tau, rho_vec, mu, fdavies, grid_sf
             )
             pvs_skato[ph] = [cv, lp]
 
@@ -411,38 +438,50 @@ def _skato_tests(params, results, Sm, Km, rho_vec, nnz, P, with_skat, with_skato
 _DBL_DMIN = 10.0 * np.finfo(np.float64).tiny
 
 
-def _skato_integral(minp, nrho, cvals, tau, rho_vec, muQ, fdavies, skato_lambdas):
-    """SKAT-O omnibus p by 1-dim integration (get_skato_pv + SKATO_integral_fn,
-    SKAT.cpp:1836-1935). Returns (logp, chival)."""
-    # Qmin per rho at pmin
+def _skato_qmin(minp, nrho, cvals):
+    """Qmin per rho at pmin (get_skato_pv, SKAT.cpp:1841-1848)."""
     qmin = np.empty(nrho)
     for j in range(nrho):
         df = cvals[j, 4]
         qmin[j] = cvals[j, 0] + (chi2.isf(minp, df) - df) * np.sqrt(cvals[j, 1] / df)
+    return qmin
+
+
+def _skato_grid(dlt_hi, skato_lambdas):
+    """Mixture-SF grid shared by every phenotype of a mask: the lambdas
+    are fixed per mask, so the Davies evaluations (the host hot spot at
+    scale) run once. Returns (gx, log_sf) or None."""
+    grid = np.linspace(1e-8, dlt_hi, 80)
+    sf_grid = np.array([chisq_mix_pv(d, skato_lambdas) for d in grid])
+    ok_grid = sf_grid > 0
+    if ok_grid.sum() < 4:
+        return None
+    return grid[ok_grid], np.log(np.maximum(sf_grid[ok_grid], 5e-324))
+
+
+_INV_SQRT_2PI = 1.0 / np.sqrt(2.0 * np.pi)
+
+
+def _chi2_pdf_1df(x):
+    """chi2(1) density exp(-x/2)/sqrt(2*pi*x) — scipy.stats.chi2.pdf
+    carries ~100us of broadcasting overhead per call, which dominates
+    the SKATO integrand (500+ evaluations per quad)."""
+    return _INV_SQRT_2PI * np.exp(-0.5 * x) / np.sqrt(x)
+
+
+def _skato_integral(minp, qmin, nrho, tau, rho_vec, muQ, fdavies, grid_sf):
+    """SKAT-O omnibus p by 1-dim integration (get_skato_pv + SKATO_integral_fn,
+    SKAT.cpp:1836-1935). Returns (logp, chival)."""
     flip = 1 - rho_vec
     with np.errstate(divide="ignore"):
         upper = np.min((qmin + flip * muQ * (1 - fdavies) / fdavies) / tau)
     if minp >= 1 - 1e-7:
         return 0.0, 0.0
+    if grid_sf is None:
+        return -1.0, -1.0
+    gx, log_sf = grid_sf
 
     state = {"failed": False}
-
-    # Precompute the mixture survival function on a grid of dlt values and
-    # interpolate inside the integrand (the lambdas are fixed; the
-    # reference calls native Davies per evaluation, SKAT.cpp:1836).
-    with np.errstate(divide="ignore"):
-        ratio0 = np.where(flip > 0, qmin / np.where(flip > 0, flip, 1.0), np.inf)
-        val0 = float(np.min(ratio0))
-    dlt_hi = max((val0 - muQ) * fdavies + muQ, muQ * 4, 1.0)
-    if not np.isfinite(dlt_hi):
-        dlt_hi = muQ * 100
-    grid = np.linspace(1e-8, dlt_hi, 80)
-    sf_grid = np.array([chisq_mix_pv(d, skato_lambdas) for d in grid])
-    ok_grid = sf_grid > 0
-    if ok_grid.sum() < 4:
-        return -1.0, -1.0
-    log_sf = np.log(np.maximum(sf_grid[ok_grid], 5e-324))
-    gx = grid[ok_grid]
 
     def mix_sf(dlt):
         if dlt <= gx[0]:
@@ -464,7 +503,7 @@ def _skato_integral(minp, nrho, cvals, tau, rho_vec, muQ, fdavies, skato_lambdas
                 S = 1.0
             else:
                 S = min(mix_sf(dlt), 1.0)
-        return S * chi2.pdf(x, 1)
+        return S * _chi2_pdf_1df(x)
 
     import warnings
 

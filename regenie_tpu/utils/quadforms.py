@@ -48,19 +48,37 @@ def davies_pv(q: float, lambdas: np.ndarray, strict: bool = False) -> float:
     h = 2.0 * np.pi / qeff
     n_direct = 1024 if strict else 256
     n_accel = 64
-    K = n_direct + n_accel
+    chunk = 64
 
-    # all panel quadrature nodes at once: [K, 12]
-    pts = (np.arange(K, dtype=np.float64)[:, None] + _GL_X01[None, :]) * h
-    lu = lam[:, None, None] * pts[None, :, :]
-    theta = 0.5 * np.arctan(lu).sum(axis=0) - 0.5 * q * pts
-    log_rho = 0.25 * np.log1p(lu * lu).sum(axis=0)
-    f = np.sin(theta) * np.exp(-log_rho) / pts
-    panels = (f * _GL_W01[None, :]).sum(axis=1) * h
+    def eval_panels(k0, kc):
+        # panel quadrature nodes [kc, 12]; returns (panel sums [kc],
+        # envelope at the last node)
+        pts = (np.arange(k0, k0 + kc, dtype=np.float64)[:, None]
+               + _GL_X01[None, :]) * h
+        lu = lam[:, None, None] * pts[None, :, :]
+        theta = 0.5 * np.arctan(lu).sum(axis=0) - 0.5 * q * pts
+        log_rho = 0.25 * np.log1p(lu * lu).sum(axis=0)
+        f = np.sin(theta) * np.exp(-log_rho) / pts
+        env = np.exp(-log_rho[-1, -1]) / pts[-1, -1]
+        return (f * _GL_W01[None, :]).sum(axis=1) * h, env
 
-    val = panels[:n_direct].sum()
+    # direct panels in chunks; the integrand magnitude envelope
+    # exp(-log_rho(u))/u is monotone decreasing, so once it drops below
+    # 1e-13 the remaining panels (and the accelerated tail) contribute
+    # below the accuracy target and the sweep stops early — large-rank
+    # kernels (many lambdas) decay within the first chunk
+    val = 0.0
+    k0 = 0
+    while k0 < n_direct:
+        kc = min(chunk, n_direct - k0)
+        panels_c, env = eval_panels(k0, kc)
+        val += float(panels_c.sum())
+        k0 += kc
+        if env < 1e-13:
+            break
     # iterated averaging of the alternating tail's partial sums
-    ps = np.cumsum(panels[n_direct:])
+    panels_t, _env = eval_panels(k0, n_accel)
+    ps = np.cumsum(panels_t)
     while len(ps) > 1:
         ps = 0.5 * (ps[:-1] + ps[1:])
     val += float(ps[0])
