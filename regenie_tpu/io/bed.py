@@ -113,11 +113,21 @@ class BedFile:
 
     def read_indices(self, indices: np.ndarray) -> np.ndarray:
         """Decode an arbitrary set of variants (for conditional/interaction
-        SNP extraction, reference `extract_from_genofile` Geno.hpp:265)."""
+        SNP extraction, reference `extract_from_genofile` Geno.hpp:265).
+
+        Consecutive index runs read+decode as one block: gene sets are
+        contiguous in file order, so the per-call seek/decode overhead
+        (dominant for 1-variant reads) amortizes over the run."""
         assert self._fh is not None
+        indices = np.asarray(indices, dtype=np.int64)
         out = np.empty((len(indices), self.n_samples), dtype=np.int8)
-        for k, idx in enumerate(indices):
-            out[k] = self.read_block(int(idx), 1)[0]
+        k = 0
+        while k < len(indices):
+            j = k + 1
+            while j < len(indices) and indices[j] == indices[j - 1] + 1:
+                j += 1
+            out[k:j] = self.read_block(int(indices[k]), j - k)
+            k = j
         return out
 
 

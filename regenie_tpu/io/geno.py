@@ -139,10 +139,10 @@ class GenoData:
         and conditional/interaction SNP extraction."""
         if self._bgen is not None or self._pgen is not None:
             return self.read_block(block_snps)
-        out = np.empty((len(block_snps), self.n_samples), dtype=np.int8)
-        for k, s in enumerate(block_snps):
-            raw = self._bed.read_block(s.offset, 1)
-            out[k] = raw[0, self.sample_keep_idx] if not self._keep_all_samples else raw[0]
+        out = self._bed.read_indices(
+            np.array([s.offset for s in block_snps], dtype=np.int64))
+        if not self._keep_all_samples:
+            out = out[:, self.sample_keep_idx]
         if getattr(self.params, "ref_first", False):
             out = np.where(out == -3, out, 2 - out).astype(np.int8)
         self.last_info_num = None

@@ -169,24 +169,26 @@ def run_vc_tests(params: Params, eng, vset, snps, G, sb, ignored, built, writers
         if tot_w > 0:
             user_w = user_w / tot_w
 
-    for i in np.flatnonzero(used & ~ur):
-        g = G[i].astype(np.float64)
-        if af1[i] > 0.5:
-            g = np.where(g == -3, -3, 2 - g)
-        g = np.where(g == -3, 2 * maf[i], g)
-        g = g * ind
-        w_beta = beta_dist.pdf(maf[i], params.skat_a1, params.skat_a2)
+    sel = np.flatnonzero(used & ~ur)
+    if len(sel):
+        # vectorized flip/impute/weight over the eligible variants
+        Gs = G[sel].astype(np.float64)  # [m, N]
+        miss = Gs == -3
+        Gs = np.where((af1[sel] > 0.5)[:, None], 2.0 - Gs, Gs)
+        Gs = np.where(miss, (2.0 * maf[sel])[:, None], Gs)
+        Gs *= ind[None, :]
+        w_beta = beta_dist.pdf(maf[sel], params.skat_a1, params.skat_a2)
         if user_w is None:
             w = w_beta
-            weights_acat[i] = w * w * maf[i] * (1 - maf[i])
+            weights_acat[sel] = w * w * maf[sel] * (1 - maf[sel])
         elif params.vc_multiply_weights:
-            w = user_w[i] * w_beta
-            weights_acat[i] = w * w * maf[i] * (1 - maf[i])
+            w = user_w[sel] * w_beta
+            weights_acat[sel] = w * w * maf[sel] * (1 - maf[sel])
         else:
-            w = user_w[i]
-            weights_acat[i] = w
-        weights[i] = w
-        GW[:, i] = g * w
+            w = user_w[sel]
+            weights_acat[sel] = w
+        weights[sel] = w
+        GW[:, sel] = (Gs * w[:, None]).T
 
     # ultra-rare collapse per vc mask (prep_ultra_rare_mask, SKAT.cpp:237)
     ur_cols: Dict[int, int] = {}  # bm.vc_col -> column in GW_ur

@@ -318,3 +318,15 @@ def test_pgen_all_vrtypes_native_matches_python(tmp_path):
     res2 = pgen_decode_block_native(pf._data, pf.fpos, pf.vrtypes, sub, N)
     for k, v in enumerate(sub):
         np.testing.assert_array_equal(res2[k], dec.dosages(int(v)))
+
+
+def test_bed_read_indices_run_batching():
+    """read_indices batches consecutive runs into single block reads;
+    out-of-order, duplicate, and gapped index lists must decode exactly
+    like per-variant reads."""
+    bf = open_bed(f"{EX}/example")
+    idx = np.array([7, 8, 9, 3, 3, 500, 501, 2, 999, 0, 1, 2, 3])
+    got = bf.read_indices(idx)
+    for k, i in enumerate(idx):
+        assert np.array_equal(got[k], bf.read_block(int(i), 1)[0]), i
+    bf.close()
