@@ -453,8 +453,12 @@ def _skato_grid(dlt_hi, skato_lambdas):
     """Mixture-SF grid shared by every phenotype of a mask: the lambdas
     are fixed per mask, so the Davies evaluations (the host hot spot at
     scale) run once. Returns (gx, log_sf) or None."""
+    lam = np.sort(np.asarray(skato_lambdas, dtype=np.float64))
+    lmax = lam[-1]
+    lam = lam / lmax
     grid = np.linspace(1e-8, dlt_hi, 80)
-    sf_grid = np.array([chisq_mix_pv(d, skato_lambdas) for d in grid])
+    sf_grid = np.array(
+        [chisq_mix_pv(d / lmax, lam, presorted=True) for d in grid])
     ok_grid = sf_grid > 0
     if ok_grid.sum() < 4:
         return None

@@ -64,24 +64,26 @@ def davies_pv(q: float, lambdas: np.ndarray, strict: bool = False) -> float:
 
     # direct panels in chunks; the integrand magnitude envelope
     # exp(-log_rho(u))/u is monotone decreasing, so once it drops below
-    # 1e-13 the remaining panels (and the accelerated tail) contribute
-    # below the accuracy target and the sweep stops early — large-rank
-    # kernels (many lambdas) decay within the first chunk
+    # 1e-15 the remaining panels AND the accelerated tail are bounded by
+    # n_accel*h*env < 1e-12 and the sweep stops — large-rank kernels
+    # (many lambdas) finish in the first chunk
     val = 0.0
     k0 = 0
+    env = np.inf
     while k0 < n_direct:
         kc = min(chunk, n_direct - k0)
         panels_c, env = eval_panels(k0, kc)
         val += float(panels_c.sum())
         k0 += kc
-        if env < 1e-13:
+        if env < 1e-15:
             break
-    # iterated averaging of the alternating tail's partial sums
-    panels_t, _env = eval_panels(k0, n_accel)
-    ps = np.cumsum(panels_t)
-    while len(ps) > 1:
-        ps = 0.5 * (ps[:-1] + ps[1:])
-    val += float(ps[0])
+    if env >= 1e-15:
+        # iterated averaging of the alternating tail's partial sums
+        panels_t, _env = eval_panels(k0, n_accel)
+        ps = np.cumsum(panels_t)
+        while len(ps) > 1:
+            ps = 0.5 * (ps[:-1] + ps[1:])
+        val += float(ps[0])
 
     pv = 0.5 + val / np.pi
     if not np.isfinite(pv) or pv <= 0 or pv > 1:
@@ -202,12 +204,17 @@ def liu_logp(q: float, lambdas: np.ndarray) -> Tuple[float, float]:
     return float(logpv), float(val)
 
 
-def chisq_mix_pv(q: float, lambdas: np.ndarray) -> float:
+def chisq_mix_pv(q: float, lambdas: np.ndarray, presorted: bool = False) -> float:
     """Raw p-value chain (get_chisq_mix_pv, SKAT.cpp:1468).
-    Used inside the SKATO integrand. Returns -1 on failure."""
-    lam = np.sort(np.asarray(lambdas, dtype=np.float64))
-    newQ = q / lam[-1]
-    newL = lam / lam[-1]
+    Used inside the SKATO integrand. Returns -1 on failure.
+    presorted: lambdas already ascending with max normalized to 1
+    (the SKATO SF grid re-evaluates the same spectrum 80x)."""
+    if presorted:
+        newQ, newL = q, np.asarray(lambdas, dtype=np.float64)
+    else:
+        lam = np.sort(np.asarray(lambdas, dtype=np.float64))
+        newQ = q / lam[-1]
+        newL = lam / lam[-1]
     pv = davies_pv(newQ, newL)
     if pv <= 1e-5:
         pv = kuonen_pv(newQ, newL)
