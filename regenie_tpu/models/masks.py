@@ -55,6 +55,19 @@ def aaf_bin_values(params: Params) -> np.ndarray:
     return np.unique(np.array(vals, dtype=np.float64))
 
 
+def _singleton_flags(params, G, mac1, ind, singleton_custom=None):
+    """Per-variant singleton flag: rounded MAC == 1 (compute_mac,
+    Geno.cpp:3084), or exactly one carrier of the counted allele under
+    --singleton-carrier (ncarriers counted at dosage >= 0.5,
+    Geno.cpp:2020/2298/2457; singleton = (ncarriers == 1),
+    Geno.cpp:3085); --set-singletons custom flags take precedence."""
+    if singleton_custom is not None:
+        return singleton_custom
+    if params.singleton_carriers:
+        return ((G >= 0.5) & ind[None, :]).sum(axis=1) == 1
+    return np.floor(mac1 + 0.5) == 1
+
+
 def bin_name(aafs: np.ndarray, j: int) -> str:
     """j=0 is the singleton bin; j>=1 maps to aafs[j-1] (computeMasks)."""
     if j == 0:
@@ -91,17 +104,7 @@ def build_masks_for_set(
     ind = ind_in_analysis
     maskf = masked_indivs.astype(np.float64)
 
-    # singleton flag: rounded MAC == 1 (compute_mac, Geno.cpp:3084)
-    if singleton_custom is not None:
-        singleton = singleton_custom
-    elif params.singleton_carriers:
-        # --singleton-carrier: exactly one carrier of the counted allele
-        # (ncarriers counted at dosage >= 0.5, Geno.cpp:2020/2298/2457;
-        # singleton = (ncarriers == 1), Geno.cpp:3085)
-        ncarriers = ((G >= 0.5) & ind[None, :]).sum(axis=1)
-        singleton = ncarriers == 1
-    else:
-        singleton = np.floor(mac1 + 0.5) == 1
+    singleton = _singleton_flags(params, G, mac1, ind, singleton_custom)
 
     afs_for_bins = aaf_custom if aaf_custom is not None else af1
 
@@ -253,7 +256,7 @@ def build_lovo_masks(
     take_max = params.mask_rule == "max"
     ind = ind_in_analysis
     maskf = masked_indivs.astype(np.float64)
-    singleton = np.floor(mac1 + 0.5) == 1
+    singleton = _singleton_flags(params, G, mac1, ind)
     if bin_spec == "singleton":
         keep_bin = singleton
         aafs = np.array([])
@@ -267,26 +270,55 @@ def build_lovo_masks(
     sel_idx = np.flatnonzero(sel)
     if len(sel_idx) == 0:
         return []
-    Gs = G[sel]
+    Gs = G[sel].astype(np.float64)
+    m = len(sel_idx)
     built: List[BuiltMask] = []
 
-    def collapse(rows):
-        if len(rows) == 0:
-            return None
-        sub = Gs[rows]
+    # one-pass precomputation for O(M*N) leave-one-out collapses (the
+    # naive per-variant recollapse is O(M^2*N) — prohibitive for
+    # 500-variant genes at biobank N):
+    # - max rule: per-sample (max, runner-up, argmax); leaving out the
+    #   argmax row exposes the runner-up, any other row leaves the max
+    # - sum/comphet: totals minus the left-out row
+    if take_max:
+        best = np.full(N, -np.inf)
+        second = np.full(N, -np.inf)
+        argbest = np.zeros(N, dtype=np.int64)
+        for r in range(m):
+            row = Gs[r]
+            is_new_best = row > best
+            second = np.where(is_new_best, best,
+                              np.where(row > second, row, second))
+            argbest = np.where(is_new_best, r, argbest)
+            best = np.where(is_new_best, row, best)
+    else:
+        nonmiss = Gs >= 0
+        nm_count = nonmiss.sum(axis=0)
+        sm_total = np.where(nonmiss, Gs, 0.0).sum(axis=0)
+
+    def collapse(leave_out=None):
         if take_max:
-            return sub.max(axis=0)
-        nm = (sub >= 0).any(axis=0)
-        sm = np.where(sub >= 0, sub, 0.0).sum(axis=0)
-        mv = np.where(nm, sm, -3.0)
+            if leave_out is None:
+                return best
+            if m == 1:
+                return None
+            return np.where(argbest == leave_out, second, best)
+        if leave_out is None:
+            nm, sm = nm_count, sm_total
+        else:
+            if m == 1:
+                return None
+            keep = nonmiss[leave_out]
+            nm = nm_count - keep
+            sm = sm_total - np.where(keep, Gs[leave_out], 0.0)
+        mv = np.where(nm > 0, sm, -3.0)
         if params.mask_rule == "comphet":
             mv = np.minimum(mv, 2.0)
         return mv
 
     # full mask
-    all_rows = list(range(len(sel_idx)))
-    mv = collapse(all_rows)
-    bm = _finalize_mask(params, vset, mask_def, j, aafs, mv, len(all_rows), maskf,
+    mv = collapse()
+    bm = _finalize_mask(params, vset, mask_def, j, aafs, mv, m, maskf,
                         ind, P, take_max or params.mask_rule == "comphet")
     if bm is not None:
         bm.sel_idx = sel_idx
@@ -299,14 +331,13 @@ def build_lovo_masks(
         from ..io.files import iter_lines
 
         loo_allowed = {t[0] for t in iter_lines(params.masks_loo_snpfile)}
-    for k in range(len(sel_idx)):
+    for k in range(m):
         if loo_allowed is not None and snp_ids[sel_idx[k]] not in loo_allowed:
             continue
-        rows = [r for r in all_rows if r != k]
-        mv = collapse(rows)
+        mv = collapse(k)
         if mv is None:
             continue
-        bm = _finalize_mask(params, vset, mask_def, j, aafs, mv, len(rows), maskf,
+        bm = _finalize_mask(params, vset, mask_def, j, aafs, mv, m - 1, maskf,
                             ind, P, take_max or params.mask_rule == "comphet")
         if bm is None:
             continue

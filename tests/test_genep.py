@@ -252,3 +252,67 @@ def test_skip_cf_burden_disables_calibration(tmp_path):
     assert any(abs(a[k] - b[k]) > 1e-10 for k in a)
     # inflation only: calibrated p is never smaller (logp never larger)
     assert all(a[k] <= b[k] + 1e-12 for k in a)
+
+
+def test_lovo_collapse_matches_naive():
+    """The O(M*N) LOVO collapse (top-2 for max, totals-minus-row for
+    sum/comphet) must equal the naive per-variant recollapse, incl.
+    missing (-3) handling and singleton bins."""
+    from regenie_tpu.cli import build_parser, args_to_params
+    from regenie_tpu.models.masks import build_lovo_masks
+    from regenie_tpu.io.setfiles import VariantSet
+
+    rng = np.random.default_rng(5)
+    N, M = 80, 12
+    for rule in ("max", "sum", "comphet"):
+        G = rng.binomial(2, 0.12, size=(M, N)).astype(np.int8)
+        G[rng.random((M, N)) < 0.1] = -3
+        ind = np.ones(N, dtype=bool)
+        ns = (G >= 0).sum(axis=1)
+        total = np.where(G >= 0, G, 0).sum(axis=1)
+        af1 = total / np.maximum(2 * ns, 1)
+        mac1 = np.minimum(total, 2 * ns - total)
+
+        parser = build_parser()
+        args = parser.parse_args(
+            ["--step", "2", "--bed", "x", "--phenoFile", "y", "--out", "z",
+             "--set-list", "s", "--anno-file", "a", "--mask-def", "m",
+             "--ignore-pred", "--minMAC", "0.5", "--mask-lovo",
+             "SET1,M1,all"])
+        params = args_to_params(args)
+        params.n_pheno = 1
+        params.mask_rule = rule
+
+        class MD:
+            name = "M1"
+            bits = np.uint64(1)
+            region = -1
+            region_name = ""
+
+        vset = VariantSet(ID="SET1", chrom=1, physpos=1,
+                          snp_indices=np.arange(M))
+        built = build_lovo_masks(
+            params, vset, G, af1, mac1, np.zeros(M, bool),
+            np.ones(M, np.uint64), MD(), "all",
+            [f"v{i}" for i in range(M)], np.ones((N, 1), bool), ind)
+        assert len(built) == M + 1
+
+        Gf = G.astype(np.float64)
+
+        def naive(rows):
+            sub = Gf[rows]
+            if rule == "max":
+                return sub.max(axis=0)
+            nm = (sub >= 0).any(axis=0)
+            sm = np.where(sub >= 0, sub, 0.0).sum(axis=0)
+            mv = np.where(nm, sm, -3.0)
+            return np.minimum(mv, 2.0) if rule == "comphet" else mv
+
+        # recover raw collapse values from the finalized mask stats via
+        # an independent rebuild of each leave-out
+        for k, bm in enumerate(built):
+            rows = list(range(M)) if k == 0 else [r for r in range(M) if r != k - 1]
+            mv = naive(rows)
+            # raw_vec is the collapse result before imputation (no flip
+            # at these rare AFs, default additive test)
+            assert np.array_equal(bm.raw_vec, mv), (rule, k)
