@@ -290,6 +290,52 @@ class DenseGSource:
         return self._G[idx]
 
 
+class MeshGSource(DenseGSource):
+    """DenseGSource whose all-trait score products run variant-sharded
+    over a device mesh (parallel.mesh.sharded_score_bt; operands
+    replicated once per chromosome, no collectives — the TPU analog of
+    the reference's per-machine chromosome jobs)."""
+
+    def __init__(self, G, mesh):
+        import jax.numpy as jnp
+
+        from ..parallel import mesh as pm
+
+        self.mesh = mesh
+        ndev = len(mesh.devices.flat)
+        Gj = jnp.asarray(G)
+        self._B = int(Gj.shape[0])
+        pad = (-self._B) % ndev
+        if pad:
+            Gj = jnp.concatenate(
+                [Gj, jnp.zeros((pad, Gj.shape[1]), Gj.dtype)])
+        self.G_j = pm.shard_array(mesh, Gj, 0)
+        self._G = None
+
+    @property
+    def n_snps(self):
+        return self._B
+
+    def allpass(self, fc):
+        from ..parallel import mesh as pm
+
+        if getattr(fc, "_mesh_ops", None) is None:
+            fc._mesh_ops = (
+                pm.replicate(self.mesh, fc.Wcat_j),
+                pm.replicate(self.mesh, fc.xwt_j),
+                pm.replicate(self.mesh, fc.gsm2_j),
+            )
+        W, x, g2 = fc._mesh_ops
+        num, denum, S1 = pm.sharded_score_bt(
+            self.mesh, self.G_j, W, x, g2, len(fc.cols), fc.Kmax + 1)
+        return num[: self._B], denum[: self._B], S1[: self._B]
+
+    def rows_host(self, idx):
+        if self._G is None:
+            self._G = np.asarray(self.G_j)[: self._B]
+        return self._G[idx]
+
+
 def score_block(
     params: Params,
     pd: PhenoData,

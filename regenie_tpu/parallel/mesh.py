@@ -88,6 +88,36 @@ def sharded_score_qt(mesh: Mesh, G, res, maskf, cov, scale_denom):
     return _score(G, res, maskf, cov)
 
 
+def sharded_score_bt(mesh: Mesh, G, Wcat, xwt, gsm2, Pn: int, Kp1: int):
+    """Variant-sharded all-trait BT score products — the mesh twin of
+    the single-device _allpass kernel (step2_bt._score_bt_kernel_factory;
+    compute_score_bt, Step2_Models.cpp:470-520).
+
+    G: [B, N] sharded over B (variants); Wcat [N, Pn*Kp1] / xwt
+    [Pn, Kp1-1] / gsm2 [N, Pn] replicated. Each device scores its SNP
+    shard locally — no collectives. Returns (num [B, Pn],
+    denum [B, Pn], S1 [B, Pn, Kp1]) sharded over B."""
+    axis = mesh.axis_names[0]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, None), P(None, None), P(None, None)),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None, None)),
+    )
+    def _score(G_loc, Wcat_loc, xwt_loc, gsm2_loc):
+        S1 = jnp.matmul(G_loc, Wcat_loc, precision=_PREC).reshape(
+            G_loc.shape[0], Pn, Kp1)
+        A = S1[..., :-1]
+        q = S1[..., -1]
+        num = q - jnp.einsum("bpk,pk->bp", A, xwt_loc, precision=_PREC)
+        g2w = jnp.matmul(G_loc**2, gsm2_loc, precision=_PREC)
+        denum = g2w - (A**2).sum(-1)
+        return num, denum, S1
+
+    return _score(G, Wcat, xwt, gsm2)
+
+
 def maybe_mesh() -> Mesh | None:
     """Mesh for the current process, or None in single-chip mode.
 

@@ -273,7 +273,7 @@ class Step2Engine:
         # (§2.3.5 — replaces the reference's manual per-chromosome
         # machine sharding with XLA collectives)
         self.mesh = None
-        if params.trait_mode == QT and not params.strict_mode:
+        if params.trait_mode in (QT, BT) and not params.strict_mode:
             from .parallel.mesh import maybe_mesh
 
             self.mesh = maybe_mesh()
@@ -585,8 +585,13 @@ class Step2Engine:
         else:
             from .models import step2_bt
 
+            src = G
+            if (self.mesh is not None and params.trait_mode == BT
+                    and not hasattr(G, "allpass")):
+                # variant-sharded all-trait score products over the mesh
+                src = step2_bt.MeshGSource(G, self.mesh)
             bhat, se, chisq, logp, test_fail, ncorr, nfail = step2_bt.score_block(
-                params, pd, self.bt_state, G, flipped, ignored, ignored_trait, self.log
+                params, pd, self.bt_state, src, flipped, ignored, ignored_trait, self.log
             )
             self.n_corrected += ncorr
             self.n_failed += nfail

@@ -257,3 +257,70 @@ def test_2d_mesh_score_qt_matches_numpy():
     np.testing.assert_allclose(np.asarray(stats), exp_stats, rtol=1e-9)
     np.testing.assert_allclose(np.asarray(sfac), sf, rtol=1e-9)
     np.testing.assert_allclose(np.asarray(denum), den, rtol=1e-9)
+
+
+def test_sharded_score_bt_matches_single_device():
+    """Variant-sharded BT all-trait products equal the single-device
+    kernel on the 8-device CPU mesh."""
+    import jax.numpy as jnp
+
+    from regenie_tpu.parallel import mesh as pm
+
+    mesh = pm.make_mesh(8)
+    rng = np.random.default_rng(11)
+    B, N, Pn, Kp1 = 16, 96, 3, 5
+    G = rng.normal(size=(B, N))
+    Wcat = rng.normal(size=(N, Pn * Kp1))
+    xwt = rng.normal(size=(Pn, Kp1 - 1))
+    gsm2 = rng.random(size=(N, Pn))
+
+    num, denum, S1 = pm.sharded_score_bt(
+        mesh, pm.shard_array(mesh, jnp.asarray(G), 0),
+        pm.replicate(mesh, jnp.asarray(Wcat)),
+        pm.replicate(mesh, jnp.asarray(xwt)),
+        pm.replicate(mesh, jnp.asarray(gsm2)), Pn, Kp1)
+
+    S1_ref = (G @ Wcat).reshape(B, Pn, Kp1)
+    A = S1_ref[..., :-1]
+    num_ref = S1_ref[..., -1] - np.einsum("bpk,pk->bp", A, xwt)
+    denum_ref = (G**2) @ gsm2 - (A**2).sum(-1)
+    assert np.allclose(np.asarray(num), num_ref, atol=1e-9)
+    assert np.allclose(np.asarray(denum), denum_ref, atol=1e-9)
+    assert np.allclose(np.asarray(S1), S1_ref, atol=1e-9)
+
+
+def test_mesh_e2e_bt_firth_byte_identical(tmp_path):
+    """Step-2 BT (Firth/SPA-corrected) under REGENIE_TPU_MESH=1 on the
+    8-device CPU mesh is byte-identical to single-device (MeshGSource
+    variant-sharded score products; block padded to the mesh size)."""
+    import os
+    import subprocess
+    import sys
+
+    EX = "/root/reference/example"
+
+    def run(extra_env, out):
+        env = dict(os.environ)
+        env["REGENIE_TPU_PLATFORM"] = "cpu"
+        env.update(extra_env)
+        r = subprocess.run(
+            [sys.executable, "-m", "regenie_tpu", "--step", "2",
+             "--bed", f"{EX}/example",
+             "--covarFile", f"{EX}/covariates.txt",
+             "--phenoFile", f"{EX}/phenotype_bin.txt",
+             "--remove", f"{EX}/fid_iid_to_remove.txt",
+             "--bsize", "150", "--bt", "--firth", "--approx",
+             "--pThresh", "0.9", "--ignore-pred",
+             "--out", str(tmp_path / out)],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=900,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+
+    run({"JAX_PLATFORMS": "cpu",
+         "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+         "REGENIE_TPU_MESH": "1"}, "mesh")
+    run({}, "plain")
+    for ph in ("Y1", "Y2"):
+        assert (tmp_path / f"mesh_{ph}.regenie").read_bytes() == (
+            tmp_path / f"plain_{ph}.regenie").read_bytes()
