@@ -273,7 +273,7 @@ class Step2Engine:
         # (§2.3.5 — replaces the reference's manual per-chromosome
         # machine sharding with XLA collectives)
         self.mesh = None
-        if params.trait_mode in (QT, BT) and not params.strict_mode:
+        if params.trait_mode in (QT, BT, CT) and not params.strict_mode:
             from .parallel.mesh import maybe_mesh
 
             self.mesh = maybe_mesh()
@@ -586,7 +586,7 @@ class Step2Engine:
             from .models import step2_bt
 
             src = G
-            if (self.mesh is not None and params.trait_mode == BT
+            if (self.mesh is not None and params.trait_mode in (BT, CT)
                     and not hasattr(G, "allpass")):
                 # variant-sharded all-trait score products over the mesh
                 src = step2_bt.MeshGSource(G, self.mesh)

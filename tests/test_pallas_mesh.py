@@ -324,3 +324,38 @@ def test_mesh_e2e_bt_firth_byte_identical(tmp_path):
     for ph in ("Y1", "Y2"):
         assert (tmp_path / f"mesh_{ph}.regenie").read_bytes() == (
             tmp_path / f"plain_{ph}.regenie").read_bytes()
+
+
+def test_mesh_e2e_ct_byte_identical(tmp_path):
+    """Step-2 CT (Poisson; rides the BT score path with corrections
+    off) under the 8-device CPU mesh is byte-identical to
+    single-device."""
+    import os
+    import subprocess
+    import sys
+
+    EX = "/root/reference/example"
+
+    def run(extra_env, out):
+        env = dict(os.environ)
+        env["REGENIE_TPU_PLATFORM"] = "cpu"
+        env.update(extra_env)
+        r = subprocess.run(
+            [sys.executable, "-m", "regenie_tpu", "--step", "2",
+             "--bed", f"{EX}/example",
+             "--covarFile", f"{EX}/covariates.txt",
+             "--phenoFile", f"{EX}/phenotype_bin.txt",
+             "--bsize", "150", "--ct", "--ignore-pred",
+             "--out", str(tmp_path / out)],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=900,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+
+    run({"JAX_PLATFORMS": "cpu",
+         "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+         "REGENIE_TPU_MESH": "1"}, "mesh")
+    run({}, "plain")
+    for ph in ("Y1", "Y2"):
+        assert (tmp_path / f"mesh_{ph}.regenie").read_bytes() == (
+            tmp_path / f"plain_{ph}.regenie").read_bytes()
