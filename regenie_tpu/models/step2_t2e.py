@@ -88,10 +88,27 @@ def prep_chromosome(params: Params, pd: PhenoData, blups: np.ndarray, log) -> T2
 
 
 def score_block(params: Params, pd: PhenoData, st: T2EChromState, G, flipped,
-                ignored, ignored_trait, log):
-    """Batched Cox score test + Firth correction (compute_score_cox)."""
+                ignored, ignored_trait, log, mesh=None):
+    """Batched Cox score test + Firth correction (compute_score_cox).
+
+    With a device mesh, the three score matmuls run variant-sharded
+    (parallel.mesh.sharded_score_t2e); Gres rows for the Firth subset
+    rebuild on host. --coxscore-exact keeps the single-device path
+    (per-SNP risk-set variance needs the full Gres block)."""
     G = np.asarray(G)
     B, N = G.shape
+    if params.coxscore_exact:
+        mesh = None
+    G_mesh = None
+    if mesh is not None:
+        import jax.numpy as _jnp
+
+        from ..parallel import mesh as pm
+
+        ndev = len(mesh.devices.flat)
+        pad = (-B) % ndev
+        Gp = np.concatenate([G, np.zeros((pad, N), G.dtype)]) if pad else G
+        G_mesh = pm.shard_array(mesh, _jnp.asarray(Gp), 0)
     P = params.n_pheno
     bhat = np.zeros((B, P))
     se = np.zeros((B, P))
@@ -115,15 +132,30 @@ def score_block(params: Params, pd: PhenoData, st: T2EChromState, G, flipped,
 
         from .step2 import mm as _mm
 
-        G_j = jnp.asarray(G)
-        GW = _mm(G_j, jnp.asarray(mle.WX1))  # [B, p+1]
-        Gres_d = G_j - _mm(GW, jnp.asarray(mle.X1_X1WX1inv.T))  # [B, N]
-        T = np.asarray(_mm(Gres_d, jnp.asarray((mle.residual * mask))[:, None]))[:, 0]
-        denum = mle.res_var * np.asarray((Gres_d**2).sum(axis=1))
+        Gres_d = None
+        if G_mesh is not None:
+            from ..parallel import mesh as pm
+
+            ops = getattr(mle, "_mesh_ops", None)
+            if ops is None:
+                ops = mle._mesh_ops = (
+                    pm.replicate(mesh, jnp.asarray(mle.WX1)),
+                    pm.replicate(mesh, jnp.asarray(mle.X1_X1WX1inv.T)),
+                    pm.replicate(
+                        mesh, jnp.asarray((mle.residual * mask))[:, None]),
+                )
+            T_sh, d_sh = pm.sharded_score_t2e(mesh, G_mesh, *ops)
+            T = np.asarray(T_sh)[:B]
+            denum = mle.res_var * np.asarray(d_sh)[:B]
+        else:
+            G_j = jnp.asarray(G)
+            GW = _mm(G_j, jnp.asarray(mle.WX1))  # [B, p+1]
+            Gres_d = G_j - _mm(GW, jnp.asarray(mle.X1_X1WX1inv.T))  # [B, N]
+            T = np.asarray(_mm(Gres_d, jnp.asarray((mle.residual * mask))[:, None]))[:, 0]
+            denum = mle.res_var * np.asarray((Gres_d**2).sum(axis=1))
         Gres = None
         if params.coxscore_exact:
             Gres = np.asarray(Gres_d)  # host copy for the per-SNP variance
-        if params.coxscore_exact:
             for b in range(B):
                 denum[b] = _exact_denum(sd, mle, Gres[b], mask)
         low = denum < params.numtol
@@ -143,7 +175,12 @@ def score_block(params: Params, pd: PhenoData, st: T2EChromState, G, flipped,
             if corr.any() and Gres is None:
                 Gres = np.zeros((B, N))
                 cidx = np.flatnonzero(corr)
-                Gres[cidx] = np.asarray(Gres_d[jnp.asarray(cidx)])
+                if Gres_d is not None:
+                    Gres[cidx] = np.asarray(Gres_d[jnp.asarray(cidx)])
+                else:
+                    # mesh path: rebuild the correction rows on host
+                    rows = G[cidx]
+                    Gres[cidx] = rows - (rows @ mle.WX1) @ mle.X1_X1WX1inv.T
             for b in np.flatnonzero(corr):
                 ok, beta1, se1, lrt = _firth_snp(params, st, sd, ph, Gres[b])
                 if not ok:

@@ -118,6 +118,29 @@ def sharded_score_bt(mesh: Mesh, G, Wcat, xwt, gsm2, Pn: int, Kp1: int):
     return _score(G, Wcat, xwt, gsm2)
 
 
+def sharded_score_t2e(mesh: Mesh, G, WX1, Xinv_t, resmask):
+    """Variant-sharded Cox score products (compute_score_cox,
+    Step2_Models.cpp:632): per shard Gres = G - (G WX1) Xinv',
+    T = Gres (res*mask), denum_raw = ||Gres||^2 row sums. Operands
+    replicated, no collectives. Returns (T [B], denum_raw [B])."""
+    axis = mesh.axis_names[0]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(None, None), P(None, None), P(None, None)),
+        out_specs=(P(axis), P(axis)),
+    )
+    def _score(G_loc, WX1_loc, Xinv_loc, rm_loc):
+        GW = jnp.matmul(G_loc, WX1_loc, precision=_PREC)
+        Gres = G_loc - jnp.matmul(GW, Xinv_loc, precision=_PREC)
+        T = jnp.matmul(Gres, rm_loc, precision=_PREC)[:, 0]
+        d = (Gres**2).sum(axis=1)
+        return T, d
+
+    return _score(G, WX1, Xinv_t, resmask)
+
+
 def maybe_mesh() -> Mesh | None:
     """Mesh for the current process, or None in single-chip mode.
 

@@ -273,7 +273,7 @@ class Step2Engine:
         # (§2.3.5 — replaces the reference's manual per-chromosome
         # machine sharding with XLA collectives)
         self.mesh = None
-        if params.trait_mode in (QT, BT, CT) and not params.strict_mode:
+        if params.trait_mode in (QT, BT, CT, T2E) and not params.strict_mode:
             from .parallel.mesh import maybe_mesh
 
             self.mesh = maybe_mesh()
@@ -577,7 +577,7 @@ class Step2Engine:
 
             bhat, se, chisq, logp, test_fail, ncorr, nfail = step2_t2e.score_block(
                 params, pd, self.bt_state, np.asarray(G), flipped, ignored,
-                ignored_trait, self.log,
+                ignored_trait, self.log, mesh=self.mesh,
             )
             self.n_corrected += ncorr
             self.n_failed += nfail
