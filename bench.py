@@ -231,10 +231,11 @@ def main():
     dt_cpu = time.perf_counter() - t0
     cpu_snps_per_s = B / dt_cpu
 
+    fallback = "_CPU_FALLBACK" if os.environ.get("BENCH_CPU_FALLBACK") else ""
     print(
         json.dumps(
             {
-                "metric": "step2_qt_score_snps_per_s_per_chip",
+                "metric": "step2_qt_score_snps_per_s_per_chip" + fallback,
                 "value": round(snps_per_s, 1),
                 "unit": f"SNPs/s (N={N}, P={P}, device-resident packed 2-bit genotypes)",
                 "vs_baseline": round(snps_per_s / cpu_snps_per_s, 2),
@@ -253,6 +254,15 @@ if __name__ == "__main__":
             "bench: watchdog expired (TPU backend unresponsive?)\n"
         )
         sys.stderr.flush()
+        if os.environ.get("REGENIE_TPU_PLATFORM") != "cpu":
+            # dead tunnel: re-exec on the CPU backend so the driver
+            # still records a metric (marked in the metric string)
+            sys.stderr.write("bench: retrying on the cpu backend\n")
+            sys.stderr.flush()
+            env = dict(os.environ)
+            env["REGENIE_TPU_PLATFORM"] = "cpu"
+            env["BENCH_CPU_FALLBACK"] = "1"
+            os.execve(sys.executable, [sys.executable, __file__], env)
         os._exit(3)
 
     wd = threading.Timer(float(os.environ.get("BENCH_TIMEOUT", 1200)), _abort)
