@@ -344,10 +344,14 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated rho grid for SKATO")
     gb.add_argument("--acat-beta", default=None, metavar="A1,A2",
                     help="Beta parameters for ACAT weights")
-    gb.add_argument("--sbat-napprox", type=int, default=5000,
-                    help="Monte-Carlo draws for SBAT chi-bar weights")
-    gb.add_argument("--sbat-adapt", action="store_true", help="accepted no-op")
-    gb.add_argument("--sbat-mtw", action="store_true", help="accepted no-op")
+    gb.add_argument("--sbat-napprox", type=int, default=10,
+                    help="number of sampled active sets per approximated "
+                         "SBAT chi-bar weight")
+    gb.add_argument("--sbat-adapt", action="store_true",
+                    help="adaptive SBAT: cheap k=2 weights first, full "
+                         "accuracy only when p < 1e-3")
+    gb.add_argument("--sbat-mtw", action="store_true",
+                    help="re-use SBAT weights across all traits")
     gb.add_argument("--sbat-verbose", action="store_true", help="accepted no-op")
     gb.add_argument("--joint-only", action="store_true",
                     help="only print joint-test results")
@@ -652,6 +656,8 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.n_chrom = args.nauto + 1
     params.seed = args.seed
     params.sbat_napprox = args.sbat_napprox
+    params.sbat_adapt = args.sbat_adapt
+    params.sbat_mtw = args.sbat_mtw
     params.max_condition_vars = args.max_condition_vars
     params.p_joint_only = args.joint_only
     if args.skat_params:

@@ -191,7 +191,9 @@ class Params:
     acat_a1: float = 1.0  # ACAT weight Beta params (--acat-beta)
     acat_a2: float = 25.0
     p_joint_only: bool = False  # --joint-only (Regenie.cpp:486)
-    sbat_napprox: int = 5000  # --sbat-napprox MC draws for chi-bar weights
+    sbat_napprox: int = 10  # --sbat-napprox sampled sets per chi-bar weight
+    sbat_adapt: bool = False  # --sbat-adapt (nnls_adaptive, Regenie.cpp:513)
+    sbat_mtw: bool = False  # --sbat-mtw reuse weights across traits (Regenie.cpp:514)
     t_test: bool = False  # --t-test (QT p via t-distribution)
     compute_all_chr: bool = False  # --compute-all (Regenie.cpp:208)
     alpha_prior: float = -1.0  # --prior-alpha MAF-dependent prior (Data.cpp:215)

@@ -112,9 +112,13 @@ def run_joint_tests(params: Params, eng, vset, built, writers, log):
                 ns = int(mask.sum()) - params.ncov_analyzed
                 df_ur = ns - df_test
                 if df_ur > 0:
-                    out = _sbat(Gt, yres * mask, df_ur, rng_seed=params.seed, n_sims=params.sbat_napprox)
+                    out = _sbat(Gt, yres * mask, df_ur, rng_seed=params.seed,
+                                napprox=params.sbat_napprox,
+                                adaptive=params.sbat_adapt,
+                                wts_in=_mtw_get(params, eng, "ALL", df_test))
                     if out is not None:
-                        lp_pos, lp_neg = out
+                        lp_pos, lp_neg, wts = out
+                        _mtw_put(params, eng, "ALL", df_test, wts)
                         lp = get_acat(np.array([lp_pos, lp_neg]))
                         if lp >= 0:
                             rows.append(("SBAT", lp, df_test))
@@ -307,9 +311,13 @@ def run_gene_p(params: Params, eng, vset, built, writers, log):
                     ns = int(mask.sum()) - params.ncov_analyzed
                     if df > 0 and ns - df > 0:
                         out = _sbat(Gm[:, piv], yres * mask, ns - df,
-                                    rng_seed=params.seed, n_sims=params.sbat_napprox)
+                                    rng_seed=params.seed,
+                                    napprox=params.sbat_napprox,
+                                    adaptive=params.sbat_adapt,
+                                    wts_in=_mtw_get(params, eng, sfx, df))
                         if out is not None:
-                            lp_p, lp_n = out
+                            lp_p, lp_n, wts = out
+                            _mtw_put(params, eng, sfx, df, wts)
                             lp = get_acat(np.array([lp_p, lp_n]))
                             if lp >= 0:
                                 overall["SBAT"] = lp
@@ -368,6 +376,22 @@ def _gene_line(params, vset, tname, logp, zval, n, extra):
     return " ".join(parts) + "\n"
 
 
+def _mtw_get(params, eng, input_class, p):
+    """--sbat-mtw weight reuse: weights keyed by (mask class, #masks)
+    persist across traits and sets (nnls_weights, Joint_Tests.cpp:538)."""
+    if not params.sbat_mtw:
+        return None
+    return getattr(eng, "_sbat_wts_cache", {}).get((input_class, p))
+
+
+def _mtw_put(params, eng, input_class, p, wts):
+    if not params.sbat_mtw or wts is None:
+        return
+    if not hasattr(eng, "_sbat_wts_cache"):
+        eng._sbat_wts_cache = {}
+    eng._sbat_wts_cache.setdefault((input_class, p), wts)
+
+
 def _nnls_kkt(XtX, Xty, tol=1e-10, maxit=1000):
     """Active-set NNLS on normal equations; returns bhat >= 0."""
     from scipy.optimize import nnls as scipy_nnls
@@ -382,8 +406,9 @@ def _nnls_kkt(XtX, Xty, tol=1e-10, maxit=1000):
 
 def _chibar_weights_mc(V, n_sims=5000, seed=1):
     """Chi-bar-square weights by Monte Carlo: simulate z ~ N(0, V), count
-    positive components of the NNLS projection (the MC analog of
-    jburden_wts_adapt, NNLS.cpp:864)."""
+    positive components of the NNLS projection. Used as the fallback when
+    the Genz orthant decomposition fails, and as the test oracle for
+    `_chibar_weights_genz`."""
     p = V.shape[0]
     rng = np.random.default_rng(seed)
     Vinv = np.linalg.pinv(V)
@@ -396,11 +421,119 @@ def _chibar_weights_mc(V, n_sims=5000, seed=1):
     return counts / n_sims
 
 
-def _sbat(Gt, y, df_ur, rng_seed=1, n_sims=5000):
+def _orthant_prob(V):
+    """P(Z > 0) for Z ~ N(0, V) (jburden_pnorm, NNLS.cpp:233). Genz
+    randomized quadrature via scipy for p >= 3 (scipy's mvndst is the
+    same Genz algorithm the reference links from mvtnorm); closed forms
+    for p <= 2. Returns -1 on failure (mirrors the reference's error
+    signal)."""
+    p = V.shape[0]
+    if p == 1:
+        return 0.5
+    d = np.diag(V)
+    if not np.all(d > 0) or not np.all(np.isfinite(V)):
+        return -1.0
+    sd = np.sqrt(d)
+    R = V / np.outer(sd, sd)
+    if p == 2:
+        return 0.25 + np.arcsin(float(np.clip(R[0, 1], -1.0, 1.0))) / (2 * np.pi)
+    from scipy.stats import multivariate_normal
+
+    try:
+        v = float(
+            multivariate_normal(
+                mean=np.zeros(p), cov=R, allow_singular=True
+            ).cdf(np.zeros(p))
+        )
+    except Exception:
+        return -1.0
+    if not np.isfinite(v) or v < 0:
+        return -1.0
+    return v
+
+
+def _chibar_weights_genz(V, napprox, rng):
+    """Chi-bar-square weights by the Kudo subset decomposition with Genz
+    MVN orthant probabilities (jburden_wts_adapt, NNLS.cpp:864).
+
+    w[k] (the chi2_k mixture weight) sums pnorm(V11^-1)*pnorm(V22.1)
+    over active sets alpha of size k; exact when C(n,k) <= napprox,
+    otherwise a mean over napprox uniformly sampled sets scaled by
+    C(n,k). Normalization follows the reference: approximated weights
+    are scaled so the total mass is 1 (exact ones untouched), then the
+    residual is absorbed into the largest weight. Returns None on
+    failure."""
+    from itertools import combinations
+    from math import comb
+
+    n = V.shape[0]
+    wts = np.zeros(n + 1)
+    exact = np.zeros(n + 1, dtype=bool)
+    w_n = _orthant_prob(V)
+    try:
+        Vinv = np.linalg.inv(V)
+    except np.linalg.LinAlgError:
+        return None
+    w_0 = _orthant_prob(Vinv)
+    if w_n < 0 or w_0 < 0:
+        return None
+    wts[n], wts[0] = w_n, w_0
+    exact[n] = exact[0] = True
+
+    idx = np.arange(n)
+    for i in range(1, n):
+        n_sets = comb(n, i)
+        approx = 0 < napprox < n_sets
+        if approx:
+            sets = [rng.choice(n, size=i, replace=False) for _ in range(napprox)]
+        else:
+            sets = [np.asarray(c, dtype=int) for c in combinations(range(n), i)]
+        comp = np.empty(len(sets))
+        for j, s2 in enumerate(sets):
+            s1 = np.setdiff1d(idx, s2)
+            V11 = V[np.ix_(s1, s1)]
+            try:
+                V11inv = np.linalg.inv(V11)
+            except np.linalg.LinAlgError:
+                return None
+            V220 = (
+                V[np.ix_(s2, s2)]
+                - V[np.ix_(s2, s1)] @ V11inv @ V[np.ix_(s1, s2)]
+            )
+            w1 = _orthant_prob(V11inv)
+            w2 = _orthant_prob(V220)
+            if w1 < 0 or w2 < 0:
+                return None
+            comp[j] = w1 * w2
+        wts[i] = comp.mean() * n_sets if approx else comp.sum()
+        exact[i] = not approx
+
+    if (~exact).any():
+        sum_approx = wts[~exact].sum()
+        if sum_approx > 0:
+            wts[~exact] *= (1.0 - wts[exact].sum()) / sum_approx
+    k = int(np.argmax(wts))
+    wts[k] = 1.0 - (wts.sum() - wts[k])
+    return wts
+
+
+# p-value threshold below which the adaptive strategy upgrades from the
+# cheap napprox=2 weights to the requested accuracy (adapt_thr,
+# Joint_Tests.cpp:510)
+_SBAT_ADAPT_THR = 1e-3
+_SBAT_ADAPT_NAPPROX = 2  # adapt_napprox, Joint_Tests.cpp:503
+
+
+def _sbat(Gt, y, df_ur, rng_seed=1, napprox=10, adaptive=False, wts_in=None):
     """SBAT / NNLS joint burden test (compute_nnls, Joint_Tests.cpp:495;
     NNLS.cpp fit_nnls_sign + jburden_pchisq_bar).
 
-    Returns (-log10 p_pos, -log10 p_neg) or None on failure."""
+    `adaptive` runs the reference's --sbat-adapt strategy: weights from
+    napprox=2 sampled sets first, recomputed at full `napprox` only when
+    the min one-sided p-value crosses 1e-3 (Joint_Tests.cpp:520-534).
+    `wts_in` reuses precomputed weights (--sbat-mtw).
+
+    Returns (-log10 p_pos, -log10 p_neg, wts) or None on failure."""
     from scipy.stats import chi2 as _chi2
 
     n, p = Gt.shape
@@ -414,17 +547,31 @@ def _sbat(Gt, y, df_ur, rng_seed=1, n_sims=5000):
     sigma2 = rss / df_ur
     V = sigma2 * np.linalg.pinv(XtX)
 
-    wts = _chibar_weights_mc(V, n_sims=n_sims, seed=rng_seed)
+    rng = np.random.default_rng(rng_seed)
+    if wts_in is not None and len(wts_in) == p + 1:
+        wts = wts_in
+    elif adaptive:
+        # orthant probabilities are scale-invariant, so the cheap pass
+        # uses XtX^-1 directly (Joint_Tests.cpp:524-528)
+        wts = _chibar_weights_genz(np.linalg.pinv(XtX), _SBAT_ADAPT_NAPPROX, rng)
+    else:
+        wts = _chibar_weights_genz(V, napprox, rng)
+    if wts is None:
+        wts = _chibar_weights_mc(V, n_sims=max(napprox, 5000), seed=rng_seed)
 
-    def one_sided(sign):
+    def one_sided(sign, w):
         b = _nnls_kkt(XtX, sign * Xty)
         stat = b @ (XtX @ b) / sigma2
         # P(chibar > stat) = sum_k w_k P(chi2_k > stat), chi2_0 has mass at 0
-        pv = sum(
-            wts[k] * _chi2.sf(stat, k) for k in range(1, p + 1) if wts[k] > 0
-        )
+        pv = sum(w[k] * _chi2.sf(stat, k) for k in range(1, p + 1) if w[k] > 0)
         return max(pv, 5e-324)
 
-    p_pos = one_sided(+1)
-    p_neg = one_sided(-1)
-    return -np.log10(p_pos), -np.log10(p_neg)
+    p_pos = one_sided(+1, wts)
+    p_neg = one_sided(-1, wts)
+    if adaptive and wts_in is None and min(p_pos, p_neg) < _SBAT_ADAPT_THR:
+        w2 = _chibar_weights_genz(V, napprox, rng)
+        if w2 is not None:
+            wts = w2
+            p_pos = one_sided(+1, wts)
+            p_neg = one_sided(-1, wts)
+    return -np.log10(p_pos), -np.log10(p_neg), wts

@@ -316,3 +316,73 @@ def test_lovo_collapse_matches_naive():
             # raw_vec is the collapse result before imputation (no flip
             # at these rare AFs, default additive test)
             assert np.array_equal(bm.raw_vec, mv), (rule, k)
+
+
+def test_chibar_weights_genz_vs_mc_oracle():
+    """The Kudo/Genz subset-decomposition chi-bar weights
+    (_chibar_weights_genz, mirroring jburden_wts_adapt NNLS.cpp:864)
+    match a 40K-draw Monte-Carlo simulation of the NNLS active-set
+    count, and the exact p=2 cone weights."""
+    from regenie_tpu.models.joint import (
+        _chibar_weights_genz, _chibar_weights_mc, _orthant_prob)
+
+    rng = np.random.default_rng(0)
+    for p in (2, 3, 5):
+        A = rng.normal(size=(p, p))
+        V = A @ A.T + p * np.eye(p)
+        w = _chibar_weights_genz(V, 0, rng)  # napprox=0 -> all subsets
+        assert abs(w.sum() - 1.0) < 1e-9
+        wmc = _chibar_weights_mc(V, n_sims=40000, seed=3)
+        assert np.abs(w - wmc).max() < 0.01
+
+    # independent components: exact cone weights (.25, .5, .25)
+    w = _chibar_weights_genz(np.eye(2), 0, rng)
+    assert np.allclose(w, [0.25, 0.5, 0.25], atol=1e-12)
+    # orthant probability closed form for p=2
+    R = np.array([[1.0, 0.3], [0.3, 1.0]])
+    assert abs(_orthant_prob(R) - (0.25 + np.arcsin(0.3) / (2 * np.pi))) < 1e-12
+
+    # sampled approximation stays close to exact and keeps the exact
+    # w_0/w_n anchors untouched before renormalization
+    A = rng.normal(size=(6, 6))
+    V = A @ A.T + 6 * np.eye(6)
+    we = _chibar_weights_genz(V, 0, rng)
+    wa = _chibar_weights_genz(V, 10, rng)
+    assert abs(wa.sum() - 1.0) < 1e-9
+    assert np.abs(we - wa).max() < 0.05
+
+
+def test_sbat_adapt_and_mtw(tmp_path):
+    """--sbat-adapt upgrades weights only below the 1e-3 threshold (at
+    DF=2 the k=2 pass is already exact, so output is unchanged);
+    --sbat-mtw reuses first-computed weights across sets/traits."""
+    import subprocess, sys
+
+    EXD = "/root/reference/example"
+    base = [sys.executable, "-m", "regenie_tpu", "--step", "2",
+            "--bed", f"{EXD}/example_3chr",
+            "--phenoFile", f"{EXD}/phenotype.txt",
+            "--covarFile", f"{EXD}/covariates.txt",
+            "--set-list", f"{EXD}/example_3chr.setlist",
+            "--anno-file", f"{EXD}/example_3chr.annotations",
+            "--mask-def", f"{EXD}/example_3chr.masks",
+            "--aaf-bins", "0.2", "--joint", "sbat",
+            "--ignore-pred", "--bsize", "100"]
+    outs = {}
+    for name, extra in (("base", []), ("adapt", ["--sbat-adapt"]),
+                        ("mtw", ["--sbat-mtw"])):
+        out = str(tmp_path / name)
+        r = subprocess.run(base + extra + ["--out", out],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[name] = {
+            l.split()[2]: l.split() for l in open(out + "_Y1.regenie")
+            if "ADD-BURDEN-SBAT " in l or "-SBAT\t" in l or " ADD-BURDEN-SBAT " in l
+        }
+    assert outs["base"] and set(outs["base"]) == set(outs["adapt"])
+    # DF=2: adaptive k=2 weights are exact -> identical rows
+    for k in outs["base"]:
+        assert outs["base"][k] == outs["adapt"][k], k
+    # mtw: the first set computes weights, later sets reuse them
+    first = sorted(outs["base"])[0]
+    assert outs["mtw"][first] == outs["base"][first]
