@@ -352,7 +352,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "accuracy only when p < 1e-3")
     gb.add_argument("--sbat-mtw", action="store_true",
                     help="re-use SBAT weights across all traits")
-    gb.add_argument("--sbat-verbose", action="store_true", help="accepted no-op")
+    gb.add_argument("--sbat-verbose", action="store_true",
+                    help="also write the one-sided SBAT_POS/SBAT_NEG rows")
     gb.add_argument("--joint-only", action="store_true",
                     help="only print joint-test results")
     gb.add_argument("--max-condition-vars", type=int, default=10000)
@@ -658,6 +659,7 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.sbat_napprox = args.sbat_napprox
     params.sbat_adapt = args.sbat_adapt
     params.sbat_mtw = args.sbat_mtw
+    params.sbat_verbose = args.sbat_verbose
     params.max_condition_vars = args.max_condition_vars
     params.p_joint_only = args.joint_only
     if args.skat_params:

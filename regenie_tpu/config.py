@@ -194,6 +194,7 @@ class Params:
     sbat_napprox: int = 10  # --sbat-napprox sampled sets per chi-bar weight
     sbat_adapt: bool = False  # --sbat-adapt (nnls_adaptive, Regenie.cpp:513)
     sbat_mtw: bool = False  # --sbat-mtw reuse weights across traits (Regenie.cpp:514)
+    sbat_verbose: bool = False  # --sbat-verbose pos/neg split rows (Regenie.cpp:512)
     t_test: bool = False  # --t-test (QT p via t-distribution)
     compute_all_chr: bool = False  # --compute-all (Regenie.cpp:208)
     alpha_prior: float = -1.0  # --prior-alpha MAF-dependent prior (Data.cpp:215)

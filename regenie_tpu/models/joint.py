@@ -122,6 +122,11 @@ def run_joint_tests(params: Params, eng, vset, built, writers, log):
                         lp = get_acat(np.array([lp_pos, lp_neg]))
                         if lp >= 0:
                             rows.append(("SBAT", lp, df_test))
+                            if params.sbat_verbose:
+                                # --sbat-verbose: one-sided splits
+                                # (nnls_verbose_out, Joint_Tests.cpp:188-197)
+                                rows.append(("SBAT_POS", lp_pos, df_test))
+                                rows.append(("SBAT_NEG", lp_neg, df_test))
 
         for row in rows:
             name, lp, df = row[0], row[1], row[2]
