@@ -213,8 +213,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--early-exit", action="store_true",
                    help="exit after fitting level-0 models")
     g.add_argument("--use-adam", action="store_true",
-                   help="accepted; ADAM is already the automatic fallback")
-    g.add_argument("--adam-mini", action="store_true", help="accepted no-op")
+                   help="run an ADAM pre-pass before every level-1 logistic "
+                        "ridge Newton solve (ADAM is also the automatic "
+                        "non-convergence fallback)")
+    g.add_argument("--adam-mini", action="store_true",
+                   help="use 128-row mini-batches in the ADAM pre-pass")
     g.add_argument("--prop-zero-thr", type=float, default=None, help="accepted no-op (dense device path)")
     g.add_argument("--condition-file-sample", default=None,
                    help="sample file for the --condition-file BGEN")
@@ -660,6 +663,8 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.sbat_adapt = args.sbat_adapt
     params.sbat_mtw = args.sbat_mtw
     params.sbat_verbose = args.sbat_verbose
+    params.use_adam = args.use_adam
+    params.adam_mini = args.adam_mini
     params.max_condition_vars = args.max_condition_vars
     params.p_joint_only = args.joint_only
     if args.skat_params:

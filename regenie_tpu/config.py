@@ -75,6 +75,8 @@ class Params:
     user_lambda: Optional[np.ndarray] = None
     user_tau: Optional[np.ndarray] = None
     niter_max_ridge: int = 100  # --niter (l1 logistic IRLS)
+    use_adam: bool = False  # --use-adam ADAM pre-pass for l1 logistic ridge
+    adam_mini: bool = False  # --adam-mini mini-batch ADAM (128-row batches)
     l1_ridge_eps: float = 1e-5  # ref Regenie.hpp
     force_step1: bool = False
     make_loco: bool = True

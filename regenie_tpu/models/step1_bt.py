@@ -246,8 +246,17 @@ def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
     beta = np.zeros(F)
     not_converged = False
     for j, tau in enumerate(taus):
+        b_start = beta
+        if params.use_adam:
+            # --use-adam: ADAM pre-pass before every Newton solve
+            # (use_adam, Step1_Models.cpp:1304-1310); --adam-mini
+            # samples 128-row batches instead of the full gradient
+            b_start = _adam_log_ridge(
+                y, X, offset, mask, tau_eff(tau), beta, Xj=Xj,
+                mini=params.adam_mini, seed=params.seed,
+            )
         beta, pi, w, ok = run_log_ridge(
-            y, X, offset, mask, tau_eff(tau), beta, params.niter_max_ridge,
+            y, X, offset, mask, tau_eff(tau), b_start, params.niter_max_ridge,
             params.niter_max_line_search, params.numtol, Xj=Xj,
         )
         if not ok:
@@ -647,11 +656,35 @@ def _level1_t2e(params, pd, W_all, offsets, taus, ph, chr_order, spans, fold_siz
 
 
 def _adam_log_ridge(y, X, offset, mask, tau, beta0, niter=500, alpha=0.01,
-                    b1=0.9, b2=0.999, eps=1e-7, tol=1e-4, Xj=None):
-    """Full-batch ADAM on the penalized logistic score — fallback
+                    b1=0.9, b2=0.999, eps=1e-7, tol=1e-4, Xj=None,
+                    mini=False, batch_size=128, seed=0):
+    """ADAM on the penalized logistic score — pre-pass / fallback
     optimizer for level-1 ridge (run_log_ridge_loocv_adam,
-    Step1_Models.cpp:1377, deterministic full-batch variant)."""
+    Step1_Models.cpp:1377). Full-batch deterministic by default;
+    `mini` samples `batch_size` analyzed rows per step (the reference's
+    --adam-mini path, adam_batch_size=128 Regenie.hpp:243) with the
+    whole gradient (penalty included) scaled by the batch size and a
+    step-size stopping rule."""
     maskf = mask.astype(np.float64)
+    if mini:
+        rng = np.random.default_rng(seed)
+        rows = np.flatnonzero(mask)
+        beta = beta0.copy()
+        mt = np.zeros_like(beta)
+        vt = np.zeros_like(beta)
+        for it in range(1, niter + 1):
+            bidx = rows[rng.integers(0, len(rows), size=batch_size)]
+            eta = np.clip(offset[bidx] + X[bidx] @ beta, -30, 30)
+            pi = 1.0 / (1.0 + np.exp(-eta))
+            grad = (tau * beta - X[bidx].T @ (y[bidx] - pi)) / batch_size
+            mt = b1 * mt + (1 - b1) * grad
+            vt = b2 * vt + (1 - b2) * grad**2
+            a_t = alpha * np.sqrt(1 - b2**it) / (1 - b1**it)
+            step = a_t * mt / (np.sqrt(vt) + eps)
+            if np.abs(step).max() < tol:
+                break
+            beta -= step
+        return beta
     if Xj is not None:
         import jax.numpy as jnp
 

@@ -152,3 +152,40 @@ def test_select_l0_adaptive_ct_loocv(tmp_path):
     _run(base + ["--out", str(tmp_path / "ct0")])
     v0 = _loco(str(tmp_path / "ct0_1.loco"))
     assert not np.allclose(v, v0)
+
+
+def test_adam_mini_batch_optimizer():
+    """Mini-batch ADAM (--adam-mini path of _adam_log_ridge,
+    run_log_ridge_loocv_adam Step1_Models.cpp:1395-1404) approaches the
+    penalized-logistic optimum found by the exact Newton solver."""
+    from regenie_tpu.models.step1_bt import _adam_log_ridge
+
+    rng = np.random.default_rng(7)
+    N, F = 2000, 8
+    X = rng.normal(size=(N, F))
+    beta_true = rng.normal(size=F) * 0.5
+    pi = 1 / (1 + np.exp(-(X @ beta_true)))
+    y = (rng.random(N) < pi).astype(np.float64)
+    mask = np.ones(N, dtype=bool)
+    offset = np.zeros(N)
+    tau = 5.0
+
+    # exact optimum via scipy on the penalized deviance
+    from scipy.optimize import minimize
+
+    def negll(b):
+        eta = X @ b
+        return (np.logaddexp(0, eta) - y * eta).sum() + 0.5 * tau * (b @ b)
+
+    bstar = minimize(negll, np.zeros(F), method="BFGS").x
+
+    b_mini = _adam_log_ridge(y, X, offset, mask, tau, np.zeros(F),
+                             niter=4000, tol=1e-7, mini=True,
+                             batch_size=256, seed=1)
+    # stochastic optimizer: close to the optimum, not exact
+    assert np.abs(b_mini - bstar).max() < 0.12
+    assert negll(b_mini) < negll(np.zeros(F))
+    # full-batch variant converges tighter
+    b_full = _adam_log_ridge(y, X, offset, mask, tau, np.zeros(F),
+                             niter=4000, tol=1e-7)
+    assert np.abs(b_full - bstar).max() < 0.01
