@@ -269,7 +269,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--multiphen-strict", action="store_true", help="accepted no-op")
     g.add_argument("--multiphen-offset", default="offset_int", help="accepted no-op")
     g.add_argument("--multiphen-approx-offset", type=int, default=-1,
-                   help="accepted; the LRT refits the exact full model")
+                   help="freeze covariate effects as a null-fit offset in "
+                        "the MultiPhen LRT full model: -1/0 never, 1 always, "
+                        ">1 when the minor genotype-category count exceeds it")
     g.add_argument("--multiphen-maxit2", type=int, default=5, help="accepted no-op")
     g.add_argument("--multiphen-pseudo-stophalf", type=float, default=0.0,
                    help="accepted no-op")
@@ -568,6 +570,7 @@ def args_to_params(args: argparse.Namespace) -> Params:
         params.multiphen_firth_mult = args.multiphen_firth_mult
         params.multiphen_maxstep = args.multiphen_maxstep
         params.multiphen_maxit = args.multiphen_maxit
+        params.multiphen_approx_offset = args.multiphen_approx_offset
     params.trait_set = args.mt
     if params.trait_set:
         # Regenie.cpp:1255-1260: strict + merged output required

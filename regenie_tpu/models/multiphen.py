@@ -12,8 +12,9 @@ full model when p < --multiphen-thr.
 Design differences from the reference (behavior-preserving): the POM
 log-likelihood is differentiated with JAX autodiff and solved by a
 damped Newton loop instead of 3k lines of hand-written Fisher-scoring
-updates, and the LRT refits the exact full model rather than the
-offset approximation the reference uses for speed.
+updates. The LRT refits the exact full model by default (the reference
+default); --multiphen-approx-offset enables the reference's optional
+offset-frozen approximation (covariate effects fixed at the null fit).
 """
 
 from __future__ import annotations
@@ -119,6 +120,54 @@ def _fit_pom(X, Yoh, maskf, K, theta0=None, maxit=150, tol=2.5e-4,
     return par, f, it, False
 
 
+def _fit_pom_offset(Y_add, theta, off, Yoh, maskf, K, maxit=150,
+                    tol=2.5e-4, max_step=200.0):
+    """Offset-approximation full-model POM fit (--multiphen-approx-offset,
+    Ordinal.cpp:773-812): intercepts and the covariate linear predictor
+    are frozen at the null fit (passed as `theta` and `off`), only the
+    phenotype coefficients are free. Implemented as a damped Newton on
+    the free sub-block of the existing autodiff grad/hessian, with the
+    offset as a pinned-coefficient column.
+
+    Returns (beta, negll, niter, converged)."""
+    N, P = Y_add.shape
+    Xf = np.concatenate([off[:, None], Y_add], axis=1)
+    nfix = K - 1 + 1  # theta block + pinned offset coefficient
+
+    def pack(beta):
+        return np.concatenate([theta, [1.0], beta])
+
+    beta = np.zeros(P)
+    f, _g, _ = _pom_funcs(pack(beta), Xf, Yoh, maskf, K)
+    it = 0
+    for it in range(1, maxit + 1):
+        _f, g, H = _pom_funcs(pack(beta), Xf, Yoh, maskf, K, want_hess=True)
+        gf = g[nfix:]
+        Hf = H[nfix:, nfix:]
+        try:
+            step = np.linalg.solve(Hf, gf)
+        except np.linalg.LinAlgError:
+            return beta, f, it, False
+        mx = np.abs(step).max()
+        if mx > max_step:
+            step *= max_step / mx
+        ok = False
+        for _ in range(8):
+            cand = beta - step
+            fc, _gc, _ = _pom_funcs(pack(cand), Xf, Yoh, maskf, K)
+            if np.isfinite(fc) and fc <= f + 1e-12:
+                ok = True
+                break
+            step /= 2
+        if not ok:
+            return beta, f, it, False
+        done = np.abs(gf).max() < tol
+        beta, f = cand, fc
+        if done:
+            return beta, f, it, True
+    return beta, f, it, False
+
+
 def _pom_score_test(par_null, X_null, Y_add, Yoh, maskf, K):
     """Efficient score test for adding Y_add columns to a fitted POM:
     evaluate grad/hessian of the FULL model at (par_null, 0) and form
@@ -147,20 +196,28 @@ def _pom_score_test(par_null, X_null, Y_add, Yoh, maskf, K):
 # ---------------------------------------------------------------------------
 
 def _fit_logistic(X, y, maskf, firth_mult=0.0, maxit=150, tol=2.5e-4,
-                  max_step=200.0):
+                  max_step=200.0, offset=None, X_pen=None):
     """Logistic fit with optional Firth penalty (FitOrdinal::fit_binom).
+    `offset` freezes a linear-predictor component (the --multiphen-
+    approx-offset full-model fit, Ordinal.cpp:726-771). `X_pen` computes
+    the Firth determinant over a wider design than the free columns (the
+    reference's null-fit convention for the Firth LRT: the penalty uses
+    the full-model information at the null, inc_phen_null
+    Ordinal.cpp:263, so the det terms cancel in the LRT).
     Returns (beta, penalized_loglik, niter, converged)."""
     N, C = X.shape
     beta = np.zeros(C)
+    off = np.zeros(N) if offset is None else offset
+    Xp = X if X_pen is None else X_pen
 
     def negll(b):
-        eta = np.clip(X @ b, -30, 30)
+        eta = np.clip(off + X @ b, -30, 30)
         pi = 1 / (1 + np.exp(-eta))
         ll = (y * np.log(pi) + (1 - y) * np.log1p(-pi)) * maskf
         val = -ll.sum()
         if firth_mult > 0:
             w = pi * (1 - pi) * maskf
-            Ii = X.T @ (X * w[:, None])
+            Ii = Xp.T @ (Xp * w[:, None])
             s, ld = np.linalg.slogdet(Ii)
             val -= 0.5 * firth_mult * ld
         return val
@@ -168,17 +225,19 @@ def _fit_logistic(X, y, maskf, firth_mult=0.0, maxit=150, tol=2.5e-4,
     f = negll(beta)
     it = 0
     for it in range(1, maxit + 1):
-        eta = np.clip(X @ beta, -30, 30)
+        eta = np.clip(off + X @ beta, -30, 30)
         pi = 1 / (1 + np.exp(-eta))
         w = pi * (1 - pi) * maskf
         Ii = X.T @ (X * w[:, None])
         resid = (y - pi) * maskf
         if firth_mult > 0:
+            # hat values of the penalty design drive the score correction
+            Ip = Xp.T @ (Xp * w[:, None])
             try:
-                sol = np.linalg.solve(Ii, X.T)
+                solp = np.linalg.solve(Ip, Xp.T)
             except np.linalg.LinAlgError:
                 return beta, -f, it, False
-            h = (sol.T * (X * w[:, None])).sum(axis=1)
+            h = (solp.T * (Xp * w[:, None])).sum(axis=1)
             resid = resid + firth_mult * h * (0.5 - pi) * maskf
         g = X.T @ resid
         try:
@@ -260,6 +319,13 @@ def multiphen_snp(params, g_raw, Xcov, Yres, mask) -> MPhenResult:
     mstep = params.multiphen_maxstep
     fm = params.multiphen_firth_mult
 
+    # --multiphen-approx-offset gate (setup_approx_offset,
+    # Ordinal.cpp:856-868): 0/-1 disabled, 1 always, >1 when the minor
+    # genotype-category count exceeds the threshold
+    mao = getattr(params, "multiphen_approx_offset", -1)
+    ncat_minor = int(np.bincount(code[m]).min())
+    use_off = (mao == 1) or (mao > 1 and ncat_minor > mao)
+
     if K == 2:
         y = code.astype(np.float64) * maskf
         # stage 1: score test at the intercept-only null (nocov_score)
@@ -274,8 +340,40 @@ def multiphen_snp(params, g_raw, Xcov, Yres, mask) -> MPhenResult:
         # stage 2: LRT with covariates (+Firth)
         r.used_firth = fm > 0
         Xn = Xcov * maskf[:, None]
-        b_n, ll0, it1, ok0 = _fit_logistic(Xn, y, maskf, fm, maxit, tol, mstep)
+        if use_off:
+            # offset approximation (Ordinal.cpp:726-771): covariate
+            # effects frozen at the null fit; phenotypes weighted-
+            # residualized against covariates; only P betas refit
+            b_n, ll0, it1, ok0 = _fit_logistic(Xn, y, maskf, 0.0, maxit,
+                                               tol, mstep)
+            if not ok0:
+                return r
+            eta0 = np.clip(Xn @ b_n, -30, 30)
+            pi0 = 1 / (1 + np.exp(-eta0))
+            w0 = pi0 * (1 - pi0) * maskf
+            A = Xn.T @ (Xn * w0[:, None])
+            try:
+                Yres0 = Ym - Xn @ np.linalg.solve(A, Xn.T @ (Ym * w0[:, None]))
+            except np.linalg.LinAlgError:
+                return r
+            b_f, ll1, it2, ok1 = _fit_logistic(Yres0, y, maskf, fm, maxit,
+                                               tol, mstep, offset=eta0)
+            r.niter += it1 + it2
+            if not ok1:
+                return r
+            if fm > 0:
+                # Firth det term of the null on the residualized design
+                # (Ordinal.cpp:747-751)
+                _s, ld = np.linalg.slogdet(Yres0.T @ (Yres0 * w0[:, None]))
+                ll0 = ll0 + 0.5 * fm * ld
+            stat = 2 * (ll1 - ll0)
+            r.pval = 1.0 if stat < 0 else float(chi2.sf(stat, Ym.shape[1]))
+            return r
         Xf = np.concatenate([Xn, Ym], axis=1)
+        # null penalized by the full-design information (inc_phen_null,
+        # Ordinal.cpp:263) so the Firth det terms cancel in the LRT
+        b_n, ll0, it1, ok0 = _fit_logistic(Xn, y, maskf, fm, maxit, tol,
+                                           mstep, X_pen=Xf)
         b_f, ll1, it2, ok1 = _fit_logistic(Xf, y, maskf, fm, maxit, tol, mstep)
         r.niter += it1 + it2
         if not (ok0 and ok1):
@@ -298,10 +396,31 @@ def multiphen_snp(params, g_raw, Xcov, Yres, mask) -> MPhenResult:
     r.pval = pv
     if pv < 0 or pv >= params.multiphen_thr:
         return r
-    # LRT with covariates
-    Xn = Xcov * maskf[:, None]
+    # LRT with covariates. The POM's cut-points span the intercept, so
+    # constant covariate columns are dropped to keep the fit identified
+    # (the reference fits "covariates X without Intercept",
+    # Ordinal.cpp:535)
+    mu = (Xcov * maskf[:, None]).sum(axis=0) / maskf.sum()
+    sd = np.sqrt((((Xcov - mu) * maskf[:, None]) ** 2).sum(axis=0) / maskf.sum())
+    Xn = (Xcov - mu)[:, sd > 1e-12] * maskf[:, None]
     p_n, f0, it1, ok0 = _fit_pom(Xn, Yoh, maskf, K, theta0=par0[: K - 1],
                                  maxit=maxit, tol=tol, max_step=mstep)
+    if use_off:
+        # offset approximation (multinomial path, Ordinal.cpp:773-812):
+        # intercepts + covariate predictor frozen at the null fit
+        if not ok0:
+            return r
+        theta = p_n[: K - 1]
+        off = Xn @ p_n[K - 1 :]
+        _b, f1, it2, ok1 = _fit_pom_offset(Ym, theta, off, Yoh, maskf, K,
+                                           maxit=maxit, tol=tol,
+                                           max_step=mstep)
+        r.niter += it1 + it2
+        if not ok1:
+            return r
+        stat = 2 * (f0 - f1)  # negll difference; nested, so >= 0
+        r.pval = 1.0 if stat < 0 else float(chi2.sf(stat, Ym.shape[1]))
+        return r
     Xf = np.concatenate([Xn, Ym], axis=1)
     p_f, f1, it2, ok1 = _fit_pom(Xf, Yoh, maskf, K, theta0=p_n[: K - 1],
                                  maxit=maxit, tol=tol, max_step=mstep)

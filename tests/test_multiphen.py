@@ -103,3 +103,45 @@ def test_multiphen_cli(tmp_path):
     assert len(lp) > 990 and np.isfinite(lp).all()
     mult = {l.split()[9] for l in lines[1:]}
     assert "1" in mult  # common variants use the 3-category POM
+
+
+def test_multiphen_approx_offset():
+    """--multiphen-approx-offset freezes covariate effects as a null-fit
+    offset in the LRT full model (Ordinal.cpp:726-812): p-values stay
+    close to the exact refit for both the binomial and POM paths, and
+    the LRT statistic is non-negative (nested models)."""
+    from regenie_tpu.models.multiphen import multiphen_snp
+
+    class P:
+        multiphen_thr = 1.0  # force the LRT stage for every variant
+        multiphen_tol = 2.5e-4
+        multiphen_firth_mult = 1.0
+        multiphen_maxstep = 200.0
+        multiphen_maxit = 150
+        multiphen_approx_offset = -1
+
+    rng = np.random.default_rng(11)
+    N = 800
+    Xcov = np.concatenate([np.ones((N, 1)), rng.normal(size=(N, 2))], axis=1)
+    Yres = rng.normal(size=(N, 3))
+    mask = np.ones(N, dtype=bool)
+
+    # 3-category POM path and 2-category binomial path
+    g3 = rng.choice([0, 1, 2], size=N, p=[0.64, 0.32, 0.04]).astype(float)
+    g2 = rng.choice([0, 1], size=N, p=[0.95, 0.05]).astype(float)
+    for g in (g3, g2):
+        P.multiphen_approx_offset = -1
+        exact = multiphen_snp(P, g, Xcov, Yres, mask)
+        P.multiphen_approx_offset = 1
+        approx = multiphen_snp(P, g, Xcov, Yres, mask)
+        assert exact.pval > 0 and approx.pval > 0
+        # same decision scale: log10 p within 15%
+        l0, l1 = -np.log10(exact.pval), -np.log10(approx.pval)
+        assert abs(l0 - l1) < 0.15 * max(l0, l1, 1.0), (l0, l1)
+
+    # MAC gate: threshold above the minor-category count -> exact path
+    P.multiphen_approx_offset = 10_000
+    gated = multiphen_snp(P, g3, Xcov, Yres, mask)
+    P.multiphen_approx_offset = -1
+    exact3 = multiphen_snp(P, g3, Xcov, Yres, mask)
+    assert gated.pval == exact3.pval
