@@ -261,7 +261,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--multiphen-maxstep", type=float, default=200.0)
     g.add_argument("--multiphen-maxit", type=int, default=150)
     g.add_argument("--multiphen-test", default="nocov_score_offset",
-                   help="accepted; the default score->LRT strategy is used")
+                   help="strategy: nocov_score, cov_score, nocov_lrt, "
+                        "cov_lrt, nocov_score_offset (score then LRT "
+                        "escalation; default), none")
     g.add_argument("--multiphen-optim", default="WeightHalvingPseudo",
                    help="accepted; damped Newton is used")
     g.add_argument("--multiphen-trace", action="store_true", help="accepted no-op")
@@ -571,6 +573,7 @@ def args_to_params(args: argparse.Namespace) -> Params:
         params.multiphen_maxstep = args.multiphen_maxstep
         params.multiphen_maxit = args.multiphen_maxit
         params.multiphen_approx_offset = args.multiphen_approx_offset
+        params.multiphen_test = args.multiphen_test
     params.trait_set = args.mt
     if params.trait_set:
         # Regenie.cpp:1255-1260: strict + merged output required

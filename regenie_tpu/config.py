@@ -156,6 +156,7 @@ class Params:
     multiphen_maxstep: float = 200.0
     multiphen_maxit: int = 150
     multiphen_approx_offset: int = -1  # MAC gate for the offset-frozen LRT
+    multiphen_test: str = "nocov_score_offset"  # --multiphen-test strategy
 
     ld_list_file: Optional[str] = None  # --ld-extract (Regenie.cpp:299)
     bgi_file: Optional[str] = None  # --bgi (Regenie.cpp:158)

@@ -326,20 +326,41 @@ def multiphen_snp(params, g_raw, Xcov, Yres, mask) -> MPhenResult:
     ncat_minor = int(np.bincount(code[m]).min())
     use_off = (mao == 1) or (mao > 1 and ncat_minor > mao)
 
+    # --multiphen-test strategy (MultiPhen::run dispatch,
+    # Ordinal.cpp:184-206). Aliases map to the same computation here:
+    # cov_score_it1 -> cov_score; nocov_score_addcov / offset ->
+    # nocov_score_offset (the default score-then-LRT escalation).
+    mode = getattr(params, "multiphen_test", None) or "nocov_score_offset"
+    mode = {"cov_score_it1": "cov_score", "nocov_score_addcov":
+            "nocov_score_offset", "offset": "nocov_score_offset"}.get(mode, mode)
+    if mode == "none":
+        return r
+    if mode not in ("nocov_score", "cov_score", "nocov_lrt", "cov_lrt",
+                    "nocov_score_offset"):
+        raise ValueError(f"unknown --multiphen-test mode: {mode}")
+    score_stage = mode in ("nocov_score", "cov_score", "nocov_score_offset")
+    lrt_stage = mode in ("nocov_lrt", "cov_lrt", "nocov_score_offset")
+    lrt_cov = mode != "nocov_lrt"
+
     if K == 2:
         y = code.astype(np.float64) * maskf
-        # stage 1: score test at the intercept-only null (nocov_score)
-        b0, _ll, it0, ok = _fit_logistic(ones, y, maskf, 0.0, maxit, tol, mstep)
-        if not ok:
-            return r
-        r.niter += it0
-        pv = _binom_score_test(ones, b0, Ym, y, maskf)
-        r.pval = pv
-        if pv < 0 or pv >= params.multiphen_thr:
-            return r
-        # stage 2: LRT with covariates (+Firth)
-        r.used_firth = fm > 0
         Xn = Xcov * maskf[:, None]
+        if score_stage:
+            # score test at the no-covariate or covariate null
+            Xnull = Xn if mode == "cov_score" else ones
+            b0, _ll, it0, ok = _fit_logistic(Xnull, y, maskf, 0.0, maxit,
+                                             tol, mstep)
+            if not ok:
+                return r
+            r.niter += it0
+            pv = _binom_score_test(Xnull, b0, Ym, y, maskf)
+            r.pval = pv
+            if not lrt_stage or pv < 0 or pv >= params.multiphen_thr:
+                return r
+        # LRT stage (+Firth)
+        r.used_firth = fm > 0
+        if not lrt_cov:
+            Xn = ones
         if use_off:
             # offset approximation (Ordinal.cpp:726-771): covariate
             # effects frozen at the null fit; phenotypes weighted-
@@ -382,27 +403,31 @@ def multiphen_snp(params, g_raw, Xcov, Yres, mask) -> MPhenResult:
         r.pval = 1.0 if stat < 0 else float(chi2.sf(stat, Ym.shape[1]))
         return r
 
-    # K == 3: proportional-odds model
+    # K == 3: proportional-odds model. The POM's cut-points span the
+    # intercept, so constant covariate columns are dropped to keep the
+    # fits identified (the reference fits "covariates X without
+    # Intercept", Ordinal.cpp:535)
     Yoh = np.zeros((len(gi), K))
     Yoh[np.arange(len(gi)), code] = 1.0
     Yoh *= maskf[:, None]
     empty = np.zeros((len(gi), 0))
-    par0, _f, it0, ok = _fit_pom(empty, Yoh, maskf, K, maxit=maxit, tol=tol,
-                                 max_step=mstep)
-    if not ok:
-        return r
-    r.niter += it0
-    pv = _pom_score_test(par0[: K - 1 + 0], empty, Ym, Yoh, maskf, K)
-    r.pval = pv
-    if pv < 0 or pv >= params.multiphen_thr:
-        return r
-    # LRT with covariates. The POM's cut-points span the intercept, so
-    # constant covariate columns are dropped to keep the fit identified
-    # (the reference fits "covariates X without Intercept",
-    # Ordinal.cpp:535)
     mu = (Xcov * maskf[:, None]).sum(axis=0) / maskf.sum()
     sd = np.sqrt((((Xcov - mu) * maskf[:, None]) ** 2).sum(axis=0) / maskf.sum())
     Xn = (Xcov - mu)[:, sd > 1e-12] * maskf[:, None]
+    par0, _f, it0, ok = _fit_pom(
+        Xn if mode == "cov_score" else empty, Yoh, maskf, K,
+        maxit=maxit, tol=tol, max_step=mstep)
+    if not ok:
+        return r
+    r.niter += it0
+    if score_stage:
+        pv = _pom_score_test(par0, Xn if mode == "cov_score" else empty,
+                             Ym, Yoh, maskf, K)
+        r.pval = pv
+        if not lrt_stage or pv < 0 or pv >= params.multiphen_thr:
+            return r
+    if not lrt_cov:
+        Xn = empty
     p_n, f0, it1, ok0 = _fit_pom(Xn, Yoh, maskf, K, theta0=par0[: K - 1],
                                  maxit=maxit, tol=tol, max_step=mstep)
     if use_off:

@@ -145,3 +145,44 @@ def test_multiphen_approx_offset():
     P.multiphen_approx_offset = -1
     exact3 = multiphen_snp(P, g3, Xcov, Yres, mask)
     assert gated.pval == exact3.pval
+
+
+def test_multiphen_test_modes():
+    """--multiphen-test strategies (MultiPhen::run dispatch,
+    Ordinal.cpp:184-206): score-only modes never run the LRT, LRT modes
+    always do, the default escalates, `none` reports NA, and the
+    cov_score_it1 alias maps to cov_score."""
+    from regenie_tpu.models.multiphen import multiphen_snp
+
+    class P:
+        multiphen_thr = 0.001
+        multiphen_tol = 2.5e-4
+        multiphen_firth_mult = 1.0
+        multiphen_maxstep = 200.0
+        multiphen_maxit = 150
+        multiphen_approx_offset = -1
+        multiphen_test = "nocov_score_offset"
+
+    rng = np.random.default_rng(5)
+    N = 600
+    Xcov = np.concatenate([np.ones((N, 1)), rng.normal(size=(N, 2))], axis=1)
+    Yres = rng.normal(size=(N, 3))
+    mask = np.ones(N, dtype=bool)
+    g3 = rng.choice([0, 1, 2], size=N, p=[0.6, 0.3, 0.1]).astype(float)
+    Yres[:, 0] += 0.4 * g3  # signal so the default escalates to the LRT
+
+    res = {}
+    for mode in ("nocov_score", "cov_score", "nocov_lrt", "cov_lrt",
+                 "nocov_score_offset", "none", "cov_score_it1"):
+        P.multiphen_test = mode
+        res[mode] = multiphen_snp(P, g3, Xcov, Yres, mask).pval
+
+    assert res["none"] == -1.0
+    assert res["cov_score_it1"] == res["cov_score"]
+    # default escalation ends at the covariate LRT
+    assert res["nocov_score_offset"] == res["cov_lrt"]
+    # all test modes detect the injected signal
+    for mode in ("nocov_score", "cov_score", "nocov_lrt", "cov_lrt"):
+        assert 0 < res[mode] < 1e-6, (mode, res[mode])
+    # score-only mode differs from its LRT counterpart
+    assert res["cov_score"] != res["cov_lrt"]
