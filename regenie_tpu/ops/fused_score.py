@@ -477,21 +477,57 @@ def impute_flip_products(S1, SQ, SM, flip, usum, icol, n_ind):
     return S1f, SQf
 
 
+def _mesh_row_specs(ranks, axis):
+    """PartitionSpecs sharding each output's LEADING (variant) axis."""
+    from jax.sharding import PartitionSpec as P
+
+    return tuple(P(axis, *([None] * (r - 1))) for r in ranks)
+
+
+def _mesh_wrap(body, mesh, in_ranks, out_ranks):
+    """shard_map a row-independent fused block fn over the variant axis:
+    arg 0 (packed bytes / probability planes) sharded on its leading
+    axis, the remaining operands replicated on every chip, every output
+    sharded on its leading axis. No collectives — the mesh analog of
+    the reference's per-machine chromosome split
+    (docs/recommendations.md:128) riding the flagship packed-bytes
+    kernel instead of a dense decoded G."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    in_specs = tuple(
+        P(axis, *([None] * (r - 1))) if i == 0 else P(*([None] * r))
+        for i, r in enumerate(in_ranks)
+    )
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs,
+        out_specs=_mesh_row_specs(out_ranks, axis),
+    )
+
+
+def _mesh_replicate(mesh, x):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.device_put(x, NamedSharding(mesh, P(*([None] * np.ndim(x)))))
+
+
 def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool, test_type=0,
-                     ref_first=False):
+                     ref_first=False, mesh=None):
     """One-dispatch jitted QT block function: products + epilogue + the
     raw-product slices the host needs for per-variant stats. Built once
     per chromosome — separate jit calls per block would each pay a
-    host<->device round trip."""
+    host<->device round trip. With `mesh`, the whole block fn runs
+    variant-sharded under shard_map (raw rows padded to the mesh size
+    by the caller; operands replicated once)."""
     prod = fused_products if use_pallas else fused_products_xla
     C_used = consts.layout_C()
     # the Wext operand can be GBs at biobank scale (N x 3C bf16): pass
     # it as an argument (device buffer by handle), never as a captured
     # jit constant that would be inlined into the executable
-    Wp_dev = jax.device_put(consts.Wp)
+    Wp_dev = (jax.device_put(consts.Wp) if mesh is None
+              else _mesh_replicate(mesh, consts.Wp))
 
-    @jax.jit
-    def _run(raw, Wp):
+    def _body(raw, Wp):
         S1, SQ, SM = prod(raw, Wp)
         S1c, SQc, SMc = S1[:, :C_used], SQ[:, :C_used], SM[:, :C_used]
         if ref_first:
@@ -506,6 +542,14 @@ def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool, test_type=0,
         )
         return stats, denum, scale_fac, low, S1c, SQc, SMc
 
+    if mesh is None:
+        _run = jax.jit(_body)
+    else:
+        _run = jax.jit(_mesh_wrap(
+            _body, mesh, in_ranks=(2, np.ndim(consts.Wp)),
+            out_ranks=(2, 2, 1, 1, 2, 2, 2),
+        ))
+
     def run(raw):
         return _run(raw, Wp_dev)
 
@@ -513,20 +557,22 @@ def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool, test_type=0,
 
 
 def make_bt_block_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
-                     use_pallas: bool, test_type=0, ref_first=False):
+                     use_pallas: bool, test_type=0, ref_first=False,
+                     mesh=None):
     """One-dispatch jitted BT block function: products -> on-device
     minor-allele flip decision (ADD only) -> imputation/flip or DOM/REC
     recoding in product space -> all-trait score num/denum (the
     product-space twin of step2_bt._allpass_products). Returns the raw
-    product slices for host stats plus (flip, num, denum, S1_all)."""
+    product slices for host stats plus (flip, num, denum, S1_all).
+    With `mesh`, runs variant-sharded under shard_map."""
     prod = fused_products if use_pallas else fused_products_xla
     prec = jax.lax.Precision.HIGHEST
     usum_j = jnp.asarray(usum[:C_used])
     xwt_j = jnp.asarray(xwt)
-    Wp_dev = jax.device_put(Wp)  # by handle, not a baked-in constant
+    Wp_dev = (jax.device_put(Wp) if mesh is None
+              else _mesh_replicate(mesh, Wp))  # by handle, not baked in
 
-    @jax.jit
-    def _run(raw, Wp_a):
+    def _body(raw, Wp_a):
         S1, SQ, SM = prod(raw, Wp_a)
         S1c, SQc, SMc = S1[:, :C_used], SQ[:, :C_used], SM[:, :C_used]
         if ref_first:
@@ -548,6 +594,14 @@ def make_bt_block_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
         num = q - jnp.einsum("bpk,pk->bp", A, xwt_j.astype(S1c.dtype), precision=prec)
         denum = SQf[:, ncat : ncat + Pn] - (A**2).sum(-1)
         return S1c, SQc, SMc, flip, num, denum, S1cat
+
+    if mesh is None:
+        _run = jax.jit(_body)
+    else:
+        _run = jax.jit(_mesh_wrap(
+            _body, mesh, in_ranks=(2, np.ndim(Wp)),
+            out_ranks=(2, 2, 2, 1, 2, 2, 3),
+        ))
 
     def run(raw):
         return _run(raw, Wp_dev)
@@ -781,18 +835,19 @@ def _bgen_prepare(S1, SQ, SM, IL, usum_j, C_used, ref_first):
 
 
 def make_qt_bgen_fn(consts: "FusedConsts", use_pallas: bool, ref_first=False,
-                    Wq=None, qs=0):
+                    Wq=None, qs=0, mesh=None):
     """One-dispatch QT block function over BGEN probability byte planes.
     Returns the QT score outputs plus the raw product slices and the
     info-linear products (for the INFO column). Wq/qs: optional narrow
-    SQ-consumer operand (sample_pack of Wext[:, qs:])."""
+    SQ-consumer operand (sample_pack of Wext[:, qs:]). With `mesh`,
+    runs variant-sharded under shard_map."""
     C_used = consts.layout_C()
-    Wp_dev = jax.device_put(consts.Wp)  # by handle, not a constant
-    Wq_dev = jax.device_put(Wq) if (Wq is not None and use_pallas) else None
+    put = jax.device_put if mesh is None else partial(_mesh_replicate, mesh)
+    Wp_dev = put(consts.Wp)  # by handle, not a constant
+    Wq_dev = put(Wq) if (Wq is not None and use_pallas) else None
     use_q = Wq_dev is not None
 
-    @jax.jit
-    def _run(planes, Wp, Wq_a):
+    def _body(planes, Wp, Wq_a):
         if use_pallas:
             S1, SQ, SM, IL = bgen_fused_products(
                 planes, Wp, Wq_a, qs if use_q else 0, C_used
@@ -811,6 +866,16 @@ def make_qt_bgen_fn(consts: "FusedConsts", use_pallas: bool, ref_first=False,
         )
         return stats, denum, scale_fac, low, S1c, SQc, SMc, ILc
 
+    if mesh is None:
+        _run = jax.jit(_body)
+    else:
+        _run = jax.jit(_mesh_wrap(
+            _body, mesh,
+            in_ranks=(3, np.ndim(consts.Wp),
+                      np.ndim(Wq) if use_q else np.ndim(consts.Wp)),
+            out_ranks=(2, 2, 1, 1, 2, 2, 2, 2),
+        ))
+
     def run(planes):
         return _run(planes, Wp_dev, Wq_dev if use_q else Wp_dev)
 
@@ -818,20 +883,22 @@ def make_qt_bgen_fn(consts: "FusedConsts", use_pallas: bool, ref_first=False,
 
 
 def make_bt_bgen_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
-                    use_pallas: bool, ref_first=False, Wq=None, qs=0):
+                    use_pallas: bool, ref_first=False, Wq=None, qs=0,
+                    mesh=None):
     """One-dispatch BT/CT block function over BGEN byte planes (ADD
     coding only): products -> on-device flip -> product-space
     finalization -> all-trait num/denum + info-linear products.
-    Wq/qs: optional narrow SQ-consumer operand."""
+    Wq/qs: optional narrow SQ-consumer operand. With `mesh`, runs
+    variant-sharded under shard_map."""
     prec = jax.lax.Precision.HIGHEST
     usum_j = jnp.asarray(usum[:C_used])
     xwt_j = jnp.asarray(xwt)
-    Wp_dev = jax.device_put(Wp)  # by handle, not a constant
-    Wq_dev = jax.device_put(Wq) if (Wq is not None and use_pallas) else None
+    put = jax.device_put if mesh is None else partial(_mesh_replicate, mesh)
+    Wp_dev = put(Wp)  # by handle, not a constant
+    Wq_dev = put(Wq) if (Wq is not None and use_pallas) else None
     use_q = Wq_dev is not None
 
-    @jax.jit
-    def _run(planes, Wp_a, Wq_a):
+    def _body(planes, Wp_a, Wq_a):
         if use_pallas:
             S1, SQ, SM, IL = bgen_fused_products(
                 planes, Wp_a, Wq_a, qs if use_q else 0, C_used
@@ -852,6 +919,15 @@ def make_bt_bgen_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
         num = q - jnp.einsum("bpk,pk->bp", A, xwt_j.astype(S1c.dtype), precision=prec)
         denum = SQf[:, ncat : ncat + Pn] - (A**2).sum(-1)
         return S1c, SQc, SMc, ILc, flip, num, denum, S1cat
+
+    if mesh is None:
+        _run = jax.jit(_body)
+    else:
+        _run = jax.jit(_mesh_wrap(
+            _body, mesh,
+            in_ranks=(3, np.ndim(Wp), np.ndim(Wq) if use_q else np.ndim(Wp)),
+            out_ranks=(2, 2, 2, 2, 1, 2, 2, 3),
+        ))
 
     def run(planes):
         return _run(planes, Wp_dev, Wq_dev if use_q else Wp_dev)

@@ -164,12 +164,12 @@ class _FusedBTSource:
 
     def __init__(self, eng, raw_j, flip_j, num, denum, S1_all):
         self.eng = eng
-        self.raw_j = raw_j
+        self.raw_j = raw_j  # may carry mesh pad rows past n_snps
         self.flip_j = flip_j
         self._num = num
         self._denum = denum
         self._S1 = S1_all
-        self.n_snps = int(raw_j.shape[0])
+        self.n_snps = int(num.shape[0])
 
     def allpass(self, fc):
         return self._num, self._denum, self._S1
@@ -662,7 +662,6 @@ class Step2Engine:
         ok = (
             params.trait_mode in (QT, BT, CT)
             and (hardcall_src or bgen_src)
-            and self.mesh is None
             and self.interaction is None
         )
         if ok and params.trait_mode == QT:
@@ -833,10 +832,12 @@ class Step2Engine:
                     bool(getattr(params, "ref_first", False)),
                     Wq=self._fused_qt_Wq,
                     qs=self._fused_consts.layout_C() - (P + 1),
+                    mesh=self.mesh,
                 )
             else:
                 self._fused_fn = fsc.make_qt_block_fn(
                     self._fused_consts, on_tpu, params.test_type, rf,
+                    mesh=self.mesh,
                 )
         else:  # BT
             from .models import step2_bt
@@ -883,12 +884,13 @@ class Step2Engine:
                     Wp, usum, np.asarray(fc.xwt_j), C_used, C_used - 1,
                     float(ind.sum()), ncat, Pn, Kp1, on_tpu,
                     bool(getattr(params, "ref_first", False)),
-                    Wq=Wq, qs=ncat,
+                    Wq=Wq, qs=ncat, mesh=self.mesh,
                 )
             else:
                 self._fused_fn = fsc.make_bt_block_fn(
                     Wp, usum, np.asarray(fc.xwt_j), C_used, C_used - 1,
                     float(ind.sum()), ncat, Pn, Kp1, on_tpu, params.test_type, rf,
+                    mesh=self.mesh,
                 )
         self._fused_is_bgen = is_bgen
         self._fused_chrom = self.cur_chrom
@@ -925,6 +927,19 @@ class Step2Engine:
         H1 = (SQh[:, icol] - total1) / 2.0
         return (H1 + v * SMh[:, icol]) < self.params.min_homs
 
+    def _fused_upload(self, rawp):
+        """Device placement of a packed block for the fused block fn:
+        plain upload single-chip; variant-sharded over the mesh (rows
+        zero-padded to the mesh size — the callers slice the pad rows
+        back off every output, so they never reach the host stats)."""
+        if self.mesh is None:
+            return jnp.asarray(rawp)
+        from .parallel import mesh as pm
+
+        ndev = len(self.mesh.devices.flat)
+        rawp, _ = pm.pad_to(np.asarray(rawp), ndev, 0)
+        return pm.shard_array(self.mesh, jnp.asarray(rawp), 0)
+
     def test_raw_block_fused(self, rawp, bsnps) -> Tuple[BlockResult, np.ndarray]:
         """Fused pipeline for a packed BED block: three MXU products over
         the raw bytes replace decode/impute/residualize/score AND the
@@ -938,20 +953,20 @@ class Step2Engine:
             return self._fused_block_bt(rawp, bsnps)
         consts = self._fused_consts
         B, P, K = len(bsnps), consts.P, consts.K
-        raw_j = jnp.asarray(rawp)
+        raw_j = self._fused_upload(rawp)
         flipped = np.zeros(B, dtype=bool)  # QT never flips (with_flip=False)
         ILh = None
         if getattr(self, "_fused_is_bgen", False):
             (stats, denum, scale_fac, low_var,
              S1, SQ, SM, IL) = self._fused_fn(raw_j)
-            ILh = np.asarray(IL)
+            ILh = np.asarray(IL)[:B]
         else:
             stats, denum, scale_fac, low_var, S1, SQ, SM = self._fused_fn(raw_j)
-        S1h, SQh, SMh = np.asarray(S1), np.asarray(SQ), np.asarray(SM)
-        stats = np.asarray(stats)
-        denum = np.asarray(denum)
-        scale_fac = np.asarray(scale_fac)
-        low_var = np.asarray(low_var)
+        S1h, SQh, SMh = np.asarray(S1)[:B], np.asarray(SQ)[:B], np.asarray(SM)[:B]
+        stats = np.asarray(stats)[:B]
+        denum = np.asarray(denum)[:B]
+        scale_fac = np.asarray(scale_fac)[:B]
+        low_var = np.asarray(low_var)[:B]
 
         # per-variant stats from the raw (pre-imputation) products
         C_used = consts.layout_C()
@@ -1023,15 +1038,18 @@ class Step2Engine:
         fb = self._fused_bt
         fc = fb.fc
         B, P = len(bsnps), params.n_pheno
-        raw_j = jnp.asarray(rawp)
+        raw_j = self._fused_upload(rawp)
         ILh = None
         if getattr(self, "_fused_is_bgen", False):
             (S1, SQ, SM, IL, flip_j,
              num, denum, S1_all) = self._fused_fn(raw_j)
-            ILh = np.asarray(IL)
+            ILh = np.asarray(IL)[:B]
         else:
             S1, SQ, SM, flip_j, num, denum, S1_all = self._fused_fn(raw_j)
-        S1h, SQh, SMh = np.asarray(S1), np.asarray(SQ), np.asarray(SM)
+        if num.shape[0] != B:  # mesh pad rows: drop before scoring
+            flip_j = flip_j[:B]
+            num, denum, S1_all = num[:B], denum[:B], S1_all[:B]
+        S1h, SQh, SMh = np.asarray(S1)[:B], np.asarray(SQ)[:B], np.asarray(SM)[:B]
 
         icol, msl, csl = fb.icol, fb.sl_mask, fb.sl_case
         total1 = S1h[:, icol]
