@@ -382,8 +382,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="leave-one-variant-out masks: gene,mask,aaf-bin")
     gb.add_argument("--lovo-snplist", default=None,
                     help="variants to generate LOVO masks for")
-    gb.add_argument("--mask-lodo", action="store_true",
-                    help="leave-one-domain-out masks (with --mask-lovo)")
+    gb.add_argument("--mask-lodo", default=None, metavar="STRING",
+                    help="apply Leave-One-Domain-Out (LODO) scheme when "
+                    "building masks (<set_name>,<mask_name>,<aaf_cutoff>)")
     return p
 
 
@@ -717,6 +718,30 @@ def args_to_params(args: argparse.Namespace) -> Params:
     params.mask_lovo = args.mask_lovo
     params.masks_loo_snpfile = args.lovo_snplist
     params.mask_lodo = args.mask_lodo
+    if args.mask_lodo:
+        # <set>,<mask>,<aaf_cutoff|singleton|all> (Regenie.cpp:982-1002)
+        lodo_toks = args.mask_lodo.split(",")
+        if len(lodo_toks) != 3:
+            raise SystemExit("ERROR: wrong format for option --mask-lodo.")
+        if args.mask_lovo:
+            raise SystemExit(
+                "ERROR: cannot use --mask-lovo with --mask-lodo.")
+        if params.vc_tests:
+            if lodo_toks[2] == "all":
+                params.vc_maxAAF = 1.0
+            elif lodo_toks[2] != "singleton":
+                params.vc_maxAAF = float(lodo_toks[2])
+        if params.write_masks:
+            print("WARNING: cannot use --write-mask with --mask-lodo.")
+            params.write_masks = False
+    if (args.mask_lovo or args.mask_lodo):
+        # Regenie.cpp:1028-1034
+        if params.write_mask_snplist:
+            print("WARNING: cannot use --write-mask-snplist with LOVO/LODO.")
+            params.write_mask_snplist = False
+        if params.write_setlist:
+            print("WARNING: cannot use --write-setlist with LOVO/LODO.")
+            params.write_setlist = None
 
     params.condition_list = args.condition_list
     params.condition_file = args.condition_file

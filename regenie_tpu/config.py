@@ -232,7 +232,7 @@ class Params:
     skip_sbat: bool = False
     mask_lovo: Optional[str] = None
     masks_loo_snpfile: Optional[str] = None  # --lovo-snplist  # --mask-lovo SET,MASK,BIN
-    mask_lodo: bool = False
+    mask_lodo: Optional[str] = None  # --mask-lodo SET,MASK,AAF_CUTOFF
     use_max_bsize: bool = False
 
     # ---- time-to-event (Cox) ----

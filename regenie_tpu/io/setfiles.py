@@ -49,17 +49,25 @@ def _split_commas(toks: List[str]) -> List[str]:
     return out
 
 
-def read_anno_labels(path: str) -> Dict[str, int]:
-    """--anno-labels: '<number> <name>' per line -> name -> bit index."""
+def read_anno_labels(path: str):
+    """--anno-labels: '<number> <name>' per line. The NUMBER token is the
+    category key used in both the annotation and mask-definition files
+    (anno_map is keyed by tmp_str_vec[0], Geno.cpp:3598); the name is a
+    display label shown in mask headers (Geno.cpp:3932). Returns
+    (cat_bit: token -> bit index, display: token -> name)."""
     cat_bit: Dict[str, int] = {}
-    for toks in iter_lines(path):
+    display: Dict[str, str] = {}
+    for lineno, toks in enumerate(iter_lines(path)):
         if len(toks) != 2:
             raise ValueError("incorrectly formatted annotation labels file")
         cval = int(toks[0])
         if cval < 0 or cval >= MAX_CAT:
             raise ValueError(f"category must be < {MAX_CAT}")
-        cat_bit[toks[1]] = cval
-    return cat_bit
+        if toks[0] in cat_bit:
+            raise ValueError(f"duplicate category on line {lineno + 1}")
+        cat_bit[toks[0]] = cval
+        display[toks[0]] = toks[1]
+    return cat_bit, display
 
 
 def read_annotations(
@@ -132,9 +140,12 @@ def read_annotations(
     return anno, cat_bit, bool(with_domains), domains, region_names
 
 
-def read_mask_defs(path: str, cat_bit: Dict[str, int], log=print) -> List[MaskDef]:
+def read_mask_defs(path: str, cat_bit: Dict[str, int], log=print,
+                   display: Optional[Dict[str, str]] = None) -> List[MaskDef]:
     """--mask-def: '<mask_name> <cat1,cat2,...>' (read_masks, Geno.cpp:3874).
-    Unknown categories are ignored with a warning."""
+    Unknown categories are ignored with a warning. `display` (from
+    --anno-labels) maps numeric category tokens to their display names
+    for the ##MASKS header (Geno.cpp:3932)."""
     masks = []
     for toks in iter_lines(path):
         if len(toks) < 2:
@@ -146,7 +157,7 @@ def read_mask_defs(path: str, cat_bit: Dict[str, int], log=print) -> List[MaskDe
         for cat in _split_commas(toks[1:]):
             if cat in cat_bit:
                 bits |= 1 << cat_bit[cat]
-                cats.append(cat)
+                cats.append(display.get(cat, cat) if display else cat)
             else:
                 unknown.append(cat)
         if unknown:

@@ -32,7 +32,8 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
     snp_id_to_idx = {s.ID: i for i, s in enumerate(gd.snps)}
     snp_chroms = np.array([s.chrom for s in gd.snps])
 
-    cat_bit = read_anno_labels(params.anno_labels_file) if params.anno_labels_file else None
+    cat_bit, cat_disp = (read_anno_labels(params.anno_labels_file)
+                     if params.anno_labels_file else (None, None))
     anno, cat_bit, with_domains, domains, region_names = read_annotations(
         params.anno_file, snp_id_to_idx, cat_bit,
         weight_col=params.vc_weight_col if params.vc_with_weights else 0,
@@ -41,7 +42,7 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
     if with_domains:
         n_dom = sum(len(v) for v in region_names.values())
         log(f"   +number of domains across all sets = {n_dom}")
-    mask_defs = read_mask_defs(params.mask_def, cat_bit, log)
+    mask_defs = read_mask_defs(params.mask_def, cat_bit, log, display=cat_disp)
     all_bits = 0
     for md in mask_defs:
         all_bits |= md.bits
@@ -54,6 +55,29 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
         chr_filter, log,
     )
     aafs = aaf_bin_values(params)
+
+    # LODO mode: restrict to the named set/mask, single AAF bin
+    # (mask_loo_set/mask_loo_name/mbins, Regenie.cpp:988-992; sets with a
+    # different name are skipped, Geno.cpp:3680/3913)
+    if params.mask_lodo:
+        lodo_toks = params.mask_lodo.split(",")
+        if not with_domains:
+            raise ValueError(
+                "--mask-lodo requires 4-column annotations with domains"
+            )
+        sets = [s for s in sets if s.ID == lodo_toks[0]]
+        if not sets:
+            raise ValueError(
+                f"set '{lodo_toks[0]}' not found for LODO (or set name "
+                "does not match the annotation file)"
+            )
+        mask_defs = [m for m in mask_defs if m.name == lodo_toks[1]]
+        if not mask_defs:
+            raise ValueError(f"mask '{lodo_toks[1]}' not found for LODO")
+        if lodo_toks[2] == "singleton":
+            aafs = []
+        else:
+            aafs = [1.0 if lodo_toks[2] == "all" else float(lodo_toks[2])]
 
     # user-given AAFs (--aaf-file, read_aafs Geno.cpp:3790)
     file_aaf, force_singleton = None, None
@@ -357,11 +381,12 @@ def build_requested_masks(params, eng, want: Dict[str, List[str]], log):
     gd, pd = eng.gd, eng.pd
     snp_id_to_idx = {s.ID: i for i, s in enumerate(gd.snps)}
     snp_chroms = np.array([s.chrom for s in gd.snps])
-    cat_bit = read_anno_labels(params.anno_labels_file) if params.anno_labels_file else None
+    cat_bit, cat_disp = (read_anno_labels(params.anno_labels_file)
+                     if params.anno_labels_file else (None, None))
     anno, cat_bit, _wd, _dom, _rn = read_annotations(
         params.anno_file, snp_id_to_idx, cat_bit
     )
-    mask_defs = read_mask_defs(params.mask_def, cat_bit, log)
+    mask_defs = read_mask_defs(params.mask_def, cat_bit, log, display=cat_disp)
     all_bits = 0
     for md in mask_defs:
         all_bits |= md.bits

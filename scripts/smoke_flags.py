@@ -18,7 +18,7 @@ EX = "/root/reference/example"
 PY = sys.executable
 
 
-def run(tag, args, outdir, expect_fail=False):
+def run(tag, args, outdir, expect_fail=False, check=None):
     env = dict(os.environ)
     env["REGENIE_TPU_PLATFORM"] = "cpu"
     env["PYTHONPATH"] = "/root/repo"
@@ -27,8 +27,15 @@ def run(tag, args, outdir, expect_fail=False):
         capture_output=True, text=True, cwd=outdir, env=env, timeout=900,
     )
     ok = (r.returncode != 0) if expect_fail else (r.returncode == 0)
+    why = ""
+    if ok and check is not None:
+        try:
+            ok = bool(check(outdir))
+            why = "post-check failed"
+        except Exception as e:  # missing output file etc.
+            ok, why = False, f"post-check raised: {e}"
     if not ok:
-        print(f"FAIL [{tag}]: {' '.join(str(a) for a in args)}")
+        print(f"FAIL [{tag}]: {' '.join(str(a) for a in args)}  {why}")
         print((r.stdout + r.stderr)[-2000:])
     else:
         print(f"ok   [{tag}]")
@@ -71,13 +78,27 @@ def main():
     with open("setnames.txt", "w") as fh:
         fh.write("SET1\n")
     with open("ld_list.txt", "w") as fh:
-        fh.write("mog_0\nmog_1\nSET1.M1.all\n")
+        # 'sv <id>' / 'mask <maskname> <set>' rows (run_ldcomp contract)
+        fh.write("sv mog_0\nsv mog_1\nmask SET1.M1.all SET1\n")
+    # numeric-category annotations + labels mapping numbers to names
+    # (read_anno_labels contract: '<number> <name>' per line)
     with open("anno_labels.txt", "w") as fh:
-        fh.write("pLof LoF_label\nmissense mis_label\n")
+        fh.write("1 pLof\n2 missense\n")
+    with open("anno_num.txt", "w") as fh:
+        num = {"pLof": "1", "missense": "2"}
+        for l in open(f"{EX}/example_3chr.annotations"):
+            p = l.split()
+            if p[2] in num:
+                fh.write(f"{p[0]}\t{p[1]}\t{num[p[2]]}\n")
+    with open("masks_lab.txt", "w") as fh:
+        # mask-def references the same numeric tokens; display names come
+        # from the labels file (anno_map keyed by number, Geno.cpp:3598)
+        fh.write("M1\t1\nM2\t1,2\n")
     with open("lovo_snps.txt", "w") as fh:
         fh.write("mog_0\nmog_2\n")
     with open("wsl_config.txt", "w") as fh:
-        fh.write("ALL : LIST\n")
+        # real mask names so grouping is exercised (write_sets example)
+        fh.write("grp1 M1\ngrp2 M1,M2\n")
 
     cov = ["--covarFile", f"{EX}/covariates.txt"]
     bed = ["--bed", f"{EX}/example"]
@@ -96,8 +117,12 @@ def main():
                           "--bsize", 100, "--cv", 3, "--l0", 4, "--l1", 6,
                           "--niter", 20, "--maxiter-null", 100,
                           "--maxstep-null", 3, "--force-step1", "--verbose",
-                          "--threads", 4, "--seed", 7, "--print",
+                          "--threads", 4, "--seed", 7,
                           "--mse-full", "--out", "fit_qt_tune"]),
+        # --print requires a single trait (run_step1.py:89)
+        ("s1-print-betas", ["--step", 1, *bed, *cov, "--phenoFile",
+                            f"{EX}/phenotype.txt", "--phenoColList", "Y1",
+                            "--bsize", 100, "--print", "--out", "fit_pb"]),
         ("s1-qt-grid", ["--step", 1, *bed, *cov, *qt, "--bsize", 100,
                         "--setl0", "0.1,0.5,0.9", "--setl1", "0.2,0.8",
                         "--nauto", 22, "--out", "fit_qt_grid"]),
@@ -193,9 +218,10 @@ def main():
                         "--hlm-novquad", "--out", "o_ihlm"]),
         ("s2-int-vcov", [*base2q, "--interaction", "V1", "--print-vcov",
                          "--out", "o_ivc"]),
+        # --interaction-prs only works with a single phenotype
         ("s2-int-prs", ["--step", 2, *bed, *cov, *qt, "--bsize", 200,
-                        "--pred", "fit_qt_tune_pred.list",
-                        "--interaction-prs", "--out", "o_iprs"]),
+                        "--pred", "fit_qt_tune_pred.list", "--phenoCol",
+                        "Y1", "--interaction-prs", "--out", "o_iprs"]),
     ]
 
     # T2E step 2 long tail
@@ -215,7 +241,7 @@ def main():
 
     # multiphen / mcc long tail
     scen += [
-        ("s2-multiphen-opts", [*base2q, "--multiphen",
+        ("s2-multiphen-opts", [*base2q, "--strict", "--multiphen",
                                "--multiphen-optim", "WeightHalvingPseudo",
                                "--multiphen-maxit", 100,
                                "--multiphen-maxit2", 3,
@@ -242,10 +268,18 @@ def main():
                           "--out", "g_sum"]),
         ("gb-write-setlist", [*base2g, "--write-mask",
                               "--write-setlist", "wsl_config.txt",
-                              "--out", "g_wsl"]),
+                              "--out", "g_wsl"],
+         {"check": lambda d: all(
+             os.path.getsize(os.path.join(d, f"g_wsl_{g}.setlist")) > 0
+             for g in ("grp1", "grp2"))}),
         ("gb-singletons", [*base2g, "--set-singletons", "--out", "g_sing"]),
-        ("gb-anno-labels", [*base2g, "--anno-labels", "anno_labels.txt",
-                            "--out", "g_alab"]),
+        ("gb-anno-labels", ["--step", 2, *bed3, *cov, *qt, "--bsize", 200,
+                            "--ignore-pred", "--set-list",
+                            f"{EX}/example_3chr.setlist",
+                            "--anno-file", "anno_num.txt",
+                            "--mask-def", "masks_lab.txt",
+                            "--anno-labels", "anno_labels.txt",
+                            "--aaf-bins", "0.2", "--out", "g_alab"]),
         ("gb-skat-params", [*base2g, "--vc-tests", "skato,acatv",
                             "--skat-params", "1,25",
                             "--skato-rho", "0,0.5,1",
@@ -255,7 +289,7 @@ def main():
         ("gb-sbat-opts", [*base2g, "--joint", "sbat", "--sbat-napprox", 100,
                           "--sbat-verbose", "--out", "g_sbo"]),
         ("gb-skip-sbat", [*base2g, "--rgc-gene-p", "--skip-sbat",
-                          "--rgc-gene-def", "--out", "g_ssb"]),
+                          "--out", "g_ssb"]),
         ("gb-sets-file", [*base2g, "--extract-sets", "setnames.txt",
                           "--out", "g_exs"]),
         ("gb-sets-list", [*base2g, "--extract-setlist", "SET1,SET2",
@@ -266,12 +300,26 @@ def main():
                                "--out", "g_exsel"]),
         ("gb-mult-weights", [*base2g, "--vc-tests", "skat",
                              "--multiply-weights", "--out", "g_mw"]),
-        ("gb-lodo", [*base2g, "--mask-lodo", "SET1,M1", "--out", "g_lodo"]),
+        # LODO needs 4-column annotations (domains); reference contract is
+        # --mask-lodo <set>,<mask>,<aaf_cutoff> (Regenie.cpp:248,982-992)
+        ("gb-lodo", ["--step", 2, *bed3, *cov, *qt, "--bsize", 200,
+                     "--ignore-pred", "--set-list",
+                     f"{EX}/example_3chr.setlist",
+                     "--anno-file", f"{EX}/example_3chr.annotationsV2",
+                     "--mask-def", f"{EX}/example_3chr.masks",
+                     "--mask-lodo", "SET1,M1,0.2", "--out", "g_lodo"],
+         {"check": lambda d: "LODO_" in open(
+             os.path.join(d, "g_lodo_Y1.regenie")).read()}),
         ("gb-lovo-snplist", [*base2g, "--mask-lovo", "SET1,M1,0.2",
                              "--lovo-snplist", "lovo_snps.txt",
                              "--out", "g_lovs"]),
         ("gb-skip-test", [*base2g, "--write-mask", "--skip-test",
                           "--out", "g_skt"]),
+        # negative path: LOVO and LODO are mutually exclusive
+        # (Regenie.cpp:987)
+        ("xfail-lovo-lodo", [*base2g, "--mask-lovo", "SET1,M1,0.2",
+                             "--mask-lodo", "SET1,M1,0.2",
+                             "--out", "g_xf"], {"expect_fail": True}),
     ]
 
     # LD-matrix long tail
@@ -283,6 +331,7 @@ def main():
         ("ld-remeta-spr", ["--step", 2, *bed3, *cov, *bt, "--bsize", 200,
                            "--ignore-pred", *gb, "--aaf-bins", "0.2",
                            "--vc-tests", "skato", "--remeta-save-ld",
+                           "--vc-MACthr", 0,
                            "--remeta-ld-spr", 0.05, "--out", "ld_rm"]),
     ]
 
@@ -302,13 +351,48 @@ def main():
         ("version", ["--version"]),
     ]
 
+    scen = [s if len(s) == 3 else (*s, {}) for s in scen]
+
+    # step-2 scenarios consume step-1 artifacts produced earlier in the
+    # list; when a filter selects only consumers, auto-run the producers
+    # first so filtered runs don't fail spuriously on missing pred files
+    producers = {
+        "fit_qt_tune_pred.list": "s1-qt-tuning",
+        "fit_t2e_pred.list": "s1-t2e",
+        "spl.master": "s1-split-master",
+    }
+    extra_deps = {
+        "s1-split-j1": ["s1-split-master"],
+        "s1-split-j2": ["s1-split-master"],
+        "s1-split-l1": ["s1-split-master", "s1-split-j1", "s1-split-j2"],
+    }
+
+    def deps_of(tag, args):
+        out = list(extra_deps.get(tag, []))
+        for a in args:
+            d = producers.get(str(a))
+            if d and d != tag:
+                out.append(d)
+        return out
+
+    selected = {t for t, a, _k in scen if not filt or filt in t}
+    changed = True
+    while changed:  # transitive closure over dependencies
+        changed = False
+        for t, a, _k in scen:
+            if t in selected:
+                for d in deps_of(t, a):
+                    if d not in selected:
+                        selected.add(d)
+                        changed = True
+
     fails = 0
     total = 0
-    for tag, args in scen:
-        if filt and filt not in tag:
+    for tag, args, kw in scen:
+        if tag not in selected:
             continue
         total += 1
-        if not run(tag, args, outdir):
+        if not run(tag, args, outdir, **kw):
             fails += 1
     print(f"{total - fails}/{total} passed (outputs in {outdir})")
     sys.exit(1 if fails else 0)
