@@ -206,6 +206,55 @@ def sharded_level0_loocv(mesh: Mesh, G, Y, maskf, lambdas, Neff):
     return _l0(G, Y, maskf, lambdas, Neff)
 
 
+def sharded_level0_kfold(mesh: Mesh, G_folds, Y_folds, mask_folds, valid,
+                         lambdas, Neff):
+    """Sample-sharded step-1 level-0 K-fold ridge (the multi-chip form of
+    level0_kfold_block, models/step1.py; reference ridge_level_0,
+    Step1_Models.cpp:458-560): per-shard fold Gram partial sums reduced
+    with psum over ICI, replicated [K, B, B] leave-fold-out
+    eigendecompositions, per-shard out-of-fold predictions, and psum'd
+    center/scale moments.
+
+    G_folds: [K, B, nmax] sharded over nmax; Y_folds/mask_folds:
+    [K, nmax, P] sharded over nmax; valid: [K, nmax] sharded over nmax
+    (pad slots 0); lambdas [J], Neff [P] replicated.
+    Returns W: [K, nmax, J, P] sharded over nmax.
+    """
+    axis = mesh.axis_names[0]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None, axis), P(None, axis, None),
+                  P(None, axis, None), P(None, axis), P(None), P(None)),
+        out_specs=P(None, axis, None, None),
+    )
+    def _l0(Gf, Yf, mf, vf, lam, neff):
+        Gf = Gf * vf[:, None, :]
+        GGt_f = jax.lax.psum(
+            jnp.einsum("kbn,kcn->kbc", Gf, Gf, precision=_PREC), axis)
+        GtY_f = jax.lax.psum(
+            jnp.einsum("kbn,knp->kbp", Gf, Yf, precision=_PREC), axis)
+        GGt = GGt_f.sum(axis=0)
+        GTY = GtY_f.sum(axis=0)
+        ww1 = GGt[None] - GGt_f  # [K,B,B] leave-fold-out Grams
+        d, V = jnp.linalg.eigh(ww1)
+        ww2 = jnp.einsum("kbc,kbp->kcp", V, GTY[None] - GtY_f,
+                         precision=_PREC)
+        inv = 1.0 / (d[:, None, :] + lam[None, :, None])  # [K,J,B]
+        beta = jnp.einsum("kbc,kjc,kcp->kjbp", V, inv, ww2, precision=_PREC)
+        pred = jnp.einsum("kjbp,kbn->knjp", beta, Gf, precision=_PREC)
+        pred = pred * mf[:, :, None, :]
+        p_sum = jax.lax.psum(pred.sum(axis=(0, 1)), axis)  # [J,P]
+        p_sum2 = jax.lax.psum((pred**2).sum(axis=(0, 1)), axis)
+        p_mean = p_sum / neff[None, :]
+        p_invsd = jnp.sqrt(
+            (neff[None, :] - 1.0) / (p_sum2 - neff[None, :] * p_mean**2))
+        return (pred - p_mean[None, None]) * p_invsd[None, None]
+
+    return _l0(G_folds, Y_folds, mask_folds, valid, lambdas, Neff)
+
+
 def shard_array(mesh: Mesh, x, axis_index: int):
     """Place a host array on the mesh sharded along one axis."""
     axis = mesh.axis_names[0]

@@ -241,10 +241,12 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
         fold_idx_j = jnp.asarray(fold_idx)
 
     # multi-chip: sample-axis sharding for the level-0 Gram/LOO solves
-    # (§2.3.4 — psum over ICI replaces the split-L0 file protocol)
+    # (§2.3.4 — psum over ICI replaces the split-L0 file protocol).
+    # Level 0 is the same linear ridge for every trait mode (offsets only
+    # enter at level 1, Step1_Models.cpp:458), so the mesh covers
+    # QT/BT/CT/T2E and both LOOCV and K-fold layouts.
     mesh = None
-    if params.use_loocv and params.trait_mode == QT and not params.print_block_betas \
-            and not params.test_l0:
+    if not params.print_block_betas and not params.test_l0:
         from .parallel.mesh import maybe_mesh
 
         mesh = maybe_mesh()
@@ -254,10 +256,23 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
             ndev = len(mesh.devices.flat)
             log(f" * multi-chip mesh: {ndev} devices (sample-axis sharding "
                 "for level 0)")
-            Y_pad, _ = pm.pad_to(pd.phenotypes, ndev, 0)
-            m_pad, _ = pm.pad_to(maskf, ndev, 0)
-            Y_msh = pm.shard_array(mesh, jnp.asarray(Y_pad), 0)
-            m_msh = pm.shard_array(mesh, jnp.asarray(m_pad), 0)
+            if params.use_loocv:
+                Y_pad, _ = pm.pad_to(pd.phenotypes, ndev, 0)
+                m_pad, _ = pm.pad_to(maskf, ndev, 0)
+                Y_msh = pm.shard_array(mesh, jnp.asarray(Y_pad), 0)
+                m_msh = pm.shard_array(mesh, jnp.asarray(m_pad), 0)
+            else:
+                # pad the fold axis (nmax) to the mesh size; pad slots
+                # gather row 0 and are zeroed by valid=0 in the kernel
+                Yf_pad, _ = pm.pad_to(Y_folds, ndev, 1)
+                mf_pad, _ = pm.pad_to(mask_folds, ndev, 1)
+                v_pad, _ = pm.pad_to(valid.astype(np.float64), ndev, 1)
+                fi_pad, _ = pm.pad_to(fold_idx, ndev, 1)
+                nmax_p = Yf_pad.shape[1]
+                Yf_msh = pm.shard_array(mesh, jnp.asarray(Yf_pad), 1)
+                mf_msh = pm.shard_array(mesh, jnp.asarray(mf_pad), 1)
+                v_msh = pm.shard_array(mesh, jnp.asarray(v_pad), 1)
+                fold_idx_j = jnp.asarray(fi_pad)
 
     t0 = time.time()
     # one-block decode lookahead (overlaps host decode with device solves)
@@ -333,9 +348,18 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
             W_all[:, bidx * J : (bidx + 1) * J, :] = np.asarray(Wb)
         else:
             Gf_j = jnp.transpose(jnp.take(G, fold_idx_j, axis=1), (1, 0, 2))
-            Wb = m1.level0_kfold_block(
-                Gf_j, Y_folds_j, mask_folds_j, valid_j, lambdas_j, Neff_j
-            )
+            if mesh is not None:
+                from .parallel import mesh as pm
+
+                Gf_msh = pm.shard_array(mesh, Gf_j, 2)
+                Wb = pm.sharded_level0_kfold(
+                    mesh, Gf_msh, Yf_msh, mf_msh, v_msh, lambdas_j, Neff_j
+                )
+                Wb = np.asarray(Wb)[:, :nmax]
+            else:
+                Wb = m1.level0_kfold_block(
+                    Gf_j, Y_folds_j, mask_folds_j, valid_j, lambdas_j, Neff_j
+                )
             W_all[:, :, bidx * J : (bidx + 1) * J, :] = np.asarray(Wb)
     pool.shutdown(wait=False)
     log(f" * level 0 done ({time.time()-t0:.1f}s, {len(blocks)} blocks)")
