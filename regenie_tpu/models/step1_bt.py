@@ -60,6 +60,46 @@ def _l1_dev():
     return _L1_DEV
 
 
+def _place_design(X):
+    """[N, F] level-1 design on the accelerator. On an active mesh the
+    rows are zero-padded to the mesh size and sharded so GSPMD
+    partitions every downstream product across chips (psum'd
+    N-reductions) — the level-1 analog of the level-0 shard_map kernels
+    and the TPU replacement for the reference's --l1-phenoList
+    trait-split of the level-1 solve (Regenie.hpp:239)."""
+    import jax.numpy as jnp
+
+    from ..parallel.mesh import place_rows_padded
+
+    Xj, _np_rows = place_rows_padded(np.asarray(X), 0)
+    return Xj
+
+
+def _dev_ops(Xj, N: int):
+    """Product closures over a (possibly row-padded, sharded) design:
+    [N] vector args zero-padded to the design rows, per-sample outputs
+    sliced back to N. Zero rows are exact (they contribute nothing to
+    Grams or cross-products)."""
+    import jax.numpy as jnp
+
+    k = _l1_dev()
+    Np = int(Xj.shape[0])
+    if Np == N:
+        pad = lambda v: np.asarray(v)
+    else:
+        pad = lambda v: np.pad(np.asarray(v), (0, Np - N))
+    return dict(
+        xb=lambda b: np.asarray(k["xb"](Xj, jnp.asarray(b)))[:N],
+        xtv=lambda v: np.asarray(k["xtv"](Xj, jnp.asarray(pad(v)))),
+        wgram=lambda w_: np.asarray(k["wgram"](Xj, jnp.asarray(pad(w_)))),
+        lev=lambda Ainv_j: np.asarray(k["lev"](Xj, Ainv_j))[:N],
+        xb_cols=lambda sl, b: np.asarray(
+            k["xb"](Xj[:, sl], jnp.asarray(b)))[:N],
+        lev_span=lambda sl, Ainv_j: np.asarray(
+            k["lev_span"](Xj[:, sl], Ainv_j[sl, :], Xj))[:N],
+    )
+
+
 def run_log_ridge(
     y: np.ndarray,
     X: np.ndarray,
@@ -78,12 +118,8 @@ def run_log_ridge(
     accelerator."""
     maskf = mask.astype(np.float64)
     if Xj is not None:
-        import jax.numpy as jnp
-
-        k = _l1_dev()
-        _xb = lambda b: np.asarray(k["xb"](Xj, jnp.asarray(b)))
-        _xtv = lambda v: np.asarray(k["xtv"](Xj, jnp.asarray(v)))
-        _wgram = lambda w_: np.asarray(k["wgram"](Xj, jnp.asarray(w_)))
+        ops = _dev_ops(Xj, len(y))
+        _xb, _xtv, _wgram = ops["xb"], ops["xtv"], ops["wgram"]
     else:
         _xb = lambda b: X @ b
         _xtv = lambda v: X.T @ v
@@ -153,12 +189,8 @@ def run_ct_ridge(
     Returns (beta, mu, w, converged) with w = mu."""
     maskf = mask.astype(np.float64)
     if Xj is not None:
-        import jax.numpy as jnp
-
-        k = _l1_dev()
-        _xb = lambda b: np.asarray(k["xb"](Xj, jnp.asarray(b)))
-        _xtv = lambda v: np.asarray(k["xtv"](Xj, jnp.asarray(v)))
-        _wgram = lambda w_: np.asarray(k["wgram"](Xj, jnp.asarray(w_)))
+        ops = _dev_ops(Xj, len(y))
+        _xb, _xtv, _wgram = ops["xb"], ops["xtv"], ops["wgram"]
     else:
         _xb = lambda b: X @ b
         _xtv = lambda v: X.T @ v
@@ -227,19 +259,17 @@ def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
     # h = x'(X'WX + tau I)^-1 x, avoiding the [F, N] b_loo matrix.
     import jax.numpy as jnp
 
-    kdev = _l1_dev()
-    Xj = jnp.asarray(X)
+    Xj = _place_design(X)
+    ops = _dev_ops(Xj, N)
     maskf = mask.astype(np.float64)
 
     def loo_quants(beta, pi, w, tau):
-        A = np.diag(tau * np.ones(F)) + np.asarray(
-            kdev["wgram"](Xj, jnp.asarray(maskf * w))
-        )
+        A = np.diag(tau * np.ones(F)) + ops["wgram"](maskf * w)
         Ainv = np.linalg.inv(A)
-        h = np.asarray(kdev["lev"](Xj, jnp.asarray(Ainv)))
+        h = ops["lev"](jnp.asarray(Ainv))
         v2 = h * w
         s = (y - pi) / (1.0 - v2)
-        eta_lin = np.asarray(kdev["xb"](Xj, jnp.asarray(beta)))
+        eta_lin = ops["xb"](beta)
         return Ainv, h, s, eta_lin
 
     cumsum = np.zeros((6, len(taus)))
@@ -308,17 +338,16 @@ def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
         log("  * making predictions (using all samples)...")
         for ci, c in enumerate(chr_order):
             st_, nn = spans[c]
-            predictions[:, ci] = np.asarray(
-                kdev["xb"](Xj[:, st_ : st_ + nn], jnp.asarray(beta[st_ : st_ + nn]))
-            )
+            sl = slice(st_, st_ + nn)
+            predictions[:, ci] = ops["xb_cols"](sl, beta[sl])
         return predictions, True
     Ainv, h, s, _ = loo_quants(beta, pi, w, tau_eff(taus[best]))
     Ainv_j = jnp.asarray(Ainv)
     for ci, c in enumerate(chr_order):
         st_, nn = spans[c]
         sl = slice(st_, st_ + nn)
-        pred_lin = np.asarray(kdev["xb"](Xj[:, sl], jnp.asarray(beta[sl])))
-        q_c = np.asarray(kdev["lev_span"](Xj[:, sl], Ainv_j[sl, :], Xj))
+        pred_lin = ops["xb_cols"](sl, beta[sl])
+        q_c = ops["lev_span"](sl, Ainv_j)
         predictions[:, ci] = pred_lin - q_c * s
     return predictions, True
 
@@ -366,7 +395,6 @@ def _level1_glm_kfold(params, pd, W_all, offsets, taus_vec, ph, chr_order,
 
     import jax.numpy as jnp
 
-    kdev = _l1_dev()
     cumsum = np.zeros((6, n_tau))
     beta_hat = np.zeros((K, F, n_tau))
     for i in range(K):
@@ -375,27 +403,22 @@ def _level1_glm_kfold(params, pd, W_all, offsets, taus_vec, ph, chr_order,
         yt = np.concatenate([yf[k] for k in train])
         mt = np.concatenate([mf[k] for k in train])
         ot = np.concatenate([of[k] for k in train])
-        Xt_j = jnp.asarray(Xt)  # training design on the accelerator
+        # training design on the accelerator; sample-sharded on a mesh
+        ops = _dev_ops(_place_design(Xt), len(yt))
         beta = np.zeros(F)
         for j, tau in enumerate(taus_vec):
             for _ in range(params.niter_max_ridge):
-                eta = ot + np.asarray(kdev["xb"](Xt_j, jnp.asarray(beta)))
+                eta = ot + ops["xb"](beta)
                 mu, w = link(eta)
                 z = np.where(mt > 0, (eta - ot) + (yt - mu) / np.maximum(w, 1e-12), 0.0)
-                A = np.asarray(
-                    kdev["wgram"](Xt_j, jnp.asarray(w * mt))
-                ) + np.diag(float(tau) * mult)
+                A = ops["wgram"](w * mt) + np.diag(float(tau) * mult)
                 try:
-                    beta_new = np.linalg.solve(
-                        A, np.asarray(kdev["xtv"](Xt_j, jnp.asarray((w * mt) * z)))
-                    )
+                    beta_new = np.linalg.solve(A, ops["xtv"]((w * mt) * z))
                 except np.linalg.LinAlgError:
                     log("WARNING: singular system in level-1 K-fold ridge")
                     return None, False
-                mu2, _w2 = link(ot + np.asarray(kdev["xb"](Xt_j, jnp.asarray(beta_new))))
-                score = np.asarray(
-                    kdev["xtv"](Xt_j, jnp.asarray(mt * (yt - mu2)))
-                ) - float(tau) * mult * beta_new
+                mu2, _w2 = link(ot + ops["xb"](beta_new))
+                score = ops["xtv"](mt * (yt - mu2)) - float(tau) * mult * beta_new
                 beta = beta_new
                 if np.abs(score).max() < l1_tol:
                     break
@@ -501,17 +524,15 @@ def _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes,
     mult = np.ones(F) if ridge_mult is None else np.asarray(ridge_mult, dtype=np.float64)
     import jax.numpy as jnp
 
-    kdev = _l1_dev()
-    Xj = jnp.asarray(X)
+    Xj = _place_design(X)
+    ops = _dev_ops(Xj, N)
 
     def loo_quants(beta, mu, w, tau):
-        A = np.diag(tau * np.ones(F)) + np.asarray(
-            kdev["wgram"](Xj, jnp.asarray(maskf * w))
-        )
+        A = np.diag(tau * np.ones(F)) + ops["wgram"](maskf * w)
         Ainv = np.linalg.inv(A)
-        h = np.asarray(kdev["lev"](Xj, jnp.asarray(Ainv)))
+        h = ops["lev"](jnp.asarray(Ainv))
         s = (y - mu) / (1.0 - h * w)
-        eta_lin = np.asarray(kdev["xb"](Xj, jnp.asarray(beta)))
+        eta_lin = ops["xb"](beta)
         return Ainv, h, s, eta_lin
 
     for j, tau in enumerate(taus_ct):
@@ -553,8 +574,8 @@ def _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes,
     for ci, c in enumerate(chr_order):
         st_, nn = spans[c]
         sl = slice(st_, st_ + nn)
-        pred_lin = np.asarray(kdev["xb"](Xj[:, sl], jnp.asarray(beta[sl])))
-        q_c = np.asarray(kdev["lev_span"](Xj[:, sl], Ainv_j[sl, :], Xj))
+        pred_lin = ops["xb_cols"](sl, beta[sl])
+        q_c = ops["lev_span"](sl, Ainv_j)
         predictions[:, ci] = pred_lin - q_c * s
     return predictions, True
 
@@ -686,11 +707,8 @@ def _adam_log_ridge(y, X, offset, mask, tau, beta0, niter=500, alpha=0.01,
             beta -= step
         return beta
     if Xj is not None:
-        import jax.numpy as jnp
-
-        k = _l1_dev()
-        _xb = lambda b: np.asarray(k["xb"](Xj, jnp.asarray(b)))
-        _xtv = lambda v: np.asarray(k["xtv"](Xj, jnp.asarray(v)))
+        ops = _dev_ops(Xj, len(y))
+        _xb, _xtv = ops["xb"], ops["xtv"]
     else:
         _xb = lambda b: X @ b
         _xtv = lambda v: X.T @ v

@@ -157,6 +157,25 @@ def maybe_mesh() -> Mesh | None:
     return make_mesh(n)
 
 
+def place_rows_padded(x, axis: int = 0):
+    """Place an array on the active mesh sharded along `axis`, zero-
+    padding that axis to the mesh size first. Downstream jitted products
+    are auto-partitioned by GSPMD — XLA splits the [N, F] matmuls across
+    chips and inserts all-reduces for the N-reductions (the level-1
+    analog of the explicit shard_map level-0 kernels; replaces the
+    reference's --l1-phenoList trait-split of the level-1 solve,
+    Regenie.hpp:239). Returns (array, padded_len) — plain device
+    placement single-chip. Zero rows are exact for the level-1 products
+    (they contribute nothing to Grams, cross-products or moments)."""
+    mesh = maybe_mesh()
+    if mesh is None:
+        xj = jnp.asarray(x)
+        return xj, x.shape[axis]
+    ndev = len(mesh.devices.flat)
+    xp, _ = pad_to(np.asarray(x), ndev, axis)
+    return shard_array(mesh, jnp.asarray(xp), axis), xp.shape[axis]
+
+
 def pad_to(x: np.ndarray, mult: int, axis: int):
     """Zero-pad an axis up to a multiple of the mesh size."""
     n = x.shape[axis]

@@ -451,11 +451,22 @@ def _level1_and_output(params, gd, pd, W_all, offsets, taus, h_l1, chr_nblocks, 
 
             if params.trait_mode == QT:
                 if params.use_loocv:
+                    from .parallel.mesh import place_rows_padded
+
                     Wph_np = W_all[:, :, ph] if sel_idx is None else W_all[:, sel_idx, ph]
-                    Wph = jnp.asarray(Wph_np)
-                    pgs_j = None if pgs_ph is None else jnp.asarray(pgs_ph)
+                    # sample-sharded on an active mesh (rows zero-padded
+                    # to the mesh size — exact for the ridge products):
+                    # GSPMD partitions the level-1 [N, F] solve
+                    Wph, Np_l1 = place_rows_padded(Wph_np, 0)
+                    _padN = lambda v: jnp.asarray(
+                        np.pad(np.asarray(v), (0, Np_l1 - N)))
+                    Y_l1 = Y_j[:, ph] if Np_l1 == N else _padN(pd.phenotypes[:, ph])
+                    pgs_j = None
+                    if pgs_ph is not None:
+                        pgs_j = (jnp.asarray(pgs_ph) if Np_l1 == N
+                                 else _padN(pgs_ph))
                     out = m1.level1_linear_loocv(
-                        Wph, Y_j[:, ph], taus_ph_j,
+                        Wph, Y_l1, taus_ph_j,
                         float(pd.Neff[ph] - params.ncov),
                         pgs=pgs_j, ridge_mult=mult_j,
                     )
@@ -467,12 +478,13 @@ def _level1_and_output(params, gd, pd, W_all, offsets, taus, h_l1, chr_nblocks, 
                     best = m1.select_best_tau_qt(cumsum, pd.Neff[ph])
                     _log_tau_table(log, params, h_l1, cumsum, best, pd.Neff[ph],
                                    cumsum_full)
-                    Yfit = Y_j[:, ph] if pgs_j is None else Y_j[:, ph] - pgs_j
+                    Yfit = Y_l1 if pgs_j is None else Y_l1 - pgs_j
                     b0, bvec = (np.asarray(x) for x in
                         m1.level1_linear_full_fit_loocv(
                             Wph, Yfit, float(taus_ph[best]), ridge_mult=mult_j
                         )
                     )
+                    b0 = b0[:, :N]  # drop mesh pad columns
                     predictions = np.zeros((N, len(chr_order)))
                     for ci, c in enumerate(chr_order):
                         st, nn = spans_ph[c]
@@ -482,18 +494,29 @@ def _level1_and_output(params, gd, pd, W_all, offsets, taus, h_l1, chr_nblocks, 
                     if params.print_block_betas:
                         _write_step1_betas(params, bvec, log)
                 else:
+                    from .parallel.mesh import place_rows_padded
+
                     Wph_np = (
                         W_all[:, :, :, ph] if sel_idx is None
                         else W_all[:, :, sel_idx, ph]
                     )
-                    Wph = jnp.asarray(Wph_np)
-                    Yf = Y_folds_j[:, :, ph]
+                    # [K, nmax, F]: shard the sample (nmax) axis on an
+                    # active mesh (zero-pad + valid=0 is exact)
+                    Wph, nmax_l1 = place_rows_padded(Wph_np, 1)
+                    nmax0 = Wph_np.shape[1]
+                    _padF = lambda a: jnp.asarray(np.pad(
+                        np.asarray(a), ((0, 0), (0, nmax_l1 - nmax0))))
+                    same = nmax_l1 == nmax0
+                    Yf = Y_folds_j[:, :, ph] if same else _padF(Y_folds_j[:, :, ph])
+                    valid_l1 = valid_j if same else _padF(valid_j)
                     pgs_f_j = None
                     if pgs_ph is not None:
                         pgs_f, _ = m1.pad_folds(pgs_ph[:, None], fold_sizes)
                         pgs_f_j = jnp.asarray(pgs_f[:, :, 0])
+                        if not same:
+                            pgs_f_j = _padF(pgs_f_j)
                     out = m1.level1_linear_kfold(
-                        Wph, Yf, valid_j, taus_ph_j, pgs_folds=pgs_f_j,
+                        Wph, Yf, valid_l1, taus_ph_j, pgs_folds=pgs_f_j,
                         ridge_mult=mult_j,
                     )
                     cumsum_full = None
