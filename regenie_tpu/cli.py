@@ -830,10 +830,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
     params = args_to_params(args)
 
+    # multi-host runtime: initialize jax.distributed BEFORE the backend
+    # is touched; every host runs this same invocation and only the
+    # output host writes files (parallel/dist.py)
+    from .parallel.dist import is_output_host, maybe_init_distributed
+
+    maybe_init_distributed()
+
     log_path = params.out_prefix + ".log"
-    log_fh = open(log_path, "w")
+    log_fh = open(log_path, "w") if is_output_host() else None
 
     def log(msg=""):
+        if log_fh is None:
+            return
         print(msg)
         log_fh.write(str(msg) + "\n")
         log_fh.flush()
@@ -853,7 +862,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             run_step2(params, log=log)
     except Exception as e:
         log(f"ERROR: {e}")
-        log_fh.close()
+        if log_fh is not None:
+            log_fh.close()
         raise
     if getattr(params, "debug", False):
         from .utils.stats import peak_rss_line
@@ -861,7 +871,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         log(peak_rss_line())
     log(f"Elapsed time : {time.time()-t0:.5g}s")
     log("End time: " + time.strftime("%a %b %d %H:%M:%S %Y"))
-    log_fh.close()
+    if log_fh is not None:
+        log_fh.close()
     return 0
 
 

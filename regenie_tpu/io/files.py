@@ -21,6 +21,12 @@ def open_read(path: str) -> IO[str]:
 
 
 def open_write(path: str, gz: bool = False, parallel_gz: bool = False) -> IO[str]:
+    # multi-host: every host computes identical gathered results; only
+    # the output host renders files (host-0 merge, parallel/dist.py)
+    from ..parallel.dist import _NullSink, is_output_host
+
+    if not is_output_host():
+        return _NullSink()
     if gz or path.endswith(".gz"):
         if not path.endswith(".gz"):
             path += ".gz"

@@ -82,6 +82,8 @@ def _dev_ops(Xj, N: int):
     Grams or cross-products)."""
     import jax.numpy as jnp
 
+    from ..parallel.mesh import to_host as _th
+
     k = _l1_dev()
     Np = int(Xj.shape[0])
     if Np == N:
@@ -89,13 +91,13 @@ def _dev_ops(Xj, N: int):
     else:
         pad = lambda v: np.pad(np.asarray(v), (0, Np - N))
     return dict(
-        xb=lambda b: np.asarray(k["xb"](Xj, jnp.asarray(b)))[:N],
-        xtv=lambda v: np.asarray(k["xtv"](Xj, jnp.asarray(pad(v)))),
-        wgram=lambda w_: np.asarray(k["wgram"](Xj, jnp.asarray(pad(w_)))),
-        lev=lambda Ainv_j: np.asarray(k["lev"](Xj, Ainv_j))[:N],
-        xb_cols=lambda sl, b: np.asarray(
+        xb=lambda b: _th(k["xb"](Xj, jnp.asarray(b)))[:N],
+        xtv=lambda v: _th(k["xtv"](Xj, jnp.asarray(pad(v)))),
+        wgram=lambda w_: _th(k["wgram"](Xj, jnp.asarray(pad(w_)))),
+        lev=lambda Ainv_j: _th(k["lev"](Xj, Ainv_j))[:N],
+        xb_cols=lambda sl, b: _th(
             k["xb"](Xj[:, sl], jnp.asarray(b)))[:N],
-        lev_span=lambda sl, Ainv_j: np.asarray(
+        lev_span=lambda sl, Ainv_j: _th(
             k["lev_span"](Xj[:, sl], Ainv_j[sl, :], Xj))[:N],
     )
 
@@ -266,7 +268,7 @@ def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
     def loo_quants(beta, pi, w, tau):
         A = np.diag(tau * np.ones(F)) + ops["wgram"](maskf * w)
         Ainv = np.linalg.inv(A)
-        h = ops["lev"](jnp.asarray(Ainv))
+        h = ops["lev"](np.asarray(Ainv))
         v2 = h * w
         s = (y - pi) / (1.0 - v2)
         eta_lin = ops["xb"](beta)
@@ -342,7 +344,7 @@ def level1_nonqt(params: Params, pd, W_all, offsets, taus, ph, chr_order, spans,
             predictions[:, ci] = ops["xb_cols"](sl, beta[sl])
         return predictions, True
     Ainv, h, s, _ = loo_quants(beta, pi, w, tau_eff(taus[best]))
-    Ainv_j = jnp.asarray(Ainv)
+    Ainv_j = np.asarray(Ainv)
     for ci, c in enumerate(chr_order):
         st_, nn = spans[c]
         sl = slice(st_, st_ + nn)
@@ -530,7 +532,7 @@ def _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes,
     def loo_quants(beta, mu, w, tau):
         A = np.diag(tau * np.ones(F)) + ops["wgram"](maskf * w)
         Ainv = np.linalg.inv(A)
-        h = ops["lev"](jnp.asarray(Ainv))
+        h = ops["lev"](np.asarray(Ainv))
         s = (y - mu) / (1.0 - h * w)
         eta_lin = ops["xb"](beta)
         return Ainv, h, s, eta_lin
@@ -569,7 +571,7 @@ def _level1_ct(params, pd, W_all, offsets, ph, chr_order, spans, fold_sizes,
     if not ok:
         return None, False
     Ainv, h, s, _ = loo_quants(beta, mu, w, float(taus_ct[best]) * mult)
-    Ainv_j = jnp.asarray(Ainv)
+    Ainv_j = np.asarray(Ainv)
     predictions = np.zeros((N, len(chr_order)))
     for ci, c in enumerate(chr_order):
         st_, nn = spans[c]

@@ -328,11 +328,16 @@ class MeshGSource(DenseGSource):
         W, x, g2 = fc._mesh_ops
         num, denum, S1 = pm.sharded_score_bt(
             self.mesh, self.G_j, W, x, g2, len(fc.cols), fc.Kmax + 1)
+        if not self.G_j.is_fully_addressable:  # multi-host: gather once
+            return (pm.to_host(num)[: self._B], pm.to_host(denum)[: self._B],
+                    pm.to_host(S1)[: self._B])
         return num[: self._B], denum[: self._B], S1[: self._B]
 
     def rows_host(self, idx):
         if self._G is None:
-            self._G = np.asarray(self.G_j)[: self._B]
+            from ..parallel import mesh as pm
+
+            self._G = pm.to_host(self.G_j)[: self._B]
         return self._G[idx]
 
 

@@ -145,8 +145,8 @@ def score_block(params: Params, pd: PhenoData, st: T2EChromState, G, flipped,
                         mesh, jnp.asarray((mle.residual * mask))[:, None]),
                 )
             T_sh, d_sh = pm.sharded_score_t2e(mesh, G_mesh, *ops)
-            T = np.asarray(T_sh)[:B]
-            denum = mle.res_var * np.asarray(d_sh)[:B]
+            T = pm.to_host(T_sh)[:B]
+            denum = mle.res_var * pm.to_host(d_sh)[:B]
         else:
             G_j = jnp.asarray(G)
             GW = _mm(G_j, jnp.asarray(mle.WX1))  # [B, p+1]

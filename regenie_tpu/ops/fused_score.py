@@ -506,9 +506,9 @@ def _mesh_wrap(body, mesh, in_ranks, out_ranks):
 
 
 def _mesh_replicate(mesh, x):
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import replicate
 
-    return jax.device_put(x, NamedSharding(mesh, P(*([None] * np.ndim(x)))))
+    return replicate(mesh, x)  # multi-host aware (per-process assembly)
 
 
 def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool, test_type=0,

@@ -274,16 +274,41 @@ def sharded_level0_kfold(mesh: Mesh, G_folds, Y_folds, mask_folds, valid,
     return _l0(G_folds, Y_folds, mask_folds, valid, lambdas, Neff)
 
 
+def _put(x, sharding: NamedSharding):
+    """device_put within one process; per-process shard assembly when
+    the mesh spans multiple hosts (each host holds the SAME full host
+    value and contributes the slices its local devices own — the data
+    plane of the multi-host runtime, parallel/dist.py)."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    xj = np.asarray(x)
+    return jax.make_array_from_callback(xj.shape, sharding,
+                                        lambda idx: xj[idx])
+
+
 def shard_array(mesh: Mesh, x, axis_index: int):
     """Place a host array on the mesh sharded along one axis."""
     axis = mesh.axis_names[0]
     spec = [None] * x.ndim
     spec[axis_index] = axis
-    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+    return _put(x, NamedSharding(mesh, P(*spec)))
 
 
 def replicate(mesh: Mesh, x):
-    return jax.device_put(x, NamedSharding(mesh, P(*([None] * np.ndim(x)))))
+    return _put(x, NamedSharding(mesh, P(*([None] * np.ndim(x)))))
+
+
+def to_host(x) -> np.ndarray:
+    """np.asarray for possibly non-fully-addressable global arrays:
+    multi-host outputs are all-gathered to replicated on device (the
+    host-0-ordered merge of the reference's per-machine output files)
+    and read from the local copy; plain np.asarray otherwise."""
+    if not hasattr(x, "is_fully_addressable") or x.is_fully_addressable:
+        return np.asarray(x)
+    sharding = NamedSharding(x.sharding.mesh,
+                             P(*([None] * x.ndim)))
+    y = jax.jit(lambda a: a, out_shardings=sharding)(x)
+    return np.asarray(y.addressable_data(0))
 
 
 # ---------------------------------------------------------------------------

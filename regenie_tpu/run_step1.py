@@ -340,9 +340,10 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
                 Gp, N0 = pm.pad_to(np.asarray(G), ndev, 1)
                 G_msh = pm.shard_array(mesh, jnp.asarray(Gp), 1)
                 Wb = pm.sharded_level0_loocv(
-                    mesh, G_msh, Y_msh, m_msh, lambdas_j, Neff_j
+                    mesh, G_msh, Y_msh, m_msh, np.asarray(lambdas),
+                    np.asarray(pd.Neff),
                 )
-                Wb = np.asarray(Wb)[:N0]
+                Wb = pm.to_host(Wb)[:N0]
             else:
                 Wb = m1.level0_loocv_block(G, Y_j, jnp.asarray(maskf), lambdas_j, Neff_j)
             W_all[:, bidx * J : (bidx + 1) * J, :] = np.asarray(Wb)
@@ -353,9 +354,10 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
 
                 Gf_msh = pm.shard_array(mesh, Gf_j, 2)
                 Wb = pm.sharded_level0_kfold(
-                    mesh, Gf_msh, Yf_msh, mf_msh, v_msh, lambdas_j, Neff_j
+                    mesh, Gf_msh, Yf_msh, mf_msh, v_msh, np.asarray(lambdas),
+                    np.asarray(pd.Neff),
                 )
-                Wb = np.asarray(Wb)[:, :nmax]
+                Wb = pm.to_host(Wb)[:, :nmax]
             else:
                 Wb = m1.level0_kfold_block(
                     Gf_j, Y_folds_j, mask_folds_j, valid_j, lambdas_j, Neff_j
@@ -458,28 +460,33 @@ def _level1_and_output(params, gd, pd, W_all, offsets, taus, h_l1, chr_nblocks, 
                     # to the mesh size — exact for the ridge products):
                     # GSPMD partitions the level-1 [N, F] solve
                     Wph, Np_l1 = place_rows_padded(Wph_np, 0)
-                    _padN = lambda v: jnp.asarray(
-                        np.pad(np.asarray(v), (0, Np_l1 - N)))
-                    Y_l1 = Y_j[:, ph] if Np_l1 == N else _padN(pd.phenotypes[:, ph])
-                    pgs_j = None
-                    if pgs_ph is not None:
-                        pgs_j = (jnp.asarray(pgs_ph) if Np_l1 == N
-                                 else _padN(pgs_ph))
+                    multi = not getattr(Wph, "is_fully_addressable", True)
+                    _padN = lambda v: np.pad(np.asarray(v), (0, Np_l1 - N))
+                    if Np_l1 != N or multi:
+                        # host-side (uncommitted) operands mix safely
+                        # with the global design under multi-process
+                        Y_l1 = _padN(pd.phenotypes[:, ph])
+                        pgs_j = None if pgs_ph is None else _padN(pgs_ph)
+                    else:
+                        Y_l1 = Y_j[:, ph]
+                        pgs_j = None if pgs_ph is None else jnp.asarray(pgs_ph)
                     out = m1.level1_linear_loocv(
                         Wph, Y_l1, taus_ph_j,
                         float(pd.Neff[ph] - params.ncov),
                         pgs=pgs_j, ridge_mult=mult_j,
                     )
+                    from .parallel.mesh import to_host as _th
+
                     cumsum_full = None
                     if pgs_j is not None:
-                        cumsum, cumsum_full = (np.asarray(x) for x in out)
+                        cumsum, cumsum_full = (_th(x) for x in out)
                     else:
-                        cumsum = np.asarray(out)
+                        cumsum = _th(out)
                     best = m1.select_best_tau_qt(cumsum, pd.Neff[ph])
                     _log_tau_table(log, params, h_l1, cumsum, best, pd.Neff[ph],
                                    cumsum_full)
                     Yfit = Y_l1 if pgs_j is None else Y_l1 - pgs_j
-                    b0, bvec = (np.asarray(x) for x in
+                    b0, bvec = (_th(x) for x in
                         m1.level1_linear_full_fit_loocv(
                             Wph, Yfit, float(taus_ph[best]), ridge_mult=mult_j
                         )
@@ -504,26 +511,31 @@ def _level1_and_output(params, gd, pd, W_all, offsets, taus, h_l1, chr_nblocks, 
                     # active mesh (zero-pad + valid=0 is exact)
                     Wph, nmax_l1 = place_rows_padded(Wph_np, 1)
                     nmax0 = Wph_np.shape[1]
-                    _padF = lambda a: jnp.asarray(np.pad(
-                        np.asarray(a), ((0, 0), (0, nmax_l1 - nmax0))))
-                    same = nmax_l1 == nmax0
+                    multi = not getattr(Wph, "is_fully_addressable", True)
+                    _padF = lambda a: np.pad(
+                        np.asarray(a), ((0, 0), (0, nmax_l1 - nmax0)))
+                    same = nmax_l1 == nmax0 and not multi
                     Yf = Y_folds_j[:, :, ph] if same else _padF(Y_folds_j[:, :, ph])
                     valid_l1 = valid_j if same else _padF(valid_j)
                     pgs_f_j = None
                     if pgs_ph is not None:
                         pgs_f, _ = m1.pad_folds(pgs_ph[:, None], fold_sizes)
-                        pgs_f_j = jnp.asarray(pgs_f[:, :, 0])
-                        if not same:
+                        pgs_f_j = pgs_f[:, :, 0]
+                        if same:
+                            pgs_f_j = jnp.asarray(pgs_f_j)
+                        else:
                             pgs_f_j = _padF(pgs_f_j)
                     out = m1.level1_linear_kfold(
                         Wph, Yf, valid_l1, taus_ph_j, pgs_folds=pgs_f_j,
                         ridge_mult=mult_j,
                     )
+                    from .parallel.mesh import to_host as _th
+
                     cumsum_full = None
                     if pgs_f_j is not None:
-                        beta, cumsum, cumsum_full = (np.asarray(x) for x in out)
+                        beta, cumsum, cumsum_full = (_th(x) for x in out)
                     else:
-                        beta, cumsum = (np.asarray(x) for x in out)
+                        beta, cumsum = (_th(x) for x in out)
                     best = m1.select_best_tau_qt(cumsum, pd.Neff[ph])
                     _log_tau_table(log, params, h_l1, cumsum, best, pd.Neff[ph],
                                    cumsum_full)

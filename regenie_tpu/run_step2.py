@@ -23,6 +23,7 @@ from .io.geno import make_blocks
 from .io.output import header_single, sumstat_line_single
 from .models import step2 as m2
 from .ops.geno_ops import snp_stats_block, finalize_block_step2
+from .parallel.mesh import to_host as _th
 from .prep import fmt, prepare
 from .utils.dtypes import enable_x64_if_cpu
 from .utils.stats import chisq_neglog10
@@ -516,9 +517,9 @@ class Step2Engine:
                     self.mesh, G_sh, self._mesh_res, self._mesh_maskf,
                     self._mesh_cov, self.scale_denom,
                 )
-                stats = np.asarray(stats)[:B0]
-                denum = np.asarray(denum)[:B0]
-                scale_fac = np.asarray(scale_fac)[:B0]
+                stats = pm.to_host(stats)[:B0]
+                denum = pm.to_host(denum)[:B0]
+                scale_fac = pm.to_host(scale_fac)[:B0]
                 low_var = scale_fac < 1e-8
                 G_res = None  # recomputed below only if a host copy is needed
             elif not self.strict:
@@ -959,14 +960,14 @@ class Step2Engine:
         if getattr(self, "_fused_is_bgen", False):
             (stats, denum, scale_fac, low_var,
              S1, SQ, SM, IL) = self._fused_fn(raw_j)
-            ILh = np.asarray(IL)[:B]
+            ILh = _th(IL)[:B]
         else:
             stats, denum, scale_fac, low_var, S1, SQ, SM = self._fused_fn(raw_j)
-        S1h, SQh, SMh = np.asarray(S1)[:B], np.asarray(SQ)[:B], np.asarray(SM)[:B]
-        stats = np.asarray(stats)[:B]
-        denum = np.asarray(denum)[:B]
-        scale_fac = np.asarray(scale_fac)[:B]
-        low_var = np.asarray(low_var)[:B]
+        S1h, SQh, SMh = _th(S1)[:B], _th(SQ)[:B], _th(SM)[:B]
+        stats = _th(stats)[:B]
+        denum = _th(denum)[:B]
+        scale_fac = _th(scale_fac)[:B]
+        low_var = _th(low_var)[:B]
 
         # per-variant stats from the raw (pre-imputation) products
         C_used = consts.layout_C()
@@ -1043,13 +1044,20 @@ class Step2Engine:
         if getattr(self, "_fused_is_bgen", False):
             (S1, SQ, SM, IL, flip_j,
              num, denum, S1_all) = self._fused_fn(raw_j)
-            ILh = np.asarray(IL)[:B]
+            ILh = _th(IL)[:B]
         else:
             S1, SQ, SM, flip_j, num, denum, S1_all = self._fused_fn(raw_j)
-        if num.shape[0] != B:  # mesh pad rows: drop before scoring
+        if not getattr(raw_j, "is_fully_addressable", True):
+            # multi-host: gather the per-variant outputs once; keep a
+            # process-local raw copy for the correction-row rebuilds
+            flip_j = jnp.asarray(_th(flip_j)[:B])
+            num, denum, S1_all = (
+                jnp.asarray(_th(x)[:B]) for x in (num, denum, S1_all))
+            raw_j = jnp.asarray(rawp)
+        elif num.shape[0] != B:  # mesh pad rows: drop before scoring
             flip_j = flip_j[:B]
             num, denum, S1_all = num[:B], denum[:B], S1_all[:B]
-        S1h, SQh, SMh = np.asarray(S1)[:B], np.asarray(SQ)[:B], np.asarray(SM)[:B]
+        S1h, SQh, SMh = _th(S1)[:B], _th(SQ)[:B], _th(SM)[:B]
 
         icol, msl, csl = fb.icol, fb.sl_mask, fb.sl_case
         total1 = S1h[:, icol]

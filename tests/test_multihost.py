@@ -1,0 +1,161 @@
+"""Multi-host distributed runtime (parallel/dist.py): the full CLI run
+as N cooperating processes over jax.distributed with Gloo CPU
+collectives — the TPU-native replacement for the reference's
+shared-filesystem split-L0 protocol (Data.cpp:244-309) and manual
+per-chromosome step-2 sharding (docs/recommendations.md:128).
+
+Each test launches the SAME CLI invocation in 2 processes (2 virtual
+CPU devices each -> a 4-device global mesh), and asserts the host-0
+output is byte-identical to a single-process 4-device mesh run."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+EX = "/root/reference/example"
+REPO = "/root/repo"
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_single(args, out, n_devices=4):
+    env = dict(os.environ)
+    env.update({
+        "REGENIE_TPU_PLATFORM": "cpu",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": f"--xla_force_host_platform_device_count={n_devices}",
+        "REGENIE_TPU_MESH": "1",
+        "REGENIE_TPU_FUSED": "1",
+    })
+    r = subprocess.run(
+        [sys.executable, "-m", "regenie_tpu"] + args + ["--out", out],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    return r.stdout
+
+
+def _run_multihost(args, out, nproc=2, local_devices=2):
+    port = _free_port()
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env.update({
+            "REGENIE_TPU_PLATFORM": "cpu",
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS":
+                f"--xla_force_host_platform_device_count={local_devices}",
+            "REGENIE_TPU_MESH": "1",
+            "REGENIE_TPU_FUSED": "1",
+            "REGENIE_TPU_COORDINATOR": f"127.0.0.1:{port}",
+            "REGENIE_TPU_NUM_PROCESSES": str(nproc),
+            "REGENIE_TPU_PROCESS_ID": str(pid),
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "regenie_tpu"] + args + ["--out", out],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, env=env,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(o)
+        assert p.returncode == 0, "\n".join(outs)
+    return outs[0]
+
+
+@pytest.mark.skipif(os.environ.get("REGENIE_TPU_SKIP_MULTIHOST") == "1",
+                    reason="multihost disabled")
+def test_multihost_step2_qt_fused_byte_identical(tmp_path):
+    """2-process step-2 QT over the fused packed-bytes scorer: host 0
+    writes output byte-identical to a single-process 4-device mesh run
+    (same global mesh semantics); the other host writes nothing."""
+    fit = str(tmp_path / "fit")
+    _run_single([
+        "--step", "1", "--bed", f"{EX}/example",
+        "--exclude", f"{EX}/snplist_rm.txt",
+        "--covarFile", f"{EX}/covariates.txt",
+        "--phenoFile", f"{EX}/phenotype.txt",
+        "--bsize", "100"], fit, n_devices=1)
+    common = ["--step", "2", "--bed", f"{EX}/example",
+              "--covarFile", f"{EX}/covariates.txt",
+              "--phenoFile", f"{EX}/phenotype.txt",
+              # bsize not divisible by 4: exercises mesh pad rows
+              "--bsize", "170", "--pred", fit + "_pred.list"]
+    one = str(tmp_path / "one")
+    mh = str(tmp_path / "mh")
+    out1 = _run_single(common, one)
+    assert "fast path" in out1
+    out2 = _run_multihost(common, mh)
+    assert "distributed: process 0 of 2" in out2
+    assert "multi-chip mesh: 4" in out2
+    for ph in ("Y1", "Y2"):
+        a = open(f"{one}_{ph}.regenie", "rb").read()
+        b = open(f"{mh}_{ph}.regenie", "rb").read()
+        assert a == b, ph
+
+
+@pytest.mark.skipif(os.environ.get("REGENIE_TPU_SKIP_MULTIHOST") == "1",
+                    reason="multihost disabled")
+def test_multihost_step1_loocv_byte_identical(tmp_path):
+    """2-process step-1 (sample-sharded level-0 LOOCV + GSPMD level-1):
+    host-0 .loco files byte-identical to the single-process mesh run."""
+    args = ["--step", "1", "--bed", f"{EX}/example",
+            "--exclude", f"{EX}/snplist_rm.txt",
+            "--covarFile", f"{EX}/covariates.txt",
+            "--phenoFile", f"{EX}/phenotype.txt",
+            "--bsize", "100", "--loocv"]
+    one = str(tmp_path / "one")
+    mh = str(tmp_path / "mh")
+    _run_single(args, one)
+    out = _run_multihost(args, mh)
+    assert "distributed: process 0 of 2" in out
+    for ph in (1, 2):
+        a = open(f"{one}_{ph}.loco", "rb").read()
+        b = open(f"{mh}_{ph}.loco", "rb").read()
+        assert a == b, ph
+    # only host 0 wrote outputs
+    assert not os.path.exists(f"{mh}_pred.list.1")
+
+
+@pytest.mark.skipif(os.environ.get("REGENIE_TPU_SKIP_MULTIHOST") == "1",
+                    reason="multihost disabled")
+def test_multihost_step2_bt_firth_byte_identical(tmp_path):
+    """2-process BT step-2 with approx Firth over the fused path: the
+    multi-host branch gathers the per-variant products and rebuilds
+    correction rows from the process-local raw copy."""
+    fit = str(tmp_path / "fitb")
+    _run_single([
+        "--step", "1", "--bed", f"{EX}/example",
+        "--exclude", f"{EX}/snplist_rm.txt",
+        "--covarFile", f"{EX}/covariates.txt",
+        "--phenoFile", f"{EX}/phenotype_bin.txt", "--bt",
+        "--bsize", "100"], fit, n_devices=1)
+    common = ["--step", "2", "--bed", f"{EX}/example",
+              "--covarFile", f"{EX}/covariates.txt",
+              "--phenoFile", f"{EX}/phenotype_bin.txt", "--bt",
+              "--firth", "--approx", "--pThresh", "0.1",
+              "--bsize", "170", "--pred", fit + "_pred.list"]
+    one = str(tmp_path / "one")
+    mh = str(tmp_path / "mh")
+    _run_single(common, one)
+    out = _run_multihost(common, mh)
+    assert "distributed: process 0 of 2" in out
+    for ph in ("Y1", "Y2"):
+        a = open(f"{one}_{ph}.regenie", "rb").read()
+        b = open(f"{mh}_{ph}.regenie", "rb").read()
+        assert a == b, ph
