@@ -102,3 +102,28 @@ class _NullSink:
 
     def __exit__(self, *a):
         return False
+
+
+def allgather_py(obj):
+    """Gather one picklable object per process, ordered by process id
+    (the transport for the ordered multi-host output merge — replaces
+    the reference's per-machine output files users had to concatenate,
+    docs/recommendations.md:128). Single-process: [obj]."""
+    if process_count() == 1:
+        return [obj]
+    import pickle
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    buf = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    sizes = multihost_utils.process_allgather(
+        np.array([buf.size], dtype=np.int64), tiled=True)
+    m = int(sizes.max())
+    pad = np.zeros(m, np.uint8)
+    pad[: buf.size] = buf
+    gathered = multihost_utils.process_allgather(pad[None], tiled=True)
+    return [
+        pickle.loads(gathered[i, : int(sizes[i])].tobytes())
+        for i in range(process_count())
+    ]

@@ -177,7 +177,53 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
     # order sets by chromosome (file order), then set position
     sets.sort(key=lambda s: (s.chrom, s.physpos))
 
-    for vset in sets:
+    # multi-host: shard SETS across processes (sets are independent —
+    # the TPU-runtime form of the reference's per-machine gene jobs).
+    # Each process reads + tests only its sets on its LOCAL devices
+    # (no global-mesh collectives, which would deadlock on divergent
+    # per-process work), buffers its rendered rows, and the ordered
+    # merge all-gathers them so host 0 writes in set order.
+    from .parallel.dist import allgather_py, process_count, process_index
+
+    nproc, pid = process_count(), process_index()
+    shard_sets = (
+        nproc > 1 and not params.write_masks
+        and not params.write_mask_snplist and not params.remeta_save_ld
+    )
+    uniq_writers: List = []
+    if shard_sets:
+        eng.mesh = None  # local compute only (see above)
+        seen = set()
+        for w in writers:
+            if w is not None and id(w) not in seen:
+                seen.add(id(w))
+                uniq_writers.append(w)
+        log(f" * multi-host gene-based: {nproc} processes, sets sharded "
+            "round-robin")
+    buffered = []  # (set_idx, [payload per unique writer])
+
+    class _RowBuffer:
+        __slots__ = ("parts",)
+
+        def __init__(self):
+            self.parts = []
+
+        def write(self, s):
+            self.parts.append(s)
+
+        def value(self):
+            return "".join(self.parts)
+
+    for set_idx, vset in enumerate(sets):
+        if shard_sets and set_idx % nproc != pid:
+            continue
+        if shard_sets:
+            bufs = {id(w): _RowBuffer() for w in uniq_writers}
+            writers_set = [
+                None if w is None else bufs[id(w)] for w in writers
+            ]
+        else:
+            writers_set = writers
         eng.prep_chrom(vset.chrom)
         snps = [gd.snps[i] for i in vset.snp_indices]
         G = gd.read_block_scattered(snps)  # [M, N], missing=-3, no imputation
@@ -269,7 +315,7 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
             r = _test_masks(eng, built)
             eng._last_mask_result = r
             if not params.p_joint_only:  # --joint-only suppresses mask rows
-                write_block_rows(params, pd, writers, [bm.snp for bm in built], r,
+                write_block_rows(params, pd, writers_set, [bm.snp for bm in built], r,
                                  model_type=eng.model_type())
 
         # SKAT / ACAT family on the weighted variant matrix
@@ -277,18 +323,36 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
             from .models import skat as skat_mod
 
             skat_mod.run_vc_tests(
-                params, eng, vset, snps, G, sb, ignored, built, writers, log
+                params, eng, vset, snps, G, sb, ignored, built, writers_set, log
             )
 
         # joint tests on burden p-values
         if params.apply_gene_pval_strategy:
             from .models import joint as joint_mod
 
-            joint_mod.run_gene_p(params, eng, vset, built, writers, log)
+            joint_mod.run_gene_p(params, eng, vset, built, writers_set, log)
         elif params.joint_tests:
             from .models import joint as joint_mod
 
-            joint_mod.run_joint_tests(params, eng, vset, built, writers, log)
+            joint_mod.run_joint_tests(params, eng, vset, built, writers_set, log)
+
+        if shard_sets:
+            buffered.append(
+                (set_idx, [bufs[id(w)].value() for w in uniq_writers])
+            )
+
+    if shard_sets:
+        # ordered multi-host merge: all processes exchange their rows,
+        # host 0's real writers render them in set order (non-output
+        # hosts hold null sinks, so the replay is a no-op there)
+        merged = sorted(
+            (item for part in allgather_py(buffered) for item in part),
+            key=lambda t: t[0],
+        )
+        for _si, payloads in merged:
+            for k, w in enumerate(uniq_writers):
+                if payloads[k]:
+                    w.write(payloads[k])
 
     for fh in writers:
         fh.close()

@@ -159,3 +159,30 @@ def test_multihost_step2_bt_firth_byte_identical(tmp_path):
         a = open(f"{one}_{ph}.regenie", "rb").read()
         b = open(f"{mh}_{ph}.regenie", "rb").read()
         assert a == b, ph
+
+
+@pytest.mark.skipif(os.environ.get("REGENIE_TPU_SKIP_MULTIHOST") == "1",
+                    reason="multihost disabled")
+def test_multihost_genebased_sets_sharded_byte_identical(tmp_path):
+    """VERDICT r1 #6: gene-based testing sharded over SETS across
+    processes — each process reads+tests only its sets locally; the
+    ordered merge reassembles host-0 output byte-identical to the
+    single-process run (burden + SKAT/ACAT + joint tests)."""
+    common = ["--step", "2", "--bed", f"{EX}/example_3chr",
+              "--covarFile", f"{EX}/covariates.txt",
+              "--phenoFile", f"{EX}/phenotype.txt",
+              "--bsize", "200", "--ignore-pred",
+              "--set-list", f"{EX}/example_3chr.setlist",
+              "--anno-file", f"{EX}/example_3chr.annotations",
+              "--mask-def", f"{EX}/example_3chr.masks",
+              "--aaf-bins", "0.2", "--vc-tests", "skato,acatv",
+              "--joint", "acat"]
+    one = str(tmp_path / "one")
+    mh = str(tmp_path / "mh")
+    _run_single(common, one, n_devices=1)
+    out = _run_multihost(common, mh)
+    assert "sets sharded round-robin" in out
+    for ph in ("Y1", "Y2"):
+        a = open(f"{one}_{ph}.regenie", "rb").read()
+        b = open(f"{mh}_{ph}.regenie", "rb").read()
+        assert a == b, ph
