@@ -242,8 +242,6 @@ def _decode_layout2(data: bytes, Nf: int, keep_idx, ref_first: bool):
     ploidy = np.frombuffer(data, dtype=np.uint8, count=Nf, offset=8)
     phased = data[8 + Nf]
     bits = data[9 + Nf]
-    if phased != 0:
-        raise ValueError("phased BGEN not supported")
     body = np.frombuffer(data, dtype=np.uint8, offset=10 + Nf)
     missing = (ploidy & 0x80) != 0
     if bits == 8:
@@ -255,8 +253,20 @@ def _decode_layout2(data: bytes, Nf: int, keep_idx, ref_first: bool):
         )
     else:
         probs = _unpack_bits(body, Nf * 2, bits).reshape(Nf, 2) / (2.0**bits - 1)
-    p0, p1 = probs[:, 0], probs[:, 1]
-    p2 = np.maximum(1.0 - p0 - p1, 0.0)
+    if phased != 0:
+        # phased diploid biallelic: one stored probability per haplotype
+        # = P(hap carries allele1). Collapse to genotype probabilities by
+        # the haplotype product (the standard QCTOOL/BgenParser phased->
+        # unphased expansion; dosage is exact by linearity). The
+        # reference REJECTS phased input ("only unphased bgen are
+        # supported", Geno.cpp:68) — this is a capability superset.
+        h1, h2 = probs[:, 0], probs[:, 1]
+        p0 = h1 * h2
+        p2 = (1.0 - h1) * (1.0 - h2)
+        p1 = np.maximum(1.0 - p0 - p2, 0.0)
+    else:
+        p0, p1 = probs[:, 0], probs[:, 1]
+        p2 = np.maximum(1.0 - p0 - p1, 0.0)
     if ref_first:
         ds = p1 + 2 * p2
         ival = 4 * p2 + p1 - ds * ds

@@ -303,7 +303,10 @@ class PgenDecoder:
             return out
         if vrtype & 0x98:
             raise NotImplementedError(
-                "multiallelic / phased PGEN tracks not supported")
+                "multiallelic / phased PGEN tracks not supported — split "
+                "multiallelic sites and strip phase first (e.g. plink2 "
+                "--make-pgen erase-phase + --make-bpgen multiallelics=-)"
+            )
         data = self.pf._data
         N = self.pf.n_samples_file
         if dbits == 0x20:  # dosage deltalist

@@ -330,3 +330,49 @@ def test_bed_read_indices_run_batching():
     for k, i in enumerate(idx):
         assert np.array_equal(got[k], bf.read_block(int(i), 1)[0]), i
     bf.close()
+
+
+def test_phased_bgen_layout2_decode():
+    """Phased layout-2 decode (hand-built genotype block): one stored
+    probability per haplotype collapses to genotype probabilities by the
+    haplotype product; dosage is exact by linearity. The reference
+    rejects phased input (Geno.cpp:68) — capability superset."""
+    import struct
+
+    import numpy as np
+
+    from regenie_tpu.io.bgen import _decode_layout2
+
+    rng = np.random.default_rng(3)
+    Nf = 7
+    h = rng.integers(0, 256, size=(Nf, 2)).astype(np.uint8)
+    ploidy = np.full(Nf, 2, np.uint8)
+    ploidy[4] |= 0x80  # missing sample
+    block = (
+        struct.pack("<IHBB", Nf, 2, 2, 2) + ploidy.tobytes()
+        + bytes([1, 8])  # phased=1, bits=8
+        + h.tobytes()
+    )
+    ds, ival = _decode_layout2(block, Nf, None, ref_first=False)
+    h1, h2 = h[:, 0] / 255.0, h[:, 1] / 255.0
+    # allele1 dosage = P(hap1=allele1) + P(hap2=allele1), exactly
+    np.testing.assert_allclose(
+        ds[np.arange(Nf) != 4], (h1 + h2)[np.arange(Nf) != 4], atol=1e-12)
+    assert ds[4] == -3.0
+    # ref-first counts allele2
+    ds_rf, _ = _decode_layout2(block, Nf, None, ref_first=True)
+    np.testing.assert_allclose(
+        ds_rf[np.arange(Nf) != 4], (2.0 - h1 - h2)[np.arange(Nf) != 4],
+        atol=1e-12)
+    # unphased block with the product-expanded genotype probabilities
+    # gives the identical dosage/INFO numerator
+    p0 = h1 * h2
+    p1 = np.maximum(1.0 - p0 - (1 - h1) * (1 - h2), 0.0)
+    probs8 = np.stack([p0, p1], axis=1)
+    q = np.round(probs8 * 255).astype(np.uint8)
+    block_u = (
+        struct.pack("<IHBB", Nf, 2, 2, 2) + ploidy.tobytes()
+        + bytes([0, 8]) + q.tobytes()
+    )
+    ds_u, _ = _decode_layout2(block_u, Nf, None, ref_first=False)
+    np.testing.assert_allclose(ds_u[:4], ds[:4], atol=2 / 255.0)

@@ -88,3 +88,50 @@ def test_dispatch_chain_consistency():
         dv = davies_pv(q, LAM)
         assert pv == pytest.approx(dv, rel=1e-4)
         assert lp == pytest.approx(-np.log10(dv), rel=1e-4)
+
+
+def test_deep_tail_mpmath_regression():
+    """VERDICT r1 weak #6: mpmath-anchored deep-tail sweep locking the
+    Davies -> Kuonen -> Liu crossover behavior (get_chisq_mix_pv,
+    SKAT.cpp:1468) for p = 1e-10 ... 1e-300.
+
+    Oracle: lambdas in EQUAL PAIRS make the mixture a sum of independent
+    exponentials (chi2_2 scaled), whose survival function has the exact
+    hyperexponential closed form  sum_j c_j exp(-q/(2 lam_j)),
+    c_j = prod_{k != j} lam_j/(lam_j - lam_k) — evaluated in 60-digit
+    mpmath arithmetic. The dispatcher's log10p must be finite, strictly
+    monotone in q, and within 1.5% of the exact log10p across the whole
+    sweep (the saddlepoint's relative log-accuracy)."""
+    import mpmath
+
+    from regenie_tpu.utils.quadforms import chisq_mix_logp
+
+    mpmath.mp.dps = 60
+    pair_lams = [mpmath.mpf(x) for x in ("0.9", "0.5", "0.2")]
+    cj = []
+    for j, lj in enumerate(pair_lams):
+        c = mpmath.mpf(1)
+        for k, lk in enumerate(pair_lams):
+            if k != j:
+                c *= lj / (lj - lk)
+        cj.append(c)
+
+    def exact_log10p(q):
+        s = mpmath.mpf(0)
+        for c, l in zip(cj, pair_lams):
+            s += c * mpmath.e ** (-mpmath.mpf(q) / (2 * l))
+        return float(-mpmath.log10(s))
+
+    lam = np.array([0.9, 0.9, 0.5, 0.5, 0.2, 0.2])
+    # q sweep spanning p ~ 1e-10 (Davies/Kuonen handoff) to p < 1e-300
+    qs = np.array([45.0, 90.0, 200.0, 420.0, 650.0, 900.0, 1150.0, 1240.0])
+    prev = 0.0
+    for q in qs:
+        lp, chival = chisq_mix_logp(q, lam)
+        ex = exact_log10p(q)
+        assert np.isfinite(lp) and lp > 0, (q, lp)
+        assert np.isfinite(chival) and chival > 0, (q, chival)
+        assert lp > prev, ("monotonicity", q, lp, prev)
+        prev = lp
+        assert abs(lp - ex) < 0.015 * ex + 0.05, (q, lp, ex)
+    assert prev > 290.0, prev  # the sweep really reaches p < 1e-290
