@@ -240,6 +240,7 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
             pos += int(szk)
         fold_idx_j = jnp.asarray(fold_idx)
 
+    mesh2d, grp = None, []
     # multi-chip: sample-axis sharding for the level-0 Gram/LOO solves
     # (§2.3.4 — psum over ICI replaces the split-L0 file protocol).
     # Level 0 is the same linear ridge for every trait mode (offsets only
@@ -261,6 +262,24 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
                 m_pad, _ = pm.pad_to(maskf, ndev, 0)
                 Y_msh = pm.shard_array(mesh, jnp.asarray(Y_pad), 0)
                 m_msh = pm.shard_array(mesh, jnp.asarray(m_pad), 0)
+                # REGENIE_TPU_MESH_2D: tile the device grid as
+                # variant-blocks x samples — nv independent level-0
+                # blocks solve concurrently, each Gram psum'd over only
+                # the "smp" row (SURVEY §5.7: at pod scale BOTH axes
+                # are long). LOOCV only.
+                if os.environ.get("REGENIE_TPU_MESH_2D"):
+                    nv2, ns2 = pm.mesh_2d_shape(ndev)
+                    if nv2 > 1:
+                        mesh2d = pm.make_mesh_2d(ndev)
+                        log(f" * 2-D mesh: {nv2} x {ns2} (variant-block"
+                            " x sample tiling)")
+                        Y2_pad, _ = pm.pad_to(pd.phenotypes, ns2, 0)
+                        m2_pad, _ = pm.pad_to(maskf, ns2, 0)
+                        Np2 = Y2_pad.shape[0]
+                        Y2_msh = pm.shard_array_2d(
+                            mesh2d, jnp.asarray(Y2_pad), (pm.SMP_AXIS, None))
+                        m2_msh = pm.shard_array_2d(
+                            mesh2d, jnp.asarray(m2_pad), (pm.SMP_AXIS, None))
             else:
                 # pad the fold axis (nmax) to the mesh size; pad slots
                 # gather row 0 and are zeroed by valid=0 in the kernel
@@ -334,6 +353,33 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
                 if not hasattr(params, "_print_beta_snp"):
                     params._print_beta_snp = []
                 params._print_beta_snp.append((bsnps, bsnp))
+            elif mesh2d is not None:
+                from .parallel import mesh as pm
+
+                # accumulate nv2 residualized blocks, solve them
+                # concurrently on the 2-D grid (zero-padded SNP rows /
+                # sample cols are exact: they contribute nothing to the
+                # Grams or moments; dummy pad blocks produce NaN W that
+                # is never read back)
+                grp.append((bidx, np.asarray(G)))
+                if len(grp) == nv2 or bidx == len(blocks) - 1:
+                    Bmax = max(g.shape[0] for _, g in grp)
+                    G3 = np.zeros((nv2, Bmax, Np2))
+                    for i, (_bi, g) in enumerate(grp):
+                        G3[i, : g.shape[0], : g.shape[1]] = g
+                    Wb2 = pm.sharded_level0_blocks_2d(
+                        mesh2d,
+                        pm.shard_array_2d(
+                            mesh2d, jnp.asarray(G3),
+                            (pm.VAR_AXIS, None, pm.SMP_AXIS)),
+                        Y2_msh, m2_msh, np.asarray(lambdas),
+                        np.asarray(pd.Neff),
+                    )
+                    Wb2 = pm.to_host(Wb2)
+                    for i, (bi, _g) in enumerate(grp):
+                        W_all[:, bi * J : (bi + 1) * J, :] = Wb2[i, :N]
+                    grp.clear()
+                continue
             elif mesh is not None:
                 from .parallel import mesh as pm
 
