@@ -42,7 +42,10 @@ def _cpu():
     tiny host-side f64 problems — never ship them to the accelerator."""
     global _CPU_DEV
     if _CPU_DEV is None:
-        _CPU_DEV = jax.devices("cpu")[0]
+        # local_devices, NOT devices: under the multi-host runtime the
+        # global list starts with process 0's devices — default_device
+        # to a non-addressable remote device breaks every float() fetch
+        _CPU_DEV = jax.local_devices(backend="cpu")[0]
     return _CPU_DEV
 
 

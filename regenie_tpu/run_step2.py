@@ -1666,6 +1666,15 @@ def run_multitrait(params: Params, eng: Step2Engine, log=print) -> None:
     fh = open_write(path, gz=params.gz_out, parallel_gz=True)
     fh.write(mt_header(params.n_pheno))
 
+    # multi-host: the host-bound per-SNP test kernels shard across
+    # processes (rows round-robin; results allgathered and merged in
+    # order — the runtime form of the reference's per-machine jobs)
+    from .parallel.dist import allgather_py, process_count, process_index
+
+    nproc, ppid = process_count(), process_index()
+    if nproc > 1:
+        log(f" * multi-host multi-trait: {nproc} processes, SNPs sharded")
+
     t0 = time.time()
     mt_state = None
     cur_chrom = None
@@ -1687,7 +1696,22 @@ def run_multitrait(params: Params, eng: Step2Engine, log=print) -> None:
             G, eng.cov_j, eng.scale_denom
         )
         ignored = ignored | np.asarray(low_var)
-        r = run_mt_block(mt_state, np.asarray(G_res), params)
+        if nproc > 1:
+            B_all = len(bsnps)
+            sel = np.flatnonzero(np.arange(B_all) % nproc == ppid)
+            r_sub = run_mt_block(
+                mt_state, np.asarray(G_res)[sel], params)
+            parts = allgather_py(
+                (sel.tolist(), {k: np.asarray(v) for k, v in r_sub.items()}))
+            r = {}
+            for idxs, rs in parts:
+                for k, v in rs.items():
+                    if k not in r:
+                        r[k] = np.full((B_all,) + v.shape[1:], np.nan,
+                                       dtype=np.asarray(v).dtype)
+                    r[k][idxs] = v
+        else:
+            r = run_mt_block(mt_state, np.asarray(G_res), params)
         n_ignored += int(np.asarray(ignored).sum())
         # columnar native rendering: after the 5-string prefix every
         # mt_line field is %g, so rows render as one prefixed float
@@ -1738,6 +1762,14 @@ def run_multiphen(params: Params, eng: Step2Engine, log=print) -> None:
     fh.write(multiphen_header())
     mask0 = pd.masked_indivs[:, 0]
 
+    # multi-host: the POM fits are host-bound — shard SNPs across
+    # processes, allgather the rendered lines, write in order
+    from .parallel.dist import allgather_py, process_count, process_index
+
+    nproc, ppid = process_count(), process_index()
+    if nproc > 1:
+        log(f" * multi-host MultiPhen: {nproc} processes, SNPs sharded")
+
     t0 = time.time()
     n_ignored = 0
     for chrom, bsnps in blocks:
@@ -1746,15 +1778,21 @@ def run_multiphen(params: Params, eng: Step2Engine, log=print) -> None:
         sb = eng.block_stats(G_raw, bsnps)
         ignored = sb["mac1"] < params.min_mac
         Gf = np.asarray(G_raw, dtype=np.float64)
+        lines = {}
         for b in range(len(bsnps)):
             if ignored[b]:
                 n_ignored += 1
                 continue
+            if nproc > 1 and b % nproc != ppid:
+                continue
             r = multiphen_snp(params, Gf[b], pd.new_cov, eng.res, mask0)
-            fh.write(
-                multiphen_line(bsnps[b], sb["mac1"][b], sb["af1"][b],
-                               sb["ns"][b], r)
-            )
+            lines[b] = multiphen_line(bsnps[b], sb["mac1"][b], sb["af1"][b],
+                                      sb["ns"][b], r)
+        if nproc > 1:
+            for part in allgather_py(lines):
+                lines.update(part)
+        for b in sorted(lines):
+            fh.write(lines[b])
     fh.close()
     log(f"Results written to [{path}]")
     log(f"Number of ignored tests due to low MAC : {n_ignored}")

@@ -186,3 +186,25 @@ def test_multihost_genebased_sets_sharded_byte_identical(tmp_path):
         a = open(f"{one}_{ph}.regenie", "rb").read()
         b = open(f"{mh}_{ph}.regenie", "rb").read()
         assert a == b, ph
+
+
+@pytest.mark.skipif(os.environ.get("REGENIE_TPU_SKIP_MULTIHOST") == "1",
+                    reason="multihost disabled")
+def test_multihost_mt_and_multiphen_byte_identical(tmp_path):
+    """Host-bound per-SNP modes sharded across processes: --mt (14
+    joint tests) and --multiphen (POM fits) 2-process runs byte-
+    identical to single-process."""
+    for mode, flag in (("mt", "--mt"), ("mph", "--multiphen")):
+        common = ["--step", "2", "--bed", f"{EX}/example",
+                  "--covarFile", f"{EX}/covariates.txt",
+                  "--phenoFile", f"{EX}/phenotype.txt",
+                  "--bsize", "250", "--ignore-pred", "--strict",
+                  "--no-split", flag]
+        one = str(tmp_path / f"one_{mode}")
+        mh = str(tmp_path / f"mh_{mode}")
+        _run_single(common, one, n_devices=1)
+        out = _run_multihost(common, mh)
+        assert "SNPs sharded" in out, out
+        a = open(f"{one}.regenie", "rb").read()
+        b = open(f"{mh}.regenie", "rb").read()
+        assert a == b, mode
