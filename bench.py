@@ -74,6 +74,27 @@ def main():
 
     on_tpu = jax.default_backend() not in ("cpu",)
 
+    if on_tpu:
+        # probe the (remote) chip before committing to TPU shapes: a
+        # dead tunnel would otherwise burn every per-metric budget
+        def _probe():
+            import jax.numpy as _jnp
+
+            x = _jnp.ones((256, 256))
+            return float((x @ x).sum())
+
+        try:
+            signal.signal(signal.SIGALRM, _alarm)
+        except (ValueError, OSError):
+            pass
+        if _timed(int(os.environ.get("BENCH_PROBE_S", 180)), _probe) is None:
+            print("bench: TPU probe failed; re-running on the cpu backend",
+                  file=sys.stderr)
+            env = dict(os.environ)
+            env["REGENIE_TPU_PLATFORM"] = "cpu"
+            env["BENCH_CPU_FALLBACK"] = "1"
+            os.execve(sys.executable, [sys.executable, __file__], env)
+
     # ---- UKB shape (BASELINE.md); scaled down on the CPU fallback ----
     if on_tpu:
         N = int(os.environ.get("BENCH_N", 400_000))
@@ -140,6 +161,11 @@ def main():
         return best
 
     qt_res = _timed(budget, bench_qt_resident)
+    if not qt_res:
+        # the remote-TPU tunnel stalls transiently; the headline metric
+        # deserves one retry with a fresh budget
+        print("[bench] retrying step2_qt_resident once", file=sys.stderr)
+        qt_res = _timed(budget, bench_qt_resident)
     if qt_res:
         extra["step2_qt_resident"] = round(qt_res, 1)
 
@@ -151,8 +177,10 @@ def main():
         import subprocess
         import tempfile
 
-        Ne = min(N, 50_000)
-        Me = int(os.environ.get("BENCH_E2E_M", 32768 if on_tpu else 8192))
+        # over the remote-TPU WAN tunnel the e2e leg is transfer-bound;
+        # keep the file small enough to finish inside the budget
+        Ne = min(N, 20_000 if on_tpu else 50_000)
+        Me = int(os.environ.get("BENCH_E2E_M", 8192))
         Pe = min(P, 10)
         d = tempfile.mkdtemp(prefix="bench_e2e_")
         nbe = (Ne + 3) // 4
@@ -196,6 +224,10 @@ def main():
     def bench_bt_firth():
         from regenie_tpu.models import firth as firth_mod
 
+        # dense decoded-G products (the BT _allpass math): size the block
+        # for the WAN-tunnel rig so compile+transfer fit the budget
+        Bb = min(B, 512)
+        nbb = n_blocks if not on_tpu else 2
         y = (rng.random(N) < 0.1).astype(np.float64)
         pi = np.clip(y.mean(), 1e-3, 1 - 1e-3) * np.ones(N)
         gs = np.sqrt(pi * (1 - pi))
@@ -215,20 +247,21 @@ def main():
         @jax.jit
         def bt_products(raw):
             Gi = decode_bed_packed(raw, N)
-            G = finalize_block_step2(Gi, jnp.asarray(ind), jnp.asarray(flip))
+            G = finalize_block_step2(
+                Gi, jnp.asarray(ind), jnp.asarray(flip[:Bb]))
             G = G.astype(Wcat_j.dtype)
-            S1 = _mm(G, Wcat_j).reshape(B, Pn, K + 1)
+            S1 = _mm(G, Wcat_j).reshape(Bb, Pn, K + 1)
             A = S1[..., :-1]
             q = S1[..., -1]
             num = q - jnp.einsum("bpk,pk->bp", A, xwt_j)
             denum = _mm(G**2, gsm2_j) - (A**2).sum(-1)
             return num, denum
 
-        jax.block_until_ready(bt_products(jnp.asarray(raw_blocks[0])))
-        dev = [jnp.asarray(rb) for rb in raw_blocks]
+        jax.block_until_ready(bt_products(jnp.asarray(raw_blocks[0][:Bb])))
+        dev = [jnp.asarray(rb[:Bb]) for rb in raw_blocks[:nbb]]
         jax.block_until_ready(dev)
         # corrected fraction: 1% of SNPs get a batched approx-Firth refit
-        n_corr = max(8, B // 100)
+        n_corr = max(8, Bb // 100)
         from regenie_tpu.io.bed import decode_bed_bytes
 
         Gc = decode_bed_bytes(raw_blocks[0][:n_corr], N).astype(np.float64)
@@ -239,11 +272,11 @@ def main():
             t0 = time.perf_counter()
             outs = [bt_products(db) for db in dev]
             jax.block_until_ready(outs)
-            for _blk in range(n_blocks):
+            for _blk in range(nbb):
                 firth_mod.firth_snp_batch(
                     y, Gc, offset, ind, maxstep=5, niter=50, tol=2.5e-4,
                 )
-            best = max(best, n_blocks * B / (time.perf_counter() - t0))
+            best = max(best, nbb * Bb / (time.perf_counter() - t0))
         return best
 
     bt_fs = _timed(budget, bench_bt_firth)
