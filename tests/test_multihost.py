@@ -103,6 +103,7 @@ def test_multihost_step2_qt_fused_byte_identical(tmp_path):
     out2 = _run_multihost(common, mh)
     assert "distributed: process 0 of 2" in out2
     assert "multi-chip mesh: 4" in out2
+    assert "per-host decode" in out2  # each host read only its rows
     for ph in ("Y1", "Y2"):
         a = open(f"{one}_{ph}.regenie", "rb").read()
         b = open(f"{mh}_{ph}.regenie", "rb").read()
