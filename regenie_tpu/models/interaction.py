@@ -328,6 +328,40 @@ def apply_interaction_block(params, eng, bsnps, G_raw, G_res, result, writers, t
     pd = eng.pd
     P = params.n_pheno
     B = len(bsnps)
+
+    # multi-host: the interaction refits are host-bound — each process
+    # takes a CONTIGUOUS chunk of the block's SNPs (so buffered rows
+    # merge in process order = SNP order) and the rendered rows are
+    # allgathered before host 0 writes them
+    from ..parallel.dist import allgather_py, process_count, process_index
+
+    nproc, ppid = process_count(), process_index()
+    lo_b, hi_b = 0, B
+    real_writers = None
+    uniq_w: list = []
+    if nproc > 1:
+        chunk = -(-B // nproc)
+        lo_b, hi_b = ppid * chunk, min((ppid + 1) * chunk, B)
+
+        class _Buf:
+            __slots__ = ("parts",)
+
+            def __init__(self):
+                self.parts = []
+
+            def write(self, s):
+                self.parts.append(s)
+
+        real_writers = writers
+        bufs = {}
+        seen = set()
+        for w in real_writers:
+            if w is not None and id(w) not in seen:
+                seen.add(id(w))
+                bufs[id(w)] = _Buf()
+                uniq_w.append(w)
+        writers = [None if w is None else bufs[id(w)] for w in real_writers]
+
     robust_idx = []
     bt_idx = []
     hlm_idx = []
@@ -343,7 +377,7 @@ def apply_interaction_block(params, eng, bsnps, G_raw, G_res, result, writers, t
             os.environ.get("REGENIE_TPU_BATCH_INT")
             or _jax.default_backend() != "cpu"
         )
-    for b in range(B):
+    for b in range(lo_b, hi_b):
         if result.ignored[b]:
             continue
         if st.interaction_snp_name and bsnps[b].ID == st.interaction_snp_name:
@@ -417,6 +451,14 @@ def apply_interaction_block(params, eng, bsnps, G_raw, G_res, result, writers, t
         _render_int_rows(params, eng, writers, bsnps, list(range(B)),
                          out["emit"], out["tests"], out["beta"], out["se"],
                          out["chisq"], out["logp"], result)
+
+    if real_writers is not None:
+        # ordered multi-host merge (process order == SNP order)
+        payload = ["".join(bufs[id(w)].parts) for w in uniq_w]
+        for part in allgather_py(payload):
+            for k, w in enumerate(uniq_w):
+                if part[k]:
+                    w.write(part[k])
 
 
 def _robust_block_batched(params, eng, bsnps, idx, G_raw, G_res, result,

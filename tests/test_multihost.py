@@ -209,3 +209,27 @@ def test_multihost_mt_and_multiphen_byte_identical(tmp_path):
         a = open(f"{one}.regenie", "rb").read()
         b = open(f"{mh}.regenie", "rb").read()
         assert a == b, mode
+
+
+@pytest.mark.skipif(os.environ.get("REGENIE_TPU_SKIP_MULTIHOST") == "1",
+                    reason="multihost disabled")
+def test_multihost_interaction_byte_identical(tmp_path):
+    """Interaction refits sharded across processes (contiguous SNP
+    chunks, rows merged in process order): QT GxE and BT GxE 2-process
+    runs byte-identical to single-process."""
+    for tag, extra in (
+        ("qt", ["--phenoFile", f"{EX}/phenotype.txt"]),
+        ("bt", ["--phenoFile", f"{EX}/phenotype_bin.txt", "--bt"]),
+    ):
+        common = ["--step", "2", "--bed", f"{EX}/example",
+                  "--covarFile", f"{EX}/covariates.txt",
+                  "--bsize", "250", "--ignore-pred",
+                  "--interaction", "V1"] + extra
+        one = str(tmp_path / f"one_{tag}")
+        mh = str(tmp_path / f"mh_{tag}")
+        _run_single(common, one, n_devices=1)
+        _run_multihost(common, mh)
+        for ph in ("Y1", "Y2"):
+            a = open(f"{one}_{ph}.regenie", "rb").read()
+            b = open(f"{mh}_{ph}.regenie", "rb").read()
+            assert a == b, (tag, ph)
