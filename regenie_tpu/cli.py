@@ -5,6 +5,7 @@
 from __future__ import annotations
 
 import argparse
+import os
 import re
 import sys
 import time
@@ -851,6 +852,22 @@ def main(argv: Optional[List[str]] = None) -> int:
     log("regenie_tpu — TPU-native whole-genome regression")
     log("Options in effect: " + " ".join(sys.argv[1:] if argv is None else argv))
     t0 = time.time()
+    # REGENIE_TPU_PROFILE=<dir>: wrap the run in a jax.profiler trace
+    # (XPlane/TensorBoard) — the TPU-era answer to the reference's
+    # ad-hoc MeasureTime timers (Regenie.hpp:145)
+    prof_dir = os.environ.get("REGENIE_TPU_PROFILE")
+    prof_ctx = None
+    if prof_dir:
+        import jax
+
+        plat = os.environ.get("REGENIE_TPU_PLATFORM")
+        if plat:
+            # the run paths apply this inside enable_x64_if_cpu; the
+            # trace touches the backend first, so mirror it here
+            jax.config.update("jax_platforms", plat)
+        prof_ctx = jax.profiler.trace(prof_dir)
+        prof_ctx.__enter__()
+        log(f" * profiling to [{prof_dir}] (jax.profiler XPlane trace)")
     try:
         if params.step == 1:
             from .run_step1 import run_step1
@@ -865,6 +882,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         if log_fh is not None:
             log_fh.close()
         raise
+    if prof_ctx is not None:
+        prof_ctx.__exit__(None, None, None)
     if getattr(params, "debug", False):
         from .utils.stats import peak_rss_line
 
