@@ -197,7 +197,11 @@ def main():
         ("s2-force-mac", [*base2q, "--force-mac-filter", "macfilter.txt,20",
                           "--out", "o_fmac"]),
         ("s2-cond-max", [*base2q, "--condition-list", "cond.txt",
-                         "--max-condition-vars", 1, "--out", "o_cond"]),
+                         "--max-condition-vars", 5, "--out", "o_cond"]),
+        # reference THROWS when the list exceeds the max (Geno.cpp:385)
+        ("xfail-cond-max", [*base2q, "--condition-list", "cond.txt",
+                            "--max-condition-vars", 1, "--out", "o_cx"],
+         {"expect_fail": True}),
         ("s2-bgen-sample", ["--step", 2, "--bgen", f"{EX}/example_3chr.bgen",
                             "--sample", f"{EX}/example_3chr.sample",
                             *cov, *qt, "--bsize", 200, "--ignore-pred",
