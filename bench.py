@@ -238,26 +238,34 @@ def main():
         # all-trait BT products (the production _allpass math) on device
         from regenie_tpu.models.step2 import mm as _mm
 
-        Wcat_j = jnp.asarray(Wcat.astype(np.float32 if on_tpu else np.float64))
-        xwt_j = jnp.asarray(xwt.astype(np.float32 if on_tpu else np.float64))
-        gsm2_j = jnp.asarray(gsm2.astype(np.float32 if on_tpu else np.float64))
+        dt_ = np.float32 if on_tpu else np.float64
+        # pass the big per-sample operands as ARGUMENTS (device buffers
+        # by handle) — closed-over constants get baked into the compile
+        # payload, which the remote-compile tunnel rejects (HTTP 413)
+        Wcat_j = jax.device_put(Wcat.astype(dt_))
+        xwt_j = jax.device_put(xwt.astype(dt_))
+        gsm2_j = jax.device_put(gsm2.astype(dt_))
+        ind_j = jax.device_put(ind)
+        flip_j = jax.device_put(flip[:Bb])
 
         from regenie_tpu.ops.geno_ops import decode_bed_packed, finalize_block_step2
 
         @jax.jit
-        def bt_products(raw):
+        def bt_products(raw, Wc, xw, g2, indv, flipv):
             Gi = decode_bed_packed(raw, N)
-            G = finalize_block_step2(
-                Gi, jnp.asarray(ind), jnp.asarray(flip[:Bb]))
-            G = G.astype(Wcat_j.dtype)
-            S1 = _mm(G, Wcat_j).reshape(Bb, Pn, K + 1)
+            G = finalize_block_step2(Gi, indv, flipv)
+            G = G.astype(Wc.dtype)
+            S1 = _mm(G, Wc).reshape(Bb, Pn, K + 1)
             A = S1[..., :-1]
             q = S1[..., -1]
-            num = q - jnp.einsum("bpk,pk->bp", A, xwt_j)
-            denum = _mm(G**2, gsm2_j) - (A**2).sum(-1)
+            num = q - jnp.einsum("bpk,pk->bp", A, xw)
+            denum = _mm(G**2, g2) - (A**2).sum(-1)
             return num, denum
 
-        jax.block_until_ready(bt_products(jnp.asarray(raw_blocks[0][:Bb])))
+        def bt_run(raw):
+            return bt_products(raw, Wcat_j, xwt_j, gsm2_j, ind_j, flip_j)
+
+        jax.block_until_ready(bt_run(jnp.asarray(raw_blocks[0][:Bb])))
         dev = [jnp.asarray(rb[:Bb]) for rb in raw_blocks[:nbb]]
         jax.block_until_ready(dev)
         # corrected fraction: 1% of SNPs get a batched approx-Firth refit
@@ -270,7 +278,7 @@ def main():
         best = 0.0
         for _ in range(max(1, n_rounds - 1)):
             t0 = time.perf_counter()
-            outs = [bt_products(db) for db in dev]
+            outs = [bt_run(db) for db in dev]
             jax.block_until_ready(outs)
             for _blk in range(nbb):
                 firth_mod.firth_snp_batch(

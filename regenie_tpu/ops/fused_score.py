@@ -67,13 +67,22 @@ class FusedConsts(NamedTuple):
     split: bool = False  # bf16-split operand layout
     inc: tuple = None  # incomplete-trait indices (None = all P traits
     #                    carry CM interaction columns — legacy layout)
+    has_male: bool = False  # chrX male columns appended (see below)
 
     def n_inc(self) -> int:
         return self.P if self.inc is None else len(self.inc)
 
     def layout_C(self) -> int:
-        """Used columns: [cov K | res P | CM K*n_inc | maskf P | ind]."""
-        return self.K + self.P + self.K * self.n_inc() + self.P + 1
+        """Used columns: [cov K | res P | CM K*n_inc | maskf P | ind
+        | male | maskf*male P (chrX only)]. The male tail feeds the
+        hemizygous per-variant stats (MAC with 0.5*g males, hemizygous
+        genotype counts, compute_mac/Geno.cpp:3077) — the epilogue
+        slices its own first K+P+K*nI+P+1 columns, so scoring is
+        untouched (males are diploid-coded under default dosage comp)."""
+        c = self.K + self.P + self.K * self.n_inc() + self.P + 1
+        if self.has_male:
+            c += self.P + 1
+        return c
 
 
 def plane_pack(Wext, nb, split, dtype=np.float32):
@@ -146,7 +155,7 @@ def patch_res_columns(Wp_dev, res_planes, K, P, Cp, split):
 
 
 def build_consts(cov, res, maskf, ind, scale_denom, nb=None, dtype=np.float32,
-                 split=False, pack="plane"):
+                 split=False, pack="plane", male=None):
     """Build FusedConsts from per-sample arrays (numpy, float64 in).
 
     cov: [N, K] orthonormal covariate basis (rows of excluded samples
@@ -184,7 +193,15 @@ def build_consts(cov, res, maskf, ind, scale_denom, nb=None, dtype=np.float32,
     CM = (
         covz[:, :, None] * maskz[:, None, list(inc)]
     ).reshape(N, K * len(inc))
-    Wext = np.concatenate([covz, resz, CM, maskz, indf[:, None]], axis=1)
+    cols = [covz, resz, CM, maskz, indf[:, None]]
+    if male is not None:
+        # chrX male tail: [male*ind | maskf*male]; its S1/SQ/SM product
+        # columns give the male-resolved dosage/square/missing sums the
+        # hemizygous stats need (MAC with 0.5*g for males,
+        # compute_mac Geno.cpp:3077; male g>=1 counts as hom)
+        malez = np.asarray(male, np.float64) * indf
+        cols += [malez[:, None], maskz * malez[:, None]]
+    Wext = np.concatenate(cols, axis=1)
     if pack == "plane":
         Wp_out, usum = plane_pack(Wext, nb, split, dtype)
     else:  # sample-ordered operand (BGEN byte planes)
@@ -197,6 +214,7 @@ def build_consts(cov, res, maskf, ind, scale_denom, nb=None, dtype=np.float32,
         covt_res=jnp.asarray(covt_res.astype(dtype)),
         Mmat=jnp.asarray(Mmat.astype(dtype)),
         n_ind=float(indf.sum()),
+        has_male=male is not None,
         K=K,
         P=P,
         scale_denom=float(scale_denom),

@@ -679,6 +679,19 @@ class Step2Engine:
 
     _PACK_LUT = None
 
+    def _fused_chrx_ok(self) -> bool:
+        """chrX non-PAR blocks may ride the QT fused path when the male
+        tail columns are in the operand: hardcall sources, default
+        dosage compensation (males diploid-coded — scoring unchanged),
+        ADD test, no --af-cc (case/control chrX adj stays on the dense
+        path)."""
+        p, gd = self.params, self.gd
+        return (
+            p.trait_mode == QT and gd.sex is not None and p.test_mode
+            and not p.skip_dosage_comp and not p.af_cc
+            and gd._bgen is None and p.test_type == 0
+        )
+
     def _fused_local_rows(self, B: int):
         """Multi-host QT: the contiguous variant rows THIS process's
         devices own under the global row sharding, so each host reads
@@ -838,10 +851,14 @@ class Step2Engine:
                 ind_f = self._scatter_file(
                     pd.ind_in_analysis.astype(np.float64)
                 ).astype(bool)
+                male_f = None
+                if self._fused_chrx_ok():
+                    male_f = self._scatter_file(
+                        (gd.sex == 1).astype(np.float64))
                 base = fsc.build_consts(
                     cov_f, np.zeros_like(res_f), mask_f, ind_f,
                     self.scale_denom, nb=nb, dtype=dtype, split=on_tpu,
-                    pack="sample" if is_bgen else "plane",
+                    pack="sample" if is_bgen else "plane", male=male_f,
                 )
                 covz_f = cov_f * ind_f.astype(np.float64)[:, None]
                 Cp = -(-base.layout_C() // 128) * 128
@@ -875,7 +892,7 @@ class Step2Engine:
                 covt_res=jnp.asarray((covz_f.T @ res_f).astype(dtype)),
                 Mmat=base.Mmat, n_ind=base.n_ind, K=K, P=P,
                 scale_denom=base.scale_denom, split=base.split,
-                inc=base.inc,
+                inc=base.inc, has_male=base.has_male,
             )
             if is_bgen:
                 self._fused_fn = fsc.make_qt_bgen_fn(
@@ -1038,8 +1055,9 @@ class Step2Engine:
 
         # per-variant stats from the raw (pre-imputation) products
         C_used = consts.layout_C()
-        icol = C_used - 1
-        msl = slice(C_used - 1 - P, C_used - 1)
+        male_off = (P + 1) if consts.has_male else 0
+        icol = C_used - 1 - male_off
+        msl = slice(icol - P, icol)
         total1 = S1h[:, icol]
         ns1 = consts.n_ind - SMh[:, icol]
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -1052,6 +1070,37 @@ class Step2Engine:
         mac_t = np.minimum(total_t, 2.0 * ns_t - total_t)
         n_aa1 = (SQh[:, icol] - total1) / 2.0
         n_rr1 = ns1 - total1 + n_aa1
+        n1m_t = None
+        if consts.has_male:
+            non_par = self.non_par_flags(bsnps)
+            if non_par.any():
+                # hemizygous stats from the male tail columns: MAC uses
+                # 0.5*g for males and min(mac, 2*ns - nmales - mac)
+                # (compute_mac non-auto branch, Geno.cpp:3095); male
+                # g>=1 counts as hom for the class counts
+                npb = non_par
+                mcol = C_used - 1 - P
+                mm_sl = slice(C_used - P, C_used)
+                usum_h = np.asarray(consts.usum, np.float64)
+                male_tot1 = S1h[:, mcol]
+                nmales1 = usum_h[mcol] - SMh[:, mcol]
+                macx = total1 - 0.5 * male_tot1
+                mac1 = np.where(
+                    npb, np.minimum(macx, 2.0 * ns1 - nmales1 - macx), mac1)
+                male_tot_t = S1h[:, mm_sl]
+                nmales_t = usum_h[None, mm_sl] - SMh[:, mm_sl]
+                macx_t = total_t - 0.5 * male_tot_t
+                mac_t = np.where(
+                    npb[:, None],
+                    np.minimum(macx_t, 2.0 * ns_t - nmales_t - macx_t),
+                    mac_t)
+                # male het count n1m = 2*S1m - SQm (S1m = n1 + 2 n2,
+                # SQm = n1 + 4 n2): hemizygous males with g=1 move from
+                # het to hom-alt; g=0 males stay hom-ref
+                n1m = 2.0 * male_tot1 - SQh[:, mcol]
+                n_aa1 = np.where(npb, n_aa1 + n1m, n_aa1)
+                n1m_t = np.where(
+                    npb[:, None], 2.0 * male_tot_t - SQh[:, mm_sl], 0.0)
 
         mac_ignored, ignored_trait = self._mac_filters(params, bsnps, mac1, mac_t, B)
         if params.test_type == 2 and params.min_homs > 0:
@@ -1086,6 +1135,9 @@ class Step2Engine:
         if params.htp_out:
             a_t = (SQh[:, msl] - total_t) / 2.0
             het_t = total_t - 2.0 * a_t
+            if n1m_t is not None:
+                a_t = a_t + n1m_t
+                het_t = het_t - n1m_t
             rr_t = ns_t - het_t - a_t
             gc = np.zeros((B, 6, P))
             gc[:, 0, :] = rr_t
@@ -1633,6 +1685,7 @@ def run_step2(params: Params, log=print) -> None:
     def _fetch(bsnps):
         if fused and not (
             eng.gd.sex is not None and eng.non_par_flags(bsnps).any()
+            and not eng._fused_chrx_ok()
         ):
             raw = eng.read_block_raw(bsnps)
             if raw is not None:

@@ -683,3 +683,74 @@ def test_fused_mesh_cli_byte_identical(tmp_path):
         for f in ones:
             g = f.replace(one, msh)
             assert open(f, "rb").read() == open(g, "rb").read(), (name, f)
+
+
+def test_fused_chrx_byte_identical(tmp_path):
+    """chrX non-PAR blocks on the QT fused path: the male tail columns
+    reproduce the hemizygous stats (MAC with 0.5*g males, male g>=1
+    counted hom, compute_mac Geno.cpp:3077) — CLI output byte-identical
+    to the dense (non-fused) pipeline, on a mixed autosome+chrX dataset
+    with missingness, multiple traits and HTP genocounts."""
+    import os
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(9)
+    N, M = 150, 60
+    sex = np.array([1] * 70 + [2] * 80)  # fam: 1=male 2=female
+    male = sex == 1
+    G = rng.integers(0, 3, size=(M, N))
+    # chrX rows: males diploid-coded 0/2 (default dosage compensation)
+    for v in range(M // 2, M):
+        G[v] = np.where(male, 2 * rng.integers(0, 2, size=N), G[v])
+    miss = rng.random((M, N)) < 0.03
+    codes = np.where(G == 2, 0, np.where(G == 1, 2, 3)).astype(np.uint8)
+    codes[miss] = 1
+    pad = (-N) % 4
+    codes = np.concatenate(
+        [codes, np.zeros((M, pad), np.uint8)], axis=1).reshape(M, -1, 4)
+    byts = (codes[:, :, 0] | (codes[:, :, 1] << 2)
+            | (codes[:, :, 2] << 4) | (codes[:, :, 3] << 6))
+    prefix = str(tmp_path / "xmix")
+    with open(prefix + ".bed", "wb") as fh:
+        fh.write(b"\x6c\x1b\x01" + byts.astype(np.uint8).tobytes())
+    with open(prefix + ".bim", "w") as fh:
+        for v in range(M // 2):
+            fh.write(f"1 a{v} 0 {v + 1} A B\n")
+        for v in range(M // 2, M):
+            fh.write(f"23 x{v} 0 {30000000 + v} A B\n")  # non-PAR chrX
+    with open(prefix + ".fam", "w") as fh:
+        for i in range(N):
+            fh.write(f"F{i} I{i} 0 0 {sex[i]} 0\n")
+    with open(str(tmp_path / "ph.txt"), "w") as fh:
+        fh.write("FID IID Y1 Y2\n")
+        Y = rng.normal(size=(N, 2))
+        Y[rng.random(N) < 0.1, 1] = np.nan  # incomplete trait
+        for i in range(N):
+            v2 = "NA" if np.isnan(Y[i, 1]) else f"{Y[i, 1]:.5f}"
+            fh.write(f"F{i} I{i} {Y[i, 0]:.5f} {v2}\n")
+
+    def run(fused, out, htp=False):
+        env = dict(os.environ)
+        env["REGENIE_TPU_PLATFORM"] = "cpu"
+        env["REGENIE_TPU_FUSED"] = "1" if fused else "0"
+        args = [sys.executable, "-m", "regenie_tpu", "--step", "2",
+                "--bed", prefix, "--phenoFile", str(tmp_path / "ph.txt"),
+                "--bsize", "25", "--ignore-pred", "--minMAC", "1",
+                "--out", out]
+        if htp:
+            args += ["--htp", "XT"]
+        r = subprocess.run(args, capture_output=True, text=True,
+                           cwd="/root/repo", env=env, timeout=600)
+        assert r.returncode == 0, r.stdout + r.stderr
+        return r.stdout
+
+    for htp in (False, True):
+        sfx = "_htp" if htp else ""
+        out_f = run(True, str(tmp_path / f"fus{sfx}"), htp)
+        assert "fast path" in out_f
+        run(False, str(tmp_path / f"std{sfx}"), htp)
+        for ph in ("Y1", "Y2"):
+            a = open(str(tmp_path / f"fus{sfx}_{ph}.regenie"), "rb").read()
+            b = open(str(tmp_path / f"std{sfx}_{ph}.regenie"), "rb").read()
+            assert a == b, (htp, ph)
