@@ -686,11 +686,16 @@ class Step2Engine:
         ADD test, no --af-cc (case/control chrX adj stays on the dense
         path)."""
         p, gd = self.params, self.gd
-        return (
-            p.trait_mode == QT and gd.sex is not None and p.test_mode
+        common = (
+            gd.sex is not None and p.test_mode
             and not p.skip_dosage_comp and not p.af_cc
             and gd._bgen is None and p.test_type == 0
         )
+        if p.trait_mode == QT:
+            return common
+        # BT/CT: HTP genocounts need case-split male columns — those
+        # runs keep the dense fallback
+        return common and p.trait_mode in (BT, CT) and not p.htp_out
 
     def _fused_local_rows(self, B: int):
         """Multi-host QT: the contiguous variant rows THIS process's
@@ -927,36 +932,51 @@ class Step2Engine:
                 (pd.phenotypes_raw == 1) & pd.masked_indivs
             ).astype(np.float64)
             ind = pd.ind_in_analysis
-            Wext = np.concatenate(
-                [Wcat, gsm2, self.maskf, case,
-                 ind.astype(np.float64)[:, None]], axis=1,
-            )
+            cols = [Wcat, gsm2, self.maskf, case,
+                    ind.astype(np.float64)[:, None]]
+            has_male = self._fused_chrx_ok()
+            if has_male:
+                # chrX male tail (see FusedConsts.layout_C): hemizygous
+                # MAC/class-count stats from the male product columns
+                malez = (self.gd.sex == 1).astype(np.float64)
+                malez = self._scatter_file(malez)
+                indf_f = self._scatter_file(ind.astype(np.float64))
+                malez = malez * indf_f
+            Wext = np.concatenate(cols, axis=1)
             Wext_f = self._scatter_file(Wext)
+            if has_male:
+                maskf_f = Wext_f[:, ncat + Pn : ncat + Pn + P]
+                Wext_f = np.concatenate(
+                    [Wext_f, malez[:, None], maskf_f * malez[:, None]],
+                    axis=1,
+                )
             if is_bgen:
                 Wp, usum = fsc.sample_pack(Wext_f, split=on_tpu, dtype=dtype)
             else:
                 Wp, usum = fsc.plane_pack(Wext_f, nb, split=on_tpu, dtype=dtype)
-            C_used = ncat + Pn + P + P + 1
+            ind_col = ncat + Pn + P + P
+            C_used = ind_col + 1 + ((P + 1) if has_male else 0)
             self._fused_bt = _FusedBTConsts(
                 fc=fc, Wp=Wp, usum=usum, ncat=ncat, Pn=Pn, Kp1=Kp1,
                 sl_mask=slice(ncat + Pn, ncat + Pn + P),
                 sl_case=slice(ncat + Pn + P, ncat + Pn + 2 * P),
-                icol=C_used - 1, C_used=C_used,
+                icol=ind_col, C_used=C_used,
                 n_ind=float(ind.sum()), nb=nb,
             )
+            self._fused_bt_has_male = has_male
             if is_bgen:
                 Wq, _ = fsc.sample_pack(
                     Wext_f[:, ncat:], split=on_tpu, dtype=dtype
                 )
                 self._fused_fn = fsc.make_bt_bgen_fn(
-                    Wp, usum, np.asarray(fc.xwt_j), C_used, C_used - 1,
+                    Wp, usum, np.asarray(fc.xwt_j), C_used, ind_col,
                     float(ind.sum()), ncat, Pn, Kp1, on_tpu,
                     bool(getattr(params, "ref_first", False)),
                     Wq=Wq, qs=ncat, mesh=self.mesh,
                 )
             else:
                 self._fused_fn = fsc.make_bt_block_fn(
-                    Wp, usum, np.asarray(fc.xwt_j), C_used, C_used - 1,
+                    Wp, usum, np.asarray(fc.xwt_j), C_used, ind_col,
                     float(ind.sum()), ncat, Pn, Kp1, on_tpu, params.test_type, rf,
                     mesh=self.mesh,
                 )
@@ -1191,6 +1211,30 @@ class Step2Engine:
         mac_t = np.minimum(total_t, 2.0 * ns_t - total_t)
         n_aa1 = (SQh[:, icol] - total1) / 2.0
         n_rr1 = ns1 - total1 + n_aa1
+        if getattr(self, "_fused_bt_has_male", False):
+            non_par = self.non_par_flags(bsnps)
+            if non_par.any():
+                # hemizygous MAC / class counts from the male tail
+                # columns (same algebra as the QT fused path;
+                # compute_mac non-auto branch, Geno.cpp:3095)
+                npb = non_par
+                mcol = fb.icol + 1
+                mm_sl = slice(fb.icol + 2, fb.icol + 2 + P)
+                usum_h = np.asarray(fb.usum, np.float64)
+                male_tot1 = S1h[:, mcol]
+                nmales1 = usum_h[mcol] - SMh[:, mcol]
+                macx = total1 - 0.5 * male_tot1
+                mac1 = np.where(
+                    npb, np.minimum(macx, 2.0 * ns1 - nmales1 - macx), mac1)
+                male_tot_t = S1h[:, mm_sl]
+                nmales_t = usum_h[None, mm_sl] - SMh[:, mm_sl]
+                macx_t = total_t - 0.5 * male_tot_t
+                mac_t = np.where(
+                    npb[:, None],
+                    np.minimum(macx_t, 2.0 * ns_t - nmales_t - macx_t),
+                    mac_t)
+                n1m = 2.0 * male_tot1 - SQh[:, mcol]
+                n_aa1 = np.where(npb, n_aa1 + n1m, n_aa1)
 
         # minor-allele flip (with_flip: BT + additive) was decided on
         # device inside the fused block fn

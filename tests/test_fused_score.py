@@ -754,3 +754,66 @@ def test_fused_chrx_byte_identical(tmp_path):
             a = open(str(tmp_path / f"fus{sfx}_{ph}.regenie"), "rb").read()
             b = open(str(tmp_path / f"std{sfx}_{ph}.regenie"), "rb").read()
             assert a == b, (htp, ph)
+
+
+def test_fused_chrx_bt_byte_identical(tmp_path):
+    """chrX non-PAR on the BT fused path (male tail in the BT operand;
+    HTP gated to the dense fallback): approx-Firth CLI output
+    byte-identical to the dense pipeline."""
+    import os
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(13)
+    N, M = 200, 40
+    sex = np.array([1] * 90 + [2] * 110)
+    male = sex == 1
+    G = rng.integers(0, 3, size=(M, N))
+    for v in range(M // 2, M):
+        G[v] = np.where(male, 2 * rng.integers(0, 2, size=N), G[v])
+    miss = rng.random((M, N)) < 0.02
+    codes = np.where(G == 2, 0, np.where(G == 1, 2, 3)).astype(np.uint8)
+    codes[miss] = 1
+    pad = (-N) % 4
+    codes = np.concatenate(
+        [codes, np.zeros((M, pad), np.uint8)], axis=1).reshape(M, -1, 4)
+    byts = (codes[:, :, 0] | (codes[:, :, 1] << 2)
+            | (codes[:, :, 2] << 4) | (codes[:, :, 3] << 6))
+    prefix = str(tmp_path / "xbt")
+    with open(prefix + ".bed", "wb") as fh:
+        fh.write(b"\x6c\x1b\x01" + byts.astype(np.uint8).tobytes())
+    with open(prefix + ".bim", "w") as fh:
+        for v in range(M // 2):
+            fh.write(f"1 a{v} 0 {v + 1} A B\n")
+        for v in range(M // 2, M):
+            fh.write(f"23 x{v} 0 {30000000 + v} A B\n")
+    with open(prefix + ".fam", "w") as fh:
+        for i in range(N):
+            fh.write(f"F{i} I{i} 0 0 {sex[i]} 0\n")
+    with open(str(tmp_path / "ph.txt"), "w") as fh:
+        fh.write("FID IID Y1\n")
+        y = (rng.random(N) < 0.35).astype(int)
+        for i in range(N):
+            fh.write(f"F{i} I{i} {y[i]}\n")
+
+    def run(fused, out):
+        env = dict(os.environ)
+        env["REGENIE_TPU_PLATFORM"] = "cpu"
+        env["REGENIE_TPU_FUSED"] = "1" if fused else "0"
+        r = subprocess.run(
+            [sys.executable, "-m", "regenie_tpu", "--step", "2",
+             "--bed", prefix, "--phenoFile", str(tmp_path / "ph.txt"),
+             "--bt", "--firth", "--approx", "--pThresh", "0.2",
+             "--bsize", "15", "--ignore-pred", "--minMAC", "1",
+             "--out", out],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=600)
+        assert r.returncode == 0, r.stdout + r.stderr
+        return r.stdout
+
+    out_f = run(True, str(tmp_path / "fus"))
+    assert "fast path" in out_f
+    run(False, str(tmp_path / "std"))
+    a = open(str(tmp_path / "fus_Y1.regenie"), "rb").read()
+    b = open(str(tmp_path / "std_Y1.regenie"), "rb").read()
+    assert a == b
