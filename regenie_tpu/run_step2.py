@@ -689,13 +689,17 @@ class Step2Engine:
         common = (
             gd.sex is not None and p.test_mode
             and not p.skip_dosage_comp and not p.af_cc
-            and gd._bgen is None and p.test_type == 0
+            and p.test_type == 0
         )
         if p.trait_mode == QT:
-            return common
+            # BGEN dosage sources carry no male SQ column (narrow Wq
+            # operand): fine for MAC, but HTP genocounts need it — HTP
+            # BGEN chrX keeps the dense fallback
+            return common and (gd._bgen is None or not p.htp_out)
         # BT/CT: HTP genocounts need case-split male columns — those
-        # runs keep the dense fallback
-        return common and p.trait_mode in (BT, CT) and not p.htp_out
+        # runs keep the dense fallback; BGEN BT stays dense on chrX
+        return (common and gd._bgen is None
+                and p.trait_mode in (BT, CT) and not p.htp_out)
 
     def _fused_local_rows(self, B: int):
         """Multi-host QT: the contiguous variant rows THIS process's
@@ -900,11 +904,16 @@ class Step2Engine:
                 inc=base.inc, has_male=base.has_male,
             )
             if is_bgen:
+                # qs = start of the [maskf | ind] tail, BEFORE any
+                # chrX male columns (the narrow Wq SQ operand covers
+                # maskf+ind only; male SQ is not needed for dosages)
+                base_C = self._fused_consts.layout_C() - (
+                    (P + 1) if self._fused_consts.has_male else 0)
                 self._fused_fn = fsc.make_qt_bgen_fn(
                     self._fused_consts, on_tpu,
                     bool(getattr(params, "ref_first", False)),
                     Wq=self._fused_qt_Wq,
-                    qs=self._fused_consts.layout_C() - (P + 1),
+                    qs=base_C - (P + 1),
                     mesh=self.mesh,
                 )
             else:
@@ -1114,13 +1123,16 @@ class Step2Engine:
                     npb[:, None],
                     np.minimum(macx_t, 2.0 * ns_t - nmales_t - macx_t),
                     mac_t)
-                # male het count n1m = 2*S1m - SQm (S1m = n1 + 2 n2,
-                # SQm = n1 + 4 n2): hemizygous males with g=1 move from
-                # het to hom-alt; g=0 males stay hom-ref
-                n1m = 2.0 * male_tot1 - SQh[:, mcol]
-                n_aa1 = np.where(npb, n_aa1 + n1m, n_aa1)
-                n1m_t = np.where(
-                    npb[:, None], 2.0 * male_tot_t - SQh[:, mm_sl], 0.0)
+                if not getattr(self, "_fused_is_bgen", False):
+                    # male het count n1m = 2*S1m - SQm (S1m = n1 + 2 n2,
+                    # SQm = n1 + 4 n2): hemizygous males with g=1 move
+                    # from het to hom-alt; g=0 males stay hom-ref.
+                    # (BGEN: hardcall class counts aren't emitted and
+                    # the narrow Wq carries no male SQ.)
+                    n1m = 2.0 * male_tot1 - SQh[:, mcol]
+                    n_aa1 = np.where(npb, n_aa1 + n1m, n_aa1)
+                    n1m_t = np.where(
+                        npb[:, None], 2.0 * male_tot_t - SQh[:, mm_sl], 0.0)
 
         mac_ignored, ignored_trait = self._mac_filters(params, bsnps, mac1, mac_t, B)
         if params.test_type == 2 and params.min_homs > 0:

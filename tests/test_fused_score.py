@@ -817,3 +817,109 @@ def test_fused_chrx_bt_byte_identical(tmp_path):
     a = open(str(tmp_path / "fus_Y1.regenie"), "rb").read()
     b = open(str(tmp_path / "std_Y1.regenie"), "rb").read()
     assert a == b
+
+
+def _write_bgen12(path, ids, chroms, positions, probs8):
+    """Minimal BGEN v1.2 (layout 2, zlib, 8-bit, unphased diploid) writer
+    for test fixtures. probs8: [M, N, 2] uint8 (p0, p1 scaled by 255)."""
+    import struct
+    import zlib
+
+    M, N, _ = probs8.shape
+    sample_block = struct.pack("<II", 8 + sum(6 + len(s) for s in ids), N)
+    for s in ids:
+        sample_block += struct.pack("<H", len(s)) + s.encode()
+    # LSI actually = 8 + sum(2 + len(s)); fix:
+    lsi = 8 + sum(2 + len(s) for s in ids)
+    sample_block = struct.pack("<II", lsi, N)
+    for s in ids:
+        sample_block += struct.pack("<H", len(s)) + s.encode()
+    hlen = 20
+    flags = 1 | (2 << 2) | (1 << 31)  # zlib, layout2, sample ids
+    offset = hlen + lsi
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<IIII", offset, hlen, M, N))
+        fh.write(b"bgen")
+        fh.write(struct.pack("<I", flags))
+        fh.write(sample_block)
+        for v in range(M):
+            rsid = f"s{v}".encode()
+            chrom = str(chroms[v]).encode()
+            fh.write(struct.pack("<H", len(rsid)) + rsid)
+            fh.write(struct.pack("<H", len(rsid)) + rsid)
+            fh.write(struct.pack("<H", len(chrom)) + chrom)
+            fh.write(struct.pack("<I", int(positions[v])))
+            fh.write(struct.pack("<H", 2))
+            fh.write(struct.pack("<I", 1) + b"A")
+            fh.write(struct.pack("<I", 1) + b"C")
+            gblock = (struct.pack("<IHBB", N, 2, 2, 2)
+                      + bytes([2] * N) + bytes([0, 8])
+                      + probs8[v].tobytes())
+            comp = zlib.compress(gblock, 6)
+            fh.write(struct.pack("<II", len(comp) + 4, len(gblock)))
+            fh.write(comp)
+
+
+def test_fused_chrx_bgen_byte_identical(tmp_path):
+    """chrX non-PAR on the QT fused BGEN path (dosage data; the male
+    tail gives the 0.5*g male MAC): CLI output byte-identical to the
+    dense pipeline on a mixed autosome+chrX BGEN."""
+    import os
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(21)
+    N, M = 120, 30
+    sex = np.array([1] * 50 + [2] * 70)
+    male = sex == 1
+    probs8 = np.zeros((M, N, 2), np.uint8)
+    for v in range(M):
+        g = rng.integers(0, 3, size=N)
+        if v >= M // 2:  # chrX: males diploid-coded 0/2
+            g = np.where(male, 2 * rng.integers(0, 2, size=N), g)
+        # dosage jitter on some samples
+        p0 = np.where(g == 0, 255, np.where(g == 1, 0, 0)).astype(np.int64)
+        p1 = np.where(g == 1, 255, 0).astype(np.int64)
+        jit = rng.integers(0, 12, size=N)
+        p0 = np.clip(p0 - jit * (g == 0), 0, 255)
+        probs8[v, :, 0] = p0
+        probs8[v, :, 1] = p1
+    chroms = [1] * (M // 2) + [23] * (M - M // 2)
+    positions = list(range(1, M // 2 + 1)) + [
+        30000000 + v for v in range(M - M // 2)]
+    ids = [f"I{i}" for i in range(N)]
+    bg = str(tmp_path / "x.bgen")
+    _write_bgen12(bg, ids, chroms, positions, probs8)
+    with open(str(tmp_path / "samp.sample"), "w") as fh:
+        fh.write("ID_1 ID_2 missing sex\n0 0 0 D\n")
+        for i, s in enumerate(ids):
+            fh.write(f"{s} {s} 0 {sex[i]}\n")
+    with open(str(tmp_path / "ph.txt"), "w") as fh:
+        # two traits: single-pheno runs force strict mode (Pheno.cpp:201)
+        # which keeps the QT fused path off
+        fh.write("FID IID Y1 Y2\n")
+        for i, s in enumerate(ids):
+            fh.write(f"{s} {s} {rng.normal():.5f} {rng.normal():.5f}\n")
+
+    def run(fused, out):
+        env = dict(os.environ)
+        env["REGENIE_TPU_PLATFORM"] = "cpu"
+        env["REGENIE_TPU_FUSED"] = "1" if fused else "0"
+        r = subprocess.run(
+            [sys.executable, "-m", "regenie_tpu", "--step", "2",
+             "--bgen", bg, "--sample", str(tmp_path / "samp.sample"),
+             "--phenoFile", str(tmp_path / "ph.txt"),
+             "--bsize", "12", "--ignore-pred", "--minMAC", "1",
+             "--out", out],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+            timeout=600)
+        assert r.returncode == 0, r.stdout + r.stderr
+        return r.stdout
+
+    out_f = run(True, str(tmp_path / "fus"))
+    assert "fast path" in out_f
+    run(False, str(tmp_path / "std"))
+    for ph in ("Y1", "Y2"):
+        a = open(str(tmp_path / f"fus_{ph}.regenie"), "rb").read()
+        b = open(str(tmp_path / f"std_{ph}.regenie"), "rb").read()
+        assert a == b, ph
