@@ -387,9 +387,9 @@ def fused_products_xla(raw, Wp):
 
 
 @partial(jax.jit, static_argnames=("K", "P", "scale_denom", "n_ind",
-                                   "test_type", "inc"))
+                                   "test_type", "inc", "strict"))
 def fused_epilogue(S1, SQ, SM, flip, usum, covt_res, Mmat, K, P, scale_denom,
-                   n_ind, test_type=0, inc=None):
+                   n_ind, test_type=0, inc=None, strict=False):
     """[B, C] products -> (stats, denum, scale_fac, low, af_num) on the
     score_qt_block_onepass contract.
 
@@ -432,6 +432,18 @@ def fused_epilogue(S1, SQ, SM, flip, usum, covt_res, Mmat, K, P, scale_denom,
         )
         denum_raw = denum_raw.at[:, jnp.asarray(inc)].set(denum_inc)
     denum_raw = jnp.maximum(denum_raw, 1e-30)
+    if strict:
+        # --strict (and single-pheno runs, Pheno.cpp:201): every trait
+        # is complete on ind, so the per-trait masked sum equals
+        # ||G_res||^2; the reference shortcuts denum to the CONSTANT
+        # n_analyzed - ncov (compute_score_qt strict branch,
+        # Step2_Models.cpp:352) — reproduce that convention exactly
+        denum = jnp.broadcast_to(
+            jnp.asarray(scale_denom, num_raw.dtype), num_raw.shape)
+        sf_safe = jnp.where(low, 1.0, scale_fac)
+        stats = num_raw / sf_safe[:, None] / jnp.sqrt(
+            jnp.asarray(scale_denom, num_raw.dtype))
+        return stats, denum, scale_fac, low, af_num
     stats = num_raw / jnp.sqrt(denum_raw)
     denum = denum_raw / jnp.where(low, 1.0, scale2)[:, None]
     return stats, denum, scale_fac, low, af_num
@@ -530,7 +542,7 @@ def _mesh_replicate(mesh, x):
 
 
 def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool, test_type=0,
-                     ref_first=False, mesh=None):
+                     ref_first=False, mesh=None, strict=False):
     """One-dispatch jitted QT block function: products + epilogue + the
     raw-product slices the host needs for per-variant stats. Built once
     per chromosome — separate jit calls per block would each pay a
@@ -556,7 +568,7 @@ def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool, test_type=0,
         stats, denum, scale_fac, low, _af = fused_epilogue(
             S1c, SQc, SMc, flip, consts.usum, consts.covt_res, consts.Mmat,
             consts.K, consts.P, consts.scale_denom, consts.n_ind, test_type,
-            consts.inc,
+            consts.inc, strict,
         )
         return stats, denum, scale_fac, low, S1c, SQc, SMc
 
@@ -853,7 +865,7 @@ def _bgen_prepare(S1, SQ, SM, IL, usum_j, C_used, ref_first):
 
 
 def make_qt_bgen_fn(consts: "FusedConsts", use_pallas: bool, ref_first=False,
-                    Wq=None, qs=0, mesh=None):
+                    Wq=None, qs=0, mesh=None, strict=False):
     """One-dispatch QT block function over BGEN probability byte planes.
     Returns the QT score outputs plus the raw product slices and the
     info-linear products (for the INFO column). Wq/qs: optional narrow
@@ -880,7 +892,7 @@ def make_qt_bgen_fn(consts: "FusedConsts", use_pallas: bool, ref_first=False,
         stats, denum, scale_fac, low, _af = fused_epilogue(
             S1c, SQc, SMc, flip, consts.usum, consts.covt_res, consts.Mmat,
             consts.K, consts.P, consts.scale_denom, consts.n_ind, 0,
-            consts.inc,
+            consts.inc, strict,
         )
         return stats, denum, scale_fac, low, S1c, SQc, SMc, ILc
 

@@ -666,11 +666,10 @@ class Step2Engine:
             and self.interaction is None
         )
         if ok and params.trait_mode == QT:
-            ok = (
-                not params.skip_cov_res
-                and not self.strict
-                and not params.mcc_test
-            )
+            # strict mode (incl. forced single-pheno strict) is the
+            # all-complete-traits case with a constant denominator —
+            # handled by the epilogue's strict branch
+            ok = not params.skip_cov_res and not params.mcc_test
         if not ok:
             return False
         if env == "1":
@@ -914,12 +913,12 @@ class Step2Engine:
                     bool(getattr(params, "ref_first", False)),
                     Wq=self._fused_qt_Wq,
                     qs=base_C - (P + 1),
-                    mesh=self.mesh,
+                    mesh=self.mesh, strict=self.strict,
                 )
             else:
                 self._fused_fn = fsc.make_qt_block_fn(
                     self._fused_consts, on_tpu, params.test_type, rf,
-                    mesh=self.mesh,
+                    mesh=self.mesh, strict=self.strict,
                 )
         else:  # BT
             from .models import step2_bt

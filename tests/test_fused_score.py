@@ -923,3 +923,45 @@ def test_fused_chrx_bgen_byte_identical(tmp_path):
         a = open(str(tmp_path / f"fus_{ph}.regenie"), "rb").read()
         b = open(str(tmp_path / f"std_{ph}.regenie"), "rb").read()
         assert a == b, ph
+
+
+def test_fused_strict_single_pheno_byte_identical(tmp_path):
+    """Strict mode (forced for single-pheno runs, Pheno.cpp:201) rides
+    the fused path: the constant-denominator convention of the
+    reference's strict score branch (Step2_Models.cpp:352) byte-
+    identical to the dense pipeline — BED and BGEN, with covariates
+    and NA phenotypes (strict drops those samples)."""
+    import glob
+    import os
+    import subprocess
+    import sys
+
+    EX = "/root/reference/example"
+    for tag, src_args in (
+        ("bed", ["--bed", f"{EX}/example"]),
+        ("bgen", ["--bgen", f"{EX}/example.bgen"]),
+    ):
+        common = ["--step", "2", *src_args,
+                  "--covarFile", f"{EX}/covariates.txt",
+                  "--phenoFile", f"{EX}/phenotype.txt",
+                  "--phenoCol", "Y1",  # single pheno -> strict forced
+                  "--bsize", "170", "--ignore-pred"]
+
+        def run(fused, out):
+            env = dict(os.environ)
+            env["REGENIE_TPU_PLATFORM"] = "cpu"
+            env["REGENIE_TPU_FUSED"] = "1" if fused else "0"
+            r = subprocess.run(
+                [sys.executable, "-m", "regenie_tpu"] + common
+                + ["--out", out],
+                capture_output=True, text=True, cwd="/root/repo", env=env,
+                timeout=600)
+            assert r.returncode == 0, r.stdout + r.stderr
+            return r.stdout
+
+        out_f = run(True, str(tmp_path / f"fus_{tag}"))
+        assert "fast path" in out_f, tag
+        run(False, str(tmp_path / f"std_{tag}"))
+        a = open(str(tmp_path / f"fus_{tag}_Y1.regenie"), "rb").read()
+        b = open(str(tmp_path / f"std_{tag}_Y1.regenie"), "rb").read()
+        assert a == b, tag
