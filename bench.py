@@ -327,6 +327,38 @@ def main():
     if s1:
         extra["step1_level0"] = round(s1, 1)
 
+    # =================== gene-based: sets/s ===================
+    def bench_genebased():
+        import subprocess
+        import tempfile
+
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts"))
+        from bench_scaling import args_for, build_exome
+
+        d = tempfile.mkdtemp(prefix="bench_gb_")
+        n_sets = int(os.environ.get("BENCH_GB_SETS", 60))
+        build_exome(d, n_sets, 40, min(N, 20_000), np.random.default_rng(4))
+        env = dict(os.environ)
+        t0 = time.perf_counter()
+        r = subprocess.run(
+            [sys.executable, "-m", "regenie_tpu"] + args_for(d, f"{d}/o"),
+            capture_output=True, text=True, env=env, timeout=budget)
+        if r.returncode != 0:
+            print("[bench] gene-based CLI failed:",
+                  (r.stdout + r.stderr)[-500:], file=sys.stderr)
+            return None
+        # the set-loop elapsed (burden + SKATO/ACATV per gene)
+        loop = None
+        for line in r.stdout.splitlines():
+            if "* done (" in line:
+                loop = float(line.split("(")[1].split("s")[0])
+        return n_sets / (loop or (time.perf_counter() - t0))
+
+    gb = _timed(budget, bench_genebased)
+    if gb:
+        extra["genebased_sets_per_s"] = round(gb, 2)
+
     # =================== CPU baseline (multithreaded) ===================
     # same QT math: native OpenMP BED decode + threaded-OpenBLAS f64
     # residualize+score; normalized to the reference's 16-vCPU class
