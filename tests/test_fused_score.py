@@ -730,12 +730,19 @@ def test_fused_chrx_byte_identical(tmp_path):
             v2 = "NA" if np.isnan(Y[i, 1]) else f"{Y[i, 1]:.5f}"
             fh.write(f"F{i} I{i} {Y[i, 0]:.5f} {v2}\n")
 
+    # sample filtering exercises the kept-axis -> file-axis scatter of
+    # the male indicator (dropped males must contribute nothing)
+    with open(str(tmp_path / "rm.txt"), "w") as fh:
+        for i in (3, 40, 90, 120):
+            fh.write(f"F{i} I{i}\n")
+
     def run(fused, out, htp=False):
         env = dict(os.environ)
         env["REGENIE_TPU_PLATFORM"] = "cpu"
         env["REGENIE_TPU_FUSED"] = "1" if fused else "0"
         args = [sys.executable, "-m", "regenie_tpu", "--step", "2",
                 "--bed", prefix, "--phenoFile", str(tmp_path / "ph.txt"),
+                "--remove", str(tmp_path / "rm.txt"),
                 "--bsize", "25", "--ignore-pred", "--minMAC", "1",
                 "--out", out]
         if htp:
