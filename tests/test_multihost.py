@@ -233,3 +233,41 @@ def test_multihost_interaction_byte_identical(tmp_path):
             a = open(f"{one}_{ph}.regenie", "rb").read()
             b = open(f"{mh}_{ph}.regenie", "rb").read()
             assert a == b, (tag, ph)
+
+
+@pytest.mark.skipif(os.environ.get("REGENIE_TPU_SKIP_MULTIHOST") == "1",
+                    reason="multihost disabled")
+def test_multihost_three_processes_uneven(tmp_path):
+    """Uneven process counts: 3 processes x 1 device (blocks and sets
+    not divisible by 3) — gene-based ordered merge and the step-2 QT
+    fused path stay byte-identical."""
+    # gene-based (3 sets round-robin over 3 procs)
+    common = ["--step", "2", "--bed", f"{EX}/example_3chr",
+              "--covarFile", f"{EX}/covariates.txt",
+              "--phenoFile", f"{EX}/phenotype.txt",
+              "--bsize", "200", "--ignore-pred",
+              "--set-list", f"{EX}/example_3chr.setlist",
+              "--anno-file", f"{EX}/example_3chr.annotations",
+              "--mask-def", f"{EX}/example_3chr.masks",
+              "--aaf-bins", "0.2", "--joint", "acat"]
+    one = str(tmp_path / "one")
+    mh = str(tmp_path / "mh")
+    _run_single(common, one, n_devices=1)
+    _run_multihost(common, mh, nproc=3, local_devices=1)
+    for ph in ("Y1", "Y2"):
+        a = open(f"{one}_{ph}.regenie", "rb").read()
+        b = open(f"{mh}_{ph}.regenie", "rb").read()
+        assert a == b, ph
+    # step-2 QT fused (bsize 170 not divisible by 3 devices)
+    common2 = ["--step", "2", "--bed", f"{EX}/example",
+               "--covarFile", f"{EX}/covariates.txt",
+               "--phenoFile", f"{EX}/phenotype.txt",
+               "--bsize", "170", "--ignore-pred"]
+    one2 = str(tmp_path / "one2")
+    mh2 = str(tmp_path / "mh2")
+    _run_single(common2, one2, n_devices=3)
+    _run_multihost(common2, mh2, nproc=3, local_devices=1)
+    for ph in ("Y1", "Y2"):
+        a = open(f"{one2}_{ph}.regenie", "rb").read()
+        b = open(f"{mh2}_{ph}.regenie", "rb").read()
+        assert a == b, ph
