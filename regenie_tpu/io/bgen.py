@@ -378,17 +378,33 @@ def _unpack_bits(body: np.ndarray, n_values: int, bits: int) -> np.ndarray:
     return bitarr @ weights
 
 
-def read_sample_file(path: str) -> List[Tuple[str, str]]:
-    """Oxford .sample file: 2 header lines, then ID_1 ID_2 ..."""
+def read_sample_file(path: str):
+    """Oxford .sample file: 2 header lines, then ID_1 ID_2 [missing sex].
+    Returns (ids, sex): sex from the 4th column (1=male, 2=female,
+    0/NA=unknown — read_bgen_sample, Geno.cpp:439-443), zeros when the
+    column is absent."""
     ids = []
+    sexes = []
     with open(path) as fh:
         fh.readline()
         fh.readline()
-        for line in fh:
+        for lineno, line in enumerate(fh):
             toks = line.split()
-            if toks:
-                ids.append((toks[0], toks[1]))
-    return ids
+            if not toks:
+                continue
+            ids.append((toks[0], toks[1]))
+            if len(toks) >= 4:
+                s = toks[3]
+                if s in ("0", "NA"):
+                    sexes.append(0)
+                elif s in ("1", "2"):
+                    sexes.append(int(s))
+                else:
+                    raise ValueError(
+                        f"unrecognized sex code in file : '{s}'")
+            else:
+                sexes.append(0)
+    return ids, np.asarray(sexes, dtype=np.int32)
 
 
 def open_bgen_geno(params: Params):
@@ -399,8 +415,9 @@ def open_bgen_geno(params: Params):
     bf = open_bgen(params.bgen_file, params.n_chrom, ref_first,
                    getattr(params, "bgi_file", None))
 
+    raw_sex = None
     if params.sample_file:
-        ids = read_sample_file(params.sample_file)
+        ids, raw_sex = read_sample_file(params.sample_file)
     elif bf.has_sample_ids:
         ids = bf.sample_ids
     else:
@@ -435,7 +452,13 @@ def open_bgen_geno(params: Params):
     gd.sample_keep_idx = np.flatnonzero(keep_mask)
     gd._keep_all_samples = bool(keep_mask.all())
     gd.samples = [raw_samples[i] for i in gd.sample_keep_idx]
-    gd.sex = np.zeros(len(gd.samples), dtype=np.int32)
+    # sex from the .sample file's 4th column (1=male; chrX dosage
+    # compensation / --sex-specific); zeros when unavailable
+    # (params->sex default, Geno.cpp:154)
+    if raw_sex is not None:
+        gd.sex = (raw_sex[gd.sample_keep_idx] == 1).astype(np.int32)
+    else:
+        gd.sex = np.zeros(len(gd.samples), dtype=np.int32)
 
     snp_keep = np.ones(len(bf.snps), dtype=bool)
     if params.extract_files:

@@ -376,3 +376,24 @@ def test_phased_bgen_layout2_decode():
     )
     ds_u, _ = _decode_layout2(block_u, Nf, None, ref_first=False)
     np.testing.assert_allclose(ds_u[:4], ds[:4], atol=2 / 255.0)
+
+
+def test_sample_file_sex_column(tmp_path):
+    """The .sample file's 4th column is SEX (read_bgen_sample,
+    Geno.cpp:439-443) — it must reach gd.sex for chrX dosage
+    compensation and --sex-specific (was silently dropped)."""
+    from regenie_tpu.io.bgen import read_sample_file
+
+    p = str(tmp_path / "s.sample")
+    with open(p, "w") as fh:
+        fh.write("ID_1 ID_2 missing sex\n0 0 0 D\n")
+        fh.write("A A 0 1\nB B 0 2\nC C 0 0\nD D 0 NA\n")
+    ids, sex = read_sample_file(p)
+    assert [i[0] for i in ids] == ["A", "B", "C", "D"]
+    assert sex.tolist() == [1, 2, 0, 0]
+    import pytest as _pt
+
+    with open(p, "a") as fh:
+        fh.write("E E 0 x\n")
+    with _pt.raises(ValueError):
+        read_sample_file(p)
