@@ -449,6 +449,14 @@ def open_bgen_geno(params: Params):
         for i, s in enumerate(raw_samples):
             if s.key in rm:
                 keep_mask[i] = False
+    # sex-specific analyses (Geno.cpp:1287): sex codes come from the
+    # .sample file's 4th column
+    if params.sex_specific:
+        if raw_sex is None:
+            raise ValueError(
+                "--sex-specific with BGEN requires a --sample file "
+                "carrying a sex column")
+        keep_mask &= raw_sex == params.sex_specific
     gd.sample_keep_idx = np.flatnonzero(keep_mask)
     gd._keep_all_samples = bool(keep_mask.all())
     gd.samples = [raw_samples[i] for i in gd.sample_keep_idx]

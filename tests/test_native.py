@@ -397,3 +397,50 @@ def test_sample_file_sex_column(tmp_path):
         fh.write("E E 0 x\n")
     with _pt.raises(ValueError):
         read_sample_file(p)
+
+
+def test_bgen_sex_specific(tmp_path):
+    """--sex-specific over BGEN uses the sample file's sex column
+    (Geno.cpp:1287); was a no-op before the sex column was parsed."""
+    import os
+    import subprocess
+    import sys
+
+    sys.path.insert(0, "/root/repo/tests")
+    import numpy as np
+
+    from test_fused_score import _write_bgen12
+
+    rng = np.random.default_rng(5)
+    N, M = 80, 10
+    probs8 = np.zeros((M, N, 2), np.uint8)
+    for v in range(M):
+        g = rng.integers(0, 3, size=N)
+        probs8[v, :, 0] = np.where(g == 0, 255, 0)
+        probs8[v, :, 1] = np.where(g == 1, 255, 0)
+    ids = [f"I{i}" for i in range(N)]
+    bg = str(tmp_path / "g.bgen")
+    _write_bgen12(bg, ids, [1] * M, range(1, M + 1), probs8)
+    sex = [1] * 30 + [2] * 50
+    with open(str(tmp_path / "s.sample"), "w") as fh:
+        fh.write("ID_1 ID_2 missing sex\n0 0 0 D\n")
+        for i, s in enumerate(ids):
+            fh.write(f"{s} {s} 0 {sex[i]}\n")
+    with open(str(tmp_path / "ph.txt"), "w") as fh:
+        fh.write("FID IID Y1 Y2\n")
+        for s in ids:
+            fh.write(f"{s} {s} {rng.normal():.4f} {rng.normal():.4f}\n")
+    env = dict(os.environ)
+    env["REGENIE_TPU_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "regenie_tpu", "--step", "2",
+         "--bgen", bg, "--sample", str(tmp_path / "s.sample"),
+         "--phenoFile", str(tmp_path / "ph.txt"), "--bsize", "10",
+         "--ignore-pred", "--sex-specific", "male",
+         "--out", str(tmp_path / "sx")],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+        timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    lines = open(str(tmp_path / "sx_Y1.regenie")).readlines()
+    hdr = lines[0].split()
+    assert lines[1].split()[hdr.index("N")] == "30"
