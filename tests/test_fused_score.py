@@ -763,10 +763,11 @@ def test_fused_chrx_byte_identical(tmp_path):
             assert a == b, (htp, ph)
 
 
-def test_fused_chrx_bt_byte_identical(tmp_path):
-    """chrX non-PAR on the BT fused path (male tail in the BT operand;
-    HTP gated to the dense fallback): approx-Firth CLI output
-    byte-identical to the dense pipeline."""
+@pytest.mark.parametrize("mode", ["bt", "ct"])
+def test_fused_chrx_bt_byte_identical(tmp_path, mode):
+    """chrX non-PAR on the BT/CT fused path (male tail in the BT-family
+    operand; HTP gated to the dense fallback): approx-Firth BT and
+    Poisson CT CLI output byte-identical to the dense pipeline."""
     import os
     import subprocess
     import sys
@@ -799,9 +800,14 @@ def test_fused_chrx_bt_byte_identical(tmp_path):
             fh.write(f"F{i} I{i} 0 0 {sex[i]} 0\n")
     with open(str(tmp_path / "ph.txt"), "w") as fh:
         fh.write("FID IID Y1\n")
-        y = (rng.random(N) < 0.35).astype(int)
+        if mode == "bt":
+            y = (rng.random(N) < 0.35).astype(int)
+        else:
+            y = rng.poisson(2.0, size=N)
         for i in range(N):
             fh.write(f"F{i} I{i} {y[i]}\n")
+    mode_args = (["--bt", "--firth", "--approx", "--pThresh", "0.2"]
+                 if mode == "bt" else ["--ct"])
 
     def run(fused, out):
         env = dict(os.environ)
@@ -810,7 +816,7 @@ def test_fused_chrx_bt_byte_identical(tmp_path):
         r = subprocess.run(
             [sys.executable, "-m", "regenie_tpu", "--step", "2",
              "--bed", prefix, "--phenoFile", str(tmp_path / "ph.txt"),
-             "--bt", "--firth", "--approx", "--pThresh", "0.2",
+             *mode_args,
              "--bsize", "15", "--ignore-pred", "--minMAC", "1",
              "--out", out],
             capture_output=True, text=True, cwd="/root/repo", env=env,
