@@ -678,6 +678,34 @@ class Step2Engine:
 
     _PACK_LUT = None
 
+    @staticmethod
+    def _hemizygous_adjust(npb, S1h, SQh, SMh, usum_h, mcol, mm_sl,
+                           total1, ns1, mac1, total_t, ns_t, mac_t,
+                           with_classes):
+        """Shared chrX male-tail stat algebra for the fused paths:
+        MAC with 0.5*g males and min(mac, 2*ns - nmales - mac)
+        (compute_mac non-auto branch, Geno.cpp:3095); optional
+        hemizygous class counts (n1m = 2*S1m - SQm: males with g=1 move
+        het -> hom-alt; g=0 males stay hom-ref).
+        Returns (mac1, mac_t, n1m or None, n1m_t or None)."""
+        male_tot1 = S1h[:, mcol]
+        nmales1 = usum_h[mcol] - SMh[:, mcol]
+        macx = total1 - 0.5 * male_tot1
+        mac1 = np.where(
+            npb, np.minimum(macx, 2.0 * ns1 - nmales1 - macx), mac1)
+        male_tot_t = S1h[:, mm_sl]
+        nmales_t = usum_h[None, mm_sl] - SMh[:, mm_sl]
+        macx_t = total_t - 0.5 * male_tot_t
+        mac_t = np.where(
+            npb[:, None],
+            np.minimum(macx_t, 2.0 * ns_t - nmales_t - macx_t), mac_t)
+        n1m = n1m_t = None
+        if with_classes:
+            n1m = np.where(npb, 2.0 * male_tot1 - SQh[:, mcol], 0.0)
+            n1m_t = np.where(
+                npb[:, None], 2.0 * male_tot_t - SQh[:, mm_sl], 0.0)
+        return mac1, mac_t, n1m, n1m_t
+
     def _fused_chrx_ok(self) -> bool:
         """chrX non-PAR blocks may ride the QT fused path when the male
         tail columns are in the operand: hardcall sources, default
@@ -1102,36 +1130,17 @@ class Step2Engine:
         if consts.has_male:
             non_par = self.non_par_flags(bsnps)
             if non_par.any():
-                # hemizygous stats from the male tail columns: MAC uses
-                # 0.5*g for males and min(mac, 2*ns - nmales - mac)
-                # (compute_mac non-auto branch, Geno.cpp:3095); male
-                # g>=1 counts as hom for the class counts
-                npb = non_par
-                mcol = C_used - 1 - P
-                mm_sl = slice(C_used - P, C_used)
-                usum_h = np.asarray(consts.usum, np.float64)
-                male_tot1 = S1h[:, mcol]
-                nmales1 = usum_h[mcol] - SMh[:, mcol]
-                macx = total1 - 0.5 * male_tot1
-                mac1 = np.where(
-                    npb, np.minimum(macx, 2.0 * ns1 - nmales1 - macx), mac1)
-                male_tot_t = S1h[:, mm_sl]
-                nmales_t = usum_h[None, mm_sl] - SMh[:, mm_sl]
-                macx_t = total_t - 0.5 * male_tot_t
-                mac_t = np.where(
-                    npb[:, None],
-                    np.minimum(macx_t, 2.0 * ns_t - nmales_t - macx_t),
-                    mac_t)
-                if not getattr(self, "_fused_is_bgen", False):
-                    # male het count n1m = 2*S1m - SQm (S1m = n1 + 2 n2,
-                    # SQm = n1 + 4 n2): hemizygous males with g=1 move
-                    # from het to hom-alt; g=0 males stay hom-ref.
-                    # (BGEN: hardcall class counts aren't emitted and
-                    # the narrow Wq carries no male SQ.)
-                    n1m = 2.0 * male_tot1 - SQh[:, mcol]
-                    n_aa1 = np.where(npb, n_aa1 + n1m, n_aa1)
-                    n1m_t = np.where(
-                        npb[:, None], 2.0 * male_tot_t - SQh[:, mm_sl], 0.0)
+                # hemizygous MAC (+ class counts for hardcalls; BGEN's
+                # narrow Wq carries no male SQ and emits no class rows)
+                mac1, mac_t, n1m, n1m_t = self._hemizygous_adjust(
+                    non_par, S1h, SQh, SMh,
+                    np.asarray(consts.usum, np.float64),
+                    C_used - 1 - P, slice(C_used - P, C_used),
+                    total1, ns1, mac1, total_t, ns_t, mac_t,
+                    with_classes=not getattr(self, "_fused_is_bgen", False),
+                )
+                if n1m is not None:
+                    n_aa1 = n_aa1 + n1m
 
         mac_ignored, ignored_trait = self._mac_filters(params, bsnps, mac1, mac_t, B)
         if params.test_type == 2 and params.min_homs > 0:
@@ -1225,27 +1234,14 @@ class Step2Engine:
         if getattr(self, "_fused_bt_has_male", False):
             non_par = self.non_par_flags(bsnps)
             if non_par.any():
-                # hemizygous MAC / class counts from the male tail
-                # columns (same algebra as the QT fused path;
-                # compute_mac non-auto branch, Geno.cpp:3095)
-                npb = non_par
-                mcol = fb.icol + 1
-                mm_sl = slice(fb.icol + 2, fb.icol + 2 + P)
-                usum_h = np.asarray(fb.usum, np.float64)
-                male_tot1 = S1h[:, mcol]
-                nmales1 = usum_h[mcol] - SMh[:, mcol]
-                macx = total1 - 0.5 * male_tot1
-                mac1 = np.where(
-                    npb, np.minimum(macx, 2.0 * ns1 - nmales1 - macx), mac1)
-                male_tot_t = S1h[:, mm_sl]
-                nmales_t = usum_h[None, mm_sl] - SMh[:, mm_sl]
-                macx_t = total_t - 0.5 * male_tot_t
-                mac_t = np.where(
-                    npb[:, None],
-                    np.minimum(macx_t, 2.0 * ns_t - nmales_t - macx_t),
-                    mac_t)
-                n1m = 2.0 * male_tot1 - SQh[:, mcol]
-                n_aa1 = np.where(npb, n_aa1 + n1m, n_aa1)
+                mac1, mac_t, n1m, _n1m_t = self._hemizygous_adjust(
+                    non_par, S1h, SQh, SMh,
+                    np.asarray(fb.usum, np.float64),
+                    fb.icol + 1, slice(fb.icol + 2, fb.icol + 2 + P),
+                    total1, ns1, mac1, total_t, ns_t, mac_t,
+                    with_classes=True,  # BT/CT chrX is hardcall-only
+                )
+                n_aa1 = n_aa1 + n1m
 
         # minor-allele flip (with_flip: BT + additive) was decided on
         # device inside the fused block fn
