@@ -6,6 +6,17 @@ covariates; reference hardware class: 16 vCPU AMD EPYC 7571,
 docs/docs/performance.md:81-82). Scales down automatically on the CPU
 fallback backend so the driver always records a number.
 
+TPU-probe hardening (round 3): the remote-TPU tunnel on this rig dies
+intermittently for ~1h windows, so
+  * the chip is probed in a SUBPROCESS (a hung PJRT call can't be
+    interrupted by SIGALRM from inside the process) with N retries and
+    backoff spread across BENCH_PROBE_WINDOW;
+  * the CPU fallback keeps re-probing after its (fast) metrics finish
+    and RE-EXECS back onto the TPU if the tunnel wakes up mid-window,
+    so a transient outage still produces a real-TPU headline;
+  * every metric leg is stamped with backend provenance in the JSON
+    ("backends": {leg: "tpu"|"cpu"|"host-cpu"}).
+
 Metrics (all SNPs/s on this chip):
   step2_qt_resident — the flagship fused packed-bytes scorer
       (ops/fused_score.py, bf16-split MXU products) on device-resident
@@ -22,19 +33,30 @@ Metrics (all SNPs/s on this chip):
       pThresh=0.05-regime cost profile).
   step1_level0 — level-0 LOOCV ridge (Gram + eigh + LOO predictions)
       SNPs/s at J=5 ridge params.
+  genebased_sets_per_s — gene-based (burden+SKATO/ACATV) sets/s via the
+      real CLI on a synthetic exome.
+  host_ingest — the HOST side of the fused pipeline: packed-byte file
+      read + tile pad, SNPs/s.  This is what must exceed the resident
+      scoring rate for the host to feed the chip rig-locally
+      (the e2e leg above is WAN-bound on this rig).
+  host_decode_dense — native OpenMP packed->int8 dense decode SNPs/s
+      (the fallback/step-1 spill path's host cost).
+  host_render_rows_per_s — native sumstat text render rows/s
+      (production writes P rows per SNP in split mode).
 
 vs_baseline: the same QT math (decode + residualize + score) in
 MULTITHREADED numpy float64 (native OpenMP BED decode + threaded
 OpenBLAS) on this host, normalized to the reference's 16-vCPU class by
-core count. This replaces the round-1 single-thread baseline.
+core count.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"extra": {<submetric>: SNPs/s}}.
+"backend", "extra": {<submetric>: SNPs/s}, "backends": {...}}.
 """
 
 import json
 import os
 import signal
+import subprocess
 import sys
 import time
 
@@ -62,10 +84,135 @@ def _timed(budget, fn, *args):
         signal.alarm(0)
 
 
+# ---------------------------------------------------------------------
+# probe / fallback / rejoin machinery
+# ---------------------------------------------------------------------
+
+def _t0() -> float:
+    """Epoch seconds at the FIRST bench invocation (carried across
+    execve so probe windows and the watchdog are measured against the
+    driver's single budget, not per-exec)."""
+    if "BENCH_T0" not in os.environ:
+        os.environ["BENCH_T0"] = repr(time.time())
+    return float(os.environ["BENCH_T0"])
+
+
+def _elapsed() -> float:
+    return time.time() - _t0()
+
+
+def _total_budget() -> float:
+    return float(os.environ.get("BENCH_TIMEOUT", 2400))
+
+
+def _subprocess_probe(timeout_s: float) -> bool:
+    """True iff a fresh interpreter can run a matmul on a non-cpu
+    backend within timeout_s.  Subprocess, because a dead tunnel hangs
+    inside uninterruptible PJRT C calls."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("REGENIE_TPU_PLATFORM", "JAX_PLATFORMS")}
+    code = ("import jax, jax.numpy as jnp\n"
+            "x = jnp.ones((256, 256))\n"
+            "assert float((x @ x).sum()) == 256.0 * 256 * 256\n"
+            "print('PROBE_OK', jax.default_backend())\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s, env=env)
+    except subprocess.TimeoutExpired:
+        print("[bench] probe subprocess timed out", file=sys.stderr)
+        return False
+    for line in r.stdout.splitlines():
+        if line.startswith("PROBE_OK"):
+            backend = line.split()[-1]
+            print(f"[bench] probe ok, backend={backend}", file=sys.stderr)
+            return backend != "cpu"
+    print("[bench] probe failed:", (r.stdout + r.stderr)[-400:],
+          file=sys.stderr)
+    return False
+
+
+def _probe_with_retries(window_s: float, attempt_s: float) -> bool:
+    """Probe the chip repeatedly with backoff until it answers or the
+    window (measured from BENCH_T0) closes."""
+    deadline = min(_elapsed() + window_s, _total_budget() * 0.45)
+    sleep = 20.0
+    attempt = 0
+    while True:
+        attempt += 1
+        if _subprocess_probe(attempt_s):
+            return True
+        remaining = deadline - _elapsed()
+        if remaining <= 5:
+            print(f"[bench] probe window closed after {attempt} attempts",
+                  file=sys.stderr)
+            return False
+        time.sleep(min(sleep, remaining))
+        sleep = min(sleep * 2, 240.0)
+
+
+def _exec_cpu_fallback(no_rejoin: bool = False):
+    env = dict(os.environ)
+    env["REGENIE_TPU_PLATFORM"] = "cpu"
+    env["BENCH_CPU_FALLBACK"] = "1"
+    if no_rejoin:
+        env["BENCH_NO_REJOIN"] = "1"
+    os.execve(sys.executable, [sys.executable, __file__], env)
+
+
+def _exec_tpu_rejoin():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("REGENIE_TPU_PLATFORM", "BENCH_CPU_FALLBACK")}
+    env["BENCH_REJOINS"] = str(int(os.environ.get("BENCH_REJOINS", 0)) + 1)
+    os.execve(sys.executable, [sys.executable, __file__], env)
+
+
+def _maybe_rejoin_tpu():
+    """From the CPU fallback: keep probing the chip until the rejoin
+    deadline; re-exec onto the TPU if the tunnel wakes up.  At most
+    BENCH_MAX_REJOINS round-trips (a rejoin whose probe lied falls back
+    to CPU with rejoin disabled, so this terminates)."""
+    if not os.environ.get("BENCH_CPU_FALLBACK"):
+        return  # the user forced CPU explicitly — honor it
+    if os.environ.get("BENCH_NO_REJOIN"):
+        return
+    if int(os.environ.get("BENCH_REJOINS", 0)) >= \
+            int(os.environ.get("BENCH_MAX_REJOINS", 1)):
+        return
+    # leave enough budget for a full TPU pass after the re-exec
+    deadline = _total_budget() * float(
+        os.environ.get("BENCH_REJOIN_FRAC", 0.35))
+    probe_s = float(os.environ.get("BENCH_PROBE_S", 90))
+    while _elapsed() < deadline:
+        print(f"[bench] CPU fallback: re-probing TPU "
+              f"(elapsed {_elapsed():.0f}s / rejoin deadline "
+              f"{deadline:.0f}s)", file=sys.stderr)
+        if _subprocess_probe(probe_s):
+            print("[bench] TPU tunnel is back; re-executing on TPU",
+                  file=sys.stderr)
+            _exec_tpu_rejoin()
+        time.sleep(min(60.0, max(5.0, deadline - _elapsed())))
+
+
 def main():
+    _t0()
     import jax
 
     plat = os.environ.get("REGENIE_TPU_PLATFORM")
+    want_tpu = plat not in ("cpu",)
+    if want_tpu:
+        # probe the (remote) chip BEFORE the in-process backend init:
+        # a dead tunnel hangs in uninterruptible C, so probe out of
+        # process with retries spread across the window
+        window = float(os.environ.get("BENCH_PROBE_WINDOW", 600))
+        attempt = float(os.environ.get("BENCH_PROBE_S", 90))
+        if int(os.environ.get("BENCH_REJOINS", 0)) > 0:
+            window = min(window, 120.0)  # a rejoin already probed ok
+        if not _probe_with_retries(window, attempt):
+            print("bench: TPU probe failed; re-running on the cpu backend",
+                  file=sys.stderr)
+            _exec_cpu_fallback(
+                no_rejoin=int(os.environ.get("BENCH_REJOINS", 0)) > 0)
     if plat:
         # config-level override (the env-var path can hang when a remote
         # PJRT plugin registered at interpreter start is unreachable)
@@ -73,27 +220,7 @@ def main():
     import jax.numpy as jnp
 
     on_tpu = jax.default_backend() not in ("cpu",)
-
-    if on_tpu:
-        # probe the (remote) chip before committing to TPU shapes: a
-        # dead tunnel would otherwise burn every per-metric budget
-        def _probe():
-            import jax.numpy as _jnp
-
-            x = _jnp.ones((256, 256))
-            return float((x @ x).sum())
-
-        try:
-            signal.signal(signal.SIGALRM, _alarm)
-        except (ValueError, OSError):
-            pass
-        if _timed(int(os.environ.get("BENCH_PROBE_S", 180)), _probe) is None:
-            print("bench: TPU probe failed; re-running on the cpu backend",
-                  file=sys.stderr)
-            env = dict(os.environ)
-            env["REGENIE_TPU_PLATFORM"] = "cpu"
-            env["BENCH_CPU_FALLBACK"] = "1"
-            os.execve(sys.executable, [sys.executable, __file__], env)
+    dev_backend = "tpu" if on_tpu else "cpu"
 
     # ---- UKB shape (BASELINE.md); scaled down on the CPU fallback ----
     if on_tpu:
@@ -136,6 +263,12 @@ def main():
         pass
 
     extra = {}
+    backends = {}
+
+    def record(name, value, backend, nd=1):
+        if value:
+            extra[name] = round(value, nd)
+            backends[name] = backend
 
     # =================== step2 QT: fused scorer ===================
     from regenie_tpu.ops import fused_score as fsc
@@ -166,15 +299,13 @@ def main():
         # deserves one retry with a fresh budget
         print("[bench] retrying step2_qt_resident once", file=sys.stderr)
         qt_res = _timed(budget, bench_qt_resident)
-    if qt_res:
-        extra["step2_qt_resident"] = round(qt_res, 1)
+    record("step2_qt_resident", qt_res, dev_backend)
 
     # ---- e2e: a REAL CLI step-2 run on a synthetic on-disk BED ----
     # measures the full decode -> transfer -> fused score -> native
     # write pipeline including startup/compile (the honest wall-clock
     # number the prefetch-overlap claim rests on)
     def bench_qt_e2e():
-        import subprocess
         import tempfile
 
         # over the remote-TPU WAN tunnel the e2e leg is transfer-bound;
@@ -217,8 +348,7 @@ def main():
         return Me / dt
 
     qt_e2e = _timed(budget, bench_qt_e2e)
-    if qt_e2e:
-        extra["step2_qt_e2e_cli"] = round(qt_e2e, 1)
+    record("step2_qt_e2e_cli", qt_e2e, dev_backend)
 
     # =================== step2 BT + approx Firth ===================
     def bench_bt_firth():
@@ -288,8 +418,7 @@ def main():
         return best
 
     bt_fs = _timed(budget, bench_bt_firth)
-    if bt_fs:
-        extra["step2_bt_firth"] = round(bt_fs, 1)
+    record("step2_bt_firth", bt_fs, dev_backend)
 
     # =================== step1 level-0 LOOCV ===================
     def bench_step1_l0():
@@ -324,12 +453,10 @@ def main():
         return best
 
     s1 = _timed(budget, bench_step1_l0)
-    if s1:
-        extra["step1_level0"] = round(s1, 1)
+    record("step1_level0", s1, dev_backend)
 
     # =================== gene-based: sets/s ===================
     def bench_genebased():
-        import subprocess
         import tempfile
 
         sys.path.insert(0, os.path.join(os.path.dirname(
@@ -356,8 +483,96 @@ def main():
         return n_sets / (loop or (time.perf_counter() - t0))
 
     gb = _timed(budget, bench_genebased)
-    if gb:
-        extra["genebased_sets_per_s"] = round(gb, 2)
+    record("genebased_sets_per_s", gb, dev_backend, nd=2)
+
+    # =================== host-side pipeline legs ===================
+    # prove the host can feed the chip: the fused path ships PACKED
+    # bytes, so its host cost per block is a file read + tile pad (not
+    # a dense decode).  Measured from a real file (page-cached — the
+    # rig-local storage assumption BASELINE's SSD class implies).
+    def bench_host_ingest():
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="bench_ing_",
+                             dir="/dev/shm" if os.path.isdir("/dev/shm")
+                             else None)
+        path = os.path.join(d, "packed.bin")
+        with open(path, "wb") as fh:
+            for rb in raw_blocks:
+                fh.write(rb.tobytes())
+        blk_bytes = B * nb
+        best = 0.0
+        for _ in range(n_rounds):
+            t0 = time.perf_counter()
+            with open(path, "rb") as fh:
+                for bi in range(n_blocks):
+                    fh.seek(bi * blk_bytes)
+                    raw = np.frombuffer(fh.read(blk_bytes),
+                                        np.uint8).reshape(B, nb)
+                    _ = fsc.pad_raw(raw, nbp)
+            best = max(best, n_blocks * B / (time.perf_counter() - t0))
+        for f in os.listdir(d):
+            os.unlink(os.path.join(d, f))
+        os.rmdir(d)
+        return best
+
+    record("host_ingest_snps_per_s", _timed(budget, bench_host_ingest),
+           "host-cpu")
+
+    def bench_host_decode_dense():
+        from regenie_tpu.io.bed import decode_bed_bytes
+
+        best = 0.0
+        for _ in range(n_rounds):
+            t0 = time.perf_counter()
+            for rb in raw_blocks:
+                _ = decode_bed_bytes(rb, N)
+            best = max(best, n_blocks * B / (time.perf_counter() - t0))
+        return best
+
+    record("host_decode_dense_snps_per_s",
+           _timed(budget, bench_host_decode_dense), "host-cpu")
+
+    def bench_host_render():
+        import types
+
+        from regenie_tpu.io import output as out_mod
+
+        params = types.SimpleNamespace(af_cc=False, dosage_mode=False)
+        snps = [types.SimpleNamespace(chrom="1", physpos=i + 1,
+                                      ID=f"snp{i}", allele1="A",
+                                      allele2="C")
+                for i in range(B)]
+        skip = np.zeros(B, np.uint8)
+        fail = np.zeros(B, np.uint8)
+        af = rng.random(B)
+        nvec = np.full(B, N, np.int32)
+        beta, se = rng.normal(size=(B,)), rng.random(B) + 0.1
+        chisq = rng.random(B) * 30
+        logp = rng.random(B) * 8
+        # production: one block_prefixes per block + P per-trait calls
+        pb, po = out_mod.block_prefixes(snps)
+        txt = out_mod.format_block_single(
+            params, pb, po, "ADD", skip, af, None, nvec, beta, se,
+            chisq, logp, fail)
+        if txt is None:
+            return None  # native lib unavailable
+        best = 0.0
+        for _ in range(n_rounds):
+            t0 = time.perf_counter()
+            pb, po = out_mod.block_prefixes(snps)
+            for _p in range(P):
+                out_mod.format_block_single(
+                    params, pb, po, "ADD", skip, af, None, nvec, beta,
+                    se, chisq, logp, fail)
+            best = max(best, B * P / (time.perf_counter() - t0))
+        return best
+
+    hr = _timed(budget, bench_host_render)
+    record("host_render_rows_per_s", hr, "host-cpu")
+    if hr:
+        # split mode writes P rows per SNP
+        record("host_render_snps_per_s", hr / P, "host-cpu")
 
     # =================== CPU baseline (multithreaded) ===================
     # same QT math: native OpenMP BED decode + threaded-OpenBLAS f64
@@ -383,10 +598,14 @@ def main():
     # normalize this host's multithreaded baseline to the 16-vCPU
     # reference class (docs/docs/performance.md:81)
     cpu16_sps = cpu_sps * (16.0 / host_cores)
-    extra["cpu_baseline_host"] = round(cpu_sps, 1)
-    extra["cpu_baseline_16core_est"] = round(cpu16_sps, 1)
+    record("cpu_baseline_host", cpu_sps, "host-cpu")
+    record("cpu_baseline_16core_est", cpu16_sps, "host-cpu")
 
     headline = qt_res or qt_e2e or 0.0
+    if not on_tpu:
+        # last chance: the fast CPU pass is done — if the tunnel woke up
+        # meanwhile, re-run the whole bench on the chip (this execs away)
+        _maybe_rejoin_tpu()
     fallback = "_CPU_FALLBACK" if os.environ.get("BENCH_CPU_FALLBACK") else ""
     print(json.dumps({
         "metric": "step2_qt_score_snps_per_s_per_chip" + fallback,
@@ -394,18 +613,25 @@ def main():
         "unit": (f"SNPs/s (UKB shape: N={N}, P={P}, K={K}, "
                  f"{n_inc} incomplete traits, device-resident packed "
                  "2-bit genotypes; extra: e2e incl. transfer+native "
-                 "write, BT+1%-Firth, step-1 level-0 LOOCV; baseline = "
-                 f"multithreaded numpy f64 on {host_cores} cores scaled "
-                 "to the 16-vCPU reference class)"),
+                 "write, BT+1%-Firth, step-1 level-0 LOOCV, host "
+                 "ingest/decode/render legs; baseline = multithreaded "
+                 f"numpy f64 on {host_cores} cores scaled to the "
+                 "16-vCPU reference class)"),
         "vs_baseline": round(headline / cpu16_sps, 2),
+        "backend": dev_backend,
         "extra": extra,
+        "backends": backends,
     }))
 
 
 if __name__ == "__main__":
     # watchdog: a dead remote-TPU tunnel hangs inside backend init with
-    # no exception to catch — fail loudly instead of hanging the caller
+    # no exception to catch — fail loudly instead of hanging the caller.
+    # The deadline is measured from the FIRST exec (BENCH_T0) so the
+    # probe/fallback/rejoin dance shares one budget.
     import threading
+
+    _t0()
 
     def _abort():
         sys.stderr.write("bench: watchdog expired (TPU backend unresponsive?)\n")
@@ -413,13 +639,11 @@ if __name__ == "__main__":
         if os.environ.get("REGENIE_TPU_PLATFORM") != "cpu":
             sys.stderr.write("bench: retrying on the cpu backend\n")
             sys.stderr.flush()
-            env = dict(os.environ)
-            env["REGENIE_TPU_PLATFORM"] = "cpu"
-            env["BENCH_CPU_FALLBACK"] = "1"
-            os.execve(sys.executable, [sys.executable, __file__], env)
+            _exec_cpu_fallback(no_rejoin=True)
         os._exit(3)
 
-    wd = threading.Timer(float(os.environ.get("BENCH_TIMEOUT", 2400)), _abort)
+    wd_s = max(120.0, _total_budget() - _elapsed())
+    wd = threading.Timer(wd_s, _abort)
     wd.daemon = True
     wd.start()
     main()

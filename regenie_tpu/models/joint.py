@@ -426,12 +426,16 @@ def _chibar_weights_mc(V, n_sims=5000, seed=1):
     return counts / n_sims
 
 
-def _orthant_prob(V):
+def _orthant_prob(V, seed=1905):
     """P(Z > 0) for Z ~ N(0, V) (jburden_pnorm, NNLS.cpp:233). Genz
     randomized quadrature via scipy for p >= 3 (scipy's mvndst is the
     same Genz algorithm the reference links from mvtnorm); closed forms
     for p <= 2. Returns -1 on failure (mirrors the reference's error
-    signal)."""
+    signal).
+
+    The Genz lattice's random shifts are SEEDED (scipy's frozen-dist
+    `seed=`) — an unseeded cdf drifts in the ~5th digit between calls,
+    which made SBAT output (and its tests) flap run-to-run."""
     p = V.shape[0]
     if p == 1:
         return 0.5
@@ -447,7 +451,7 @@ def _orthant_prob(V):
     try:
         v = float(
             multivariate_normal(
-                mean=np.zeros(p), cov=R, allow_singular=True
+                mean=np.zeros(p), cov=R, allow_singular=True, seed=seed
             ).cdf(np.zeros(p))
         )
     except Exception:
