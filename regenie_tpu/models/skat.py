@@ -20,7 +20,12 @@ from scipy.stats import beta as beta_dist
 from scipy.stats import cauchy, chi2
 
 from ..config import QT, Params
-from ..utils.quadforms import chisq_mix_logp, chisq_mix_pv, liu_params
+from ..utils.quadforms import (
+    chisq_mix_logp,
+    chisq_mix_pv,
+    chisq_mix_sf_grid,
+    liu_params,
+)
 from ..utils.stats import chisq_neglog10, neglog10_to_chisq
 
 VALID_TESTS = ("skat", "skato", "skato-acat", "acatv", "acato", "acato-full")
@@ -121,8 +126,43 @@ def fixed_skato_p(q: float, rho: float, lambdas: np.ndarray):
     return chisq_mix_logp(q, lambdas)
 
 
+class VCPrep:
+    """Host-side per-set VC state between vc_prep and vc_finish.
+
+    `codes` non-None marks the packed fast path: the main columns ship
+    to the device as 2-bit BED codes and are decoded/imputed/weighted
+    on-chip by the batched kernel (vc_products_batched) — the gene-based
+    twin of step 2's fused packed-bytes scorer."""
+
+    __slots__ = (
+        "vset", "snps", "vc_masks", "n_main", "ur_cols", "cols_all",
+        "col_of", "weights_full", "w_acat_full", "GW_full", "chrom",
+        "codes", "flip", "imp", "wvec", "ur_dense",
+        "WGtX", "Svals", "Kmat", "is_bt",
+    )
+
+    def __init__(self):
+        for k in self.__slots__:
+            setattr(self, k, None)
+
+
 def run_vc_tests(params: Params, eng, vset, snps, G, sb, ignored, built, writers, log):
-    """Compute SKAT-family tests for one set and write rows.
+    """Compute SKAT-family tests for one set and write rows (the
+    single-set driver; the bucketed gene-based loop calls
+    vc_prep / vc_products_batched / vc_finish directly so the device
+    products batch across sets)."""
+    eng._last_vc_results = {}
+    prep = vc_prep(params, eng, vset, snps, G, sb, ignored, built, log)
+    if prep is None:
+        return
+    vc_products_batched(params, eng, [prep])
+    vc_finish(params, eng, vset, prep, writers, log)
+
+
+def vc_prep(params: Params, eng, vset, snps, G, sb, ignored, built, log):
+    """Host half of the VC tests for one set: eligibility, Beta(a1,a2)
+    weights, ultra-rare collapse (update_vc_gmat/prep_ultra_rare_mask,
+    SKAT.cpp:70/:237). Returns a VCPrep or None.
 
     G: [M, N] raw genotypes (missing=-3); sb: block stats dict from the
     engine; built: BuiltMask list (provides the per-mask variant sets via
@@ -132,10 +172,8 @@ def run_vc_tests(params: Params, eng, vset, snps, G, sb, ignored, built, writers
 
     if params.trait_mode not in (QT, BT):
         log("WARNING: VC tests only implemented for QT/BT traits; skipping")
-        return
+        return None
     M, N = G.shape
-    P = params.n_pheno
-    eng._last_vc_results = {}
     af1 = sb["af1"]
     mac1 = np.minimum(sb["total"], 2 * sb["ns"] - sb["total"])
     ind = eng.pd.ind_in_analysis
@@ -143,7 +181,12 @@ def run_vc_tests(params: Params, eng, vset, snps, G, sb, ignored, built, writers
     # identify masks with a VC column (mask built at the vc_maxAAF bin)
     vc_masks = [bm for bm in built if bm.in_vc_bin]
     if not vc_masks:
-        return
+        return None
+
+    # packed fast path: QT + integer hardcalls -> the main columns ship
+    # as 2-bit codes and are decoded/weighted on-chip (BT keeps the host
+    # matrix: its per-pheno gamma weighting consumes GW columns directly)
+    packed_ok = params.trait_mode == QT and np.issubdtype(G.dtype, np.integer)
 
     # variants eligible for VC: union over vc masks, minus ultra-rare
     ur = (mac1 <= params.skat_collapse_MAC) & ~ignored
@@ -151,7 +194,7 @@ def run_vc_tests(params: Params, eng, vset, snps, G, sb, ignored, built, writers
     weights_acat = np.zeros(M)
     maf = np.minimum(af1, 1 - af1)
 
-    GW = np.zeros((N, M))
+    GW = None if packed_ok else np.zeros((N, M))
     used = np.zeros(M, dtype=bool)
     for bm in vc_masks:
         used[bm.sel_idx] = True
@@ -171,12 +214,6 @@ def run_vc_tests(params: Params, eng, vset, snps, G, sb, ignored, built, writers
 
     sel = np.flatnonzero(used & ~ur)
     if len(sel):
-        # vectorized flip/impute/weight over the eligible variants
-        Gs = G[sel].astype(np.float64)  # [m, N]
-        miss = Gs == -3
-        Gs = np.where((af1[sel] > 0.5)[:, None], 2.0 - Gs, Gs)
-        Gs = np.where(miss, (2.0 * maf[sel])[:, None], Gs)
-        Gs *= ind[None, :]
         w_beta = beta_dist.pdf(maf[sel], params.skat_a1, params.skat_a2)
         if user_w is None:
             w = w_beta
@@ -188,7 +225,16 @@ def run_vc_tests(params: Params, eng, vset, snps, G, sb, ignored, built, writers
             w = user_w[sel]
             weights_acat[sel] = w
         weights[sel] = w
-        GW[:, sel] = (Gs * w[:, None]).T
+        if not packed_ok:
+            # vectorized flip/impute/weight over the eligible variants
+            # (the packed path performs the same elementwise chain on
+            # the device, _vc_kernel)
+            Gs = G[sel].astype(np.float64)  # [m, N]
+            miss = Gs == -3
+            Gs = np.where((af1[sel] > 0.5)[:, None], 2.0 - Gs, Gs)
+            Gs = np.where(miss, (2.0 * maf[sel])[:, None], Gs)
+            Gs *= ind[None, :]
+            GW[:, sel] = (Gs * w[:, None]).T
 
     # ultra-rare collapse per vc mask (prep_ultra_rare_mask, SKAT.cpp:237)
     ur_cols: Dict[int, int] = {}  # bm.vc_col -> column in GW_ur
@@ -221,40 +267,117 @@ def run_vc_tests(params: Params, eng, vset, snps, G, sb, ignored, built, writers
         w_ur.append(w)
         w_ur_acat.append(w * w * maf_ur * (1 - maf_ur))
 
-    # assemble per-mask column lists
-    X = eng.pd.new_cov
-    yres = eng.res  # [N, P] scaled residuals
+    # assemble per-set state for the (possibly bucketed) device products
     cols_all = np.flatnonzero(weights > 0)
     if len(cols_all) == 0 and not GW_ur:
-        return
-    GW_full = np.concatenate(
-        [GW[:, cols_all]] + ([np.stack(GW_ur, axis=1)] if GW_ur else []), axis=1
-    )
-    col_of = {int(c): k for k, c in enumerate(cols_all)}
-    n_main = len(cols_all)
+        return None
 
-    weights_full = np.concatenate(
-        [weights[cols_all], np.array(w_ur)]
-    ) if GW_ur else weights[cols_all]
-    if params.trait_mode == BT:
+    prep = VCPrep()
+    prep.vset, prep.snps, prep.vc_masks = vset, snps, vc_masks
+    prep.chrom = vset.chrom
+    prep.cols_all = cols_all
+    prep.col_of = {int(c): k for k, c in enumerate(cols_all)}
+    prep.n_main = len(cols_all)
+    prep.ur_cols = ur_cols
+    prep.ur_dense = np.stack(GW_ur, axis=1) if GW_ur else np.zeros((N, 0))
+    prep.weights_full = (
+        np.concatenate([weights[cols_all], np.array(w_ur)])
+        if GW_ur else weights[cols_all]
+    )
+    prep.w_acat_full = (
+        np.concatenate([weights_acat[cols_all], np.array(w_ur_acat)])
+        if GW_ur else weights_acat[cols_all]
+    )
+    prep.is_bt = params.trait_mode == BT
+
+    if packed_ok and prep.n_main > 0:
+        from ..io.bed import encode_bed_bytes
+
+        prep.codes = encode_bed_bytes(G[cols_all])
+        prep.flip = af1[cols_all] > 0.5
+        prep.imp = 2.0 * maf[cols_all]
+        prep.wvec = weights[cols_all]
+    else:
+        main = GW[:, cols_all] if GW is not None else np.zeros((N, 0))
+        prep.GW_full = np.concatenate([main, prep.ur_dense], axis=1)
+    return prep
+
+
+def vc_products_batched(params: Params, eng, preps) -> None:
+    """Fill WGtX/Svals/Kmat on each QT prep (compute_vc_mats_qt,
+    SKAT.cpp:643), batching the device products across sets.
+
+    Packed preps (BED/PGEN hardcalls) group by (chrom, padded dims) into
+    bucketed ops.vc_batch kernel calls — 2-bit codes ship instead of the
+    dense f64 weighted matrix and the decode/impute/weight chain runs
+    on-chip. Dense preps (dosage input, ur-only sets) and BT preps keep
+    the per-set path (_run_vc_bt consumes the host GW matrix directly)."""
+    from ..ops import vc_batch
+
+    X = eng.pd.new_cov
+    qt = [p for p in preps if p is not None and not p.is_bt]
+    packed = [p for p in qt if p.codes is not None]
+    dense = [p for p in qt if p.codes is None]
+
+    if packed:
+        cache = getattr(eng, "_vc_cache", None)
+        if cache is None or cache.N != X.shape[0]:
+            cache = vc_batch.VCDeviceCache(X, eng.pd.ind_in_analysis)
+            eng._vc_cache = cache
+        groups: Dict[tuple, list] = {}
+        for p in packed:
+            u = p.ur_dense.shape[1]
+            key = (p.chrom, vc_batch._pad_dim(p.n_main),
+                   0 if u == 0 else vc_batch._pad_dim(u, 1))
+            groups.setdefault(key, []).append(p)
+        for (chrom, _mm_pad, _u_pad), ps in sorted(groups.items()):
+            eng.prep_chrom(chrom)
+            cache.set_residuals(chrom, eng.res, X)
+            prods = vc_batch.bucket_products(
+                cache,
+                [p.codes for p in ps], [p.ur_dense for p in ps],
+                [p.flip for p in ps], [p.imp for p in ps],
+                [p.wvec for p in ps],
+            )
+            for p, (gtg, gtx, gty) in zip(ps, prods):
+                p.WGtX = gtx  # [Mt, K]
+                p.Svals = gty.T - cache.ytX @ gtx.T  # [P, Mt]
+                p.Kmat = gtg - gtx @ gtx.T  # [Mt, Mt]
+
+    if dense:
+        import jax.numpy as _jnp
+
+        from .step2 import mm as _mm
+
+        for p in dense:
+            eng.prep_chrom(p.chrom)
+            yres = eng.res  # [N, P] scaled residuals
+            GW_j = _jnp.asarray(p.GW_full)
+            p.WGtX = np.asarray(_mm(GW_j.T, _jnp.asarray(X)))
+            p.Svals = (
+                np.asarray(_mm(_jnp.asarray(yres.T), GW_j))
+                - (yres.T @ X) @ p.WGtX.T
+            )
+            p.Kmat = np.asarray(_mm(GW_j.T, GW_j)) - p.WGtX @ p.WGtX.T
+
+
+def vc_finish(params: Params, eng, vset, prep: VCPrep, writers, log) -> None:
+    """Host tail of the VC tests for one set: remeta LD write, ACAT-V
+    single-variant p-values, per-mask SKAT/SKATO family, row rendering
+    (compute_vc_masks_qt SKAT.cpp:500+, print_vc_sumstats :1940)."""
+    eng._last_vc_results = {}
+    if prep.is_bt:
         return _run_vc_bt(
-            params, eng, vset, vc_masks, GW_full, col_of, n_main, ur_cols,
-            weights_full,
-            np.concatenate([weights_acat[cols_all], np.array(w_ur_acat)])
-            if GW_ur else weights_acat[cols_all],
+            params, eng, vset, prep.vc_masks, prep.GW_full, prep.col_of,
+            prep.n_main, prep.ur_cols, prep.weights_full, prep.w_acat_full,
             writers, log,
         )
-
-    # score stats + kernel (compute_vc_mats_qt, SKAT.cpp:643); the
-    # [Mt, N] x [N, *] products run on the accelerator (MXU)
-    import jax.numpy as _jnp
-
-    from .step2 import mm as _mm
-
-    GW_j = _jnp.asarray(GW_full)
-    WGtX = np.asarray(_mm(GW_j.T, _jnp.asarray(X)))  # [Mt, K]
-    Svals = np.asarray(_mm(_jnp.asarray(yres.T), GW_j)) - (yres.T @ X) @ WGtX.T  # [P, Mt]
-    Kmat = np.asarray(_mm(GW_j.T, GW_j)) - WGtX @ WGtX.T  # [Mt, Mt]
+    P = params.n_pheno
+    snps, vc_masks = prep.snps, prep.vc_masks
+    cols_all, col_of, n_main = prep.cols_all, prep.col_of, prep.n_main
+    ur_cols = prep.ur_cols
+    weights_full, w_acat_full = prep.weights_full, prep.w_acat_full
+    WGtX, Svals, Kmat = prep.WGtX, prep.Svals, prep.Kmat
 
     # remeta: write the unweighted kernel per gene (SKAT.cpp:338-362)
     if params.remeta_save_ld and getattr(eng, "remeta_writers", None) and n_main > 0:
@@ -268,8 +391,6 @@ def run_vc_tests(params: Params, eng, vset, snps, G, sb, ignored, built, writers
                 wr.write_matrix_sparse(K_unw, vset.ID, ids, params.remeta_ld_spr)
             else:
                 wr.write_matrix_dense(K_unw, vset.ID, ids)
-
-    w_acat_full = np.concatenate([weights_acat[cols_all], np.array(w_ur_acat)]) if GW_ur else weights_acat[cols_all]
 
     # single-variant p-values for ACAT-V
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -457,8 +578,9 @@ def _skato_grid(dlt_hi, skato_lambdas):
     lmax = lam[-1]
     lam = lam / lmax
     grid = np.linspace(1e-8, dlt_hi, 80)
-    sf_grid = np.array(
-        [chisq_mix_pv(d / lmax, lam, presorted=True) for d in grid])
+    # monotone-SF batched chain: hoisted Davies panels on the shared-h
+    # prefix + direct saddlepoint for the deep tail (chisq_mix_sf_grid)
+    sf_grid = chisq_mix_sf_grid(grid / lmax, lam)
     ok_grid = sf_grid > 0
     if ok_grid.sum() < 4:
         return None

@@ -177,12 +177,23 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
     # order sets by chromosome (file order), then set position
     sets.sort(key=lambda s: (s.chrom, s.physpos))
 
-    # multi-host: shard SETS across processes (sets are independent —
+    # Sets process in BUCKETS of consecutive sets (global order): stage 1
+    # runs the per-set host work (IO, stats, mask building, burden test,
+    # VC prep), then ONE batched device call computes every set's VC
+    # score products (ops.vc_batch — 2-bit codes ship instead of dense
+    # f64, the decode/impute/weight chain runs on-chip), then stage 3
+    # renders rows per set in order. Bucket composition is a pure
+    # function of the global set list, and the batched kernel is
+    # composition-invariant per slot, so bucketed == per-set bytes.
+    #
+    # multi-host: shard BUCKETS across processes (sets are independent —
     # the TPU-runtime form of the reference's per-machine gene jobs).
-    # Each process reads + tests only its sets on its LOCAL devices
+    # Each process reads + tests only its buckets on its LOCAL devices
     # (no global-mesh collectives, which would deadlock on divergent
     # per-process work), buffers its rendered rows, and the ordered
     # merge all-gathers them so host 0 writes in set order.
+    import os as _os
+
     from .parallel.dist import allgather_py, process_count, process_index
 
     nproc, pid = process_count(), process_index()
@@ -190,16 +201,16 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
         nproc > 1 and not params.write_masks
         and not params.write_mask_snplist and not params.remeta_save_ld
     )
-    uniq_writers: List = []
     if shard_sets:
         eng.mesh = None  # local compute only (see above)
-        seen = set()
-        for w in writers:
-            if w is not None and id(w) not in seen:
-                seen.add(id(w))
-                uniq_writers.append(w)
-        log(f" * multi-host gene-based: {nproc} processes, sets sharded "
-            "round-robin")
+        log(f" * multi-host gene-based: {nproc} processes, set buckets "
+            "(sets sharded round-robin)")
+    uniq_writers: List = []
+    seen = set()
+    for w in writers:
+        if w is not None and id(w) not in seen:
+            seen.add(id(w))
+            uniq_writers.append(w)
     buffered = []  # (set_idx, [payload per unique writer])
 
     class _RowBuffer:
@@ -214,132 +225,163 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
         def value(self):
             return "".join(self.parts)
 
-    for set_idx, vset in enumerate(sets):
-        if shard_sets and set_idx % nproc != pid:
+    bucket_size = max(1, int(_os.environ.get("REGENIE_TPU_GENE_BUCKET", "32")))
+    n_buckets = -(-len(sets) // bucket_size) if sets else 0
+
+    for b_idx in range(n_buckets):
+        if shard_sets and b_idx % nproc != pid:
             continue
-        if shard_sets:
+        staged = []  # (set_idx, vset, built, burden_result, bufs, vc_prep)
+        for set_idx in range(
+            b_idx * bucket_size, min((b_idx + 1) * bucket_size, len(sets))
+        ):
+            vset = sets[set_idx]
             bufs = {id(w): _RowBuffer() for w in uniq_writers}
-            writers_set = [
-                None if w is None else bufs[id(w)] for w in writers
-            ]
-        else:
-            writers_set = writers
-        eng.prep_chrom(vset.chrom)
-        snps = [gd.snps[i] for i in vset.snp_indices]
-        G = gd.read_block_scattered(snps)  # [M, N], missing=-3, no imputation
+            writers_set = [None if w is None else bufs[id(w)] for w in writers]
+            eng.prep_chrom(vset.chrom)
+            snps = [gd.snps[i] for i in vset.snp_indices]
+            G = gd.read_block_scattered(snps)  # [M, N], missing=-3, no imputation
 
-        sb = eng.block_stats(G)
-        total, ns = sb["total"], sb["ns"]
-        mac1 = np.minimum(total, 2 * ns - total)
-        ignored = mac1 < params.min_mac  # 0.5 in mask mode: drops monomorphic
-        af1 = total / (2.0 * ns)
+            sb = eng.block_stats(G)
+            total, ns = sb["total"], sb["ns"]
+            mac1 = np.minimum(total, 2 * ns - total)
+            ignored = mac1 < params.min_mac  # 0.5 in mask mode: drops monomorphic
+            af1 = total / (2.0 * ns)
 
-        anno_bits = np.array(
-            [anno.get((i, vset.ID), 1) for i in vset.snp_indices], dtype=np.uint64
-        )
-
-        # 4-column annotations: expand masks per domain + all-domain mask
-        # (GenoMask::setBins w_regions branch, Masks.cpp:134-155)
-        set_mask_defs = mask_defs
-        region_bits = None
-        if with_domains and vset.ID in region_names:
-            from .io.setfiles import MaskDef
-
-            rnames = region_names[vset.ID]
-            allbits = (1 << len(rnames)) - 1
-            set_mask_defs = []
-            for md in mask_defs:
-                for k, rn in enumerate(rnames):
-                    if params.mask_lodo:
-                        set_mask_defs.append(MaskDef(
-                            md.name, md.bits, f"LODO_{rn}.", allbits & ~(1 << k)
-                        ))
-                    else:
-                        set_mask_defs.append(
-                            MaskDef(md.name, md.bits, f"{rn}.", 1 << k)
-                        )
-                set_mask_defs.append(MaskDef(md.name, md.bits, "", allbits))
-            region_bits = np.array(
-                [domains.get((i, vset.ID), 0) for i in vset.snp_indices],
-                dtype=np.uint64,
+            anno_bits = np.array(
+                [anno.get((i, vset.ID), 1) for i in vset.snp_indices], dtype=np.uint64
             )
 
-        if lovo_spec is not None:
-            from .models.masks import build_lovo_masks
+            # 4-column annotations: expand masks per domain + all-domain mask
+            # (GenoMask::setBins w_regions branch, Masks.cpp:134-155)
+            set_mask_defs = mask_defs
+            region_bits = None
+            if with_domains and vset.ID in region_names:
+                from .io.setfiles import MaskDef
 
-            built = build_lovo_masks(
-                params, vset, G.astype(np.float64), af1, mac1, ignored,
-                anno_bits, mask_defs[0], lovo_spec[2],
-                [s.ID for s in snps], pd.masked_indivs, pd.ind_in_analysis,
-            )
-        else:
-            aaf_custom = None
-            singleton_custom = None
-            if file_aaf is not None:
-                fa = file_aaf[vset.snp_indices]
-                aaf_custom = np.where(fa >= 0, fa, af1)
-                if force_singleton is not None:
-                    singleton_custom = force_singleton[vset.snp_indices]
-            built, _ = build_masks_for_set(
-                params, vset, G.astype(np.float64), af1, mac1, ignored, anno_bits,
-                set_mask_defs, aafs, pd.masked_indivs, pd.ind_in_analysis,
-                aaf_custom=aaf_custom, singleton_custom=singleton_custom,
-                region_bits=region_bits,
-            )
-
-        if mask_bed is not None:
-            for bm in built:
-                mask_bed.add(bm)
-        if setlist_groups is not None:
-            for _sfx, names, fh in setlist_groups:
-                ids = [
-                    bm.snp.ID for bm in built
-                    if bm.mask_name in names
-                    or f"{bm.mask_name}.{bm.bin_name}" in names
-                ]
-                if ids:
-                    fh.write(
-                        f"{vset.ID} {vset.chrom} {vset.physpos} " + ",".join(ids) + "\n"
-                    )
-        if snplist_fh is not None:
-            # maskID chrom pos v1,v2,... (make_snplist, Masks.cpp:1350)
-            for bm in built:
-                sel_ids = [snps[k].ID for k in bm.sel_idx]
-                snplist_fh.write(
-                    f"{bm.snp.ID}\t{bm.snp.chrom}\t{bm.snp.physpos}\t" + ",".join(sel_ids) + "\n"
+                rnames = region_names[vset.ID]
+                allbits = (1 << len(rnames)) - 1
+                set_mask_defs = []
+                for md in mask_defs:
+                    for k, rn in enumerate(rnames):
+                        if params.mask_lodo:
+                            set_mask_defs.append(MaskDef(
+                                md.name, md.bits, f"LODO_{rn}.", allbits & ~(1 << k)
+                            ))
+                        else:
+                            set_mask_defs.append(
+                                MaskDef(md.name, md.bits, f"{rn}.", 1 << k)
+                            )
+                    set_mask_defs.append(MaskDef(md.name, md.bits, "", allbits))
+                region_bits = np.array(
+                    [domains.get((i, vset.ID), 0) for i in vset.snp_indices],
+                    dtype=np.uint64,
                 )
 
-        if params.skip_test:
-            continue  # --skip-test: masks written, no association
-        if built:
-            r = _test_masks(eng, built)
-            eng._last_mask_result = r
-            if not params.p_joint_only:  # --joint-only suppresses mask rows
-                write_block_rows(params, pd, writers_set, [bm.snp for bm in built], r,
-                                 model_type=eng.model_type())
+            if lovo_spec is not None:
+                from .models.masks import build_lovo_masks
 
-        # SKAT / ACAT family on the weighted variant matrix
-        if params.vc_tests:
+                built = build_lovo_masks(
+                    params, vset, G.astype(np.float64), af1, mac1, ignored,
+                    anno_bits, mask_defs[0], lovo_spec[2],
+                    [s.ID for s in snps], pd.masked_indivs, pd.ind_in_analysis,
+                )
+            else:
+                aaf_custom = None
+                singleton_custom = None
+                if file_aaf is not None:
+                    fa = file_aaf[vset.snp_indices]
+                    aaf_custom = np.where(fa >= 0, fa, af1)
+                    if force_singleton is not None:
+                        singleton_custom = force_singleton[vset.snp_indices]
+                built, _ = build_masks_for_set(
+                    params, vset, G.astype(np.float64), af1, mac1, ignored, anno_bits,
+                    set_mask_defs, aafs, pd.masked_indivs, pd.ind_in_analysis,
+                    aaf_custom=aaf_custom, singleton_custom=singleton_custom,
+                    region_bits=region_bits,
+                )
+
+            if mask_bed is not None:
+                for bm in built:
+                    mask_bed.add(bm)
+            if setlist_groups is not None:
+                for _sfx, names, fh in setlist_groups:
+                    ids = [
+                        bm.snp.ID for bm in built
+                        if bm.mask_name in names
+                        or f"{bm.mask_name}.{bm.bin_name}" in names
+                    ]
+                    if ids:
+                        fh.write(
+                            f"{vset.ID} {vset.chrom} {vset.physpos} " + ",".join(ids) + "\n"
+                        )
+            if snplist_fh is not None:
+                # maskID chrom pos v1,v2,... (make_snplist, Masks.cpp:1350)
+                for bm in built:
+                    sel_ids = [snps[k].ID for k in bm.sel_idx]
+                    snplist_fh.write(
+                        f"{bm.snp.ID}\t{bm.snp.chrom}\t{bm.snp.physpos}\t" + ",".join(sel_ids) + "\n"
+                    )
+
+            if params.skip_test:
+                continue  # --skip-test: masks written, no association
+            r = None
+            if built:
+                r = _test_masks(eng, built)
+                if not params.p_joint_only:  # --joint-only suppresses mask rows
+                    write_block_rows(params, pd, writers_set, [bm.snp for bm in built], r,
+                                     model_type=eng.model_type())
+
+            # SKAT / ACAT family: host prep now, device products batch
+            # across the bucket's sets (stage 2)
+            prep = None
+            if params.vc_tests:
+                from .models import skat as skat_mod
+
+                prep = skat_mod.vc_prep(
+                    params, eng, vset, snps, G, sb, ignored, built, log
+                )
+            staged.append((set_idx, vset, built, r, bufs, prep))
+
+        # stage 2: ONE batched device call for the bucket's VC products
+        if params.vc_tests and any(t[5] is not None for t in staged):
             from .models import skat as skat_mod
 
-            skat_mod.run_vc_tests(
-                params, eng, vset, snps, G, sb, ignored, built, writers_set, log
+            skat_mod.vc_products_batched(
+                params, eng, [t[5] for t in staged if t[5] is not None]
             )
 
-        # joint tests on burden p-values
-        if params.apply_gene_pval_strategy:
-            from .models import joint as joint_mod
+        # stage 3: per-set host tails + row rendering, in set order
+        for set_idx, vset, built, r, bufs, prep in staged:
+            writers_set = [None if w is None else bufs[id(w)] for w in writers]
+            eng.prep_chrom(vset.chrom)
+            eng._last_mask_result = r
+            if params.vc_tests:
+                from .models import skat as skat_mod
 
-            joint_mod.run_gene_p(params, eng, vset, built, writers_set, log)
-        elif params.joint_tests:
-            from .models import joint as joint_mod
+                eng._last_vc_results = {}
+                if prep is not None:
+                    skat_mod.vc_finish(params, eng, vset, prep, writers_set, log)
 
-            joint_mod.run_joint_tests(params, eng, vset, built, writers_set, log)
+            # joint tests on burden p-values
+            if params.apply_gene_pval_strategy:
+                from .models import joint as joint_mod
 
-        if shard_sets:
-            buffered.append(
-                (set_idx, [bufs[id(w)].value() for w in uniq_writers])
-            )
+                joint_mod.run_gene_p(params, eng, vset, built, writers_set, log)
+            elif params.joint_tests:
+                from .models import joint as joint_mod
+
+                joint_mod.run_joint_tests(params, eng, vset, built, writers_set, log)
+
+            if shard_sets:
+                buffered.append(
+                    (set_idx, [bufs[id(w)].value() for w in uniq_writers])
+                )
+            else:
+                for w in uniq_writers:
+                    payload = bufs[id(w)].value()
+                    if payload:
+                        w.write(payload)
 
     if shard_sets:
         # ordered multi-host merge: all processes exchange their rows,

@@ -91,6 +91,102 @@ def davies_pv(q: float, lambdas: np.ndarray, strict: bool = False) -> float:
     return pv
 
 
+def _davies_shared_h(qs: np.ndarray, lam: np.ndarray) -> np.ndarray:
+    """davies_pv for a batch of q that all satisfy q <= sum(lam), so
+    every one uses the SAME panel width h = 2*pi/sum(lam). The
+    q-independent arctan/log1p sweeps (the transcendental cost, L x
+    panels x nodes) are computed once and shared; only sin(theta) is
+    per-q. Bitwise-identical to the scalar davies_pv per element: the
+    hoisted arrays are the exact values the scalar computes, and every
+    reduction keeps its axis length (numpy pairwise-summation order
+    unchanged). The envelope is q-independent here, so all points share
+    the scalar's early-exit chunk."""
+    nq = len(qs)
+    qeff = max(float(lam.sum()), 1e-30)
+    h = 2.0 * np.pi / qeff
+    n_direct, n_accel, chunk = 256, 64, 64
+
+    val = np.zeros(nq)
+    k0 = 0
+    env = np.inf
+
+    def panels_for(k0, kc):
+        pts = (np.arange(k0, k0 + kc, dtype=np.float64)[:, None]
+               + _GL_X01[None, :]) * h  # [kc, 12] — shared by all q
+        lu = lam[:, None, None] * pts[None, :, :]
+        atsum = np.arctan(lu).sum(axis=0)  # [kc, 12]
+        log_rho = 0.25 * np.log1p(lu * lu).sum(axis=0)
+        theta = 0.5 * atsum[None] - 0.5 * qs[:, None, None] * pts[None]
+        f = np.sin(theta) * np.exp(-log_rho)[None] / pts[None]
+        env = np.exp(-log_rho[-1, -1]) / pts[-1, -1]
+        return (f * _GL_W01[None, None, :]).sum(axis=2) * h, env  # [nq, kc]
+
+    while k0 < n_direct:
+        kc = min(chunk, n_direct - k0)
+        panels_c, env = panels_for(k0, kc)
+        val += panels_c.sum(axis=1)
+        k0 += kc
+        if env < 1e-15:
+            break
+    if env >= 1e-15:
+        panels_t, _env = panels_for(k0, n_accel)
+        ps = np.cumsum(panels_t, axis=1)
+        while ps.shape[1] > 1:
+            ps = 0.5 * (ps[:, :-1] + ps[:, 1:])
+        val += ps[:, 0]
+
+    pv = 0.5 + val / np.pi
+    bad = ~np.isfinite(pv) | (pv <= 0) | (pv > 1)
+    return np.where(bad, -1.0, pv)
+
+
+def chisq_mix_sf_grid(qs: np.ndarray, lambdas: np.ndarray) -> np.ndarray:
+    """chisq_mix_pv over an ASCENDING grid of q sharing one PRESORTED
+    normalized spectrum (the SKATO mixture-SF grid, SKAT.cpp:1841-1935's
+    repeated qf calls — the gene-based host hot spot at scale).
+
+    Two monotonicity-based work cuts vs the per-point loop:
+      * the q <= sum(lam) prefix shares panel nodes, so its Davies
+        sweeps hoist the arctan/log1p transcendentals across points
+        (bitwise-identical values, `_davies_shared_h`);
+      * the SF is decreasing in q, so once Davies drops <= 1e-5 every
+        later point takes the saddlepoint branch directly — the chain
+        would discard its Davies value anyway. (Within ~1 grid point of
+        the 1e-5 crossover this can pick the saddlepoint where the
+        scalar chain kept a Davies value just above threshold; both are
+        accurate there and the choice is deterministic.)
+    """
+    qs = np.asarray(qs, dtype=np.float64)
+    lam = np.asarray(lambdas, dtype=np.float64)
+    out = np.empty(len(qs))
+    if len(lam) == 1:
+        return np.asarray(chi2.sf(qs / lam[0], df=1))
+    lsum = float(lam.sum())
+    n_pre = int(np.searchsorted(qs, lsum, side="right"))
+    out[:n_pre] = _davies_shared_h(qs[:n_pre], lam)
+    tail = False
+    for i in range(len(qs)):
+        pv = out[i] if i < n_pre else None
+        point_fallback = False
+        if not tail:
+            if pv is None:
+                pv = davies_pv(float(qs[i]), lam)
+            if 0 < pv <= 1e-5:
+                tail = True  # true deep tail: SF monotone from here on
+            elif pv <= 0:
+                point_fallback = True  # Davies failure, not a tail signal
+        if tail or point_fallback:
+            q = float(qs[i])
+            pv = kuonen_pv(q, lam)
+            if pv <= 0:
+                pv = davies_pv(q, lam, strict=True)
+                if pv <= 0:
+                    logp, _ = liu_logp(q, lam)
+                    pv = 10 ** (-logp) if logp >= 0 else -1.0
+        out[i] = pv if np.isfinite(pv) else -1.0
+    return out
+
+
 def _K(t, lam):
     return -0.5 * np.log1p(-2.0 * t * lam).sum()
 
