@@ -222,6 +222,27 @@ def main():
     on_tpu = jax.default_backend() not in ("cpu",)
     dev_backend = "tpu" if on_tpu else "cpu"
 
+    def _sync(outs):
+        """Force device completion and return after the work is DONE.
+
+        jax.block_until_ready is a NO-OP on some remote-tunneled PJRT
+        backends (observed on this rig's axon tunnel: dispatch returns
+        in ~0.1ms for multi-TFLOP programs and nothing materializes
+        until a fetch).  Reduce one element of every output to a single
+        scalar ON DEVICE and fetch those 4 bytes — the fetch forces the
+        producing executables to run; on well-behaved backends this
+        adds one tiny kernel + RTT.
+        """
+        leaves = [x for x in jax.tree_util.tree_leaves(outs)
+                  if hasattr(x, "dtype")]
+        jax.block_until_ready(leaves)
+        if not leaves:
+            return 0.0
+        acc = jnp.zeros((), jnp.float32)
+        for x in leaves:
+            acc = acc + x.ravel()[:1].astype(jnp.float32).sum()
+        return float(acc)
+
     # ---- UKB shape (BASELINE.md); scaled down on the CPU fallback ----
     if on_tpu:
         N = int(os.environ.get("BENCH_N", 400_000))
@@ -274,22 +295,22 @@ def main():
     from regenie_tpu.ops import fused_score as fsc
 
     consts = fsc.build_consts(
-        cov, res, maskf, ind, float(N - K), split=on_tpu,
+        cov, res, maskf, ind, float(N - K), split=fsc.split_mode(on_tpu),
         dtype=np.float32 if on_tpu else np.float64,
     )
-    nbp = consts.Wp.shape[1]
+    nbp = fsc.op_nbp(consts.Wp)
     fused_blocks = [fsc.pad_raw(rb, nbp) for rb in raw_blocks]
     run_qt = fsc.make_qt_block_fn(consts, use_pallas=on_tpu)
 
     def bench_qt_resident():
-        jax.block_until_ready(run_qt(jnp.asarray(fused_blocks[0])))
+        _sync(run_qt(jnp.asarray(fused_blocks[0])))
         dev = [jnp.asarray(rb) for rb in fused_blocks]
-        jax.block_until_ready(dev)
+        _sync(dev)
         best = 0.0
         for _ in range(n_rounds):
             t0 = time.perf_counter()
             outs = [run_qt(db) for db in dev]
-            jax.block_until_ready(outs)
+            _sync(outs)
             best = max(best, n_blocks * B / (time.perf_counter() - t0))
         return best
 
@@ -395,9 +416,9 @@ def main():
         def bt_run(raw):
             return bt_products(raw, Wcat_j, xwt_j, gsm2_j, ind_j, flip_j)
 
-        jax.block_until_ready(bt_run(jnp.asarray(raw_blocks[0][:Bb])))
+        _sync(bt_run(jnp.asarray(raw_blocks[0][:Bb])))
         dev = [jnp.asarray(rb[:Bb]) for rb in raw_blocks[:nbb]]
-        jax.block_until_ready(dev)
+        _sync(dev)
         # corrected fraction: 1% of SNPs get a batched approx-Firth refit
         n_corr = max(8, Bb // 100)
         from regenie_tpu.io.bed import decode_bed_bytes
@@ -409,7 +430,7 @@ def main():
         for _ in range(max(1, n_rounds - 1)):
             t0 = time.perf_counter()
             outs = [bt_run(db) for db in dev]
-            jax.block_until_ready(outs)
+            _sync(outs)
             for _blk in range(nbb):
                 firth_mod.firth_snp_batch(
                     y, Gc, offset, ind, maxstep=5, niter=50, tol=2.5e-4,
@@ -444,11 +465,11 @@ def main():
             return m1.level0_loocv_block(G, Y_j, m_j, lam, Neff_j)
 
         raw1 = jnp.asarray(raw_blocks[0][:B1])
-        jax.block_until_ready(l0_block(raw1))
+        _sync(l0_block(raw1))
         best = 0.0
         for _ in range(max(1, n_rounds - 1)):
             t0 = time.perf_counter()
-            jax.block_until_ready(l0_block(raw1))
+            _sync(l0_block(raw1))
             best = max(best, B1 / (time.perf_counter() - t0))
         return best
 

@@ -85,13 +85,99 @@ class FusedConsts(NamedTuple):
         return c
 
 
+class I8Operand(NamedTuple):
+    """int8 fixed-point operand for the MXU s8xs8->s32 fused kernel.
+
+    limbs: [..., 4*Cp] int8 — each f32 column quantized as
+        w ~= scale * (l0 + l1/128 + l2/128^2 + l3/128^3)
+    with a power-of-two per-column `scale` ([Cp] f32), so every value
+    carries ~28 fixed-point bits relative to the column max — MORE
+    mantissa than f32, and the in-kernel accumulation is EXACT int32
+    (no f32 rounding until the single fold at the end). The int8 MXU
+    runs at 2x the bf16 rate, so 4 limb column groups beat the 3-group
+    bf16 split by ~1.5x end to end (measured on v5e, scripts/
+    profile_fused.py).
+
+    Overflow bound: |dot| <= N * 2 * 127 needs N < 8.4M samples for
+    int32 — asserted at build time."""
+
+    limbs: jax.Array  # int8, trailing dim 4*Cp: [l0 | l1 | l2 | l3]
+    scale: jax.Array  # f32 [Cp] power-of-two column scales
+
+
+_I8_FOLDW = (1.0, 2.0**-7, 2.0**-14, 2.0**-21)
+
+
+def _i8_quantize_np(W):
+    """Host quantization: f64 [..., Cp] -> (limbs int8 [..., 4*Cp],
+    scale f32 [Cp], Wq f64 exact quantized values)."""
+    absmax = np.abs(W).reshape(-1, W.shape[-1]).max(axis=0)
+    e = np.ceil(np.log2(np.maximum(absmax, 1e-300) / 127.0))
+    s = np.exp2(e)
+    s[absmax == 0] = 1.0
+    q = W / s
+    limbs = []
+    for _ in range(4):
+        l = np.rint(q)
+        limbs.append(l.astype(np.int8))
+        q = (q - l) * 128.0
+    Wq = s * sum(l.astype(np.float64) * w for l, w in zip(limbs, _I8_FOLDW))
+    return np.concatenate(limbs, axis=-1), s.astype(np.float32), Wq
+
+
+def _i8_quantize_jnp(W, s=None):
+    """Device-side quantization (per-chromosome residual patches)."""
+    if s is None:
+        absmax = jnp.abs(W).reshape(-1, W.shape[-1]).max(axis=0)
+        e = jnp.ceil(jnp.log2(jnp.maximum(absmax, 1e-30) / 127.0))
+        s = jnp.where(absmax == 0, 1.0, jnp.exp2(e)).astype(jnp.float32)
+    q = W.astype(jnp.float32) / s
+    limbs = []
+    for _ in range(4):
+        l = jnp.rint(q)
+        limbs.append(l.astype(jnp.int8))
+        q = (q - l) * 128.0
+    return jnp.concatenate(limbs, axis=-1), s
+
+
+def i8_fold(parts, scale):
+    """[..., 4*Cp] int32 limb products -> [..., Cp] f32 values."""
+    Cp = parts.shape[-1] // 4
+    out = jnp.zeros(parts.shape[:-1] + (Cp,), jnp.float32)
+    for k, w in enumerate(_I8_FOLDW):
+        out = out + parts[..., k * Cp : (k + 1) * Cp].astype(jnp.float32) * w
+    return out * scale
+
+
+def split_mode(on_tpu, sample_layout=False):
+    """Operand encoding for the fused kernels: int8 limbs ("i8") on TPU
+    for the plane-packed hardcall path unless REGENIE_TPU_I8=0 (the
+    s8xs8->s32 MXU runs 2x the bf16 rate and the int32 accumulation is
+    exact — see I8Operand); bf16 3-way split (True) for the BGEN
+    sample-packed path; full-precision floats (False) on CPU."""
+    import os
+
+    if not on_tpu:
+        return False
+    if sample_layout:
+        return True
+    return False if os.environ.get("REGENIE_TPU_I8") == "0" else "i8"
+
+
+def op_nbp(Wp):
+    """Contraction length (packed bytes / samples) of a fused operand."""
+    return (Wp.limbs if isinstance(Wp, I8Operand) else Wp).shape[-2]
+
+
 def plane_pack(Wext, nb, split, dtype=np.float32):
     """[N, C] per-sample operand -> plane-ordered kernel operand.
 
-    Returns (Wp, usum): Wp is [4, nbp, Cp] (dtype) or the bf16
-    [4, nbp, 3*Cp] hi|mid|lo split; usum is the padded [Cp] column-sum
-    vector used by the flip algebra. Rows must already be zeroed for
-    excluded samples."""
+    Returns (Wp, usum): Wp is [4, nbp, Cp] (dtype), the bf16
+    [4, nbp, 3*Cp] hi|mid|lo split (split=True), or an I8Operand
+    (split="i8"); usum is the padded [Cp] column-sum vector used by the
+    flip algebra (for "i8" it sums the QUANTIZED values so the flip
+    transform stays exact in the quantized system). Rows must already
+    be zeroed for excluded samples."""
     N, C = Wext.shape
     Cp = -(-C // 128) * 128  # pad columns to the MXU lane width
     nbp = -(-nb // _TC) * _TC
@@ -102,6 +188,11 @@ def plane_pack(Wext, nb, split, dtype=np.float32):
         valid = src < N
         Wp[p, np.nonzero(valid)[0], :C] = Wext[src[valid]]
     usum = np.pad(Wext.sum(axis=0), (0, Cp - C))
+    if split == "i8":
+        assert N < 8_000_000, "int8 fused path: int32 accumulator bound"
+        limbs, s, Wq = _i8_quantize_np(Wp)
+        usum = Wq.sum(axis=(0, 1))
+        return I8Operand(jnp.asarray(limbs), jnp.asarray(s)), usum
     if split:
         # 3-way bf16 decomposition via jnp (numpy has no bfloat16)
         w_j = jnp.asarray(Wp.astype(np.float32))
@@ -143,6 +234,15 @@ def patch_res_columns(Wp_dev, res_planes, K, P, Cp, split):
 
     Wp_dev: [4, nbp, Cp] plane layout or [Np, Cp] sample layout (x3
     columns when split); res_planes: matching leading dims x [P]."""
+    if isinstance(Wp_dev, I8Operand):
+        # re-quantize the patched columns with their own fresh scales
+        r_j = jnp.asarray(res_planes, jnp.float32)
+        limbs, s = _i8_quantize_jnp(r_j)
+        W = Wp_dev.limbs
+        for k in range(4):
+            W = W.at[..., k * Cp + K : k * Cp + K + P].set(
+                limbs[..., k * P : (k + 1) * P])
+        return I8Operand(W, Wp_dev.scale.at[K : K + P].set(s))
     if split:
         r_j = jnp.asarray(res_planes, dtype=jnp.float32)
         hi, mid, lo = bf16_split3(r_j)
@@ -295,10 +395,74 @@ def _fused_kernel_split(raw_ref, wp_ref, h_ref, e_ref, m_ref):
     m_ref[:] += am
 
 
+def _fused_kernel_i8(raw_ref, wp_ref, h_ref, e_ref, m_ref):
+    """int8-limb variant: wp_ref is [4, tc, 4*Cp] int8 (l0|l1|l2|l3),
+    class-indicator planes decoded straight to int8, three s8xs8->s32
+    MXU dots, EXACT int32 accumulation across byte tiles (i8_fold
+    recombines limbs once in the caller)."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        e_ref[:] = jnp.zeros_like(e_ref)
+        m_ref[:] = jnp.zeros_like(m_ref)
+
+    r = raw_ref[:].astype(jnp.int32)
+    dn = (((1,), (0,)), ((), ()))
+    hs, es, ms = [], [], []
+    for p in range(4):
+        codes = (r >> (2 * p)) & 3
+        # PLINK bed 2-bit codes: 0->hom alt, 1->missing, 2->het, 3->hom ref
+        hs.append((codes == 0).astype(jnp.int8))
+        es.append((codes == 2).astype(jnp.int8))
+        ms.append((codes == 1).astype(jnp.int8))
+    h = jnp.concatenate(hs, axis=1)
+    e = jnp.concatenate(es, axis=1)
+    m = jnp.concatenate(ms, axis=1)
+    w = wp_ref[:].reshape(-1, wp_ref.shape[-1])  # [4*tc, 4*Cp], p-major
+    h_ref[:] += jax.lax.dot_general(h, w, dn, preferred_element_type=jnp.int32)
+    e_ref[:] += jax.lax.dot_general(e, w, dn, preferred_element_type=jnp.int32)
+    m_ref[:] += jax.lax.dot_general(m, w, dn, preferred_element_type=jnp.int32)
+
+
+def _i8_products(raw, op: I8Operand, interpret, tb, tc):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, nbp = raw.shape
+    Cw4 = op.limbs.shape[2]
+    # int32 accumulators are the VMEM hot spot: 3*tb*Cw4*4 bytes
+    while tb > 256 and 3 * tb * Cw4 * 4 > 48 * 1024 * 1024:
+        tb //= 2
+    grid = (pl.cdiv(B, tb), pl.cdiv(nbp, tc))
+    H, E, M = pl.pallas_call(
+        _fused_kernel_i8,
+        out_shape=[jax.ShapeDtypeStruct((B, Cw4), jnp.int32)] * 3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, tc), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tc, Cw4), lambda i, j: (0, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, Cw4), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(raw, op.limbs)
+    Hf, Ef, Mf = (i8_fold(x, op.scale) for x in (H, E, M))
+    return 2.0 * Hf + Ef, 4.0 * Hf + Ef, Mf
+
+
 @partial(jax.jit, static_argnames=("interpret", "tb", "tc"))
 def fused_products(raw, Wp, interpret=False, tb=_TB, tc=_TC):
-    """raw: [B, nbp] packed uint8 (zero-padded rows/cols); Wp: [4, nbp, C].
-    Returns (S1, SQ, SM) each [B, C] float32.
+    """raw: [B, nbp] packed uint8 (zero-padded rows/cols); Wp: [4, nbp, C]
+    (or an I8Operand). Returns (S1, SQ, SM) each [B, C] float32.
 
     Padding safety: pad bytes decode to code 0 = dosage 2 per plane, but
     the corresponding Wp rows are zero, so padded samples contribute 0
@@ -306,6 +470,8 @@ def fused_products(raw, Wp, interpret=False, tb=_TB, tc=_TC):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if isinstance(Wp, I8Operand):
+        return _i8_products(raw, Wp, interpret, tb, tc)
     B, nbp = raw.shape
     Cw = Wp.shape[2]
     split = Wp.dtype == jnp.bfloat16
@@ -359,7 +525,10 @@ def fused_products(raw, Wp, interpret=False, tb=_TB, tc=_TC):
 def fused_products_xla(raw, Wp):
     """XLA reference implementation of fused_products (for CPU runs and
     bit-exactness tests of the pallas kernel). A bf16-split Wp is folded
-    back to f32 values first (value-equivalent, not rounding-exact)."""
+    back to f32 values first (value-equivalent, not rounding-exact);
+    an I8Operand folds its limbs to the exact quantized f32 values."""
+    if isinstance(Wp, I8Operand):
+        Wp = i8_fold(Wp.limbs.astype(jnp.int32), Wp.scale)
     if Wp.dtype == jnp.bfloat16:
         C = Wp.shape[2] // 3
         Wp = (
@@ -525,9 +694,14 @@ def _mesh_wrap(body, mesh, in_ranks, out_ranks):
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]
+
+    def _spec(r, shard):
+        return P(axis, *([None] * (r - 1))) if shard else P(*([None] * r))
+
+    # in_ranks entries may be pytrees of ranks (e.g. an I8Operand arg)
     in_specs = tuple(
-        P(axis, *([None] * (r - 1))) if i == 0 else P(*([None] * r))
-        for i, r in enumerate(in_ranks)
+        jax.tree_util.tree_map(lambda r, i=i: _spec(r, i == 0), rt)
+        for i, rt in enumerate(in_ranks)
     )
     return jax.shard_map(
         body, mesh=mesh, in_specs=in_specs,
@@ -538,7 +712,8 @@ def _mesh_wrap(body, mesh, in_ranks, out_ranks):
 def _mesh_replicate(mesh, x):
     from ..parallel.mesh import replicate
 
-    return replicate(mesh, x)  # multi-host aware (per-process assembly)
+    # multi-host aware (per-process assembly); pytree-safe (I8Operand)
+    return jax.tree_util.tree_map(lambda a: replicate(mesh, a), x)
 
 
 def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool, test_type=0,
@@ -576,7 +751,8 @@ def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool, test_type=0,
         _run = jax.jit(_body)
     else:
         _run = jax.jit(_mesh_wrap(
-            _body, mesh, in_ranks=(2, np.ndim(consts.Wp)),
+            _body, mesh,
+            in_ranks=(2, jax.tree_util.tree_map(np.ndim, consts.Wp)),
             out_ranks=(2, 2, 1, 1, 2, 2, 2),
         ))
 
@@ -629,7 +805,7 @@ def make_bt_block_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
         _run = jax.jit(_body)
     else:
         _run = jax.jit(_mesh_wrap(
-            _body, mesh, in_ranks=(2, np.ndim(Wp)),
+            _body, mesh, in_ranks=(2, jax.tree_util.tree_map(np.ndim, Wp)),
             out_ranks=(2, 2, 2, 1, 2, 2, 3),
         ))
 

@@ -893,7 +893,8 @@ class Step2Engine:
                         (gd.sex == 1).astype(np.float64))
                 base = fsc.build_consts(
                     cov_f, np.zeros_like(res_f), mask_f, ind_f,
-                    self.scale_denom, nb=nb, dtype=dtype, split=on_tpu,
+                    self.scale_denom, nb=nb, dtype=dtype,
+                    split=fsc.split_mode(on_tpu, is_bgen),
                     pack="sample" if is_bgen else "plane", male=male_f,
                 )
                 covz_f = cov_f * ind_f.astype(np.float64)[:, None]
@@ -989,7 +990,8 @@ class Step2Engine:
             if is_bgen:
                 Wp, usum = fsc.sample_pack(Wext_f, split=on_tpu, dtype=dtype)
             else:
-                Wp, usum = fsc.plane_pack(Wext_f, nb, split=on_tpu, dtype=dtype)
+                Wp, usum = fsc.plane_pack(
+                    Wext_f, nb, split=fsc.split_mode(on_tpu), dtype=dtype)
             ind_col = ncat + Pn + P + P
             C_used = ind_col + 1 + ((P + 1) if has_male else 0)
             self._fused_bt = _FusedBTConsts(

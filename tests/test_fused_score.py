@@ -242,6 +242,47 @@ def test_fused_split_bf16_matches_f32():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-6, atol=1e-4)
 
 
+def test_fused_i8_matches_f32():
+    """int8-limb consts (the production TPU layout: 4 exact fixed-point
+    limbs per column, s8xs8->s32 MXU dots, exact int32 accumulation)
+    reproduce the f32 products BETTER than f32 precision in both the
+    XLA fold and the pallas i8 kernel (interpret mode), including the
+    per-chromosome residual-column patch."""
+    N = 1025
+    raw, nb, ind, flip, covz, resz, maskz, sden = _mk_case(13, B=16, N=N)
+    c32 = fs.build_consts(covz, resz, maskz, ind, sden, nb=nb, dtype=np.float32)
+    ci8 = fs.build_consts(covz, resz, maskz, ind, sden, nb=nb, split="i8")
+    assert isinstance(ci8.Wp, fs.I8Operand)
+    assert ci8.Wp.limbs.dtype == jnp.int8
+    rawp = fs.pad_raw(raw)
+    S1a, SQa, SMa = fs.fused_products_xla(jnp.asarray(rawp), c32.Wp)
+    S1b, SQb, SMb = fs.fused_products_xla(jnp.asarray(rawp), ci8.Wp)
+    for a, b in ((S1a, S1b), (SQa, SQb), (SMa, SMb)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-6, atol=1e-4)
+    S1p, SQp, SMp = fs.fused_products(jnp.asarray(rawp), ci8.Wp, interpret=True)
+    for a, b in ((S1a, S1p), (SQa, SQp), (SMa, SMp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-6, atol=1e-4)
+    # the interpret kernel accumulates exactly in int32 and folds once;
+    # the XLA i8 fold folds first and accumulates in f32 — equal to
+    # (better than) f32 rounding
+    for a, b in ((S1b, S1p), (SQb, SQp), (SMb, SMp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=5e-5)
+    # residual-column patch requantizes with fresh scales
+    K, P = covz.shape[1], resz.shape[1]
+    res2 = resz * 3.0 + 0.125
+    Cp = -(-ci8.Wp.scale.shape[0] // 128) * 128
+    res_pl = fs.plane_order_rows(res2 * ind[:, None], nb)
+    Wp2 = fs.patch_res_columns(
+        ci8.Wp, res_pl.astype(np.float32), K, P, ci8.Wp.scale.shape[0], "i8")
+    c32b = fs.build_consts(covz, res2, maskz, ind, sden, nb=nb,
+                           dtype=np.float32)
+    S1c = fs.fused_products_xla(jnp.asarray(rawp), Wp2)[0]
+    S1d = fs.fused_products_xla(jnp.asarray(rawp), c32b.Wp)[0]
+    np.testing.assert_allclose(np.asarray(S1c), np.asarray(S1d),
+                               rtol=2e-6, atol=1e-4)
+
+
 def test_fused_bt_cli_byte_identical(tmp_path):
     """Fused BT path (products against [Wcat | gsm^2 | maskf | case |
     ind], Firth/SPA correction rows decoded lazily from the packed
