@@ -404,6 +404,10 @@ def pheno_impute_miss(params: Params, pd: PhenoData) -> None:
 def get_basis(X: np.ndarray, params: Params) -> Tuple[np.ndarray, int]:
     """Orthonormal covariate basis via eigendecomposition of X'X
     (reference getBasis, Pheno.cpp:1660). Returns (basis, rank)."""
+    if X.shape[1] == 0:
+        # T2E with no covariates: Cox drops the intercept (the baseline
+        # hazard absorbs it), so the design can legitimately be empty
+        return X.copy(), 0
     xtx = X.T @ X
     D, V = np.linalg.eigh(xtx)
     nz = int((D > D[-1] * params.eigen_val_rel_tol).sum())

@@ -205,6 +205,87 @@ def score_block(params: Params, pd: PhenoData, st: T2EChromState, G, flipped,
     return bhat, se, chisq, logp, test_fail, n_corrected, n_failed
 
 
+def passing_traits(pd: PhenoData, st: T2EChromState):
+    """T2E traits in operand order (the fused path's trait axis)."""
+    return [ph for ph in st.time_cols if pd.pheno_pass[ph] and ph in st.mle]
+
+
+def score_block_fused(params: Params, pd: PhenoData, st: T2EChromState,
+                      Tnum, denum, flipped, gres_rows, ignored,
+                      ignored_trait, log):
+    """Host tail of the fused Cox path (compute_score_cox tail,
+    Step2_Models.cpp:658-700): per-trait low-variance gating, score
+    stats from the device-computed T/denum, Firth corrections on
+    lazily-decoded Gres rows.
+
+    Tnum/denum: [B, Tt] in passing_traits order; flipped: [B] bool;
+    gres_rows(idx) -> finalized (imputed/flipped, ind-zeroed) G rows
+    [len(idx), N] on the kept sample axis."""
+    B = Tnum.shape[0]
+    P = params.n_pheno
+    bhat = np.zeros((B, P))
+    se = np.zeros((B, P))
+    chisq = np.full((B, P), -1.0)
+    logp = np.full((B, P), np.nan)
+    test_fail = np.zeros((B, P), dtype=bool)
+    n_corrected = 0
+    n_failed = 0
+    from scipy.stats import chi2 as _chi2
+
+    z_thr = np.sqrt(_chi2.isf(params.alpha_pvalue, df=1))
+    G_cache = {}  # decoded correction rows, shared across traits
+
+    for ti, ph in enumerate(passing_traits(pd, st)):
+        mle = st.mle[ph]
+        sd = st.surv[ph]
+        T = np.asarray(Tnum[:, ti], np.float64)
+        dn = np.asarray(denum[:, ti], np.float64)
+        low = dn < params.numtol
+        ignored_trait[:, ph] |= low
+        with np.errstate(divide="ignore", invalid="ignore"):
+            stats = T / np.sqrt(np.where(low, 1.0, dn))
+        se_ph = 1.0 / np.sqrt(np.where(low, 1.0, dn))
+        bhat_ph = stats * se_ph
+        chisq_ph = stats**2
+        logp_ph = chisq_neglog10(chisq_ph)
+        fail_ph = np.zeros(B, dtype=bool)
+
+        if params.firth:
+            corr = (~ignored) & (~ignored_trait[:, ph]) & (np.abs(stats) > z_thr)
+            n_corrected += int(corr.sum())
+            for b in np.flatnonzero(corr):
+                if b not in G_cache:
+                    # decode in one batch for all corrected rows of this
+                    # trait not yet cached
+                    need = [i for i in np.flatnonzero(corr) if i not in G_cache]
+                    rows = gres_rows(np.asarray(need))
+                    for i, r in zip(need, rows):
+                        G_cache[i] = r
+                g = G_cache[b]
+                gres = g - (g @ mle.WX1) @ mle.X1_X1WX1inv.T
+                ok, beta1, se1, lrt = _firth_snp(params, st, sd, ph, gres)
+                if not ok:
+                    fail_ph[b] = True
+                    n_failed += 1
+                    continue
+                bhat_ph[b] = beta1
+                chisq_ph[b] = lrt
+                logp_ph[b] = float(chisq_neglog10(np.array([lrt]))[0])
+                if params.firth_se and lrt > 0:
+                    se_ph[b] = abs(beta1) / np.sqrt(lrt)
+                else:
+                    se_ph[b] = se1
+
+        bhat_ph = np.where(flipped, -bhat_ph, bhat_ph)
+        bhat[:, ph] = bhat_ph
+        se[:, ph] = se_ph
+        chisq[:, ph] = chisq_ph
+        logp[:, ph] = logp_ph
+        test_fail[:, ph] = fail_ph
+
+    return bhat, se, chisq, logp, test_fail, n_corrected, n_failed
+
+
 def _firth_snp(params, st, sd, ph, gres):
     """Approx-Firth Cox single-SNP LRT (fit_firth_cox_snp_fast)."""
     offset = st.firth_offset[:, ph]

@@ -302,6 +302,7 @@ class CoxFirth:
             self.residual = sd.from_order(residual)
             self.loglike = loglike
             self.second_der = second
+            self.eta = eta  # empty design: offset-only linear predictor
             return self
         betanew = self.beta.copy()
         while self.iter < self.niter:
@@ -482,7 +483,9 @@ class CoxRidge:
                     d = self._deviance(eta_order)
                     o = d + self.lam * (self.beta**2).sum() / 2
             grad, _ = self._grad(eta, eta_order)
-            score_max = np.abs(grad @ X - self.lam * self.beta).max()
+            # empty design (T2E with no covariates): nothing to move
+            score_max = (np.abs(grad @ X - self.lam * self.beta).max()
+                         if X.shape[1] else 0.0)
             conv = abs(o - obj[-1]) / (0.1 + abs(o)) < self.tol or score_max < self.tol
             dev.append(d)
             obj.append(o)

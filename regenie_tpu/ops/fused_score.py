@@ -815,6 +815,81 @@ def make_bt_block_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
     return run
 
 
+def make_t2e_block_fn(Wp, usum, Rtv, RtR, res_var, C_used, icol, n_ind,
+                      Tt, q, use_pallas: bool, test_type=0, ref_first=False,
+                      mesh=None):
+    """One-dispatch jitted T2E (Cox) block fn: products -> on-device
+    minor-allele flip (ADD) -> imputation/flip or DOM/REC recoding in
+    product space -> per-trait approximate Cox score pieces
+    (compute_score_cox, Step2_Models.cpp:632-700):
+
+        Gres   = G - A R^T          A = G WX1,  R = X1 (X1' W X1)^-1
+        T      = G.v - A (R^T v)    v = residual * mask
+      ||Gres||^2 = ||G||^2 - 2 sum_k A'_k A_k + A (R^T R) A^T,  A' = G R
+        denum  = res_var * ||Gres||^2
+
+    The operand's first Tt*(2q+1) columns are per-trait [WX1 | R | v]
+    blocks; g^2 sums ride the shared `ind` column. Rtv [Tt, q],
+    RtR [Tt, q, q], res_var [Tt] are host constants of the null fits.
+    Returns (S1c, SQc, SMc, flip, Tnum, denum) — Tnum/denum [B, Tt]."""
+    prod = fused_products if use_pallas else fused_products_xla
+    prec = jax.lax.Precision.HIGHEST
+    usum_j = jnp.asarray(usum[:C_used])
+    Rtv_j = jnp.asarray(Rtv)
+    RtR_j = jnp.asarray(RtR)
+    rv_j = jnp.asarray(res_var)
+    Wp_dev = (jax.device_put(Wp) if mesh is None
+              else _mesh_replicate(mesh, Wp))
+    nt = Tt * (2 * q + 1)
+
+    def _body(raw, Wp_a):
+        S1, SQ, SM = prod(raw, Wp_a)
+        S1c, SQc, SMc = S1[:, :C_used], SQ[:, :C_used], SM[:, :C_used]
+        if ref_first:
+            S1c, SQc = ref_first_products(
+                S1c, SQc, SMc, usum_j.astype(S1c.dtype)
+            )
+        if test_type == 0:
+            # with_flip: non-QT + additive (set_blocks_for_testing,
+            # Data.cpp:2108)
+            ns1 = n_ind - SMc[:, icol]
+            flip = S1c[:, icol] / jnp.maximum(ns1, 1.0) > 1.0
+        else:
+            flip = jnp.zeros(raw.shape[0], bool)
+        S1f, SQf = finalized_products(
+            S1c, SQc, SMc, flip, usum_j.astype(S1c.dtype), icol, n_ind,
+            test_type,
+        )
+        dt = S1c.dtype
+        blk = S1f[:, :nt].reshape(S1f.shape[0], Tt, 2 * q + 1)
+        A = blk[..., :q]
+        Ap = blk[..., q : 2 * q]
+        Gv = blk[..., 2 * q]
+        Tnum = Gv - jnp.einsum(
+            "btq,tq->bt", A, Rtv_j.astype(dt), precision=prec)
+        g2 = SQf[:, icol]
+        denum = rv_j.astype(dt)[None, :] * (
+            g2[:, None]
+            - 2.0 * (A * Ap).sum(-1)
+            + jnp.einsum("btk,tkl,btl->bt", A, RtR_j.astype(dt), A,
+                         precision=prec)
+        )
+        return S1c, SQc, SMc, flip, Tnum, denum
+
+    if mesh is None:
+        _run = jax.jit(_body)
+    else:
+        _run = jax.jit(_mesh_wrap(
+            _body, mesh, in_ranks=(2, jax.tree_util.tree_map(np.ndim, Wp)),
+            out_ranks=(2, 2, 2, 1, 2, 2),
+        ))
+
+    def run(raw):
+        return _run(raw, Wp_dev)
+
+    return run
+
+
 def pad_raw(raw: np.ndarray, nbp: int | None = None) -> np.ndarray:
     """Zero-pad packed bytes to the kernel's byte-tile multiple."""
     B, nb = raw.shape

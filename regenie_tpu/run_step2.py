@@ -196,7 +196,7 @@ class _FusedBTSource:
             if not gd._keep_all_samples:
                 ds = ds[:, jnp.asarray(gd.sample_keep_idx)]
             return finalize_block_step2(ds, eng.ind_j, self.flip_j[idx_j])
-        nb = eng._fused_bt.nb
+        nb = eng._fused_nb
         is_bed = gd._bed is not None
         nsrc = gd._bed.n_samples if is_bed else eng.params.n_samples
         Graw = decode_bed_packed(self.raw_j[idx_j][:, :nb], nsrc)
@@ -661,10 +661,16 @@ class Step2Engine:
                 and params.split_by_pheno
             )
         ok = (
-            params.trait_mode in (QT, BT, CT)
+            params.trait_mode in (QT, BT, CT, T2E)
             and (hardcall_src or bgen_src)
             and self.interaction is None
         )
+        if ok and params.trait_mode == T2E:
+            # Cox rides the fused products for hardcall sources; the
+            # exact per-SNP risk-set variance (--coxscore-exact) needs
+            # the full dense Gres block (compute_score_cox exact branch,
+            # Step2_Models.cpp:672)
+            ok = hardcall_src and not params.coxscore_exact
         if ok and params.trait_mode == QT:
             # strict mode (incl. forced single-pheno strict) is the
             # all-complete-traits case with a constant denominator —
@@ -723,10 +729,13 @@ class Step2Engine:
             # operand): fine for MAC, but HTP genocounts need it — HTP
             # BGEN chrX keeps the dense fallback
             return common and (gd._bgen is None or not p.htp_out)
-        # BT/CT: HTP genocounts need case-split male columns — those
-        # runs keep the dense fallback; BGEN BT stays dense on chrX
-        return (common and gd._bgen is None
-                and p.trait_mode in (BT, CT) and not p.htp_out)
+        if p.trait_mode == T2E:
+            # hardcall-only fused Cox; genocounts are all-sample
+            # (CT-style), so the QT male tail algebra carries over
+            return common and gd._bgen is None
+        # BT/CT: HTP genotype counts ride the case*male product columns
+        # (appended to the male tail); BGEN BT stays dense on chrX
+        return (common and gd._bgen is None and p.trait_mode in (BT, CT))
 
     def _fused_local_rows(self, B: int):
         """Multi-host QT: the contiguous variant rows THIS process's
@@ -949,6 +958,81 @@ class Step2Engine:
                     self._fused_consts, on_tpu, params.test_type, rf,
                     mesh=self.mesh, strict=self.strict,
                 )
+        elif params.trait_mode == T2E:
+            # fused Cox operand: per-trait [WX1 | R*ind | v] blocks +
+            # shared [maskf | ind] tail (+ chrX male tail). R columns
+            # are ind-zeroed so A' = G.R matches the dense path's
+            # ind-zeroed G; RtR keeps the FULL kept rows because the
+            # dense ||Gres||^2 includes (A R^T)^2 at non-analyzed kept
+            # samples (G there is zero, Gres is -A R^T).
+            from .models import step2_t2e
+            from types import SimpleNamespace
+
+            st = self.bt_state
+            P = params.n_pheno
+            passing = step2_t2e.passing_traits(pd, st)
+            q = pd.new_cov.shape[1] + 1
+            ind = pd.ind_in_analysis
+            indf = ind.astype(np.float64)
+            cols = []
+            for ph in passing:
+                mle = st.mle[ph]
+                mask = pd.masked_indivs[:, ph].astype(np.float64)
+                cols += [
+                    mle.WX1 * indf[:, None],
+                    mle.X1_X1WX1inv * indf[:, None],
+                    (mle.residual * mask)[:, None],
+                ]
+            # event case indicator per trait (HTP genotype counts split
+            # cases = events, compute_genocounts trait_mode==3 branch)
+            case = np.zeros_like(pd.masked_indivs, dtype=np.float64)
+            for tname, ename in params.t2e_map.items():
+                ti = pd.pheno_names.index(tname)
+                ei = pd.pheno_names.index(ename)
+                case[:, ti] = (
+                    (pd.phenotypes_raw[:, ei] == 1) & pd.masked_indivs[:, ti]
+                )
+            cols += [case, self.maskf, indf[:, None]]
+            has_male = self._fused_chrx_ok()
+            Wext = np.concatenate(cols, axis=1)
+            Wext_f = self._scatter_file(Wext)
+            nt = len(passing) * (2 * q + 1)
+            if has_male:
+                malez = self._scatter_file(
+                    (self.gd.sex == 1).astype(np.float64) * indf)
+                maskf_f = Wext_f[:, nt + P : nt + 2 * P]
+                case_f = Wext_f[:, nt : nt + P]
+                Wext_f = np.concatenate(
+                    [Wext_f, malez[:, None], maskf_f * malez[:, None],
+                     case_f * malez[:, None]],
+                    axis=1,
+                )
+            Wp, usum = fsc.plane_pack(
+                Wext_f, nb, split=fsc.split_mode(on_tpu), dtype=dtype)
+            icol = nt + 2 * P
+            C_used = icol + 1 + ((2 * P + 1) if has_male else 0)
+            Rtv = np.stack([
+                st.mle[ph].X1_X1WX1inv.T
+                @ (st.mle[ph].residual * pd.masked_indivs[:, ph])
+                for ph in passing
+            ]) if passing else np.zeros((0, q))
+            RtR = np.stack([
+                st.mle[ph].X1_X1WX1inv.T @ st.mle[ph].X1_X1WX1inv
+                for ph in passing
+            ]) if passing else np.zeros((0, q, q))
+            rv = np.array([st.mle[ph].res_var for ph in passing])
+            self._fused_t2e = SimpleNamespace(
+                passing=passing, q=q, icol=icol, C_used=C_used,
+                usum=usum, sl_case=slice(nt, nt + P),
+                sl_mask=slice(nt + P, nt + 2 * P),
+                case_n=case.sum(axis=0),
+                n_ind=float(indf.sum()), has_male=has_male,
+            )
+            self._fused_fn = fsc.make_t2e_block_fn(
+                Wp, usum, Rtv, RtR, rv, C_used, icol, float(indf.sum()),
+                len(passing), q, on_tpu, params.test_type, rf,
+                mesh=self.mesh,
+            )
         else:  # BT
             from .models import step2_bt
 
@@ -983,8 +1067,10 @@ class Step2Engine:
             Wext_f = self._scatter_file(Wext)
             if has_male:
                 maskf_f = Wext_f[:, ncat + Pn : ncat + Pn + P]
+                case_f = Wext_f[:, ncat + Pn + P : ncat + Pn + 2 * P]
                 Wext_f = np.concatenate(
-                    [Wext_f, malez[:, None], maskf_f * malez[:, None]],
+                    [Wext_f, malez[:, None], maskf_f * malez[:, None],
+                     case_f * malez[:, None]],  # hemizygous HTP case counts
                     axis=1,
                 )
             if is_bgen:
@@ -993,7 +1079,7 @@ class Step2Engine:
                 Wp, usum = fsc.plane_pack(
                     Wext_f, nb, split=fsc.split_mode(on_tpu), dtype=dtype)
             ind_col = ncat + Pn + P + P
-            C_used = ind_col + 1 + ((P + 1) if has_male else 0)
+            C_used = ind_col + 1 + ((2 * P + 1) if has_male else 0)
             self._fused_bt = _FusedBTConsts(
                 fc=fc, Wp=Wp, usum=usum, ncat=ncat, Pn=Pn, Kp1=Kp1,
                 sl_mask=slice(ncat + Pn, ncat + Pn + P),
@@ -1019,6 +1105,7 @@ class Step2Engine:
                     mesh=self.mesh,
                 )
         self._fused_is_bgen = is_bgen
+        self._fused_nb = nb
         self._fused_chrom = self.cur_chrom
 
     @staticmethod
@@ -1094,6 +1181,8 @@ class Step2Engine:
         self._ensure_fused_consts()
         if params.trait_mode in (BT, CT):
             return self._fused_block_bt(rawp, bsnps)
+        if params.trait_mode == T2E:
+            return self._fused_block_t2e(rawp, bsnps)
         consts = self._fused_consts
         B, P, K = len(bsnps), consts.P, consts.K
         raw_j = self._fused_upload(rawp)
@@ -1233,10 +1322,11 @@ class Step2Engine:
         mac_t = np.minimum(total_t, 2.0 * ns_t - total_t)
         n_aa1 = (SQh[:, icol] - total1) / 2.0
         n_rr1 = ns1 - total1 + n_aa1
+        n1m_t = n1m_case = None
         if getattr(self, "_fused_bt_has_male", False):
             non_par = self.non_par_flags(bsnps)
             if non_par.any():
-                mac1, mac_t, n1m, _n1m_t = self._hemizygous_adjust(
+                mac1, mac_t, n1m, n1m_t = self._hemizygous_adjust(
                     non_par, S1h, SQh, SMh,
                     np.asarray(fb.usum, np.float64),
                     fb.icol + 1, slice(fb.icol + 2, fb.icol + 2 + P),
@@ -1244,6 +1334,11 @@ class Step2Engine:
                     with_classes=True,  # BT/CT chrX is hardcall-only
                 )
                 n_aa1 = n_aa1 + n1m
+                # case-side hemizygous class moves (case*male columns)
+                cm_sl = slice(fb.icol + 2 + P, fb.icol + 2 + 2 * P)
+                n1m_case = np.where(
+                    non_par[:, None],
+                    2.0 * S1h[:, cm_sl] - SQh[:, cm_sl], 0.0)
 
         # minor-allele flip (with_flip: BT + additive) was decided on
         # device inside the fused block fn
@@ -1299,11 +1394,19 @@ class Step2Engine:
             # class counts: H = (SQ - S1)/2, E = 2*S1 - SQ per column set
             a_t = (SQh[:, msl] - total_t) / 2.0
             het_t = total_t - 2.0 * a_t
+            if n1m_t is not None:
+                # chrX non-PAR males with g>=1 count as hom
+                # (update_genocounts hemizygous branch, Geno.cpp:2922)
+                a_t = a_t + n1m_t
+                het_t = het_t - n1m_t
             rr_t = ns_t - het_t - a_t
             gc = np.zeros((B, 6, P))
             if params.trait_mode == BT:
                 a_case = (SQh[:, csl] - tot_case) / 2.0
                 het_case = tot_case - 2.0 * a_case
+                if n1m_case is not None:
+                    a_case = a_case + n1m_case
+                    het_case = het_case - n1m_case
                 rr_case = ns_case - het_case - a_case
                 gc[:, 0, :] = rr_case
                 gc[:, 1, :] = het_case
@@ -1315,6 +1418,113 @@ class Step2Engine:
                 gc[:, 0, :] = rr_t
                 gc[:, 1, :] = het_t
                 gc[:, 2, :] = a_t
+            result.genocounts = np.round(gc).astype(np.int64)
+        return result, flipped
+
+    def _fused_block_t2e(self, rawp, bsnps) -> Tuple[BlockResult, np.ndarray]:
+        """Fused Cox pipeline: products against the per-trait
+        [WX1 | R | v] blocks give T = Gres.v and res_var*||Gres||^2 on
+        device (compute_score_cox, Step2_Models.cpp:632); Firth
+        correction rows are decoded lazily from the packed bytes."""
+        from .models import step2_t2e
+
+        params, pd = self.params, self.pd
+        ft = self._fused_t2e
+        B, P = len(bsnps), params.n_pheno
+        raw_j = self._fused_upload(rawp)
+        S1, SQ, SM, flip_j, Tnum, denum = self._fused_fn(raw_j)
+        if not getattr(raw_j, "is_fully_addressable", True):
+            flip_j = jnp.asarray(_th(flip_j)[:B])
+            Tnum, denum = (jnp.asarray(_th(x)[:B]) for x in (Tnum, denum))
+            raw_j = jnp.asarray(rawp)
+        elif Tnum.shape[0] != B:  # mesh pad rows
+            flip_j = flip_j[:B]
+            Tnum, denum = Tnum[:B], denum[:B]
+        S1h, SQh, SMh = _th(S1)[:B], _th(SQ)[:B], _th(SM)[:B]
+
+        icol, msl, csl = ft.icol, ft.sl_mask, ft.sl_case
+        total1 = S1h[:, icol]
+        ns1 = ft.n_ind - SMh[:, icol]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            af1 = total1 / (2.0 * ns1)
+        mac1 = np.minimum(total1, 2.0 * ns1 - total1)
+        total_t = S1h[:, msl]
+        ns_t = pd.Neff[None, :] - SMh[:, msl]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            af_t = total_t / (2.0 * ns_t)
+        mac_t = np.minimum(total_t, 2.0 * ns_t - total_t)
+        n_aa1 = (SQh[:, icol] - total1) / 2.0
+        n_rr1 = ns1 - total1 + n_aa1
+        n1m_t = n1m_case = None
+        if ft.has_male:
+            non_par = self.non_par_flags(bsnps)
+            if non_par.any():
+                mac1, mac_t, n1m, n1m_t = self._hemizygous_adjust(
+                    non_par, S1h, SQh, SMh,
+                    np.asarray(ft.usum, np.float64),
+                    icol + 1, slice(icol + 2, icol + 2 + P),
+                    total1, ns1, mac1, total_t, ns_t, mac_t,
+                    with_classes=True,  # T2E fused is hardcall-only
+                )
+                n_aa1 = n_aa1 + n1m
+                # event-side hemizygous class moves (case*male columns)
+                cm_sl = slice(icol + 2 + P, icol + 2 + 2 * P)
+                n1m_case = np.where(
+                    non_par[:, None],
+                    2.0 * S1h[:, cm_sl] - SQh[:, cm_sl], 0.0)
+
+        flipped = np.asarray(flip_j)
+        source = _FusedBTSource(self, raw_j, flip_j, Tnum, denum, None)
+
+        mac_ignored, ignored_trait = self._mac_filters(
+            params, bsnps, mac1, mac_t, B)
+        if params.test_type == 2 and params.min_homs > 0:
+            mac_ignored = mac_ignored | self._rec_min_homs(
+                S1h, SQh, SMh, icol, total1, ns1
+            )
+        self.n_ignored += int(mac_ignored.sum())
+        ignored = mac_ignored
+
+        bhat, se, chisq, logp, test_fail, ncorr, nfail = (
+            step2_t2e.score_block_fused(
+                params, pd, self.bt_state, np.asarray(Tnum),
+                np.asarray(denum), flipped, source.rows_host,
+                ignored, ignored_trait, self.log,
+            ))
+        self.n_corrected += ncorr
+        self.n_failed += nfail
+        result = BlockResult(
+            bhat=bhat, se=se, chisq=chisq, logp=logp, test_fail=test_fail,
+            ignored=ignored, ignored_trait=ignored_trait,
+            af_t=af_t, ns_t=ns_t, info_t=None, scale_fac=None, mac_t=mac_t,
+        )
+        result.af1 = af1
+        result.ns1 = np.round(ns1).astype(np.int64)
+        result.n_rr = np.round(n_rr1).astype(np.int64)
+        result.n_aa = np.round(n_aa1).astype(np.int64)
+        if params.htp_out:
+            # event-split genotype counts: cases = events (compute_
+            # genocounts trait_mode==3 branch, Geno.cpp:2079)
+            a_t = (SQh[:, msl] - total_t) / 2.0
+            het_t = total_t - 2.0 * a_t
+            tot_case = S1h[:, csl]
+            ns_case = ft.case_n[None, :] - SMh[:, csl]
+            a_case = (SQh[:, csl] - tot_case) / 2.0
+            het_case = tot_case - 2.0 * a_case
+            if n1m_t is not None:
+                a_t = a_t + n1m_t
+                het_t = het_t - n1m_t
+                a_case = a_case + n1m_case
+                het_case = het_case - n1m_case
+            rr_t = ns_t - het_t - a_t
+            rr_case = ns_case - het_case - a_case
+            gc = np.zeros((B, 6, P))
+            gc[:, 0, :] = rr_case
+            gc[:, 1, :] = het_case
+            gc[:, 2, :] = a_case
+            gc[:, 3, :] = rr_t - rr_case
+            gc[:, 4, :] = het_t - het_case
+            gc[:, 5, :] = a_t - a_case
             result.genocounts = np.round(gc).astype(np.int64)
         return result, flipped
 
@@ -1730,7 +1940,7 @@ def run_step2(params: Params, log=print) -> None:
 
     fused = eng.fused_ok()
     if fused:
-        mode_name = {QT: "QT", BT: "BT", CT: "CT"}[params.trait_mode]
+        mode_name = {QT: "QT", BT: "BT", CT: "CT", T2E: "T2E"}[params.trait_mode]
         src_name = ("BED" if eng.gd._bed is not None
                     else "BGEN" if eng.gd._bgen is not None else "PGEN")
         log(f" * fused packed-bytes scorer active ({mode_name}/{src_name} fast path)")

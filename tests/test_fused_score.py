@@ -806,9 +806,10 @@ def test_fused_chrx_byte_identical(tmp_path):
 
 @pytest.mark.parametrize("mode", ["bt", "ct"])
 def test_fused_chrx_bt_byte_identical(tmp_path, mode):
-    """chrX non-PAR on the BT/CT fused path (male tail in the BT-family
-    operand; HTP gated to the dense fallback): approx-Firth BT and
-    Poisson CT CLI output byte-identical to the dense pipeline."""
+    """chrX non-PAR on the BT/CT fused path (male tail + case*male
+    columns in the BT-family operand — hemizygous HTP genotype counts
+    ride the products): approx-Firth BT and Poisson CT CLI output,
+    split and HTP formats, byte-identical to the dense pipeline."""
     import os
     import subprocess
     import sys
@@ -850,14 +851,14 @@ def test_fused_chrx_bt_byte_identical(tmp_path, mode):
     mode_args = (["--bt", "--firth", "--approx", "--pThresh", "0.2"]
                  if mode == "bt" else ["--ct"])
 
-    def run(fused, out):
+    def run(fused, out, htp=False):
         env = dict(os.environ)
         env["REGENIE_TPU_PLATFORM"] = "cpu"
         env["REGENIE_TPU_FUSED"] = "1" if fused else "0"
         r = subprocess.run(
             [sys.executable, "-m", "regenie_tpu", "--step", "2",
              "--bed", prefix, "--phenoFile", str(tmp_path / "ph.txt"),
-             *mode_args,
+             *mode_args, *(["--htp", "XT"] if htp else []),
              "--bsize", "15", "--ignore-pred", "--minMAC", "1",
              "--out", out],
             capture_output=True, text=True, cwd="/root/repo", env=env,
@@ -865,12 +866,14 @@ def test_fused_chrx_bt_byte_identical(tmp_path, mode):
         assert r.returncode == 0, r.stdout + r.stderr
         return r.stdout
 
-    out_f = run(True, str(tmp_path / "fus"))
-    assert "fast path" in out_f
-    run(False, str(tmp_path / "std"))
-    a = open(str(tmp_path / "fus_Y1.regenie"), "rb").read()
-    b = open(str(tmp_path / "std_Y1.regenie"), "rb").read()
-    assert a == b
+    for htp in (False, True):
+        sfx = "_htp" if htp else ""
+        out_f = run(True, str(tmp_path / f"fus{sfx}"), htp)
+        assert "fast path" in out_f, htp
+        run(False, str(tmp_path / f"std{sfx}"), htp)
+        a = open(str(tmp_path / f"fus{sfx}_Y1.regenie"), "rb").read()
+        b = open(str(tmp_path / f"std{sfx}_Y1.regenie"), "rb").read()
+        assert a == b, htp
 
 
 def _write_bgen12(path, ids, chroms, positions, probs8):

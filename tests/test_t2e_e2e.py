@@ -91,3 +91,98 @@ def test_t2e_mesh_byte_identical(t2e_pheno):
     a = open(str(d / "mesh_T1.regenie"), "rb").read()
     b = open(str(d / "plain_T1.regenie"), "rb").read()
     assert a == b
+
+
+def test_t2e_fused_byte_identical(t2e_pheno):
+    """The fused packed-bytes Cox path (per-trait [WX1 | R | v] operand
+    blocks, T = Gres.v and res_var*||Gres||^2 recovered in product
+    space, Firth rows decoded lazily — compute_score_cox,
+    Step2_Models.cpp:632) is byte-identical to the dense pipeline,
+    including approx-Firth corrections and HTP output."""
+    d, pheno = t2e_pheno
+    for htp in (False, True):
+        sfx = "_htp" if htp else ""
+        extra = ["--htp", "XT"] if htp else []
+        out_f = _run(_step2_args(pheno, str(d / f"fus{sfx}")) + extra,
+                     extra_env={"REGENIE_TPU_FUSED": "1"})
+        assert "fast path" in out_f and "T2E" in out_f
+        _run(_step2_args(pheno, str(d / f"den{sfx}")) + extra,
+             extra_env={"REGENIE_TPU_FUSED": "0"})
+        a = open(str(d / f"fus{sfx}_T1.regenie"), "rb").read()
+        b = open(str(d / f"den{sfx}_T1.regenie"), "rb").read()
+        assert a == b, htp
+
+
+def test_t2e_fused_mesh_byte_identical(t2e_pheno):
+    """Fused Cox under the 8-device variant-sharded mesh (shard_map,
+    bsize not divisible by the mesh size exercises pad rows)."""
+    d, pheno = t2e_pheno
+    args = _step2_args(pheno, str(d / "fmesh"))
+    args[args.index("--bsize") + 1] = "170"
+    out = _run(args, extra_env={
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "REGENIE_TPU_MESH": "1", "REGENIE_TPU_FUSED": "1",
+    })
+    assert "fast path" in out
+    args1 = _step2_args(pheno, str(d / "fone"))
+    args1[args1.index("--bsize") + 1] = "170"
+    _run(args1, extra_env={"REGENIE_TPU_FUSED": "1"})
+    a = open(str(d / "fmesh_T1.regenie"), "rb").read()
+    b = open(str(d / "fone_T1.regenie"), "rb").read()
+    assert a == b
+
+
+def test_t2e_fused_chrx_byte_identical(tmp_path):
+    """chrX non-PAR on the fused Cox path: male tail columns reproduce
+    the hemizygous MAC/genotype classes; byte-identical to dense on a
+    mixed autosome+chrX dataset with sample removal."""
+    rng = np.random.default_rng(11)
+    N, M = 160, 50
+    sex = np.array([1] * 75 + [2] * 85)
+    male = sex == 1
+    G = rng.integers(0, 3, size=(M, N))
+    for v in range(M // 2, M):
+        G[v] = np.where(male, 2 * rng.integers(0, 2, size=N), G[v])
+    miss = rng.random((M, N)) < 0.03
+    codes = np.where(G == 2, 0, np.where(G == 1, 2, 3)).astype(np.uint8)
+    codes[miss] = 1
+    pad = (-N) % 4
+    codes = np.concatenate(
+        [codes, np.zeros((M, pad), np.uint8)], axis=1).reshape(M, -1, 4)
+    byts = (codes[:, :, 0] | (codes[:, :, 1] << 2)
+            | (codes[:, :, 2] << 4) | (codes[:, :, 3] << 6))
+    prefix = str(tmp_path / "xmix")
+    with open(prefix + ".bed", "wb") as fh:
+        fh.write(b"\x6c\x1b\x01" + byts.astype(np.uint8).tobytes())
+    with open(prefix + ".bim", "w") as fh:
+        for v in range(M // 2):
+            fh.write(f"1 a{v} 0 {v + 1} A B\n")
+        for v in range(M // 2, M):
+            fh.write(f"23 x{v} 0 {30000000 + v} A B\n")
+    with open(prefix + ".fam", "w") as fh:
+        for i in range(N):
+            fh.write(f"F{i} I{i} 0 0 {sex[i]} 0\n")
+    with open(str(tmp_path / "ph.txt"), "w") as fh:
+        fh.write("FID IID T1 E1\n")
+        for i in range(N):
+            fh.write(f"F{i} I{i} {rng.exponential(8.0):.4f} "
+                     f"{int(rng.random() < 0.7)}\n")
+    with open(str(tmp_path / "rm.txt"), "w") as fh:
+        for i in (5, 33, 100):
+            fh.write(f"F{i} I{i}\n")
+
+    args = ["--step", "2", "--bed", prefix,
+            "--phenoFile", str(tmp_path / "ph.txt"),
+            "--remove", str(tmp_path / "rm.txt"),
+            "--bsize", "20", "--ignore-pred", "--minMAC", "1",
+            "--t2e", "--phenoColList", "T1", "--eventColList", "E1",
+            "--firth", "--approx", "--pThresh", "0.9"]
+    out_f = _run(args + ["--out", str(tmp_path / "fus")],
+                 extra_env={"REGENIE_TPU_FUSED": "1"})
+    assert "fast path" in out_f
+    _run(args + ["--out", str(tmp_path / "den")],
+         extra_env={"REGENIE_TPU_FUSED": "0"})
+    a = open(str(tmp_path / "fus_T1.regenie"), "rb").read()
+    b = open(str(tmp_path / "den_T1.regenie"), "rb").read()
+    assert a == b
