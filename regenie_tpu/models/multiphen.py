@@ -460,6 +460,350 @@ def multiphen_snp(params, g_raw, Xcov, Yres, mask) -> MPhenResult:
     return r
 
 
+# ---------------------------------------------------------------------------
+# Batched block driver (the device/vectorized twin of multiphen_snp's
+# score stage — VERDICT r2 #7)
+# ---------------------------------------------------------------------------
+#
+# In the default --multiphen-test modes (nocov_score / the
+# nocov_score_offset escalation strategy), the SCORE stage's null model
+# has NO covariates, so the null linear predictor is CONSTANT across
+# samples. Every score-test quantity then factors into per-CATEGORY
+# scalars (derivatives of the categorical negll wrt (theta, eta) at
+# eta=0 — obtained by autodiff on a K-vector problem, so they match
+# _pom_negll's exact formulation incl. the 1e-12 clip) times masked
+# sums of Yres:
+#
+#   U      = sum_n m_n a_{c_n} Y_n          ([B,N] @ [N,P] matmul)
+#   I_bb   = sum_n m_n b_{c_n} Y_n Y_n'     (einsum bn,np,nq->bpq)
+#   I_tb   = sum_n m_n s_{k,c_n} Y_n        ([B(K-1),N] @ [N,P])
+#   I_tt   = category counts x q_{kl,c}     (host)
+#
+# The intercept-only null fits are replicated as vectorized damped
+# Newton on the aggregated counts (same update/line-search/convergence
+# rules as _fit_logistic/_fit_pom, so the printed IT column matches up
+# to floating-point reassociation of the per-sample sums — bounded
+# drift documented in PARITY.md). SNPs whose score p falls below
+# --multiphen-thr (LRT escalation), failures, and the non-default
+# cov_*/lrt modes take the per-SNP multiphen_snp path unchanged.
+
+
+def _negll_cat(theta_e, cnt, K):
+    """Per-category negll on aggregated counts: theta_e = [theta, eta]."""
+    theta = theta_e[: K - 1]
+    eta = theta_e[K - 1]
+    cum = jax.nn.sigmoid(theta - eta)
+    cum1 = jnp.concatenate([cum, jnp.ones(1)])
+    cum0 = jnp.concatenate([jnp.zeros(1), cum])
+    pi = jnp.clip(cum1 - cum0, 1e-12, 1.0)
+    return -(cnt * jnp.log(pi)).sum()
+
+
+@partial(jax.jit, static_argnames=("K",))
+def _cat_scalars_jit(thetas, K):
+    def one(theta):
+        te = jnp.concatenate([theta, jnp.zeros(1, theta.dtype)])
+
+        def per_cat(c):
+            cnt = jnp.zeros(K, theta.dtype).at[c].set(1.0)
+            g = jax.grad(_negll_cat)(te, cnt, K)
+            H = jax.hessian(_negll_cat)(te, cnt, K)
+            return g[K - 1], H[K - 1, K - 1], H[: K - 1, K - 1], \
+                H[: K - 1, : K - 1]
+
+        return jax.vmap(per_cat)(jnp.arange(K))
+
+    return jax.vmap(one)(thetas)
+
+
+def _cat_scalars_batch(thetas, K):
+    """Per-category derivative scalars of the negll at eta=0, for a
+    BATCH of null fits (thetas [B, K-1]).
+
+    Returns (a [B, K], b [B, K], s [B, K-1, K], q [B, K-1, K-1, K])
+    where for a sample of category c: d(negll)/d eta = a_c,
+    d2/d eta2 = b_c, d2/(d theta_k d eta) = s_{k,c},
+    d2/(d theta_k d theta_l) = q_{kl,c}."""
+    with jax.enable_x64(True), jax.default_device(_cpu()):
+        a, b, s, q = _cat_scalars_jit(
+            jnp.asarray(np.asarray(thetas, np.float64)), K)
+        return (np.asarray(a), np.asarray(b),
+                np.swapaxes(np.asarray(s), 1, 2),
+                np.moveaxis(np.asarray(q), 1, 3))
+
+
+def _fit_logistic0_batch(sy, nm, maxit, tol, max_step):
+    """Vectorized intercept-only logistic fits (the nocov score-stage
+    null of the K=2 path): same damped-Newton rules as _fit_logistic on
+    X=ones, driven by the sufficient statistics (sy, nm).
+    Returns (b0, niter, ok)."""
+    B = sy.shape[0]
+    beta = np.zeros(B)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        def negll(b):
+            eta = np.clip(b, -30, 30)
+            pi = 1 / (1 + np.exp(-eta))
+            return -(sy * np.log(pi) + (nm - sy) * np.log1p(-pi))
+
+        f = negll(beta)
+        niter = np.zeros(B, np.int64)
+        ok = np.zeros(B, bool)
+        active = np.ones(B, bool)
+        for _ in range(maxit):
+            eta = np.clip(beta, -30, 30)
+            pi = 1 / (1 + np.exp(-eta))
+            w = pi * (1 - pi)
+            Ii = w * nm
+            g = sy - pi * nm
+            step = np.where(Ii > 0, g / np.where(Ii > 0, Ii, 1.0), np.nan)
+            step = np.clip(step, -max_step, max_step)
+            niter[active] += 1
+            lw_ok = np.zeros(B, bool)
+            cand = beta.copy()
+            fc = f.copy()
+            st = step.copy()
+            for _h in range(8):
+                trial = beta + st
+                ft = negll(trial)
+                better = ~lw_ok & np.isfinite(ft) & (ft <= f + 1e-12)
+                cand[better] = trial[better]
+                fc[better] = ft[better]
+                lw_ok |= better
+                st = st / 2
+            done = np.abs(g) < tol
+            fail = active & ~lw_ok & ~done
+            conv = active & done
+            ok |= conv
+            newly_inactive = fail | conv
+            beta = np.where(active & lw_ok, cand, beta)
+            f = np.where(active & lw_ok, fc, f)
+            active = active & ~newly_inactive
+            if not active.any():
+                break
+        # per-SNP path: line-search failure still returns ok when the
+        # gradient test passed on entry — covered by `done` above
+        return beta, niter, ok
+
+
+def _fit_pom0_batch(cnt, maxit, tol, max_step):
+    """Vectorized intercept-only POM fits (K=3 nocov null): damped
+    Newton on theta [B, K-1] from category counts, same rules as
+    _fit_pom (marginal-logit start, 8-halving line search).
+    Returns (theta, negll, niter, ok)."""
+    B, K = cnt.shape
+    tot = cnt.sum(axis=1)
+    cf = np.cumsum(cnt, axis=1)[:, :-1] / tot[:, None]
+    theta = np.log(cf / (1 - cf))
+
+    def negll_grad_hess(th, want=True):
+        cum = 1 / (1 + np.exp(-(th)))  # [B, K-1]
+        cum1 = np.concatenate([cum, np.ones((B, 1))], axis=1)
+        cum0 = np.concatenate([np.zeros((B, 1)), cum], axis=1)
+        pi = np.clip(cum1 - cum0, 1e-12, 1.0)
+        f = -(cnt * np.log(pi)).sum(axis=1)
+        if not want:
+            return f, None, None
+        # d negll / d theta_k = -cnt_k f_k/pi_k + cnt_{k+1} f_k/pi_{k+1}
+        fk = cum * (1 - cum)  # logistic pdf at theta_k
+        g = -cnt[:, :-1] * fk / pi[:, :-1] + cnt[:, 1:] * fk / pi[:, 1:]
+        # hessian: diagonal + one off-diagonal band (K-1 <= 2 here)
+        dfk = fk * (1 - 2 * cum)
+        H = np.zeros((B, K - 1, K - 1))
+        for k in range(K - 1):
+            H[:, k, k] = (
+                -cnt[:, k] * (dfk[:, k] * pi[:, k] - fk[:, k] ** 2)
+                / pi[:, k] ** 2
+                + cnt[:, k + 1] * (dfk[:, k] * pi[:, k + 1] + fk[:, k] ** 2)
+                / pi[:, k + 1] ** 2
+            )
+            if k + 1 < K - 1:
+                od = -cnt[:, k + 1] * fk[:, k] * fk[:, k + 1] / pi[:, k + 1] ** 2
+                H[:, k, k + 1] = od
+                H[:, k + 1, k] = od
+        return f, g, H
+
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        f, _, _ = negll_grad_hess(theta, want=False)
+        niter = np.zeros(B, np.int64)
+        ok = np.zeros(B, bool)
+        active = np.ones(B, bool)
+        for _ in range(maxit):
+            _f, g, H = negll_grad_hess(theta)
+            try:
+                step = np.linalg.solve(H, g[..., None])[..., 0]
+            except np.linalg.LinAlgError:
+                step = np.full_like(g, np.nan)
+            mx = np.abs(step).max(axis=1)
+            scale = np.where(mx > max_step, max_step / np.maximum(mx, 1e-30), 1.0)
+            step = step * scale[:, None]
+            niter[active] += 1
+            lw_ok = np.zeros(B, bool)
+            cand = theta.copy()
+            fc = f.copy()
+            st = step.copy()
+            for _h in range(8):
+                trial = theta - st
+                ft, _, _ = negll_grad_hess(trial, want=False)
+                better = ~lw_ok & np.isfinite(ft) & (ft <= f + 1e-12)
+                cand[better] = trial[better]
+                fc[better] = ft[better]
+                lw_ok |= better
+                st = st / 2
+            done = np.abs(g).max(axis=1) < tol
+            conv = active & done
+            fail = active & ~lw_ok & ~done
+            ok |= conv
+            theta = np.where((active & lw_ok)[:, None], cand, theta)
+            f = np.where(active & lw_ok, fc, f)
+            active = active & ~(conv | fail)
+            if not active.any():
+                break
+        return theta, f, niter, ok
+
+
+def multiphen_block(params, Gf, Xcov, Yres, mask, idx):
+    """Batched MultiPhen over the SNP rows `idx` of a decoded block.
+
+    Returns {b: MPhenResult}. The default nocov score stage runs as
+    batched linear algebra over the whole block; LRT escalations
+    (p < --multiphen-thr), failures and non-default modes fall back to
+    multiphen_snp per SNP."""
+    mode = getattr(params, "multiphen_test", None) or "nocov_score_offset"
+    mode = {"cov_score_it1": "cov_score", "nocov_score_addcov":
+            "nocov_score_offset", "offset": "nocov_score_offset"}.get(mode, mode)
+    out = {}
+    if mode not in ("nocov_score", "nocov_score_offset") or len(idx) == 0:
+        for b in idx:
+            out[b] = multiphen_snp(params, Gf[b], Xcov, Yres, mask)
+        return out
+    idx = np.asarray(idx, dtype=np.int64)
+
+    tol = params.multiphen_tol
+    maxit = params.multiphen_maxit
+    mstep = params.multiphen_maxstep
+    thr = params.multiphen_thr if mode == "nocov_score_offset" else -1.0
+
+    Gi = np.round(Gf[idx]).astype(np.int64)  # [B, N]
+    Mm = mask[None, :] & (Gf[idx] != -3)  # [B, N] bool
+    maskf = Mm.astype(np.float64)
+
+    # per-SNP category census (vectorized)
+    has = np.zeros((len(idx), 3), bool)
+    for v in range(3):
+        has[:, v] = ((Gi == v) & Mm).any(axis=1)
+    Kv = has.sum(axis=1)
+
+    esc = []  # SNPs needing the per-SNP path
+
+    # ---- K == 2 batch ----
+    k2 = np.flatnonzero(Kv == 2)
+    if k2.size:
+        # code = searchsorted(cats, g): 1 iff g == upper category
+        hi_cat = 2 - np.argmax(has[k2][:, ::-1], axis=1)
+        y = ((Gi[k2] == hi_cat[:, None]) & Mm[k2]).astype(np.float64)
+        mk = maskf[k2]
+        sy = y.sum(axis=1)
+        nm = mk.sum(axis=1)
+        b0, it0, ok0 = _fit_logistic0_batch(sy, nm, maxit, tol, mstep)
+        pi0 = 1 / (1 + np.exp(-np.clip(b0, -30, 30)))
+        w0 = pi0 * (1 - pi0)
+        R = (y - pi0[:, None] * mk)  # (y - pi)*maskf (y already masked)
+        U = R @ Yres  # [B2, P]
+        syY = mk @ Yres  # [B2, P]
+        # I_bb = w0 * sum_n m Y Y'; correct from the full Gram by the
+        # MISSING rows only (masks differ from mask0 just at missing g)
+        Y0 = Yres * mask[:, None].astype(np.float64)
+        G_full = Y0.T @ Y0
+        M2 = np.empty((k2.size, Yres.shape[1], Yres.shape[1]))
+        for j in range(k2.size):
+            drop = mask & ~Mm[k2[j]]
+            if drop.any():
+                Yd = Yres[drop]
+                M2[j] = G_full - Yd.T @ Yd
+            else:
+                M2[j] = G_full
+        with np.errstate(divide="ignore", invalid="ignore"):
+            V = w0[:, None, None] * M2 - (
+                w0[:, None, None] / np.maximum(w0 * nm, 1e-300)[:, None, None]
+                * w0[:, None, None] * syY[:, :, None] * syY[:, None, :]
+            )
+        for j, jj in enumerate(k2):
+            b = idx[jj]
+            r = MPhenResult()
+            if not ok0[j]:
+                out[b] = r
+                continue
+            r.niter = int(it0[j])
+            try:
+                stat = float(U[j] @ np.linalg.solve(V[j], U[j]))
+            except np.linalg.LinAlgError:
+                stat = -1.0
+            pv = float(chi2.sf(stat, Yres.shape[1])) if stat >= 0 else -1.0
+            r.pval = pv
+            if thr > 0 and 0 <= pv < thr:
+                esc.append(b)
+            else:
+                out[b] = r
+
+    # ---- K == 3 batch ----
+    k3 = np.flatnonzero(Kv == 3)
+    if k3.size:
+        code = Gi[k3]  # cats are exactly {0,1,2}
+        mk = maskf[k3]
+        cnt = np.stack(
+            [((code == v) & Mm[k3]).sum(axis=1) for v in range(3)], axis=1
+        ).astype(np.float64)
+        theta, _f0, it0, ok0 = _fit_pom0_batch(cnt, maxit, tol, mstep)
+        P = Yres.shape[1]
+        a_all, b_all, s_all, q_all = _cat_scalars_batch(theta, 3)
+        B3 = k3.size
+        j_ar = np.arange(B3)[:, None]
+        # per-sample scalar maps, batched: [B3, N]
+        Am = mk * a_all[j_ar, code]
+        Bm = mk * b_all[j_ar, code]
+        S0 = mk * s_all[j_ar, 0, code]
+        S1m = mk * s_all[j_ar, 1, code]
+        U_all = -(Am @ Yres)  # negll grad -> score = -grad
+        I_tb_all = np.stack([S0 @ Yres, S1m @ Yres], axis=1)  # [B3, 2, P]
+        I_tt_all = np.einsum("bc,bklc->bkl", cnt, q_all)
+        # batched I_bb via chunked threaded matmuls ([c,N,P] temps)
+        I_bb_all = np.empty((B3, P, P))
+        chunk = max(1, int(2e8 / (Yres.shape[0] * P * 8)))
+        for c0 in range(0, B3, chunk):
+            tmp = Bm[c0 : c0 + chunk, :, None] * Yres[None]
+            I_bb_all[c0 : c0 + chunk] = np.matmul(Yres.T[None], tmp)
+        for j, jj in enumerate(k3):
+            b = idx[jj]
+            r = MPhenResult()
+            r.is_multinom = True
+            if not ok0[j]:
+                out[b] = r
+                continue
+            r.niter = int(it0[j])
+            U = U_all[j]
+            try:
+                V = I_bb_all[j] - I_tb_all[j].T @ np.linalg.solve(
+                    I_tt_all[j], I_tb_all[j])
+                stat = float(U @ np.linalg.solve(V, U))
+            except np.linalg.LinAlgError:
+                stat = -1.0
+            pv = float(chi2.sf(stat, P)) if stat >= 0 else -1.0
+            r.pval = pv
+            if thr > 0 and 0 <= pv < thr:
+                esc.append(b)
+            else:
+                out[b] = r
+
+    # degenerate (<2 categories) rows
+    for jj in np.flatnonzero(Kv < 2):
+        out[idx[jj]] = MPhenResult()
+
+    # escalations / failures: full per-SNP run (score + LRT)
+    for b in esc:
+        out[b] = multiphen_snp(params, Gf[b], Xcov, Yres, mask)
+    return out
+
+
 def multiphen_header() -> str:
     """print_header_output_all_multiphen (Step2_Models.cpp:2319)."""
     return "CHROM GENPOS ID ALLELE0 ALLELE1 MAC A1FREQ N LOG10P MULTINOM IT UP FIRTH\n"

@@ -9,6 +9,7 @@ Data.cpp:2629) shares this engine via Step2Engine.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -2130,7 +2131,8 @@ def run_multiphen(params: Params, eng: Step2Engine, log=print) -> None:
     """MultiPhen testing mode (--multiphen): reverse ordinal regression
     of genotype on all traits (test_multiphen, Data.cpp:3505). QT only;
     one merged output file."""
-    from .models.multiphen import multiphen_header, multiphen_line, multiphen_snp
+    from .models.multiphen import (multiphen_block, multiphen_header,
+                                   multiphen_line, multiphen_snp)
 
     if params.trait_mode != QT:
         raise ValueError("MultiPhen test for QTs only")
@@ -2162,13 +2164,18 @@ def run_multiphen(params: Params, eng: Step2Engine, log=print) -> None:
         ignored = sb["mac1"] < params.min_mac
         Gf = np.asarray(G_raw, dtype=np.float64)
         lines = {}
-        for b in range(len(bsnps)):
-            if ignored[b]:
-                n_ignored += 1
-                continue
-            if nproc > 1 and b % nproc != ppid:
-                continue
-            r = multiphen_snp(params, Gf[b], pd.new_cov, eng.res, mask0)
+        n_ignored += int(ignored.sum())
+        local = [b for b in range(len(bsnps)) if not ignored[b]
+                 and (nproc == 1 or b % nproc == ppid)]
+        if os.environ.get("REGENIE_TPU_NO_BATCH_MPHEN"):
+            results = {b: multiphen_snp(params, Gf[b], pd.new_cov,
+                                        eng.res, mask0) for b in local}
+        else:
+            # batched score stage over the block; per-SNP path only for
+            # LRT escalations / non-default modes (multiphen_block)
+            results = multiphen_block(params, Gf, pd.new_cov, eng.res,
+                                      mask0, local)
+        for b, r in results.items():
             lines[b] = multiphen_line(bsnps[b], sb["mac1"][b], sb["af1"][b],
                                       sb["ns"][b], r)
         if nproc > 1:

@@ -186,3 +186,39 @@ def test_multiphen_test_modes():
         assert 0 < res[mode] < 1e-6, (mode, res[mode])
     # score-only mode differs from its LRT counterpart
     assert res["cov_score"] != res["cov_lrt"]
+
+
+def test_multiphen_batched_matches_per_snp(tmp_path):
+    """The batched block score stage (multiphen_block: per-category
+    derivative scalars x masked Yres matmuls, vectorized intercept-only
+    nulls) reproduces the per-SNP multiphen_snp output byte-for-byte on
+    the example cohort, including the IT column and LRT escalations
+    (which rerun the per-SNP path). Both default and pure-score modes."""
+    import time as _t
+
+    for extra, name in (([], "def"), (["--multiphen-thr", "0.5"], "esc"),
+                        (["--multiphen-test", "nocov_score"], "score")):
+        outs = {}
+        times = {}
+        for tag, env_extra in (("bat", {}),
+                               ("snp", {"REGENIE_TPU_NO_BATCH_MPHEN": "1"})):
+            out = str(tmp_path / f"m_{name}_{tag}")
+            env = dict(os.environ)
+            env["REGENIE_TPU_PLATFORM"] = "cpu"
+            env.update(env_extra)
+            t0 = _t.time()
+            r = subprocess.run(
+                [sys.executable, "-m", "regenie_tpu", "--step", "2",
+                 "--bed", f"{EX}/example", "--covarFile",
+                 f"{EX}/covariates.txt", "--phenoFile",
+                 f"{EX}/phenotype.txt", "--bsize", "250",
+                 "--ignore-pred", "--multiphen", "--strict", "--out", out],
+                capture_output=True, text=True, cwd="/root/repo", env=env,
+                timeout=900,
+            )
+            times[tag] = _t.time() - t0
+            assert r.returncode == 0, r.stdout + r.stderr
+            outs[tag] = open(out + ".regenie", "rb").read()
+        assert outs["bat"] == outs["snp"], name
+        print(f"[{name}] batched {times['bat']:.1f}s vs per-snp "
+              f"{times['snp']:.1f}s")
