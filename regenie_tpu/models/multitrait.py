@@ -125,6 +125,18 @@ def _chibar_logp(stat: float, wts: np.ndarray) -> float:
     return float(-np.log10(max(pv, 5e-324)))
 
 
+def _chibar_logp_batch(stats: np.ndarray, wts: np.ndarray) -> np.ndarray:
+    """Vectorized _chibar_logp over a batch of statistics: one chi2.sf
+    call on [B, q] instead of B*q scalar calls (elementwise-identical)."""
+    q = len(wts) - 1
+    ks = np.array([k for k in range(1, q + 1) if wts[k] > 0])
+    if not len(ks):
+        return np.full(len(stats), float(-np.log10(5e-324)))
+    pv = (np.asarray(wts)[ks][None, :]
+          * chi2.sf(np.asarray(stats)[:, None], ks[None, :])).sum(axis=1)
+    return -np.log10(np.maximum(pv, 5e-324))
+
+
 def _mix_logp(stat: float, lambdas: np.ndarray) -> float:
     """Kuonen SPA with Liu fallback on max-rescaled eigenvalues
     (assoc_manova NPMANOVA branch, MultiTrait_Tests.cpp:352-359)."""
@@ -136,6 +148,22 @@ def _mix_logp(stat: float, lambdas: np.ndarray) -> float:
         lp, _ = liu_logp(newQ, newL)
         return lp
     return float(-np.log10(max(pv, 5e-324)))
+
+
+def _mix_logp_batch(stats: np.ndarray, lambdas: np.ndarray) -> np.ndarray:
+    """Vectorized _mix_logp over a block's statistics (shared mixture):
+    batched Kuonen saddlepoint, scalar Liu fallback only for failures."""
+    from ..utils.quadforms import kuonen_pv_batch
+
+    lam = np.sort(np.asarray(lambdas))
+    newQ = np.asarray(stats) / lam[-1]
+    newL = lam / lam[-1]
+    pv = kuonen_pv_batch(newQ, newL)
+    out = -np.log10(np.maximum(pv, 5e-324))
+    for i in np.flatnonzero(pv <= 0):
+        lp, _ = liu_logp(newQ[i], newL)
+        out[i] = lp
+    return out
 
 
 def run_mt_block(st: MTState, G: np.ndarray, params) -> dict:
@@ -177,8 +205,7 @@ def run_mt_block(st: MTState, G: np.ndarray, params) -> dict:
     ss_t = G2 * (bhat**2).sum(axis=1)
     ss_e = (np.trace(st.YtY) - ss_t) / (N0 - 1.0)
     stat_np = ss_t / ss_e
-    for i in range(B):
-        logp[i, 5] = _mix_logp(stat_np[i], st.lambdas_norm)
+    logp[:, 5] = _mix_logp_batch(stat_np, st.lambdas_norm)
 
     # ---- 1: Omnibus0 z' Syy^-1 z
     stat_omni = (Z * (Z @ st.Syy_inv)).sum(axis=1)
@@ -192,8 +219,7 @@ def run_mt_block(st: MTState, G: np.ndarray, params) -> dict:
 
     # ---- 6: HOmnibus0 z'z against the Syy eigenvalue mixture
     stat_h = (Z**2).sum(axis=1)
-    for i in range(B):
-        logp[i, 6] = _mix_logp(stat_h[i], st.lambdas)
+    logp[:, 6] = _mix_logp_batch(stat_h, st.lambdas)
 
     # ---- 2: Bayes log10 BF (conjugate MV regression, rank-one det identity)
     Vb1 = 1.0 / (G2 + 1.0 / st.prior_Vbeta0)
@@ -207,18 +233,23 @@ def run_mt_block(st: MTState, G: np.ndarray, params) -> dict:
     LL_M1 = 0.5 * q * np.log(Vb1) - 0.5 * (N0 + st.prior_a0 + q - 1.0) * ld1
     logp[:, 2] = (LL_M1 - st.LL_M0) / np.log(10.0)
 
-    # ---- 3: NNLS0 on z with V = Syy
+    # ---- 3: NNLS0 on z with V = Syy (the q x q active-set solves stay
+    # per-SNP — they are tiny; the chi-bar tail is batched)
+    sp_all = np.zeros(B)
+    sn_all = np.zeros(B)
+    nnls_fail = np.zeros(B, bool)
     for i in range(B):
         try:
             Xty = st.Syy_inv @ Z[i]
             bp = _nnls_kkt(st.Syy_inv, Xty)
             bn = _nnls_kkt(st.Syy_inv, -Xty)
-            sp = bp @ st.Syy_inv @ bp
-            sn = bn @ st.Syy_inv @ bn
-            lp = max(_chibar_logp(sp, st.nnls_wts), _chibar_logp(sn, st.nnls_wts))
-            logp[i, 3] = lp
+            sp_all[i] = bp @ st.Syy_inv @ bp
+            sn_all[i] = bn @ st.Syy_inv @ bn
         except np.linalg.LinAlgError:
-            logp[i, 3] = -9.0
+            nnls_fail[i] = True
+    logp[:, 3] = np.maximum(_chibar_logp_batch(sp_all, st.nnls_wts),
+                            _chibar_logp_batch(sn_all, st.nnls_wts))
+    logp[nnls_fail, 3] = -9.0
 
     # ---- 7: CPC0 sum z_pc^2 ~ chi2_q
     stat_cpc = (Zpc**2).sum(axis=1)
@@ -227,8 +258,8 @@ def run_mt_block(st: MTState, G: np.ndarray, params) -> dict:
     # ---- 8-10: RCPC0 on RINT-PC z-scores
     logp_rpc_uni = chisq_neglog10(Zrpc**2)
     logp[:, 8] = chisq_neglog10_df((Zrpc**2).sum(axis=1), q)
+    logp[:, 9] = _fisher_robust_batch(logp_rpc_uni)
     for i in range(B):
-        logp[i, 9] = _fisher_robust(logp_rpc_uni[i])
         logp[i, 10] = get_acat(logp_rpc_uni[i])
 
     # ---- 11-13: ACPC0 = CPC z-scores, MCC-adjusted where a PC is skewed
@@ -255,11 +286,11 @@ def run_mt_block(st: MTState, G: np.ndarray, params) -> dict:
                     z2_adj = chi2.isf(max(pv[0, 0], 5e-324), df=1)
                     Zacpc[i, j] *= np.sqrt(z2_adj / z2[i, j])
     logp[:, 11] = chisq_neglog10_df((Zacpc**2).sum(axis=1), q)
+    logp[:, 12] = _fisher_robust_batch(logp_pc_uni)
     for i in range(B):
         if acpc_fail[i]:
             logp[i, 11:14] = -9.0
             continue
-        logp[i, 12] = _fisher_robust(logp_pc_uni[i])
         logp[i, 13] = get_acat(logp_pc_uni[i])
 
     # ---- minP / minQ over univariate Y0 tests
@@ -277,6 +308,12 @@ def _fisher_robust(logp_vec: np.ndarray) -> float:
     MultiTrait_Tests.cpp:41-50)."""
     stat = 2.0 * np.log(10.0) * logp_vec.sum()
     return float(chisq_neglog10_df(stat, 2 * len(logp_vec)))
+
+
+def _fisher_robust_batch(logp_mat: np.ndarray) -> np.ndarray:
+    """_fisher_robust over rows of [B, q] (one vectorized sf call)."""
+    stats = 2.0 * np.log(10.0) * logp_mat.sum(axis=1)
+    return chisq_neglog10_df(stats, 2 * logp_mat.shape[1])
 
 
 def mt_header(n_pheno: int) -> str:

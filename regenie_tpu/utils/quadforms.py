@@ -265,6 +265,77 @@ def kuonen_pv(q: float, lambdas: np.ndarray) -> float:
     return float(pv)
 
 
+def kuonen_pv_batch(qs: np.ndarray, lambdas: np.ndarray) -> np.ndarray:
+    """Vectorized kuonen_pv over a batch of statistics sharing ONE
+    lambda mixture (the --mt NPMANOVA/HOmnibus case). Elementwise math
+    and the Newton+bisection control flow match the scalar routine, so
+    per-element results are bitwise identical. Returns pv [B], -1 on
+    failure."""
+    lam = np.asarray(lambdas, dtype=np.float64)
+    qs = np.asarray(qs, dtype=np.float64)
+    B = qs.shape[0]
+    lam2 = lam[None, :]
+
+    def Kp(t):
+        return (lam2 / (1.0 - 2.0 * t[:, None] * lam2)).sum(axis=1)
+
+    def Kpp(t):
+        return ((2.0 * lam2**2) / (1.0 - 2.0 * t[:, None] * lam2) ** 2).sum(axis=1)
+
+    if lam[0] < 0:
+        tmin = np.full(B, 1.0 / (2.0 * lam[0]))
+    else:
+        tmin = np.where(qs > lam.sum(), 0.0, -0.5 * len(lam) / qs)
+    tmax = 0.5 - 1e-8
+    out = np.full(B, -1.0)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        fmin = Kp(tmin) - qs
+        fmax = Kp(np.full(B, tmax)) - qs
+        alive = (tmax >= tmin) & (fmin <= 0) & (fmax >= 0)
+        min_x, max_x = tmin.copy(), np.full(B, tmax)
+        t_old, f_old = tmin.copy(), fmin.copy()
+        t_new = tmin.copy()
+        ok = np.zeros(B, bool)
+        active = alive.copy()
+        for _ in range(1000):
+            if not active.any():
+                break
+            hess = Kpp(t_old)
+            cand = t_old - f_old / hess
+            f_cand = Kp(cand) - qs
+            conv = active & (np.abs(f_cand) < 1e-8)
+            ok |= conv
+            t_new = np.where(active, cand, t_new)
+            inb = (min_x < cand) & (cand < max_x)
+            upd = active & ~conv
+            max_x = np.where(upd & inb & (f_cand > 0), cand, max_x)
+            min_x = np.where(upd & inb & (f_cand <= 0), cand, min_x)
+            mid = 0.5 * (min_x + max_x)
+            f_mid = Kp(mid) - qs
+            oob = upd & ~inb
+            t_new = np.where(oob, mid, t_new)
+            f_new = np.where(oob, f_mid, f_cand)
+            min_x = np.where(oob & (f_mid <= 0), mid, min_x)
+            max_x = np.where(oob & (f_mid > 0), mid, max_x)
+            t_old = np.where(upd, t_new, t_old)
+            f_old = np.where(upd, f_new, f_old)
+            active = upd
+        good = ok
+        Kt = -0.5 * np.log1p(-2.0 * t_new[:, None] * lam2).sum(axis=1)
+        tmp = 2.0 * (qs * t_new - Kt)
+        good = good & (tmp > 0)
+        w = np.sign(t_new) * np.sqrt(np.where(tmp > 0, tmp, 1.0))
+        kpp = Kpp(t_new)
+        good = good & (kpp > 0)
+        u = t_new * np.sqrt(np.where(kpp > 0, kpp, 1.0))
+        good = good & (np.abs(u) >= 1e-4)
+        r = w + np.log(np.where(good, u / w, 1.0)) / w
+        pv = norm.sf(r)
+        good = good & (pv > 0) & (pv <= 1)
+        out[good] = pv[good]
+    return out
+
+
 def liu_params(lambdas: np.ndarray) -> np.ndarray:
     """[muQ, invsQ, muX, sX, df, ncp] (get_cvals, SKAT.cpp:1767)."""
     lam = np.asarray(lambdas, dtype=np.float64)

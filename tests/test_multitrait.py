@@ -130,3 +130,31 @@ def test_mt_cli_end_to_end(tmp_path):
     omni = body[:, hdr.index("LOG10P.OMNIBUS0") - 8]
     cpc = body[:, hdr.index("LOG10P.CPC0") - 8]
     assert np.corrcoef(omni, cpc)[0, 1] > 0.99
+
+
+def test_mt_batched_tails_match_scalar():
+    """The batched --mt tail helpers (chi-bar, Kuonen mixture, Fisher)
+    are bitwise-identical to their scalar per-SNP originals."""
+    import numpy as np
+
+    from regenie_tpu.models.multitrait import (
+        _chibar_logp, _chibar_logp_batch, _fisher_robust,
+        _fisher_robust_batch, _mix_logp, _mix_logp_batch)
+
+    rng = np.random.default_rng(5)
+    wts = rng.random(6)
+    wts /= wts.sum()
+    stats = rng.exponential(4.0, size=200)
+    bb = _chibar_logp_batch(stats, wts)
+    ss = np.array([_chibar_logp(float(s), wts) for s in stats])
+    np.testing.assert_array_equal(bb, ss)
+
+    lam = np.sort(rng.random(8))[::-1]
+    mb = _mix_logp_batch(stats, lam)
+    ms = np.array([_mix_logp(float(s), lam) for s in stats])
+    np.testing.assert_array_equal(mb, ms)
+
+    lp = rng.exponential(1.0, size=(50, 5))
+    fb = _fisher_robust_batch(lp)
+    fs = np.array([_fisher_robust(r) for r in lp])
+    np.testing.assert_array_equal(fb, fs)
