@@ -125,6 +125,9 @@ def test_multihost_step1_loocv_byte_identical(tmp_path):
     _run_single(args, one)
     out = _run_multihost(args, mh)
     assert "distributed: process 0 of 2" in out
+    # per-host sample-window decode: each process unpacks only its own
+    # byte columns (the sample-axis analog of step 2's per-host rows)
+    assert "per-host decode" in out
     for ph in (1, 2):
         a = open(f"{one}_{ph}.loco", "rb").read()
         b = open(f"{mh}_{ph}.loco", "rb").read()
