@@ -169,7 +169,7 @@ def op_nbp(Wp):
     return (Wp.limbs if isinstance(Wp, I8Operand) else Wp).shape[-2]
 
 
-def plane_pack(Wext, nb, split, dtype=np.float32):
+def plane_pack(Wext, nb, split, dtype=np.float32, nbp_tile=None):
     """[N, C] per-sample operand -> plane-ordered kernel operand.
 
     Returns (Wp, usum): Wp is [4, nbp, Cp] (dtype), the bf16
@@ -177,10 +177,13 @@ def plane_pack(Wext, nb, split, dtype=np.float32):
     (split="i8"); usum is the padded [Cp] column-sum vector used by the
     flip algebra (for "i8" it sums the QUANTIZED values so the flip
     transform stays exact in the quantized system). Rows must already
-    be zeroed for excluded samples."""
+    be zeroed for excluded samples. nbp_tile: byte-padding multiple
+    (default _TC; a 2-D mesh pads to n_smp*_TC so every sample shard is
+    kernel-tile aligned)."""
     N, C = Wext.shape
     Cp = -(-C // 128) * 128  # pad columns to the MXU lane width
-    nbp = -(-nb // _TC) * _TC
+    tile = nbp_tile or _TC
+    nbp = -(-nb // tile) * tile
     # plane order: plane p, byte c -> file-order sample 4c + p
     Wp = np.zeros((4, nbp, Cp), dtype=np.float64)
     for p in range(4):
@@ -204,11 +207,12 @@ def plane_pack(Wext, nb, split, dtype=np.float32):
     return jnp.asarray(Wp.astype(dtype)), usum
 
 
-def plane_order_rows(X, nb):
+def plane_order_rows(X, nb, nbp_tile=None):
     """[N, C] -> plane-ordered [4, nbp, C] float64 (the row permutation
     used by plane_pack, without padding columns)."""
     N, C = X.shape
-    nbp = -(-nb // _TC) * _TC
+    tile = nbp_tile or _TC
+    nbp = -(-nb // tile) * tile
     out = np.zeros((4, nbp, C), dtype=np.float64)
     for p in range(4):
         src = 4 * np.arange(nb) + p
@@ -255,7 +259,7 @@ def patch_res_columns(Wp_dev, res_planes, K, P, Cp, split):
 
 
 def build_consts(cov, res, maskf, ind, scale_denom, nb=None, dtype=np.float32,
-                 split=False, pack="plane", male=None):
+                 split=False, pack="plane", male=None, nbp_tile=None):
     """Build FusedConsts from per-sample arrays (numpy, float64 in).
 
     cov: [N, K] orthonormal covariate basis (rows of excluded samples
@@ -303,7 +307,7 @@ def build_consts(cov, res, maskf, ind, scale_denom, nb=None, dtype=np.float32,
         cols += [malez[:, None], maskz * malez[:, None]]
     Wext = np.concatenate(cols, axis=1)
     if pack == "plane":
-        Wp_out, usum = plane_pack(Wext, nb, split, dtype)
+        Wp_out, usum = plane_pack(Wext, nb, split, dtype, nbp_tile=nbp_tile)
     else:  # sample-ordered operand (BGEN byte planes)
         Wp_out, usum = sample_pack(Wext, split, dtype)
     Mmat = np.einsum("nk,np,nl->pkl", covz, maskz[:, list(inc)], covz)
@@ -690,17 +694,33 @@ def _mesh_wrap(body, mesh, in_ranks, out_ranks):
     sharded on its leading axis. No collectives — the mesh analog of
     the reference's per-machine chromosome split
     (docs/recommendations.md:128) riding the flagship packed-bytes
-    kernel instead of a dense decoded G."""
+    kernel instead of a dense decoded G.
+
+    On a 2-D (var, smp) mesh the byte columns of arg 0 AND the operand's
+    contraction (nbp) axis are additionally sharded over `smp`; the body
+    must psum its product tensors over that axis (the callers inject the
+    psum between products and epilogue). Outputs come back replicated on
+    smp, sharded on var."""
     from jax.sharding import PartitionSpec as P
 
-    axis = mesh.axis_names[0]
+    axes = mesh.axis_names
+    axis = axes[0]
+    smp = axes[1] if len(axes) > 1 else None
 
-    def _spec(r, shard):
-        return P(axis, *([None] * (r - 1))) if shard else P(*([None] * r))
+    def _spec(r, i):
+        if i == 0:  # the packed block: rows = variants, cols = bytes
+            if smp is not None and r >= 2:
+                return P(axis, smp, *([None] * (r - 2)))
+            return P(axis, *([None] * (r - 1)))
+        if smp is not None and r >= 2:
+            # operand tensors: contraction (second-to-last) axis sharded
+            sp = [None] * r
+            sp[r - 2] = smp
+            return P(*sp)
+        return P(*([None] * r))
 
-    # in_ranks entries may be pytrees of ranks (e.g. an I8Operand arg)
     in_specs = tuple(
-        jax.tree_util.tree_map(lambda r, i=i: _spec(r, i == 0), rt)
+        jax.tree_util.tree_map(lambda r, i=i: _spec(r, i), rt)
         for i, rt in enumerate(in_ranks)
     )
     return jax.shard_map(
@@ -716,6 +736,28 @@ def _mesh_replicate(mesh, x):
     return jax.tree_util.tree_map(lambda a: replicate(mesh, a), x)
 
 
+def _mesh_place_operand(mesh, Wp):
+    """Place the fused operand on the mesh: replicated on a 1-D
+    (variant-only) mesh; contraction (nbp) axis sharded over `smp` on a
+    2-D (var, smp) mesh — each chip holds only its sample window of the
+    multi-GB Wext (the N-scaling budget lever, SURVEY §5.7)."""
+    if len(mesh.axis_names) == 1:
+        return _mesh_replicate(mesh, Wp)
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    smp = mesh.axis_names[1]
+
+    def place(a):
+        r = np.ndim(a)
+        sp = [None] * r
+        if r >= 2:
+            sp[r - 2] = smp
+        return jax.device_put(a, NamedSharding(mesh, P(*sp)))
+
+    return jax.tree_util.tree_map(place, Wp)
+
+
 def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool, test_type=0,
                      ref_first=False, mesh=None, strict=False):
     """One-dispatch jitted QT block function: products + epilogue + the
@@ -726,14 +768,18 @@ def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool, test_type=0,
     by the caller; operands replicated once)."""
     prod = fused_products if use_pallas else fused_products_xla
     C_used = consts.layout_C()
+    psum_ax = (mesh.axis_names[1]
+               if mesh is not None and len(mesh.axis_names) > 1 else None)
     # the Wext operand can be GBs at biobank scale (N x 3C bf16): pass
     # it as an argument (device buffer by handle), never as a captured
     # jit constant that would be inlined into the executable
     Wp_dev = (jax.device_put(consts.Wp) if mesh is None
-              else _mesh_replicate(mesh, consts.Wp))
+              else _mesh_place_operand(mesh, consts.Wp))
 
     def _body(raw, Wp):
         S1, SQ, SM = prod(raw, Wp)
+        if psum_ax:  # 2-D mesh: sample-sharded partial products
+            S1, SQ, SM = (jax.lax.psum(x, psum_ax) for x in (S1, SQ, SM))
         S1c, SQc, SMc = S1[:, :C_used], SQ[:, :C_used], SM[:, :C_used]
         if ref_first:
             S1c, SQc = ref_first_products(
@@ -775,11 +821,15 @@ def make_bt_block_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
     prec = jax.lax.Precision.HIGHEST
     usum_j = jnp.asarray(usum[:C_used])
     xwt_j = jnp.asarray(xwt)
+    psum_ax = (mesh.axis_names[1]
+               if mesh is not None and len(mesh.axis_names) > 1 else None)
     Wp_dev = (jax.device_put(Wp) if mesh is None
-              else _mesh_replicate(mesh, Wp))  # by handle, not baked in
+              else _mesh_place_operand(mesh, Wp))  # by handle, not baked in
 
     def _body(raw, Wp_a):
         S1, SQ, SM = prod(raw, Wp_a)
+        if psum_ax:  # 2-D mesh: sample-sharded partial products
+            S1, SQ, SM = (jax.lax.psum(x, psum_ax) for x in (S1, SQ, SM))
         S1c, SQc, SMc = S1[:, :C_used], SQ[:, :C_used], SM[:, :C_used]
         if ref_first:
             S1c, SQc = ref_first_products(
@@ -838,12 +888,16 @@ def make_t2e_block_fn(Wp, usum, Rtv, RtR, res_var, C_used, icol, n_ind,
     Rtv_j = jnp.asarray(Rtv)
     RtR_j = jnp.asarray(RtR)
     rv_j = jnp.asarray(res_var)
+    psum_ax = (mesh.axis_names[1]
+               if mesh is not None and len(mesh.axis_names) > 1 else None)
     Wp_dev = (jax.device_put(Wp) if mesh is None
-              else _mesh_replicate(mesh, Wp))
+              else _mesh_place_operand(mesh, Wp))
     nt = Tt * (2 * q + 1)
 
     def _body(raw, Wp_a):
         S1, SQ, SM = prod(raw, Wp_a)
+        if psum_ax:  # 2-D mesh: sample-sharded partial products
+            S1, SQ, SM = (jax.lax.psum(x, psum_ax) for x in (S1, SQ, SM))
         S1c, SQc, SMc = S1[:, :C_used], SQ[:, :C_used], SM[:, :C_used]
         if ref_first:
             S1c, SQc = ref_first_products(

@@ -282,6 +282,23 @@ class Step2Engine:
             if self.mesh is not None:
                 log(f" * multi-chip mesh: {len(self.mesh.devices.flat)} "
                     "devices (variant-axis sharding)")
+        # REGENIE_TPU_MESH_2D: tile the fused scorer's mesh as
+        # variants x samples — the plane-packed operand's sample rows
+        # shard over `smp` with psum'd [B, C] products, so each chip
+        # holds only its window of the multi-GB Wext (SURVEY §5.7;
+        # N-scaling budget in README). Single-process, hardcall fused
+        # paths only; everything else keeps the 1-D variant mesh.
+        self.mesh2d = None
+        if self.mesh is not None and os.environ.get("REGENIE_TPU_MESH_2D"):
+            from .parallel import mesh as pm
+            from .parallel.dist import process_count
+
+            ndev = len(self.mesh.devices.flat)
+            nv2, ns2 = pm.mesh_2d_shape(ndev)
+            if ns2 > 1 and process_count() == 1:
+                self.mesh2d = pm.make_mesh_2d(ndev)
+                log(f" * 2-D mesh for the fused scorer: {nv2} x {ns2} "
+                    "(variant x sample tiling)")
         if params.interaction_var:
             from .models.interaction import prep_interaction
 
@@ -879,6 +896,13 @@ class Step2Engine:
         nfile = self._fused_nfile()
         nb = (nfile + 3) // 4
         on_tpu = jax.default_backend() != "cpu"
+        # 2-D (var x smp) mesh applies to the plane-packed hardcall
+        # paths; BGEN byte planes keep the 1-D variant mesh
+        mesh_f = (self.mesh2d
+                  if self.mesh2d is not None and not is_bgen else self.mesh)
+        nbp_tile = None
+        if mesh_f is not None and len(mesh_f.axis_names) > 1:
+            nbp_tile = fsc._TC * mesh_f.devices.shape[1]
         dtype = np.float64 if jax.config.jax_enable_x64 else np.float32
         # PGEN bytes are repacked post allele-handling on the kept axis;
         # only raw BED file bytes still need the --ref-first transform
@@ -906,6 +930,7 @@ class Step2Engine:
                     self.scale_denom, nb=nb, dtype=dtype,
                     split=fsc.split_mode(on_tpu, is_bgen),
                     pack="sample" if is_bgen else "plane", male=male_f,
+                    nbp_tile=nbp_tile,
                 )
                 covz_f = cov_f * ind_f.astype(np.float64)[:, None]
                 Cp = -(-base.layout_C() // 128) * 128
@@ -927,7 +952,7 @@ class Step2Engine:
                 res_pl = np.zeros((Np, P), np.float64)
                 res_pl[: res_f.shape[0]] = res_f
             else:
-                res_pl = fsc.plane_order_rows(res_f, nb)
+                res_pl = fsc.plane_order_rows(res_f, nb, nbp_tile=nbp_tile)
             Wp = fsc.patch_res_columns(
                 base.Wp, res_pl.astype(np.float32) if on_tpu else res_pl,
                 K, P, Cp, on_tpu,
@@ -957,7 +982,7 @@ class Step2Engine:
             else:
                 self._fused_fn = fsc.make_qt_block_fn(
                     self._fused_consts, on_tpu, params.test_type, rf,
-                    mesh=self.mesh, strict=self.strict,
+                    mesh=mesh_f, strict=self.strict,
                 )
         elif params.trait_mode == T2E:
             # fused Cox operand: per-trait [WX1 | R*ind | v] blocks +
@@ -1009,7 +1034,8 @@ class Step2Engine:
                     axis=1,
                 )
             Wp, usum = fsc.plane_pack(
-                Wext_f, nb, split=fsc.split_mode(on_tpu), dtype=dtype)
+                Wext_f, nb, split=fsc.split_mode(on_tpu), dtype=dtype,
+                nbp_tile=nbp_tile)
             icol = nt + 2 * P
             C_used = icol + 1 + ((2 * P + 1) if has_male else 0)
             Rtv = np.stack([
@@ -1023,7 +1049,7 @@ class Step2Engine:
             ]) if passing else np.zeros((0, q, q))
             rv = np.array([st.mle[ph].res_var for ph in passing])
             self._fused_t2e = SimpleNamespace(
-                passing=passing, q=q, icol=icol, C_used=C_used,
+                passing=passing, q=q, icol=icol, C_used=C_used, Wp=Wp,
                 usum=usum, sl_case=slice(nt, nt + P),
                 sl_mask=slice(nt + P, nt + 2 * P),
                 case_n=case.sum(axis=0),
@@ -1032,7 +1058,7 @@ class Step2Engine:
             self._fused_fn = fsc.make_t2e_block_fn(
                 Wp, usum, Rtv, RtR, rv, C_used, icol, float(indf.sum()),
                 len(passing), q, on_tpu, params.test_type, rf,
-                mesh=self.mesh,
+                mesh=mesh_f,
             )
         else:  # BT
             from .models import step2_bt
@@ -1078,7 +1104,8 @@ class Step2Engine:
                 Wp, usum = fsc.sample_pack(Wext_f, split=on_tpu, dtype=dtype)
             else:
                 Wp, usum = fsc.plane_pack(
-                    Wext_f, nb, split=fsc.split_mode(on_tpu), dtype=dtype)
+                    Wext_f, nb, split=fsc.split_mode(on_tpu), dtype=dtype,
+                    nbp_tile=nbp_tile)
             ind_col = ncat + Pn + P + P
             C_used = ind_col + 1 + ((2 * P + 1) if has_male else 0)
             self._fused_bt = _FusedBTConsts(
@@ -1103,10 +1130,18 @@ class Step2Engine:
                 self._fused_fn = fsc.make_bt_block_fn(
                     Wp, usum, np.asarray(fc.xwt_j), C_used, ind_col,
                     float(ind.sum()), ncat, Pn, Kp1, on_tpu, params.test_type, rf,
-                    mesh=self.mesh,
+                    mesh=mesh_f,
                 )
         self._fused_is_bgen = is_bgen
         self._fused_nb = nb
+        self._fused_mesh = mesh_f
+        if is_bgen:
+            self._fused_op_nbp = None
+        else:
+            wp_act = (self._fused_consts.Wp if params.trait_mode == QT
+                      else self._fused_t2e.Wp if params.trait_mode == T2E
+                      else self._fused_bt.Wp)
+            self._fused_op_nbp = fsc.op_nbp(wp_act)
         self._fused_chrom = self.cur_chrom
 
     @staticmethod
@@ -1165,11 +1200,33 @@ class Step2Engine:
                              *([None] * (slab.ndim - 1))))
             return jax.make_array_from_process_local_data(
                 sharding, slab, (Bpad,) + local.shape[1:])
-        if self.mesh is None:
+        mesh_f = getattr(self, "_fused_mesh", self.mesh)
+        if mesh_f is None:
             return jnp.asarray(rawp)
-        ndev = len(self.mesh.devices.flat)
+        if len(mesh_f.axis_names) > 1:
+            # 2-D (var x smp): rows padded to the variant axis, byte
+            # columns (already padded to n_smp * tile by the operand
+            # packing) sharded over the sample axis
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as SP
+
+            from .parallel import mesh as pm2
+
+            raw_np = np.asarray(rawp)
+            if (self._fused_op_nbp is not None
+                    and raw_np.shape[1] != self._fused_op_nbp):
+                ext = np.zeros(
+                    (raw_np.shape[0], self._fused_op_nbp), np.uint8)
+                ext[:, : raw_np.shape[1]] = raw_np
+                raw_np = ext
+            nv = mesh_f.devices.shape[0]
+            raw_np, _ = pm.pad_to(raw_np, nv, 0)
+            return jax.device_put(
+                raw_np,
+                NamedSharding(mesh_f, SP(pm2.VAR_AXIS, pm2.SMP_AXIS)))
+        ndev = len(mesh_f.devices.flat)
         rawp, _ = pm.pad_to(np.asarray(rawp), ndev, 0)
-        return pm.shard_array(self.mesh, jnp.asarray(rawp), 0)
+        return pm.shard_array(mesh_f, jnp.asarray(rawp), 0)
 
     def test_raw_block_fused(self, rawp, bsnps) -> Tuple[BlockResult, np.ndarray]:
         """Fused pipeline for a packed BED block: three MXU products over

@@ -1022,3 +1022,57 @@ def test_fused_strict_single_pheno_byte_identical(tmp_path):
         a = open(str(tmp_path / f"fus_{tag}_Y1.regenie"), "rb").read()
         b = open(str(tmp_path / f"std_{tag}_Y1.regenie"), "rb").read()
         assert a == b, tag
+
+
+def test_fused_mesh2d_cli_byte_identical(tmp_path):
+    """VERDICT r2 #8: sample-sharded fused step 2. Under
+    REGENIE_TPU_MESH_2D=1 on the 8-device CPU mesh the scorer tiles as
+    2 variants x 4 samples — the plane-packed operand's nbp rows shard
+    over `smp`, partial S1/SQ/SM products psum before the epilogue.
+    QT, BT approx-Firth and T2E runs must be byte-identical to the
+    single-device fused path."""
+    import glob
+    import subprocess as sp
+
+    EX = "/root/reference/example"
+    mesh2d_env = {
+        "REGENIE_TPU_FUSED": "1",
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "REGENIE_TPU_MESH": "1",
+        "REGENIE_TPU_MESH_2D": "1",
+    }
+    # synthetic T2E phenotype over the example cohort
+    ids = [l.split()[:2] for l in open(f"{EX}/example.fam")]
+    rng = np.random.default_rng(17)
+    t2e_ph = str(tmp_path / "ph_t2e.txt")
+    with open(t2e_ph, "w") as fh:
+        fh.write("FID IID T1 E1\n")
+        for fid, iid in ids:
+            fh.write(f"{fid} {iid} {rng.exponential(9.0):.4f} "
+                     f"{int(rng.random() < 0.7)}\n")
+    cases = {
+        "qt": ["--bed", f"{EX}/example", "--phenoFile", f"{EX}/phenotype.txt",
+               "--ignore-pred"],
+        "bt": ["--bed", f"{EX}/example", "--phenoFile",
+               f"{EX}/phenotype_bin.txt", "--bt", "--firth", "--approx",
+               "--pThresh", "0.1", "--ignore-pred"],
+        "t2e": ["--bed", f"{EX}/example", "--phenoFile", t2e_ph, "--t2e",
+                "--phenoColList", "T1", "--eventColList", "E1",
+                "--firth", "--approx", "--pThresh", "0.9", "--ignore-pred"],
+    }
+    for name, extra in cases.items():
+        common = ["--step", "2", "--covarFile", f"{EX}/covariates.txt",
+                  # bsize NOT divisible by 2: exercises var-axis pad rows
+                  "--bsize", "171"] + extra
+        one = str(tmp_path / f"one_{name}")
+        m2d = str(tmp_path / f"m2d_{name}")
+        out1 = _run_cli(common + ["--out", one], {"REGENIE_TPU_FUSED": "1"})
+        assert "fast path" in out1, name
+        out2 = _run_cli(common + ["--out", m2d], mesh2d_env)
+        assert "fast path" in out2 and "2-D mesh for the fused scorer: 2 x 4" in out2, name
+        ones = sorted(glob.glob(one + "*_*.regenie"))
+        assert ones, name
+        for f in ones:
+            g = f.replace(one, m2d)
+            assert open(f, "rb").read() == open(g, "rb").read(), (name, f)
