@@ -150,17 +150,18 @@ def i8_fold(parts, scale):
 
 
 def split_mode(on_tpu, sample_layout=False):
-    """Operand encoding for the fused kernels: int8 limbs ("i8") on TPU
-    for the plane-packed hardcall path unless REGENIE_TPU_I8=0 (the
-    s8xs8->s32 MXU runs 2x the bf16 rate and the int32 accumulation is
-    exact — see I8Operand); bf16 3-way split (True) for the BGEN
-    sample-packed path; full-precision floats (False) on CPU."""
+    """Operand encoding for the fused kernels on TPU: int8 limbs ("i8")
+    unless REGENIE_TPU_I8=0 (the s8xs8->s32 MXU runs 2x the bf16 rate;
+    plane-packed hardcalls accumulate exactly in int32, the BGEN
+    sample-packed kernel shifts its byte planes by -128 and corrects
+    with operand column sums — see I8Operand / _bgen_kernel_i8); the
+    bf16 3-way split (True) is the fallback; full-precision floats
+    (False) on CPU."""
     import os
 
     if not on_tpu:
         return False
-    if sample_layout:
-        return True
+    del sample_layout  # i8 covers both layouts since round 3
     return False if os.environ.get("REGENIE_TPU_I8") == "0" else "i8"
 
 
@@ -1009,6 +1010,10 @@ def sample_pack(Wext, split, dtype=np.float32, tile=None):
     W = np.zeros((Np, Cp), dtype=np.float64)
     W[:N, :C] = Wext
     usum = np.pad(Wext.sum(axis=0), (0, Cp - C))
+    if split == "i8":
+        limbs, s, Wq = _i8_quantize_np(W)
+        usum = Wq.sum(axis=0)
+        return I8Operand(jnp.asarray(limbs), jnp.asarray(s)), usum
     if split:
         w_j = jnp.asarray(W.astype(np.float32))
         hi = w_j.astype(jnp.bfloat16)
@@ -1052,6 +1057,108 @@ def _bgen_kernel_split(pl_ref, wp_ref, wq_ref, d0_ref, d1_ref, q0_ref,
     m_ref[:] += jax.lax.dot_general(miss.astype(dt), w, dn, preferred_element_type=pe)
 
 
+def _bgen_kernel_i8(pl_ref, wp_ref, wq_ref, d0_ref, d1_ref, q0_ref,
+                    q1_ref, q2_ref, m_ref):
+    """int8-limb BGEN variant: byte planes shifted by -128 into int8
+    (the caller adds back 128 * operand column sums), s8xs8->s32 MXU
+    dots EXACT per tile, f32 cross-tile accumulation (per-tile dots
+    stay below 2^24, so the f32 adds are exact until the running sum
+    outgrows 24 bits — same accumulation class as the bf16 path)."""
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        for ref in (d0_ref, d1_ref, q0_ref, q1_ref, q2_ref, m_ref):
+            ref[:] = jnp.zeros_like(ref)
+
+    k0 = pl_ref[:, 0, :].astype(jnp.int32)
+    k1 = pl_ref[:, 1, :].astype(jnp.int32)
+    miss = (k0 + k1) > 255
+    k0 = jnp.where(miss, 0, k0)
+    k1 = jnp.where(miss, 0, k1)
+    d2 = (2 * k0 + k1) ** 2
+    dn = (((1,), (0,)), ((), ()))
+    w = wp_ref[:]
+    wq = wq_ref[:]
+
+    def dot8(x, wref):
+        xs = (x - 128).astype(jnp.int8)
+        return jax.lax.dot_general(
+            xs, wref, dn, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+
+    d0_ref[:] += dot8(k0, w)
+    d1_ref[:] += dot8(k1, w)
+    q0_ref[:] += dot8(d2 & 255, wq)
+    q1_ref[:] += dot8((d2 >> 8) & 255, wq)
+    q2_ref[:] += dot8(d2 >> 16, wq)
+    m_ref[:] += jax.lax.dot_general(
+        miss.astype(jnp.int8), w, dn, preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+
+
+def _bgen_products_i8(planes, Wp: I8Operand, Wq, qs, C_used, interpret,
+                      tb, tc):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = planes.shape[0]
+    Cw4 = Wp.limbs.shape[1]
+    if Wq is None:
+        Wq = Wp
+        qs = 0
+    Cwq4 = Wq.limbs.shape[1]
+    grid = (pl.cdiv(B, tb), pl.cdiv(planes.shape[2], tc))
+    outs = pl.pallas_call(
+        _bgen_kernel_i8,
+        out_shape=[jax.ShapeDtypeStruct((B, Cw4), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((B, Cwq4), jnp.float32)] * 3
+        + [jax.ShapeDtypeStruct((B, Cw4), jnp.float32)],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, 2, tc), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, Cw4), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, Cwq4), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tb, Cw4), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 2
+        + [pl.BlockSpec((tb, Cwq4), lambda i, j: (i, 0),
+                        memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec((tb, Cw4), lambda i, j: (i, 0),
+                        memory_space=pltpu.VMEM)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(planes, Wp.limbs, Wq.limbs)
+    D0p, D1p, Q0p, Q1p, Q2p, Mp = outs
+    # undo the -128 shift: S_true = fold(dots) + 128 * fold(colsums)
+    # (dtype-int32 reductions — no int32 copy of the operand in HBM)
+    csw = 128.0 * i8_fold(
+        jnp.sum(Wp.limbs, axis=0, dtype=jnp.int32), Wp.scale)
+    csq = 128.0 * i8_fold(
+        jnp.sum(Wq.limbs, axis=0, dtype=jnp.int32), Wq.scale)
+    D0 = i8_fold(D0p, Wp.scale) + csw[None]
+    D1 = i8_fold(D1p, Wp.scale) + csw[None]
+    Q0 = i8_fold(Q0p, Wq.scale) + csq[None]
+    Q1 = i8_fold(Q1p, Wq.scale) + csq[None]
+    Q2 = i8_fold(Q2p, Wq.scale) + csq[None]
+    M = i8_fold(Mp, Wp.scale)
+    S1, SQn, SM, IL = _bgen_combine((D0, D1, Q0, Q1, Q2, M),
+                                    D0.shape[1], False, Q0.shape[1])
+    if qs:
+        nq = (C_used - qs) if C_used is not None else SQn.shape[1]
+        SQ = jnp.zeros_like(S1).at[:, qs : qs + nq].set(SQn[:, :nq])
+    else:
+        SQ = SQn
+    return S1, SQ, SM, IL
+
+
 @partial(jax.jit, static_argnames=("interpret", "tb", "tc", "qs", "C_used"))
 def bgen_fused_products(planes, Wp, Wq=None, qs=0, C_used=None,
                         interpret=False, tb=512, tc=_TC):
@@ -1064,6 +1171,9 @@ def bgen_fused_products(planes, Wp, Wq=None, qs=0, C_used=None,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if isinstance(Wp, I8Operand):
+        return _bgen_products_i8(planes, Wp, Wq, qs, C_used, interpret,
+                                 tb, tc)
     B = planes.shape[0]
     Cw = Wp.shape[1]
     if Wq is None:
@@ -1128,7 +1238,10 @@ def _bgen_combine(outs, Cw, split, Cwq=None):
 
 def bgen_fused_products_xla(planes, Wp):
     """XLA twin of bgen_fused_products (CPU runs / kernel tests). Wp may
-    be the f32/f64 sample_pack or the bf16 split (folded to values)."""
+    be the f32/f64 sample_pack, the bf16 split (folded to values), or an
+    I8Operand (limbs folded to the exact quantized values)."""
+    if isinstance(Wp, I8Operand):
+        Wp = i8_fold(Wp.limbs.astype(jnp.int32), Wp.scale)
     if Wp.dtype == jnp.bfloat16:
         C = Wp.shape[1] // 3
         Wp = (
@@ -1206,8 +1319,9 @@ def make_qt_bgen_fn(consts: "FusedConsts", use_pallas: bool, ref_first=False,
     else:
         _run = jax.jit(_mesh_wrap(
             _body, mesh,
-            in_ranks=(3, np.ndim(consts.Wp),
-                      np.ndim(Wq) if use_q else np.ndim(consts.Wp)),
+            in_ranks=(3, jax.tree_util.tree_map(np.ndim, consts.Wp),
+                      jax.tree_util.tree_map(
+                          np.ndim, Wq if use_q else consts.Wp)),
             out_ranks=(2, 2, 1, 1, 2, 2, 2, 2),
         ))
 
@@ -1260,7 +1374,8 @@ def make_bt_bgen_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
     else:
         _run = jax.jit(_mesh_wrap(
             _body, mesh,
-            in_ranks=(3, np.ndim(Wp), np.ndim(Wq) if use_q else np.ndim(Wp)),
+            in_ranks=(3, jax.tree_util.tree_map(np.ndim, Wp),
+                      jax.tree_util.tree_map(np.ndim, Wq if use_q else Wp)),
             out_ranks=(2, 2, 2, 2, 1, 2, 2, 3),
         ))
 

@@ -943,12 +943,13 @@ class Step2Engine:
                          ind_f.astype(np.float64)[:, None]], axis=1,
                     )
                     self._fused_qt_Wq, _ = fsc.sample_pack(
-                        tailz, split=on_tpu, dtype=dtype
+                        tailz, split=fsc.split_mode(on_tpu, True),
+                        dtype=dtype,
                     )
             base, covz_f, usum_static, Cp = self._fused_static
             K, P = base.K, base.P
             if is_bgen:
-                Np = base.Wp.shape[0]
+                Np = fsc.op_nbp(base.Wp)
                 res_pl = np.zeros((Np, P), np.float64)
                 res_pl[: res_f.shape[0]] = res_f
             else:
@@ -1101,7 +1102,8 @@ class Step2Engine:
                     axis=1,
                 )
             if is_bgen:
-                Wp, usum = fsc.sample_pack(Wext_f, split=on_tpu, dtype=dtype)
+                Wp, usum = fsc.sample_pack(
+                    Wext_f, split=fsc.split_mode(on_tpu, True), dtype=dtype)
             else:
                 Wp, usum = fsc.plane_pack(
                     Wext_f, nb, split=fsc.split_mode(on_tpu), dtype=dtype,
@@ -1118,7 +1120,8 @@ class Step2Engine:
             self._fused_bt_has_male = has_male
             if is_bgen:
                 Wq, _ = fsc.sample_pack(
-                    Wext_f[:, ncat:], split=on_tpu, dtype=dtype
+                    Wext_f[:, ncat:], split=fsc.split_mode(on_tpu, True),
+                    dtype=dtype,
                 )
                 self._fused_fn = fsc.make_bt_bgen_fn(
                     Wp, usum, np.asarray(fc.xwt_j), C_used, ind_col,

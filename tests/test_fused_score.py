@@ -559,6 +559,27 @@ def test_bgen_fused_pallas_interpret_matches_xla():
     for a, b in zip(ref, out):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-5, atol=2e-3)
+    # int8-limb variant: byte planes shifted by -128 into s8 dots with
+    # the column-sum correction; the XLA i8 fold is the oracle
+    Wpi8, _ = fs.sample_pack(Wext, split="i8")
+    assert isinstance(Wpi8, fs.I8Operand)
+    ref8 = fs.bgen_fused_products_xla(pj, Wpi8)
+    out8 = fs.bgen_fused_products(pj, Wpi8, interpret=True, tb=8)
+    for a, b in zip(ref8, out8):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-3)
+    # and the quantized values themselves track the f32 operand
+    for a, b in zip(ref, ref8):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-2)
+    # narrow-Wq path (the production qs layout)
+    qs = covz.shape[1] + resz.shape[1]
+    Wq8, _ = fs.sample_pack(Wext[:, qs:], split="i8")
+    outq = fs.bgen_fused_products(pj, Wpi8, Wq8, qs=qs,
+                                  C_used=Wext.shape[1], interpret=True, tb=8)
+    np.testing.assert_allclose(
+        np.asarray(outq[1][:, qs:Wext.shape[1]]),
+        np.asarray(ref8[1][:, qs:Wext.shape[1]]), rtol=2e-5, atol=2e-3)
 
 
 def _assert_rows_equiv(f, g, rtol=1e-9, context=None):
