@@ -752,8 +752,11 @@ class Step2Engine:
             # (CT-style), so the QT male tail algebra carries over
             return common and gd._bgen is None
         # BT/CT: HTP genotype counts ride the case*male product columns
-        # (appended to the male tail); BGEN BT stays dense on chrX
-        return (common and gd._bgen is None and p.trait_mode in (BT, CT))
+        # (appended to the male tail). BGEN dosage sources carry the
+        # male S1 columns for the hemizygous MAC; hardcall class counts
+        # are nonlinear in dosages, but fused_ok already keeps BGEN HTP
+        # on the dense path
+        return common and p.trait_mode in (BT, CT)
 
     def _fused_local_rows(self, B: int):
         """Multi-host QT: the contiguous variant rows THIS process's
@@ -1392,14 +1395,16 @@ class Step2Engine:
                     np.asarray(fb.usum, np.float64),
                     fb.icol + 1, slice(fb.icol + 2, fb.icol + 2 + P),
                     total1, ns1, mac1, total_t, ns_t, mac_t,
-                    with_classes=True,  # BT/CT chrX is hardcall-only
+                    # hardcall class counts are nonlinear in dosages
+                    with_classes=not getattr(self, "_fused_is_bgen", False),
                 )
-                n_aa1 = n_aa1 + n1m
-                # case-side hemizygous class moves (case*male columns)
-                cm_sl = slice(fb.icol + 2 + P, fb.icol + 2 + 2 * P)
-                n1m_case = np.where(
-                    non_par[:, None],
-                    2.0 * S1h[:, cm_sl] - SQh[:, cm_sl], 0.0)
+                if n1m is not None:
+                    n_aa1 = n_aa1 + n1m
+                    # case-side hemizygous class moves (case*male cols)
+                    cm_sl = slice(fb.icol + 2 + P, fb.icol + 2 + 2 * P)
+                    n1m_case = np.where(
+                        non_par[:, None],
+                        2.0 * S1h[:, cm_sl] - SQh[:, cm_sl], 0.0)
 
         # minor-allele flip (with_flip: BT + additive) was decided on
         # device inside the fused block fn

@@ -938,10 +938,12 @@ def _write_bgen12(path, ids, chroms, positions, probs8):
             fh.write(comp)
 
 
-def test_fused_chrx_bgen_byte_identical(tmp_path):
-    """chrX non-PAR on the QT fused BGEN path (dosage data; the male
-    tail gives the 0.5*g male MAC): CLI output byte-identical to the
-    dense pipeline on a mixed autosome+chrX BGEN."""
+@pytest.mark.parametrize("mode", ["qt", "bt"])
+def test_fused_chrx_bgen_byte_identical(tmp_path, mode):
+    """chrX non-PAR on the QT and BT fused BGEN paths (dosage data; the
+    male tail gives the 0.5*g male MAC; BT skips the hardcall class
+    moves, which are nonlinear in dosages): CLI output byte-identical
+    to the dense pipeline on a mixed autosome+chrX BGEN."""
     import os
     import subprocess
     import sys
@@ -977,7 +979,13 @@ def test_fused_chrx_bgen_byte_identical(tmp_path):
         # which keeps the QT fused path off
         fh.write("FID IID Y1 Y2\n")
         for i, s in enumerate(ids):
-            fh.write(f"{s} {s} {rng.normal():.5f} {rng.normal():.5f}\n")
+            if mode == "bt":
+                fh.write(f"{s} {s} {int(rng.random() < 0.4)} "
+                         f"{int(rng.random() < 0.35)}\n")
+            else:
+                fh.write(f"{s} {s} {rng.normal():.5f} {rng.normal():.5f}\n")
+    mode_args = (["--bt", "--firth", "--approx", "--pThresh", "0.2"]
+                 if mode == "bt" else [])
 
     def run(fused, out):
         env = dict(os.environ)
@@ -986,7 +994,7 @@ def test_fused_chrx_bgen_byte_identical(tmp_path):
         r = subprocess.run(
             [sys.executable, "-m", "regenie_tpu", "--step", "2",
              "--bgen", bg, "--sample", str(tmp_path / "samp.sample"),
-             "--phenoFile", str(tmp_path / "ph.txt"),
+             "--phenoFile", str(tmp_path / "ph.txt"), *mode_args,
              "--bsize", "12", "--ignore-pred", "--minMAC", "1",
              "--out", out],
             capture_output=True, text=True, cwd="/root/repo", env=env,
