@@ -29,6 +29,10 @@ def make_mesh(n_devices: int | None = None, axis: str = "shard") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
+    # locality order (slice, process, id): neighbouring shard indices are
+    # ICI-neighbours, so the ppermute/psum ring crosses DCN the minimum
+    # number of times (SURVEY §5.8)
+    devs = sorted(devs, key=_locality_key)
     return Mesh(np.array(devs), (axis,))
 
 
@@ -401,12 +405,53 @@ def mesh_2d_shape(n_devices: int) -> Tuple[int, int]:
     return a, n_devices // a
 
 
+def _locality_key(d):
+    """(slice, process, id) sort key — devices sharing a slice are
+    ICI-connected; different slices (or hosts without TPU slices) only
+    reach each other over DCN."""
+    sl = getattr(d, "slice_index", None)
+    if sl is None:
+        sl = getattr(d, "process_index", 0)
+    return (sl, getattr(d, "process_index", 0), d.id)
+
+
+def arrange_devices_2d(devs, nv: int, ns: int):
+    """ICI/DCN-aware [nv, ns] device grid (SURVEY §5.8: collectives ride
+    ICI intra-slice, DCN inter-slice).
+
+    The "smp" axis (the fused scorer's psum axis, mesh.py 2-D kernels)
+    carries every Gram/score partial-sum reduction, while "var" rows
+    never communicate — so each var-row must be a set of ns
+    ICI-neighbours, and slice/host boundaries should fall BETWEEN rows.
+    Sorting by (slice, process, id) and filling row-major does exactly
+    that whenever ns divides the slice size: consecutive same-slice
+    devices fill one smp row, and successive var rows walk across
+    slices/hosts. Pure function of the device list — unit-testable
+    without hardware."""
+    order = sorted(devs, key=_locality_key)
+    grid = np.empty((nv, ns), dtype=object)
+    grid.ravel()[:] = order
+    return grid
+
+
 def make_mesh_2d(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     nv, ns = mesh_2d_shape(len(devs))
-    return Mesh(np.array(devs).reshape(nv, ns), (VAR_AXIS, SMP_AXIS))
+    n_slices = len({_locality_key(d)[0] for d in devs})
+    if n_slices == 1 and jax.default_backend() == "tpu":
+        # single slice: every pairing is ICI — let mesh_utils map the
+        # grid onto the physical torus (minimises psum hop count).
+        try:
+            from jax.experimental import mesh_utils
+
+            grid = mesh_utils.create_device_mesh(
+                (nv, ns), devices=np.array(devs))
+            return Mesh(grid, (VAR_AXIS, SMP_AXIS))
+        except Exception:
+            pass
+    return Mesh(arrange_devices_2d(devs, nv, ns), (VAR_AXIS, SMP_AXIS))
 
 
 def shard_array_2d(mesh: Mesh, x, spec_axes):

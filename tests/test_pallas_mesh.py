@@ -489,3 +489,39 @@ def test_mesh2d_e2e_step1_loocv_byte_identical(tmp_path):
         a = (tmp_path / f"m2d_{ph}.loco").read_bytes()
         b = (tmp_path / f"plain_{ph}.loco").read_bytes()
         assert a == b, ph
+
+
+def test_arrange_devices_2d_ici_dcn_locality():
+    """ICI/DCN-aware placement (SURVEY §5.8): each smp row (the psum
+    axis) must stay inside one slice; slice/host boundaries fall between
+    var rows. Pure-function test on fake device objects."""
+    from regenie_tpu.parallel.mesh import arrange_devices_2d, mesh_2d_shape
+
+    class FakeDev:
+        def __init__(self, id, slice_index, process_index):
+            self.id = id
+            self.slice_index = slice_index
+            self.process_index = process_index
+
+        def __repr__(self):
+            return f"d{self.id}@s{self.slice_index}"
+
+    # 4 slices x 4 chips, handed over in scrambled id order
+    devs = [FakeDev(id=i, slice_index=i % 4, process_index=i % 4)
+            for i in range(16)]
+    nv, ns = mesh_2d_shape(16)
+    assert (nv, ns) == (4, 4)
+    grid = arrange_devices_2d(devs, nv, ns)
+    for r in range(nv):
+        slices = {grid[r, c].slice_index for c in range(ns)}
+        assert len(slices) == 1, f"smp row {r} spans slices {slices}"
+    # every device appears exactly once
+    assert sorted(d.id for d in grid.ravel()) == list(range(16))
+
+    # hosts without slice_index (CPU multi-process): process locality used
+    devs = [FakeDev(id=i, slice_index=None, process_index=i // 4)
+            for i in reversed(range(8))]
+    grid = arrange_devices_2d(devs, 2, 4)
+    for r in range(2):
+        procs = {grid[r, c].process_index for c in range(4)}
+        assert len(procs) == 1, f"smp row {r} spans processes {procs}"
