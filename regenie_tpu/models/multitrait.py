@@ -29,7 +29,7 @@ from ..utils.quadforms import kuonen_pv, liu_logp
 from ..utils.stats import chisq_neglog10, chisq_neglog10_df
 from .joint import _chibar_weights_mc, _nnls_kkt
 from .mcc import dkat_pvals
-from .skat import get_acat
+from .skat import get_acat_rows
 
 N_MT_TESTS = 14
 
@@ -259,8 +259,7 @@ def run_mt_block(st: MTState, G: np.ndarray, params) -> dict:
     logp_rpc_uni = chisq_neglog10(Zrpc**2)
     logp[:, 8] = chisq_neglog10_df((Zrpc**2).sum(axis=1), q)
     logp[:, 9] = _fisher_robust_batch(logp_rpc_uni)
-    for i in range(B):
-        logp[i, 10] = get_acat(logp_rpc_uni[i])
+    logp[:, 10] = get_acat_rows(logp_rpc_uni)
 
     # ---- 11-13: ACPC0 = CPC z-scores, MCC-adjusted where a PC is skewed
     # and its univariate signal is strong (MultiTrait_Tests.cpp:626-650)
@@ -287,11 +286,8 @@ def run_mt_block(st: MTState, G: np.ndarray, params) -> dict:
                     Zacpc[i, j] *= np.sqrt(z2_adj / z2[i, j])
     logp[:, 11] = chisq_neglog10_df((Zacpc**2).sum(axis=1), q)
     logp[:, 12] = _fisher_robust_batch(logp_pc_uni)
-    for i in range(B):
-        if acpc_fail[i]:
-            logp[i, 11:14] = -9.0
-            continue
-        logp[i, 13] = get_acat(logp_pc_uni[i])
+    logp[:, 13] = get_acat_rows(logp_pc_uni)
+    logp[acpc_fail, 11:14] = -9.0
 
     # ---- minP / minQ over univariate Y0 tests
     minp = logp_uni.max(axis=1)

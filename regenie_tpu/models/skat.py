@@ -96,6 +96,72 @@ def get_acat(logpvals: np.ndarray, weights: Optional[np.ndarray] = None) -> floa
     return float(-lpval / np.log(10.0))
 
 
+def get_acat_rows(logp: np.ndarray,
+                  weights: Optional[np.ndarray] = None) -> np.ndarray:
+    """Row-batched get_acat: one Cauchy combination per row of a [B, q]
+    -log10-p matrix, bitwise-identical to calling get_acat per row
+    (masked sums only insert exact +0.0 terms; every branch of the
+    robust ladder, get_acat_robust Joint_Tests.cpp:284, is evaluated
+    vectorized and selected per row). Batches the --mt per-SNP ACAT
+    rows (MultiTrait_Tests.cpp:626-650 loop tails)."""
+    lp = np.asarray(logp, dtype=np.float64)
+    B, q = lp.shape
+    w = (np.ones_like(lp) if weights is None
+         else np.broadcast_to(np.asarray(weights, dtype=np.float64),
+                              lp.shape))
+    ok = (w != 0) & (lp >= 0)
+    n_pv = ok.sum(axis=1)
+    ln10, lnpi = np.log(10.0), np.log(np.pi)
+    with np.errstate(all="ignore"):
+        wsum = np.where(lp >= 0, w, 0.0).sum(axis=1)  # [B]
+        A = ok & (lp >= 15.0)
+        Bm = ok & (lp < 15.0)
+        hasA = A.any(axis=1)
+        hasB = Bm.any(axis=1)
+        # l_TA: logsumexp over the A entries of each row
+        z = lp * ln10 + np.log(w / wsum[:, None]) - lnpi
+        zmask = np.where(A, z, -np.inf)
+        zmax = zmask.max(axis=1)
+        l_TA = zmax + np.log(
+            np.where(A, np.exp(z - zmax[:, None]), 0.0).sum(axis=1))
+        # TB: plain-space sum over the B entries
+        pv = np.minimum(10.0 ** (-lp), 0.999)
+        tb_term = w / wsum[:, None] * np.tan(np.pi * (0.5 - pv))
+        TB = np.where(Bm, tb_term, 0.0).sum(axis=1)
+
+        def _sf_log_pos(lsum):
+            # log(cauchy.sf(exp(lsum))) with the >=16 shortcut
+            return np.where(lsum >= 16.0, -lsum - lnpi,
+                            np.log(cauchy.sf(np.exp(np.minimum(lsum, 700.0)))))
+
+        # branch 1: no A entries -> cauchy_sf_log(TB)
+        b1 = np.where(TB >= 8886111.0, -np.log(TB) - lnpi,
+                      np.log(cauchy.sf(TB)))
+        # branch 2: A only (or TB == 0)
+        b2 = _sf_log_pos(l_TA)
+        # branch 3: TB < 0 — cancellation ladder
+        l_abs = np.log(np.abs(TB))
+        lsum_lt = l_TA + np.log1p(-np.exp(l_abs - l_TA))
+        b3_lt = _sf_log_pos(lsum_lt)
+        lsum_ge = l_abs + np.log1p(-np.exp(l_TA - l_abs))
+        b3_ge = np.where(
+            lsum_ge >= 16.0,
+            np.log1p(-np.exp(-lsum_ge - lnpi)),
+            np.log(cauchy.sf(-np.exp(np.minimum(lsum_ge, 700.0)))))
+        b3 = np.where(l_abs < l_TA, b3_lt, b3_ge)
+        # branch 4: TB > 0 — stable log-add
+        l_TB = np.log(TB)
+        hi = np.maximum(l_TA, l_TB)
+        lo = np.minimum(l_TA, l_TB)
+        b4 = _sf_log_pos(hi + np.log1p(np.exp(lo - hi)))
+        lpval = np.select(
+            [~hasA, ~hasB | (TB == 0.0), TB < 0.0], [b1, b2, b3], b4)
+        out = -lpval / ln10
+    out = np.where(n_pv == 1, np.where(ok, lp, 0.0).max(axis=1), out)
+    out = np.where(n_pv == 0, -1.0, out)
+    return out
+
+
 def get_lambdas(K: np.ndarray) -> np.ndarray:
     """Nonzero eigenvalues, R-SKAT filter (get_lambdas, SKAT.cpp:1425)."""
     if K.shape[0] == 1:

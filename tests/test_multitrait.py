@@ -158,3 +158,42 @@ def test_mt_batched_tails_match_scalar():
     fb = _fisher_robust_batch(lp)
     fs = np.array([_fisher_robust(r) for r in lp])
     np.testing.assert_array_equal(fb, fs)
+
+def test_get_acat_rows_bitwise_matches_scalar():
+    """get_acat_rows reproduces per-row get_acat bitwise across every
+    branch of the robust ladder: no-A, A-only, mixed signs of TB,
+    cancellation, all-failed and single-p rows."""
+    import numpy as np
+
+    from regenie_tpu.models.skat import get_acat, get_acat_rows
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # generic mixes
+    rows += list(rng.exponential(2.0, size=(40, 6)))
+    # deep tails (A entries, lp >= 15) mixed with moderate ones
+    rows += list(np.column_stack([
+        rng.uniform(15, 300, size=(20, 2)), rng.exponential(1.0, (20, 4))]))
+    # TB < 0 candidates: small lp (p > 0.5 -> negative tan term)
+    rows += list(rng.uniform(0.0, 0.25, size=(20, 6)))
+    # A-only rows
+    rows += list(rng.uniform(16, 80, size=(10, 6)))
+    # failed entries (-9) sprinkled; all-failed; single-ok
+    mixed = rng.exponential(2.0, size=(20, 6))
+    mixed[rng.random((20, 6)) < 0.3] = -9.0
+    rows += list(mixed)
+    rows += [np.full(6, -9.0)]
+    one = np.full(6, -9.0)
+    one[3] = 7.25
+    rows += [one]
+    lp = np.array(rows)
+    batched = get_acat_rows(lp)
+    scalar = np.array([get_acat(r) for r in lp])
+    np.testing.assert_array_equal(batched, scalar)
+
+    # weighted variant
+    w = rng.random(6) + 0.1
+    w[1] = 0.0
+    batched_w = get_acat_rows(lp, w)
+    scalar_w = np.array([get_acat(r, w) for r in lp])
+    np.testing.assert_array_equal(batched_w, scalar_w)
