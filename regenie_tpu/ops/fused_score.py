@@ -747,6 +747,8 @@ def _mesh_place_operand(mesh, Wp):
     from jax.sharding import NamedSharding
     from jax.sharding import PartitionSpec as P
 
+    from ..parallel.mesh import _put
+
     smp = mesh.axis_names[1]
 
     def place(a):
@@ -754,7 +756,9 @@ def _mesh_place_operand(mesh, Wp):
         sp = [None] * r
         if r >= 2:
             sp[r - 2] = smp
-        return jax.device_put(a, NamedSharding(mesh, P(*sp)))
+        # _put: device_put single-host, per-process slice assembly on a
+        # multi-host mesh (each host holds the full operand host-side)
+        return _put(np.asarray(a), NamedSharding(mesh, P(*sp)))
 
     return jax.tree_util.tree_map(place, Wp)
 

@@ -456,8 +456,38 @@ def make_mesh_2d(n_devices: int | None = None) -> Mesh:
 
 def shard_array_2d(mesh: Mesh, x, spec_axes):
     """Place x on a 2-D mesh. spec_axes: tuple of mesh-axis names (or
-    None) per array dim, e.g. (VAR_AXIS, SMP_AXIS) for a [B, N] block."""
-    return jax.device_put(x, NamedSharding(mesh, P(*spec_axes)))
+    None) per array dim, e.g. (VAR_AXIS, SMP_AXIS) for a [B, N] block.
+    Multi-host meshes assemble per-process (every host holds the full
+    host value and contributes its local devices' slices)."""
+    return _put(x, NamedSharding(mesh, P(*spec_axes)))
+
+
+def process_grid_rect(mesh: Mesh, pid: int):
+    """((r0, nr), (c0, nc)): the rectangle of 2-D grid cells whose
+    devices live on process `pid`, or None when that process's devices
+    do not tile a contiguous rectangle. Deterministic from the mesh
+    alone, so every process computes the same answer for every pid —
+    the gate for per-host 2-D slab decode (each host reads only its own
+    (variant-rows x byte-columns) window of a packed block)."""
+    grid = mesh.devices
+    pos = np.argwhere(np.array(
+        [[getattr(d, "process_index", 0) == pid for d in row]
+         for row in grid]))
+    if pos.size == 0:
+        return None
+    r0, c0 = pos.min(axis=0)
+    r1, c1 = pos.max(axis=0)
+    nr, nc = int(r1 - r0 + 1), int(c1 - c0 + 1)
+    if len(pos) != nr * nc:
+        return None
+    return (int(r0), nr), (int(c0), nc)
+
+
+def all_process_rects(mesh: Mesh, nproc: int):
+    """Per-process grid rectangles, or None if any process is ragged
+    (same value on every process — safe to branch on)."""
+    rects = [process_grid_rect(mesh, p) for p in range(nproc)]
+    return rects if all(r is not None for r in rects) else None
 
 
 def sharded_level0_blocks_2d(mesh: Mesh, G3, Y, maskf, lambdas, Neff):

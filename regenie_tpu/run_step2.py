@@ -289,6 +289,7 @@ class Step2Engine:
         # N-scaling budget in README). Single-process, hardcall fused
         # paths only; everything else keeps the 1-D variant mesh.
         self.mesh2d = None
+        self._mesh2d_rects = None
         if self.mesh is not None and os.environ.get("REGENIE_TPU_MESH_2D"):
             from .parallel import mesh as pm
             from .parallel.dist import process_count
@@ -299,6 +300,20 @@ class Step2Engine:
                 self.mesh2d = pm.make_mesh_2d(ndev)
                 log(f" * 2-D mesh for the fused scorer: {nv2} x {ns2} "
                     "(variant x sample tiling)")
+            elif ns2 > 1:
+                # multi-host 2-D: allowed when every process's devices
+                # tile a contiguous grid rectangle (locality ordering
+                # guarantees this whenever the per-process device count
+                # divides, or is a multiple of, the smp axis) — each
+                # process then owns a (variant-rows x byte-columns) slab
+                m2 = pm.make_mesh_2d(ndev)
+                rects = pm.all_process_rects(m2, process_count())
+                if rects is not None:
+                    self.mesh2d = m2
+                    self._mesh2d_rects = rects
+                    log(f" * 2-D mesh for the fused scorer: {nv2} x {ns2} "
+                        f"(variant x sample tiling, {process_count()} "
+                        "processes x rectangular slabs)")
         if params.interaction_var:
             from .models.interaction import prep_interaction
 
@@ -766,6 +781,8 @@ class Step2Engine:
         None when single-process / BT (corrections need the full raw)."""
         if self.mesh is None or self.params.trait_mode != QT:
             return None
+        if self._fused_local_rect(B) is not None:
+            return None  # 2-D slab decode supersedes the 1-D row window
         from .parallel.dist import process_count, process_index
 
         nproc = process_count()
@@ -783,6 +800,33 @@ class Step2Engine:
                      "reads only its own variant byte ranges")
         return lo, max(hi, lo), Bpad
 
+    def _fused_local_rect(self, B: int):
+        """Multi-host 2-D mesh: the (variant-row window, byte-column
+        window) of a packed block THIS process owns under the
+        (var, smp) grid — 2-D process-local slab decode (the 2-D twin
+        of _fused_local_rows: disk reads divide by the grid's variant
+        rows, H2D transfer additionally by its sample columns). QT
+        hardcall sources only (BT/T2E corrections need full rows; BGEN
+        keeps the 1-D mesh). Returns (lo, hi, Bpad, (c0, nc, ns))."""
+        if (self.mesh2d is None or self._mesh2d_rects is None
+                or self.params.trait_mode != QT
+                or self.gd._bgen is not None):
+            return None
+        from .parallel.dist import process_index
+
+        nv, ns = self.mesh2d.devices.shape
+        Bpad = -(-B // nv) * nv
+        (r0, nr), (c0, nc) = self._mesh2d_rects[process_index()]
+        rpg = Bpad // nv
+        lo = r0 * rpg
+        hi = min((r0 + nr) * rpg, B)
+        if not getattr(self, "_partial_logged", False):
+            self._partial_logged = True
+            self.log(" * per-host 2-D slab decode: each process reads "
+                     f"only its own {nr}x{nc} grid rectangle of variant "
+                     "rows x byte columns")
+        return lo, max(hi, lo), Bpad, (c0, nc, ns)
+
     def read_block_raw(self, bsnps) -> np.ndarray:
         """[B, nbp] packed 2-bit genotype bytes for a block, zero-padded
         to the fused kernel's byte-tile multiple.
@@ -796,9 +840,12 @@ class Step2Engine:
         from .ops import fused_score as fsc
 
         gd = self.gd
-        rng_loc = self._fused_local_rows(len(bsnps))
+        rect = self._fused_local_rect(len(bsnps))
+        rng_loc = rect if rect is not None else self._fused_local_rows(
+            len(bsnps))
+        tag = "partial2d" if rect is not None else "partial"
         if rng_loc is not None:
-            lo, hi, _Bpad = rng_loc
+            lo, hi = rng_loc[0], rng_loc[1]
             bsnps = bsnps[lo:hi]
             if not bsnps:
                 # this process owns only pad rows of the block
@@ -809,7 +856,7 @@ class Step2Engine:
                 else:
                     empty = fsc.pad_raw(
                         np.zeros((0, (nfile + 3) // 4), np.uint8))
-                return ("partial", empty, rng_loc)
+                return (tag, empty, rng_loc)
         if gd._bgen is not None:
             from .io.bgen import extract_planes_block
 
@@ -828,7 +875,7 @@ class Step2Engine:
                 out[:, :, :Nf] = planes
                 planes = out
             if rng_loc is not None:
-                return ("partial", planes, rng_loc)
+                return (tag, planes, rng_loc)
             return planes
         if gd._bed is not None:
             offsets = np.array([s.offset for s in bsnps])
@@ -838,7 +885,7 @@ class Step2Engine:
                 raw = raw[offsets - start]
             raw = fsc.pad_raw(np.ascontiguousarray(raw))
             if rng_loc is not None:
-                return ("partial", raw, rng_loc)
+                return (tag, raw, rng_loc)
             return raw
         # PGEN hardcalls -> BED 2-bit codes (0->3, 1->2, 2->0, miss->1)
         if Step2Engine._PACK_LUT is None:
@@ -861,7 +908,7 @@ class Step2Engine:
         ).astype(np.uint8)
         raw = fsc.pad_raw(np.ascontiguousarray(raw))
         if rng_loc is not None:
-            return ("partial", raw, rng_loc)
+            return (tag, raw, rng_loc)
         return raw
 
     def _fused_nfile(self) -> int:
@@ -1206,6 +1253,31 @@ class Step2Engine:
                              *([None] * (slab.ndim - 1))))
             return jax.make_array_from_process_local_data(
                 sharding, slab, (Bpad,) + local.shape[1:])
+        if isinstance(rawp, tuple) and rawp[0] == "partial2d":
+            # 2-D process-local slab: this process decoded only its own
+            # variant rows; ship only its own byte columns of them
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as SP
+
+            _tag, local, (lo, hi, _Bpad, (c0, nc, ns)) = rawp
+            mesh_f = self.mesh2d
+            nv = mesh_f.devices.shape[0]
+            nbp = self._fused_op_nbp
+            local = np.asarray(local)
+            if local.shape[1] != nbp:
+                ext = np.zeros((local.shape[0], nbp), np.uint8)
+                ext[:, : local.shape[1]] = local
+                local = ext
+            Bpad = _Bpad
+            rpg = Bpad // nv
+            (r0, nr), _ = self._mesh2d_rects[jax.process_index()]
+            cpb = nbp // ns
+            slab = np.zeros((nr * rpg, nc * cpb), np.uint8)
+            slab[: hi - lo] = local[:, c0 * cpb : (c0 + nc) * cpb]
+            sharding = NamedSharding(
+                mesh_f, SP(pm.VAR_AXIS, pm.SMP_AXIS))
+            return jax.make_array_from_process_local_data(
+                sharding, slab, (Bpad, nbp))
         mesh_f = getattr(self, "_fused_mesh", self.mesh)
         if mesh_f is None:
             return jnp.asarray(rawp)
@@ -1227,8 +1299,10 @@ class Step2Engine:
                 raw_np = ext
             nv = mesh_f.devices.shape[0]
             raw_np, _ = pm.pad_to(raw_np, nv, 0)
-            return jax.device_put(
-                raw_np,
+            # pm._put: device_put single-host; per-process slice assembly
+            # when the 2-D mesh spans hosts (BT/T2E full-decode paths)
+            return pm._put(
+                np.asarray(raw_np),
                 NamedSharding(mesh_f, SP(pm2.VAR_AXIS, pm2.SMP_AXIS)))
         ndev = len(mesh_f.devices.flat)
         rawp, _ = pm.pad_to(np.asarray(rawp), ndev, 0)

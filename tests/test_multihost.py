@@ -27,7 +27,7 @@ def _free_port() -> int:
     return port
 
 
-def _run_single(args, out, n_devices=4):
+def _run_single(args, out, n_devices=4, env_extra=None):
     env = dict(os.environ)
     env.update({
         "REGENIE_TPU_PLATFORM": "cpu",
@@ -36,6 +36,7 @@ def _run_single(args, out, n_devices=4):
         "REGENIE_TPU_MESH": "1",
         "REGENIE_TPU_FUSED": "1",
     })
+    env.update(env_extra or {})
     r = subprocess.run(
         [sys.executable, "-m", "regenie_tpu"] + args + ["--out", out],
         capture_output=True, text=True, cwd=REPO, env=env, timeout=900,
@@ -44,7 +45,7 @@ def _run_single(args, out, n_devices=4):
     return r.stdout
 
 
-def _run_multihost(args, out, nproc=2, local_devices=2):
+def _run_multihost(args, out, nproc=2, local_devices=2, env_extra=None):
     port = _free_port()
     procs = []
     for pid in range(nproc):
@@ -60,6 +61,7 @@ def _run_multihost(args, out, nproc=2, local_devices=2):
             "REGENIE_TPU_NUM_PROCESSES": str(nproc),
             "REGENIE_TPU_PROCESS_ID": str(pid),
         })
+        env.update(env_extra or {})
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "regenie_tpu"] + args + ["--out", out],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
@@ -273,4 +275,71 @@ def test_multihost_three_processes_uneven(tmp_path):
     for ph in ("Y1", "Y2"):
         a = open(f"{one2}_{ph}.regenie", "rb").read()
         b = open(f"{mh2}_{ph}.regenie", "rb").read()
+        assert a == b, ph
+
+
+@pytest.mark.skipif(os.environ.get("REGENIE_TPU_SKIP_MULTIHOST") == "1",
+                    reason="multihost disabled")
+def test_multihost_mesh2d_qt_slab_byte_identical(tmp_path):
+    """Multi-host 2-D fused mesh (variant x sample tiling across
+    processes): 2 processes x 1 device -> a (1, 2) grid where each
+    process owns a byte-COLUMN window (per-host 2-D slab decode), byte-
+    identical to the single-process 2-device 2-D mesh run."""
+    fit = str(tmp_path / "fit")
+    _run_single([
+        "--step", "1", "--bed", f"{EX}/example",
+        "--exclude", f"{EX}/snplist_rm.txt",
+        "--covarFile", f"{EX}/covariates.txt",
+        "--phenoFile", f"{EX}/phenotype.txt",
+        "--bsize", "100"], fit, n_devices=1)
+    common = ["--step", "2", "--bed", f"{EX}/example",
+              "--covarFile", f"{EX}/covariates.txt",
+              "--phenoFile", f"{EX}/phenotype.txt",
+              "--bsize", "170", "--pred", fit + "_pred.list"]
+    m2d = {"REGENIE_TPU_MESH_2D": "1"}
+    one = str(tmp_path / "one")
+    mh = str(tmp_path / "mh")
+    out1 = _run_single(common, one, n_devices=2, env_extra=m2d)
+    assert "2-D mesh for the fused scorer: 1 x 2" in out1
+    out2 = _run_multihost(common, mh, nproc=2, local_devices=1,
+                          env_extra=m2d)
+    assert "2-D mesh for the fused scorer: 1 x 2" in out2
+    assert "2 processes x rectangular slabs" in out2
+    assert "per-host 2-D slab decode" in out2
+    for ph in ("Y1", "Y2"):
+        a = open(f"{one}_{ph}.regenie", "rb").read()
+        b = open(f"{mh}_{ph}.regenie", "rb").read()
+        assert a == b, ph
+
+
+@pytest.mark.skipif(os.environ.get("REGENIE_TPU_SKIP_MULTIHOST") == "1",
+                    reason="multihost disabled")
+def test_multihost_mesh2d_bt_firth_byte_identical(tmp_path):
+    """Multi-host 2-D mesh on the BT-Firth fused path: 2 processes x 2
+    devices -> a (2, 2) grid (each process one variant row; full-decode
+    upload assembles per-process slices), byte-identical to the
+    single-process 4-device 2-D run."""
+    fit = str(tmp_path / "fit")
+    _run_single([
+        "--step", "1", "--bed", f"{EX}/example",
+        "--exclude", f"{EX}/snplist_rm.txt",
+        "--covarFile", f"{EX}/covariates.txt",
+        "--phenoFile", f"{EX}/phenotype_bin.txt", "--bt",
+        "--bsize", "100"], fit, n_devices=1)
+    common = ["--step", "2", "--bed", f"{EX}/example",
+              "--covarFile", f"{EX}/covariates.txt",
+              "--phenoFile", f"{EX}/phenotype_bin.txt", "--bt",
+              "--firth", "--approx", "--pThresh", "0.1",
+              "--bsize", "170", "--pred", fit + "_pred.list"]
+    m2d = {"REGENIE_TPU_MESH_2D": "1"}
+    one = str(tmp_path / "one")
+    mh = str(tmp_path / "mh")
+    out1 = _run_single(common, one, n_devices=4, env_extra=m2d)
+    assert "2-D mesh for the fused scorer: 2 x 2" in out1
+    out2 = _run_multihost(common, mh, nproc=2, local_devices=2,
+                          env_extra=m2d)
+    assert "2 processes x rectangular slabs" in out2
+    for ph in ("Y1", "Y2"):
+        a = open(f"{one}_{ph}.regenie", "rb").read()
+        b = open(f"{mh}_{ph}.regenie", "rb").read()
         assert a == b, ph
