@@ -228,120 +228,191 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
     bucket_size = max(1, int(_os.environ.get("REGENIE_TPU_GENE_BUCKET", "32")))
     n_buckets = -(-len(sets) // bucket_size) if sets else 0
 
+    def _stage1_prepare(set_idx, vset, snps, G, sb):
+        """Host-side stage-1 work for one set: mask building plus the
+        aux mask writers.  Device calls (block_stats, the burden mask
+        test) are hoisted to the GROUP level so one batched call and
+        one packed fetch serve many sets — on a remote-tunneled TPU
+        the per-set round trips were the measured set-loop hot spot.
+        Returns (bufs, writers_set, built, ignored)."""
+        bufs = {id(w): _RowBuffer() for w in uniq_writers}
+        writers_set = [None if w is None else bufs[id(w)] for w in writers]
+        total, ns = sb["total"], sb["ns"]
+        mac1 = np.minimum(total, 2 * ns - total)
+        ignored = mac1 < params.min_mac  # 0.5 in mask mode: drops monomorphic
+        af1 = total / (2.0 * ns)
+
+        anno_bits = np.array(
+            [anno.get((i, vset.ID), 1) for i in vset.snp_indices], dtype=np.uint64
+        )
+
+        # 4-column annotations: expand masks per domain + all-domain mask
+        # (GenoMask::setBins w_regions branch, Masks.cpp:134-155)
+        set_mask_defs = mask_defs
+        region_bits = None
+        if with_domains and vset.ID in region_names:
+            from .io.setfiles import MaskDef
+
+            rnames = region_names[vset.ID]
+            allbits = (1 << len(rnames)) - 1
+            set_mask_defs = []
+            for md in mask_defs:
+                for k, rn in enumerate(rnames):
+                    if params.mask_lodo:
+                        set_mask_defs.append(MaskDef(
+                            md.name, md.bits, f"LODO_{rn}.", allbits & ~(1 << k)
+                        ))
+                    else:
+                        set_mask_defs.append(
+                            MaskDef(md.name, md.bits, f"{rn}.", 1 << k)
+                        )
+                set_mask_defs.append(MaskDef(md.name, md.bits, "", allbits))
+            region_bits = np.array(
+                [domains.get((i, vset.ID), 0) for i in vset.snp_indices],
+                dtype=np.uint64,
+            )
+
+        if lovo_spec is not None:
+            from .models.masks import build_lovo_masks
+
+            built = build_lovo_masks(
+                params, vset, G.astype(np.float64), af1, mac1, ignored,
+                anno_bits, mask_defs[0], lovo_spec[2],
+                [s.ID for s in snps], pd.masked_indivs, pd.ind_in_analysis,
+            )
+        else:
+            aaf_custom = None
+            singleton_custom = None
+            if file_aaf is not None:
+                fa = file_aaf[vset.snp_indices]
+                aaf_custom = np.where(fa >= 0, fa, af1)
+                if force_singleton is not None:
+                    singleton_custom = force_singleton[vset.snp_indices]
+            built, _ = build_masks_for_set(
+                params, vset, G.astype(np.float64), af1, mac1, ignored, anno_bits,
+                set_mask_defs, aafs, pd.masked_indivs, pd.ind_in_analysis,
+                aaf_custom=aaf_custom, singleton_custom=singleton_custom,
+                region_bits=region_bits,
+            )
+
+        if mask_bed is not None:
+            for bm in built:
+                mask_bed.add(bm)
+        if setlist_groups is not None:
+            for _sfx, names, fh in setlist_groups:
+                ids = [
+                    bm.snp.ID for bm in built
+                    if bm.mask_name in names
+                    or f"{bm.mask_name}.{bm.bin_name}" in names
+                ]
+                if ids:
+                    fh.write(
+                        f"{vset.ID} {vset.chrom} {vset.physpos} " + ",".join(ids) + "\n"
+                    )
+        if snplist_fh is not None:
+            # maskID chrom pos v1,v2,... (make_snplist, Masks.cpp:1350)
+            for bm in built:
+                sel_ids = [snps[k].ID for k in bm.sel_idx]
+                snplist_fh.write(
+                    f"{bm.snp.ID}\t{bm.snp.chrom}\t{bm.snp.physpos}\t" + ",".join(sel_ids) + "\n"
+                )
+        return bufs, writers_set, built, ignored
+
+    # group size for the batched stats / mask-test calls: the dense
+    # concatenated [sum(M), N] G of one group is bounded by this many
+    # megabytes (f64)
+    group_cap = float(
+        _os.environ.get("REGENIE_TPU_GENE_GROUP_MB", "1024")) * 1e6
+
     for b_idx in range(n_buckets):
         if shard_sets and b_idx % nproc != pid:
             continue
         staged = []  # (set_idx, vset, built, burden_result, bufs, vc_prep)
-        for set_idx in range(
-            b_idx * bucket_size, min((b_idx + 1) * bucket_size, len(sets))
-        ):
-            vset = sets[set_idx]
-            bufs = {id(w): _RowBuffer() for w in uniq_writers}
-            writers_set = [None if w is None else bufs[id(w)] for w in writers]
-            eng.prep_chrom(vset.chrom)
-            snps = [gd.snps[i] for i in vset.snp_indices]
-            G = gd.read_block_scattered(snps)  # [M, N], missing=-3, no imputation
-
-            sb = eng.block_stats(G)
-            total, ns = sb["total"], sb["ns"]
-            mac1 = np.minimum(total, 2 * ns - total)
-            ignored = mac1 < params.min_mac  # 0.5 in mask mode: drops monomorphic
-            af1 = total / (2.0 * ns)
-
-            anno_bits = np.array(
-                [anno.get((i, vset.ID), 1) for i in vset.snp_indices], dtype=np.uint64
-            )
-
-            # 4-column annotations: expand masks per domain + all-domain mask
-            # (GenoMask::setBins w_regions branch, Masks.cpp:134-155)
-            set_mask_defs = mask_defs
-            region_bits = None
-            if with_domains and vset.ID in region_names:
-                from .io.setfiles import MaskDef
-
-                rnames = region_names[vset.ID]
-                allbits = (1 << len(rnames)) - 1
-                set_mask_defs = []
-                for md in mask_defs:
-                    for k, rn in enumerate(rnames):
-                        if params.mask_lodo:
-                            set_mask_defs.append(MaskDef(
-                                md.name, md.bits, f"LODO_{rn}.", allbits & ~(1 << k)
-                            ))
-                        else:
-                            set_mask_defs.append(
-                                MaskDef(md.name, md.bits, f"{rn}.", 1 << k)
-                            )
-                    set_mask_defs.append(MaskDef(md.name, md.bits, "", allbits))
-                region_bits = np.array(
-                    [domains.get((i, vset.ID), 0) for i in vset.snp_indices],
-                    dtype=np.uint64,
-                )
-
-            if lovo_spec is not None:
-                from .models.masks import build_lovo_masks
-
-                built = build_lovo_masks(
-                    params, vset, G.astype(np.float64), af1, mac1, ignored,
-                    anno_bits, mask_defs[0], lovo_spec[2],
-                    [s.ID for s in snps], pd.masked_indivs, pd.ind_in_analysis,
-                )
+        b_lo = b_idx * bucket_size
+        b_hi = min((b_idx + 1) * bucket_size, len(sets))
+        groups, cur, cur_b = [], [], 0.0
+        for set_idx in range(b_lo, b_hi):
+            m_b = len(sets[set_idx].snp_indices) * float(params.n_samples) * 8.0
+            if cur and cur_b + m_b > group_cap:
+                groups.append(cur)
+                cur, cur_b = [], 0.0
+            cur.append(set_idx)
+            cur_b += m_b
+        if cur:
+            groups.append(cur)
+        for group in groups:
+            # pass A: read every set's raw block, then ONE batched stats
+            # call for the whole group (block_stats takes no bsnps here,
+            # so it is chromosome-free and the concat may span chroms);
+            # per-set stats are row slices of the single packed fetch
+            reads = []
+            for set_idx in group:
+                vset = sets[set_idx]
+                snps = [gd.snps[i] for i in vset.snp_indices]
+                G = gd.read_block_scattered(snps)  # [M, N], missing=-3
+                reads.append((set_idx, vset, snps, G))
+            if len(reads) > 1:
+                sb_all = eng.block_stats(
+                    np.concatenate([t[3] for t in reads], axis=0))
             else:
-                aaf_custom = None
-                singleton_custom = None
-                if file_aaf is not None:
-                    fa = file_aaf[vset.snp_indices]
-                    aaf_custom = np.where(fa >= 0, fa, af1)
-                    if force_singleton is not None:
-                        singleton_custom = force_singleton[vset.snp_indices]
-                built, _ = build_masks_for_set(
-                    params, vset, G.astype(np.float64), af1, mac1, ignored, anno_bits,
-                    set_mask_defs, aafs, pd.masked_indivs, pd.ind_in_analysis,
-                    aaf_custom=aaf_custom, singleton_custom=singleton_custom,
-                    region_bits=region_bits,
-                )
-
-            if mask_bed is not None:
-                for bm in built:
-                    mask_bed.add(bm)
-            if setlist_groups is not None:
-                for _sfx, names, fh in setlist_groups:
-                    ids = [
-                        bm.snp.ID for bm in built
-                        if bm.mask_name in names
-                        or f"{bm.mask_name}.{bm.bin_name}" in names
-                    ]
-                    if ids:
-                        fh.write(
-                            f"{vset.ID} {vset.chrom} {vset.physpos} " + ",".join(ids) + "\n"
-                        )
-            if snplist_fh is not None:
-                # maskID chrom pos v1,v2,... (make_snplist, Masks.cpp:1350)
-                for bm in built:
-                    sel_ids = [snps[k].ID for k in bm.sel_idx]
-                    snplist_fh.write(
-                        f"{bm.snp.ID}\t{bm.snp.chrom}\t{bm.snp.physpos}\t" + ",".join(sel_ids) + "\n"
-                    )
-
+                sb_all = eng.block_stats(reads[0][3])
+            sb_slices = []
+            off = 0
+            for t in reads:
+                m = t[3].shape[0]
+                sb_slices.append(
+                    {k: v[off : off + m] for k, v in sb_all.items()})
+                off += m
+            # pass B: per-set host mask building + aux mask writers
+            pend = []
+            for (set_idx, vset, snps, G), sb in zip(reads, sb_slices):
+                bufs, writers_set, built, ignored = _stage1_prepare(
+                    set_idx, vset, snps, G, sb)
+                pend.append(dict(
+                    set_idx=set_idx, vset=vset, snps=snps, G=G, sb=sb,
+                    built=built, ignored=ignored, bufs=bufs,
+                    writers_set=writers_set, r=None))
             if params.skip_test:
                 continue  # --skip-test: masks written, no association
-            r = None
-            if built:
-                r = _test_masks(eng, built)
-                if not params.p_joint_only:  # --joint-only suppresses mask rows
-                    write_block_rows(params, pd, writers_set, [bm.snp for bm in built], r,
-                                     model_type=eng.model_type())
+            # pass C: ONE batched burden-mask test per chromosome run
+            # (test_prepared_block scores each pseudo-variant row
+            # independently against the chromosome's LOCO residuals, so
+            # concatenated sets == per-set calls, row for row)
+            i = 0
+            while i < len(pend):
+                j = i
+                while (j < len(pend)
+                       and pend[j]["vset"].chrom == pend[i]["vset"].chrom):
+                    j += 1
+                run = [e for e in pend[i:j] if e["built"]]
+                if run:
+                    eng.prep_chrom(pend[i]["vset"].chrom)
+                    all_built = [bm for e in run for bm in e["built"]]
+                    r_all = _test_masks(eng, all_built)
+                    off = 0
+                    for e in run:
+                        m = len(e["built"])
+                        e["r"] = r_all.slice_rows(off, off + m)
+                        off += m
+                i = j
+            # pass D: per-set burden rows + VC prep + staging (set order)
+            for e in pend:
+                set_idx, vset, built = e["set_idx"], e["vset"], e["built"]
+                eng.prep_chrom(vset.chrom)
+                r = e["r"]
+                if built and r is not None and not params.p_joint_only:
+                    write_block_rows(
+                        params, pd, e["writers_set"],
+                        [bm.snp for bm in built], r,
+                        model_type=eng.model_type())
+                prep = None
+                if params.vc_tests:
+                    from .models import skat as skat_mod
 
-            # SKAT / ACAT family: host prep now, device products batch
-            # across the bucket's sets (stage 2)
-            prep = None
-            if params.vc_tests:
-                from .models import skat as skat_mod
-
-                prep = skat_mod.vc_prep(
-                    params, eng, vset, snps, G, sb, ignored, built, log
-                )
-            staged.append((set_idx, vset, built, r, bufs, prep))
+                    prep = skat_mod.vc_prep(
+                        params, eng, vset, e["snps"], e["G"], e["sb"],
+                        e["ignored"], built, log)
+                staged.append((set_idx, vset, built, r, e["bufs"], prep))
 
         # stage 2: ONE batched device call for the bucket's VC products
         if params.vc_tests and any(t[5] is not None for t in staged):

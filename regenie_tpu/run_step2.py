@@ -216,6 +216,32 @@ class _FusedBTSource:
         return np.asarray(self.rows_device(jnp.asarray(idx)))
 
 
+def _fetch_dict_packed(blk: dict) -> dict:
+    """Fetch a dict of [B]/[B, X] device arrays in ONE device->host
+    transfer: concatenate on device in the compute dtype, pull the
+    packed block, split and cast back to each key's original dtype
+    (exact — every value is either already the compute dtype or an
+    integer count far below its mantissa limit).  On a remote-tunneled
+    backend the per-key np.asarray round trips otherwise multiply the
+    tunnel RTT by the key count (the gene-based set loop's measured
+    hot spot)."""
+    names = list(blk)
+    vals = [jnp.asarray(blk[k]) for k in names]
+    if not vals or vals[0].ndim == 0:
+        return {k: np.asarray(v) for k, v in blk.items()}
+    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    parts = [(v[:, None] if v.ndim == 1 else v).astype(fdt) for v in vals]
+    widths = [p.shape[1] for p in parts]
+    packed = np.asarray(jnp.concatenate(parts, axis=1))
+    out, o = {}, 0
+    for k, v, w in zip(names, vals, widths):
+        sl = packed[:, o : o + w]
+        o += w
+        a = sl[:, 0] if v.ndim == 1 else sl
+        out[k] = np.ascontiguousarray(a).astype(np.dtype(v.dtype), copy=False)
+    return out
+
+
 @dataclass
 class BlockResult:
     """Per-variant test outputs for a block, all phenos."""
@@ -242,6 +268,19 @@ class BlockResult:
     af_control: Optional[np.ndarray] = None
     ns_case: Optional[np.ndarray] = None
     ns_control: Optional[np.ndarray] = None
+
+    def slice_rows(self, lo: int, hi: int) -> "BlockResult":
+        """Row window [lo:hi) of every per-variant field — splits a
+        result scored as one concatenated block (the gene-based bucket
+        batches many sets' masks through one test_prepared_block call)
+        back into per-set results."""
+        import dataclasses
+
+        kw = {}
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            kw[f.name] = v[lo:hi] if isinstance(v, np.ndarray) else v
+        return BlockResult(**kw)
 
 
 class Step2Engine:
@@ -446,7 +485,7 @@ class Step2Engine:
         blk = snp_stats_block(
             jnp.asarray(G_raw), self.ind_j, jnp.asarray(self.pd.masked_indivs), **kw
         )
-        return {k: np.asarray(v) for k, v in blk.items()}
+        return _fetch_dict_packed(blk)
 
     def model_type(self) -> str:
         """HTP Model string (Data.cpp:2093-2102)."""
