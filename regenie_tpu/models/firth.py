@@ -244,6 +244,16 @@ def firth_snp_batch(
     return beta, se, lrt, converged
 
 
+def firth_snp_batch_auto(y, G, offset, mask, **kw):
+    """Dispatch: TPU-resident batched solver off-CPU
+    (corrections_device.firth_snp_batch_dev), host-f64 twin on CPU."""
+    from . import corrections_device as cdev
+
+    if cdev.enabled():
+        return cdev.firth_snp_batch_dev(y, G, offset, mask, **kw)
+    return firth_snp_batch(y, G, offset, mask, **kw)
+
+
 def firth_adam(
     y, X, offset, mask, beta0=None, cols_incl=None, niter=25,
     alpha=0.001, beta1=0.9, beta2=0.999, eps=1e-7, tol=5e-5,

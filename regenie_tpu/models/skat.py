@@ -814,14 +814,14 @@ def _run_vc_bt(params, eng, vset, vc_masks, GW_full, col_of, n_main, ur_cols,
                 Gres = (GWp[:, corr_idx] - XW @ GtWX[:, corr_idx]).T  # [S, N]
                 if params.firth:
                     Gv = Gres / st.gamma_sqrt[:, ph][None, :] / weights_full[corr_idx][:, None]
-                    _b, _se, lrt, conv = firth_mod.firth_snp_batch(
+                    _b, _se, lrt, conv = firth_mod.firth_snp_batch_auto(
                         y, Gv, st.firth_offset[:, ph], mask,
                         maxstep=params.maxstep, niter=params.niter_max_firth,
                         tol=2.5e-4,
                     )
                     chisq_c = np.where(conv, lrt, 0.0)
                 else:
-                    chisq_c, _lp, fail = spa_mod.spa_batch(
+                    chisq_c, _lp, fail = spa_mod.spa_batch_auto(
                         tstat[corr_idx], var_score[corr_idx], Gres,
                         st.Y_hat[:, ph], st.gamma_sqrt[:, ph], mask,
                         tol=params.tol_spa, niter_max=params.niter_max_spa,
@@ -877,7 +877,7 @@ def _run_vc_bt(params, eng, vset, vc_masks, GW_full, col_of, n_main, ur_cols,
                 if abs(tb) > z_thr:
                     gres_b = GWp[:, m_idx].sum(axis=1) - XW @ GtWX[:, m_idx].sum(axis=1)
                     if params.firth:
-                        _b, _se, lrt, conv = firth_mod.firth_snp_batch(
+                        _b, _se, lrt, conv = firth_mod.firth_snp_batch_auto(
                             y, (gres_b / st.gamma_sqrt[:, ph])[None, :],
                             st.firth_offset[:, ph], mask,
                             maxstep=params.maxstep, niter=params.niter_max_firth,
@@ -885,7 +885,7 @@ def _run_vc_bt(params, eng, vset, vc_masks, GW_full, col_of, n_main, ur_cols,
                         )
                         cb = lrt[0] if conv[0] else 0.0
                     else:
-                        cb_arr, _lp, fail = spa_mod.spa_batch(
+                        cb_arr, _lp, fail = spa_mod.spa_batch_auto(
                             np.array([tb]), np.array([var_qb]), gres_b[None, :],
                             st.Y_hat[:, ph], st.gamma_sqrt[:, ph], mask,
                             tol=params.tol_spa, niter_max=params.niter_max_spa,

@@ -117,6 +117,17 @@ def _tail_pv(root, tval, lam, Gmod, phat, gamma2, maskf, val_a, val_c):
     return pv, ok
 
 
+def spa_batch_auto(stats, denum, Gres, phat, gamma_sqrt, mask, **kw):
+    """Dispatch: TPU-resident batched solver off-CPU
+    (corrections_device.spa_batch_dev), host-f64 twin on CPU."""
+    from . import corrections_device as cdev
+
+    if cdev.enabled():
+        return cdev.spa_batch_dev(stats, denum, Gres, phat, gamma_sqrt,
+                                  mask, **kw)
+    return spa_batch(stats, denum, Gres, phat, gamma_sqrt, mask, **kw)
+
+
 def spa_batch(
     stats: np.ndarray,
     denum: np.ndarray,

@@ -407,12 +407,19 @@ def score_block(
             if corr.any():
                 idx = np.flatnonzero(corr)
                 idx_j = jnp.asarray(idx)
+                use_dev = False
+                if not (params.firth and not params.firth_approx):
+                    from . import corrections_device as cdev
+
+                    use_dev = cdev.enabled()
                 if params.firth or params.use_spa:
-                    # rebuild G_res only for the corrected rows
+                    # rebuild G_res only for the corrected rows; the
+                    # device-corrections path keeps them ON DEVICE
                     A_rows = S1_all[idx_j, j, : XW.shape[1]]
-                    Gres_rows = np.asarray(
-                        _gres_rows_device(src.rows_device(idx_j), gsm, XW, A_rows)
-                    )
+                    Gres_rows_dev = _gres_rows_device(
+                        src.rows_device(idx_j), gsm, XW, A_rows)
+                    Gres_rows = (None if use_dev
+                                 else np.asarray(Gres_rows_dev))
                 if params.firth and not params.firth_approx:
                     # exact Firth: full covariate+SNP penalized fit per SNP
                     # (fit_firth_logistic_snp, Step2_Models.cpp:1062)
@@ -436,12 +443,21 @@ def score_block(
                             se_ph[b] = se1
                 elif params.firth:
                     y = pd.phenotypes_raw[:, ph]
-                    Gv = Gres_rows / st.gamma_sqrt[:, ph][None, :]
-                    beta_f, se_f, lrt, conv = firth_mod.firth_snp_batch(
-                        y, Gv, st.firth_offset[:, ph], mask,
-                        maxstep=params.maxstep, niter=params.niter_max_firth,
-                        tol=2.5e-4,
-                    )
+                    if use_dev:
+                        dc = _dev_consts(st, pd, ph)
+                        Gv = Gres_rows_dev / dc["gamma_sqrt"][None, :]
+                        beta_f, se_f, lrt, conv = cdev.firth_snp_batch_dev(
+                            dc["y"], Gv, dc["firth_offset"], dc["mask"],
+                            maxstep=params.maxstep,
+                            niter=params.niter_max_firth, tol=2.5e-4,
+                        )
+                    else:
+                        Gv = Gres_rows / st.gamma_sqrt[:, ph][None, :]
+                        beta_f, se_f, lrt, conv = firth_mod.firth_snp_batch(
+                            y, Gv, st.firth_offset[:, ph], mask,
+                            maxstep=params.maxstep,
+                            niter=params.niter_max_firth, tol=2.5e-4,
+                        )
                     fail_ph[idx] = ~conv
                     # on failure keep score-based beta/se (get_sumstats(true))
                     bhat_ph[idx] = np.where(conv, beta_f, bhat_ph[idx])
@@ -457,12 +473,22 @@ def score_block(
                     se_ph[idx] = se_sel
                     n_failed += int((~conv).sum())
                 else:  # SPA
-                    chisq_s, logp_s, fail_s = spa_mod.spa_batch(
-                        stats[idx], denum[idx], Gres_rows,
-                        st.Y_hat[:, ph],
-                        st.gamma_sqrt[:, ph], mask,
-                        tol=params.tol_spa, niter_max=params.niter_max_spa,
-                    )
+                    if use_dev:
+                        dc = _dev_consts(st, pd, ph)
+                        chisq_s, logp_s, fail_s = cdev.spa_batch_dev(
+                            stats[idx], denum[idx], Gres_rows_dev,
+                            dc["Y_hat"], dc["gamma_sqrt"], dc["mask"],
+                            tol=params.tol_spa,
+                            niter_max=params.niter_max_spa,
+                        )
+                    else:
+                        chisq_s, logp_s, fail_s = spa_mod.spa_batch(
+                            stats[idx], denum[idx], Gres_rows,
+                            st.Y_hat[:, ph],
+                            st.gamma_sqrt[:, ph], mask,
+                            tol=params.tol_spa,
+                            niter_max=params.niter_max_spa,
+                        )
                     fail_ph[idx] = fail_s
                     chisq_ph[idx] = np.where(~fail_s, chisq_s, chisq_ph[idx])
                     logp_ph[idx] = np.where(~fail_s, logp_s, logp_ph[idx])
@@ -483,6 +509,29 @@ def score_block(
         test_fail[:, ph] = fail_ph
 
     return bhat, se, chisq, logp, test_fail, n_corrected, n_failed
+
+
+def _dev_consts(st, pd, ph):
+    """Per-trait [N] null-model vectors uploaded once per chromosome and
+    reused by every block's device correction call."""
+    import jax.numpy as jnp
+
+    from ..utils.dtypes import compute_dtype
+
+    cache = getattr(st, "_dev_consts_cache", None)
+    if cache is None:
+        cache = st._dev_consts_cache = {}
+    dc = cache.get(ph)
+    if dc is None:
+        dt = compute_dtype()
+        dc = cache[ph] = {
+            "y": jnp.asarray(pd.phenotypes_raw[:, ph], dt),
+            "mask": jnp.asarray(pd.masked_indivs[:, ph].astype(np.float64), dt),
+            "gamma_sqrt": jnp.asarray(st.gamma_sqrt[:, ph], dt),
+            "firth_offset": jnp.asarray(st.firth_offset[:, ph], dt),
+            "Y_hat": jnp.asarray(st.Y_hat[:, ph], dt),
+        }
+    return dc
 
 
 def _exact_firth_snp(params, pd, y, g, offset, mask, st, ph):
