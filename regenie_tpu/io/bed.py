@@ -91,16 +91,37 @@ class BedFile:
                 f"{bed_path}: size {actual} != expected {expected} "
                 f"(N={self.n_samples}, M={self.n_variants})"
             )
+        # mmap the genotype matrix: block reads become ZERO-COPY views
+        # into the page cache (the fused step-2 path hands these views
+        # straight to the device transfer, so host ingest does no
+        # per-byte work — the TPU analog of the reference's
+        # readChunk-while-computing overlap, Data.cpp:2944)
+        try:
+            import mmap as _mmap
+
+            self._mm = _mmap.mmap(self._fh.fileno(), 0,
+                                  access=_mmap.ACCESS_READ)
+        except (OSError, ValueError):
+            self._mm = None
         return self
 
     def close(self):
+        if getattr(self, "_mm", None) is not None:
+            self._mm.close()
+            self._mm = None
         if self._fh is not None:
             self._fh.close()
             self._fh = None
 
     def read_block_bytes(self, start: int, count: int) -> np.ndarray:
-        """Raw packed bytes for `count` consecutive variants: [count, ceil(N/4)] uint8."""
+        """Raw packed bytes for `count` consecutive variants: [count,
+        ceil(N/4)] uint8 — a zero-copy mmap view when available."""
         assert self._fh is not None, "call open() first"
+        if getattr(self, "_mm", None) is not None:
+            off = 3 + start * self._bytes_per_snp
+            return np.frombuffer(
+                self._mm, dtype=np.uint8, count=count * self._bytes_per_snp,
+                offset=off).reshape(count, self._bytes_per_snp)
         self._fh.seek(3 + start * self._bytes_per_snp)
         buf = self._fh.read(count * self._bytes_per_snp)
         return np.frombuffer(buf, dtype=np.uint8).reshape(count, self._bytes_per_snp)

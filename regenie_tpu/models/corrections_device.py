@@ -213,10 +213,12 @@ def firth_snp_batch_dev(y, Gv, offset, mask, maxstep=5, niter=250,
     beta, xtwx, lrt, conv = _firth_kernel(
         Gm, ym, off_j, jnp.asarray(tol, dt), float(maxstep), int(niter),
         int(niter_line_search))
-    beta = np.asarray(beta, np.float64)[:S]
-    xtwx = np.asarray(xtwx, np.float64)[:S]
-    lrt = np.asarray(lrt, np.float64)[:S]
-    conv = np.asarray(conv)[:S]
+    # ONE device->host transfer (4 fetches = 4 WAN RTTs on a tunneled
+    # backend; the per-block correction path is latency-bound otherwise)
+    packed = np.asarray(
+        jnp.stack([beta, xtwx, lrt, conv.astype(dt)]), np.float64)
+    beta, xtwx, lrt = packed[0, :S], packed[1, :S], packed[2, :S]
+    conv = packed[3, :S] != 0.0
     se = np.sqrt(1.0 / np.maximum(xtwx, 1e-300))
     return beta, se, lrt, conv
 
@@ -388,7 +390,8 @@ def spa_batch_dev(stats, denum, Gres, phat, gamma_sqrt, mask,
     gamma2 = gs * gs
     logp, fail = _spa_kernel(Gmod, stats_j, denum_j, phat_j, gamma2,
                              jnp.asarray(tol, dt), int(niter_max))
-    logp = np.asarray(logp, np.float64)[:S]
-    fail = np.asarray(fail)[:S]
+    packed = np.asarray(jnp.stack([logp, fail.astype(dt)]), np.float64)
+    logp = packed[0, :S]
+    fail = packed[1, :S] != 0.0
     chisq = neglog10_to_chisq(logp)
     return chisq, logp, fail

@@ -228,6 +228,24 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
     bucket_size = max(1, int(_os.environ.get("REGENIE_TPU_GENE_BUCKET", "32")))
     n_buckets = -(-len(sets) // bucket_size) if sets else 0
 
+    # stage attribution (REGENIE_TPU_GENE_PROFILE=1): seconds per loop
+    # stage, logged as a table at the end of the run
+    _prof_on = bool(_os.environ.get("REGENIE_TPU_GENE_PROFILE"))
+    _prof: Dict[str, float] = {}
+
+    class _stage:
+        __slots__ = ("k", "t0")
+
+        def __init__(self, k):
+            self.k = k
+
+        def __enter__(self):
+            self.t0 = time.perf_counter()
+
+        def __exit__(self, *exc):
+            _prof[self.k] = _prof.get(self.k, 0.0) + (
+                time.perf_counter() - self.t0)
+
     def _stage1_prepare(set_idx, vset, snps, G, sb):
         """Host-side stage-1 work for one set: mask building plus the
         aux mask writers.  Device calls (block_stats, the burden mask
@@ -346,16 +364,18 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
             # so it is chromosome-free and the concat may span chroms);
             # per-set stats are row slices of the single packed fetch
             reads = []
-            for set_idx in group:
-                vset = sets[set_idx]
-                snps = [gd.snps[i] for i in vset.snp_indices]
-                G = gd.read_block_scattered(snps)  # [M, N], missing=-3
-                reads.append((set_idx, vset, snps, G))
-            if len(reads) > 1:
-                sb_all = eng.block_stats(
-                    np.concatenate([t[3] for t in reads], axis=0))
-            else:
-                sb_all = eng.block_stats(reads[0][3])
+            with _stage("read"):
+                for set_idx in group:
+                    vset = sets[set_idx]
+                    snps = [gd.snps[i] for i in vset.snp_indices]
+                    G = gd.read_block_scattered(snps)  # [M, N], missing=-3
+                    reads.append((set_idx, vset, snps, G))
+            with _stage("stats:dev"):
+                if len(reads) > 1:
+                    sb_all = eng.block_stats(
+                        np.concatenate([t[3] for t in reads], axis=0))
+                else:
+                    sb_all = eng.block_stats(reads[0][3])
             sb_slices = []
             off = 0
             for t in reads:
@@ -366,8 +386,9 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
             # pass B: per-set host mask building + aux mask writers
             pend = []
             for (set_idx, vset, snps, G), sb in zip(reads, sb_slices):
-                bufs, writers_set, built, ignored = _stage1_prepare(
-                    set_idx, vset, snps, G, sb)
+                with _stage("masks:host"):
+                    bufs, writers_set, built, ignored = _stage1_prepare(
+                        set_idx, vset, snps, G, sb)
                 pend.append(dict(
                     set_idx=set_idx, vset=vset, snps=snps, G=G, sb=sb,
                     built=built, ignored=ignored, bufs=bufs,
@@ -386,9 +407,10 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
                     j += 1
                 run = [e for e in pend[i:j] if e["built"]]
                 if run:
-                    eng.prep_chrom(pend[i]["vset"].chrom)
-                    all_built = [bm for e in run for bm in e["built"]]
-                    r_all = _test_masks(eng, all_built)
+                    with _stage("burden:dev"):
+                        eng.prep_chrom(pend[i]["vset"].chrom)
+                        all_built = [bm for e in run for bm in e["built"]]
+                        r_all = _test_masks(eng, all_built)
                     off = 0
                     for e in run:
                         m = len(e["built"])
@@ -409,18 +431,20 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
                 if params.vc_tests:
                     from .models import skat as skat_mod
 
-                    prep = skat_mod.vc_prep(
-                        params, eng, vset, e["snps"], e["G"], e["sb"],
-                        e["ignored"], built, log)
+                    with _stage("vcprep:host"):
+                        prep = skat_mod.vc_prep(
+                            params, eng, vset, e["snps"], e["G"], e["sb"],
+                            e["ignored"], built, log)
                 staged.append((set_idx, vset, built, r, e["bufs"], prep))
 
         # stage 2: ONE batched device call for the bucket's VC products
         if params.vc_tests and any(t[5] is not None for t in staged):
             from .models import skat as skat_mod
 
-            skat_mod.vc_products_batched(
-                params, eng, [t[5] for t in staged if t[5] is not None]
-            )
+            with _stage("vcprod:dev"):
+                skat_mod.vc_products_batched(
+                    params, eng, [t[5] for t in staged if t[5] is not None]
+                )
 
         # stage 3: per-set host tails + row rendering, in set order
         for set_idx, vset, built, r, bufs, prep in staged:
@@ -432,7 +456,9 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
 
                 eng._last_vc_results = {}
                 if prep is not None:
-                    skat_mod.vc_finish(params, eng, vset, prep, writers_set, log)
+                    with _stage("vctails:host"):
+                        skat_mod.vc_finish(params, eng, vset, prep,
+                                           writers_set, log)
 
             # joint tests on burden p-values
             if params.apply_gene_pval_strategy:
@@ -485,6 +511,11 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
         log(f"* [{p_}]")
     if mask_bed is not None:
         log(f"Masks written to : [{params.out_prefix}_masks.{{bed,bim,fam}}]")
+    if _prof_on and _prof:
+        tot = sum(_prof.values()) or 1.0
+        log(" * gene-based stage attribution (s):")
+        for k, v in sorted(_prof.items(), key=lambda t: -t[1]):
+            log(f"     {k:12s} {v:8.2f}  ({100 * v / tot:.0f}%)")
     log(f" * done ({time.time()-t0:.1f}s)")
 
 

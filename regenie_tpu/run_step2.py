@@ -875,7 +875,10 @@ class Step2Engine:
         axis — 32x less host->device traffic than shipping float64.
 
         Multi-host QT: returns ("partial", local_rows, (lo, hi, Bpad)) —
-        only this process's variant rows are read from disk."""
+        only this process's variant rows are read from disk.
+
+        Single-chip BED: returns the UNPADDED mmap view — zero host
+        copies; byte-tile padding happens on device in _fused_upload."""
         from .ops import fused_score as fsc
 
         gd = self.gd
@@ -922,10 +925,14 @@ class Step2Engine:
             raw = gd._bed.read_block_bytes(start, stop - start)
             if len(offsets) != stop - start:
                 raw = raw[offsets - start]
-            raw = fsc.pad_raw(np.ascontiguousarray(raw))
             if rng_loc is not None:
+                raw = fsc.pad_raw(np.ascontiguousarray(raw))
                 return (tag, raw, rng_loc)
-            return raw
+            if getattr(self, "_fused_mesh", self.mesh) is None:
+                # single-chip: hand the (contiguous) view to the device
+                # transfer as-is; byte padding runs on device
+                return np.ascontiguousarray(raw)
+            return fsc.pad_raw(np.ascontiguousarray(raw))
         # PGEN hardcalls -> BED 2-bit codes (0->3, 1->2, 2->0, miss->1)
         if Step2Engine._PACK_LUT is None:
             lut = np.zeros(256, np.uint8)
@@ -1275,9 +1282,16 @@ class Step2Engine:
         back off every output, so they never reach the host stats).
         ("partial", local, (lo, hi, Bpad)) carries only THIS process's
         rows (per-host decode): assemble the global array directly from
-        the process-local slab."""
+        the process-local slab.
+
+        Idempotent: an already-device-placed block passes through, so
+        the prefetch worker can upload block k+1 WHILE the device scores
+        block k (H2D/compute overlap; the reference overlaps its chunk
+        reads with OpenMP scoring the same way, Data.cpp:2944)."""
         from .parallel import mesh as pm
 
+        if isinstance(rawp, jax.Array):
+            return rawp
         if isinstance(rawp, tuple) and rawp[0] == "partial":
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -1319,7 +1333,13 @@ class Step2Engine:
                 sharding, slab, (Bpad, nbp))
         mesh_f = getattr(self, "_fused_mesh", self.mesh)
         if mesh_f is None:
-            return jnp.asarray(rawp)
+            raw_j = jnp.asarray(rawp)
+            nbp = getattr(self, "_fused_op_nbp", None)
+            if (nbp is not None and raw_j.ndim == 2
+                    and raw_j.shape[1] < nbp):
+                # byte-tile padding on device (HBM-rate, frees the host)
+                raw_j = jnp.pad(raw_j, ((0, 0), (0, nbp - raw_j.shape[1])))
+            return raw_j
         if len(mesh_f.axis_names) > 1:
             # 2-D (var x smp): rows padded to the variant axis, byte
             # columns (already padded to n_smp * tile by the operand
@@ -2131,6 +2151,12 @@ def run_step2(params: Params, log=print) -> None:
         ):
             raw = eng.read_block_raw(bsnps)
             if raw is not None:
+                # pre-upload on the prefetch thread so H2D of block k+1
+                # overlaps the device scoring of block k (idempotent in
+                # _fused_upload); first block waits for the consts so
+                # the byte-pad width is known
+                if getattr(eng, "_fused_chrom", None) is not None:
+                    raw = eng._fused_upload(raw)
                 return ("raw", raw), None
         G = eng.read_block_device(bsnps)
         return ("g", G), eng.gd.last_info_num
