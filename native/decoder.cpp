@@ -437,11 +437,29 @@ int64_t pgen_decode_block(const uint8_t* data, const uint64_t* fpos,
         ds[i] = (codes[i] == 3) ? -3.0 : (double)codes[i];
       const uint8_t dbits = vrtype & 0x60;
       if (!dbits) continue;
-      if (vrtype & 0x98) {  // multiallelic / phased aux tracks
+      if (vrtype & 0x08) {  // multiallelic aux track
         n_fail += 1;
         continue;
       }
       uint64_t pos = gt_end[u];
+      if (vrtype & 0x10) {
+        // skip aux2 (hardcall phase; SkipAux2, pgenlib_read.cc:6819):
+        // first part = 1 + het_ct/8 bytes, bit0 = explicit flag; if
+        // set, a phaseinfo bitarray of popcount(bits[1..het]) follows.
+        // (The trailing 0x80 dphase track needs no skip — dosage
+        // values precede it and phase is dropped.)
+        int64_t het_ct = 0;
+        for (int64_t i = 0; i < N; i++) het_ct += (codes[i] == 1);
+        const uint64_t first_bytes = 1 + (uint64_t)(het_ct / 8);
+        if (data[pos] & 1) {
+          int64_t pp_ct = 0;
+          for (int64_t k = 1; k <= het_ct; k++)
+            pp_ct += (data[pos + (k >> 3)] >> (k & 7)) & 1;
+          pos += first_bytes + (uint64_t)((pp_ct + 7) / 8);
+        } else {
+          pos += first_bytes;
+        }
+      }
       if (dbits == 0x20) {  // dosage deltalist
         int64_t L = pgen_parse_deltalist(data, &pos, N, ids);
         for (int64_t k = 0; k < L; k++) {

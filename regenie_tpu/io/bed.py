@@ -106,9 +106,14 @@ class BedFile:
         return self
 
     def close(self):
-        if getattr(self, "_mm", None) is not None:
-            self._mm.close()
+        mm = getattr(self, "_mm", None)
+        if mm is not None:
             self._mm = None
+            try:
+                mm.close()
+            except BufferError:
+                pass  # live zero-copy views; the mapping is released
+                # by the OS when the last view is garbage-collected
         if self._fh is not None:
             self._fh.close()
             self._fh = None

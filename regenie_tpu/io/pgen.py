@@ -4,8 +4,10 @@ TPU-era replacement for the vendored pgenlib decoder (SURVEY.md §2.2,
 external_libs/pgenlib). Supports the general-purpose variable-record
 format: 2-bit direct, 1-bit ("onebit") + exception difflist,
 difflist-against-constant, and LD-compressed (difflist against the
-previous non-LD variant, plus inverted variant). Phase/dosage/
-multiallelic tracks are not yet supported.
+previous non-LD variant, plus inverted variant); the 16-bit dosage
+tracks; and phased files (hardcall-phase aux2 and phased-dosage dphase
+tracks decode-and-drop — regenie's tests are unphased). Multiallelic
+variants are not supported (split them with plink2).
 
 Format knowledge from the public PGEN spec (the byte layout parsed by
 pgenlib_read.cc): 12-byte header; per-vblock (65536 variants) fpos
@@ -291,9 +293,15 @@ class PgenDecoder:
 
     def dosages(self, vidx: int) -> np.ndarray:
         """ALT dosages [N] float64 with -3 for missing; parses the
-        unphased 16-bit dosage tracks (ParseDosage16,
-        pgenlib_read.cc:7185: 0x20 deltalist, 0x40 dense, 0x60 bitarray;
-        values on the 0..32768 = 0..2 scale, 65535 = missing)."""
+        16-bit dosage tracks (ParseDosage16, pgenlib_read.cc:7185:
+        0x20 deltalist, 0x40 dense, 0x60 bitarray; values on the
+        0..32768 = 0..2 scale, 65535 = missing).
+
+        Phase tracks decode-and-drop (regenie's tests are unphased):
+        the hardcall-phase aux2 track (vrtype & 0x10) is skipped with
+        SkipAux2 semantics (pgenlib_read.cc:6819) to reach the dosage
+        bytes, and the trailing phased-dosage dphase track (0x80) is
+        simply never read."""
         codes, pos = self._decode_pos(vidx)
         out = codes.astype(np.float64)
         out[codes == 3] = -3.0
@@ -301,14 +309,27 @@ class PgenDecoder:
         dbits = vrtype & 0x60
         if not dbits:
             return out
-        if vrtype & 0x98:
+        if vrtype & 0x08:
             raise NotImplementedError(
-                "multiallelic / phased PGEN tracks not supported — split "
-                "multiallelic sites and strip phase first (e.g. plink2 "
-                "--make-pgen erase-phase + --make-bpgen multiallelics=-)"
+                "multiallelic PGEN variants not supported — split sites "
+                "first (e.g. plink2 --make-bpgen multiallelics=-)"
             )
         data = self.pf._data
         N = self.pf.n_samples_file
+        if vrtype & 0x10:
+            # skip aux2 (hardcall phase): first part is 1 + het_ct/8
+            # bytes; bit0 = explicit-phasepresent, then either phaseinfo
+            # for all hets or phasepresent bits + separate phaseinfo
+            het_ct = int((codes == 1).sum())
+            first_bytes = 1 + het_ct // 8
+            if data[pos] & 1:
+                bits = np.unpackbits(
+                    np.frombuffer(data, np.uint8, first_bytes, pos),
+                    bitorder="little")
+                phasepresent_ct = int(bits[1 : het_ct + 1].sum())
+                pos += first_bytes + (phasepresent_ct + 7) // 8
+            else:
+                pos += first_bytes
         if dbits == 0x20:  # dosage deltalist
             ids, pos = _parse_deltalist(data, pos, N)
             vals = np.frombuffer(data, dtype="<u2", count=len(ids), offset=pos)
