@@ -300,8 +300,11 @@ def main():
     # MXU path (production default), "bf16" = 3-way bf16 split fallback.
     from regenie_tpu.ops import fused_score as fsc
 
-    inner = int(os.environ.get("BENCH_INNER", 8))  # dispatches per sync:
-    # amortizes the _sync fetch RTT (WAN tunnel: one RTT per timed round)
+    inner = int(os.environ.get("BENCH_INNER", 4))  # dispatches per sync.
+    # Two layers of WAN-RTT amortization on this tunneled rig: each
+    # dispatch runs ALL n_blocks via one jitted lax.map (4x fewer
+    # execute round-trips), and each timed round syncs once after
+    # `inner` dispatches (one scalar-fetch RTT per round).
 
     def bench_qt_resident(split, label):
         consts = fsc.build_consts(
@@ -311,18 +314,18 @@ def main():
         nbp = fsc.op_nbp(consts.Wp)
         fused_blocks = [fsc.pad_raw(rb, nbp) for rb in raw_blocks]
         run_qt = fsc.make_qt_block_fn(consts, use_pallas=on_tpu)
-        _sync(run_qt(jnp.asarray(fused_blocks[0])))
-        dev = [jnp.asarray(rb) for rb in fused_blocks]
-        _sync(dev)
+        run_many = jax.jit(lambda st: jax.lax.map(run_qt, st))
+        stacked = jnp.asarray(np.stack(fused_blocks))
+        _sync(run_many(stacked))
         best = 0.0
         for _ in range(n_rounds):
             t0 = time.perf_counter()
-            outs = [run_qt(db) for _ in range(inner) for db in dev]
+            outs = [run_many(stacked) for _ in range(inner)]
             _sync(outs)
             best = max(best, inner * n_blocks * B / (time.perf_counter() - t0))
         print(f"[bench] qt_resident[{label}]: {best:.0f} SNPs/s "
-              f"({inner * n_blocks} blocks x {B} per round)",
-              file=sys.stderr)
+              f"({inner * n_blocks} blocks x {B} per round, "
+              f"{inner} dispatches)", file=sys.stderr)
         return best
 
     if on_tpu:
@@ -374,13 +377,13 @@ def main():
             pl[:, 0, :N] = np.where(miss, 255, k0)
             pl[:, 1, :N] = np.where(miss, 255, k1)
             blocks_g.append(pl)
-        _sync(run_bgen(jnp.asarray(blocks_g[0])))
-        dev = [jnp.asarray(p) for p in blocks_g]
-        _sync(dev)
+        run_many = jax.jit(lambda st: jax.lax.map(run_bgen, st))
+        stacked = jnp.asarray(np.stack(blocks_g))
+        _sync(run_many(stacked))
         best = 0.0
         for _ in range(n_rounds):
             t0 = time.perf_counter()
-            outs = [run_bgen(db) for _ in range(inner) for db in dev]
+            outs = [run_many(stacked) for _ in range(inner)]
             _sync(outs)
             best = max(best, inner * nbg * Bg / (time.perf_counter() - t0))
         return best, ("i8" if split == "i8" else
