@@ -314,7 +314,7 @@ def main():
         nbp = fsc.op_nbp(consts.Wp)
         fused_blocks = [fsc.pad_raw(rb, nbp) for rb in raw_blocks]
         run_qt = fsc.make_qt_block_fn(consts, use_pallas=on_tpu)
-        run_many = jax.jit(lambda st: jax.lax.map(run_qt, st))
+        run_many = run_qt.stack  # one dispatch per block stack
         stacked = jnp.asarray(np.stack(fused_blocks))
         _sync(run_many(stacked))
         best = 0.0
@@ -377,7 +377,7 @@ def main():
             pl[:, 0, :N] = np.where(miss, 255, k0)
             pl[:, 1, :N] = np.where(miss, 255, k1)
             blocks_g.append(pl)
-        run_many = jax.jit(lambda st: jax.lax.map(run_bgen, st))
+        run_many = run_bgen.stack  # one dispatch per block stack
         stacked = jnp.asarray(np.stack(blocks_g))
         _sync(run_many(stacked))
         best = 0.0

@@ -810,6 +810,15 @@ def make_qt_block_fn(consts: "FusedConsts", use_pallas: bool, test_type=0,
     def run(raw):
         return _run(raw, Wp_dev)
 
+    if mesh is None:
+        # multi-block runner: ONE dispatch maps a [nb, B, nbp] stack
+        # (bench / batch callers amortize per-dispatch RTT on remote
+        # backends); the operand stays an argument, not a baked-in
+        # constant, so the compile payload stays small
+        _run_stack = jax.jit(
+            lambda st, Wp: jax.lax.map(lambda r: _body(r, Wp), st))
+        run.stack = lambda st: _run_stack(st, Wp_dev)
+
     return run
 
 
@@ -1331,6 +1340,13 @@ def make_qt_bgen_fn(consts: "FusedConsts", use_pallas: bool, ref_first=False,
 
     def run(planes):
         return _run(planes, Wp_dev, Wq_dev if use_q else Wp_dev)
+
+    if mesh is None:
+        _run_stack = jax.jit(
+            lambda st, Wp, Wq_a: jax.lax.map(
+                lambda p: _body(p, Wp, Wq_a), st))
+        run.stack = lambda st: _run_stack(
+            st, Wp_dev, Wq_dev if use_q else Wp_dev)
 
     return run
 
