@@ -447,59 +447,50 @@ def main():
     def bench_bt_firth():
         from regenie_tpu.models import firth as firth_mod
 
-        # dense decoded-G products (the BT _allpass math): size the block
-        # for the WAN-tunnel rig so compile+transfer fit the budget
-        Bb = min(B, 512)
-        nbb = n_blocks if not on_tpu else 2
+        # PRODUCTION BT path: the fused packed-bytes scorer with the BT
+        # operand layout (run_step2._fused_bt: [Wcat | gsm2 | mask |
+        # case | ind]) — not a hand-rolled dense-G stand-in.  Same
+        # two-layer RTT amortization as the QT legs (run.stack +
+        # `inner` dispatches per sync).
         y = (rng.random(N) < 0.1).astype(np.float64)
         pi = np.clip(y.mean(), 1e-3, 1 - 1e-3) * np.ones(N)
         gs = np.sqrt(pi * (1 - pi))
         Pn = min(P, 10)  # BT trait batch
-        Wcat = rng.normal(size=(N, Pn * (K + 1)))
+        Kp1 = K + 1
+        ncat = Pn * Kp1
+        Wcat = rng.normal(size=(N, ncat))
         xwt = rng.normal(size=(Pn, K))
         gsm2 = (gs**2)[:, None] * np.ones((1, Pn))
-        # all-trait BT products (the production _allpass math) on device
-        from regenie_tpu.models.step2 import mm as _mm
-
+        maskc = np.ones((N, Pn))
+        case = (y[:, None] * maskc)
+        Wext = np.concatenate(
+            [Wcat, gsm2, maskc, case, ind.astype(np.float64)[:, None]],
+            axis=1)
+        icol = ncat + Pn + Pn + Pn
+        C_used = icol + 1
         dt_ = np.float32 if on_tpu else np.float64
-        # pass the big per-sample operands as ARGUMENTS (device buffers
-        # by handle) — closed-over constants get baked into the compile
-        # payload, which the remote-compile tunnel rejects (HTTP 413)
-        Wcat_j = jax.device_put(Wcat.astype(dt_))
-        xwt_j = jax.device_put(xwt.astype(dt_))
-        gsm2_j = jax.device_put(gsm2.astype(dt_))
-        ind_j = jax.device_put(ind)
-        flip_j = jax.device_put(flip[:Bb])
+        Wp, usum = fsc.plane_pack(
+            Wext, nb, split=fsc.split_mode(on_tpu), dtype=dt_)
+        run_bt = fsc.make_bt_block_fn(
+            Wp, usum, xwt.astype(dt_), C_used, icol, float(ind.sum()),
+            ncat, Pn, Kp1, use_pallas=on_tpu)
+        nbp = fsc.op_nbp(Wp)
+        stacked = jnp.asarray(np.stack(
+            [fsc.pad_raw(rb, nbp) for rb in raw_blocks]))
+        _sync(run_bt.stack(stacked))
 
-        from regenie_tpu.ops.geno_ops import decode_bed_packed, finalize_block_step2
-
-        @jax.jit
-        def bt_products(raw, Wc, xw, g2, indv, flipv):
-            Gi = decode_bed_packed(raw, N)
-            G = finalize_block_step2(Gi, indv, flipv)
-            G = G.astype(Wc.dtype)
-            S1 = _mm(G, Wc).reshape(Bb, Pn, K + 1)
-            A = S1[..., :-1]
-            q = S1[..., -1]
-            num = q - jnp.einsum("bpk,pk->bp", A, xw)
-            denum = _mm(G**2, g2) - (A**2).sum(-1)
-            return num, denum
-
-        def bt_run(raw):
-            return bt_products(raw, Wcat_j, xwt_j, gsm2_j, ind_j, flip_j)
-
-        _sync(bt_run(jnp.asarray(raw_blocks[0][:Bb])))
-        dev = [jnp.asarray(rb[:Bb]) for rb in raw_blocks[:nbb]]
-        _sync(dev)
-        # corrected fraction: 1% of SNPs get a batched approx-Firth refit
-        n_corr = max(8, Bb // 100)
+        # corrected fraction: 1% of each round's SNPs get a batched
+        # approx-Firth refit, all blocks' rows in ONE device call
+        round_snps = inner * n_blocks * B
+        n_corr = max(8, round_snps // 100)
         from regenie_tpu.io.bed import decode_bed_bytes
 
-        Gc = decode_bed_bytes(raw_blocks[0][:n_corr], N).astype(np.float64)
+        rows = np.concatenate([rb for rb in raw_blocks])[:n_corr]
+        Gc = decode_bed_bytes(rows, N).astype(np.float64)
         np.copyto(Gc, 0.0, where=Gc == -3)
         offset = np.zeros(N)
         # device-resident Firth (corrections_device): rows + [N] consts
-        # uploaded once; each call's np.asarray return forces completion
+        # uploaded once; the call's np.asarray return forces completion
         from regenie_tpu.models import corrections_device as cdev
 
         firth_dev = cdev.enabled()
@@ -520,12 +511,14 @@ def main():
         best = 0.0
         for _ in range(max(1, n_rounds - 1)):
             t0 = time.perf_counter()
-            outs = [bt_run(db) for db in dev]
+            outs = [run_bt.stack(stacked) for _ in range(inner)]
+            run_firth()  # blocks on its own fetch (device sync)
             _sync(outs)
-            for _blk in range(nbb):
-                run_firth()
-            best = max(best, nbb * Bb / (time.perf_counter() - t0))
-        return best, "device" if firth_dev else "host"
+            best = max(best, round_snps / (time.perf_counter() - t0))
+        print(f"[bench] bt_firth: {best:.0f} SNPs/s ({inner * n_blocks} "
+              f"blocks x {B}, {n_corr} firth rows/round)", file=sys.stderr)
+        return best, ("fused+firth-device" if firth_dev
+                      else "fused+firth-host")
 
     bt_out = _timed(budget, bench_bt_firth)
     bt_fs, bt_var = bt_out if bt_out else (None, None)
@@ -540,32 +533,50 @@ def main():
         J = 5
         lam = jnp.asarray(np.full(J, float(N)) * np.linspace(0.5, 4.0, J))
         B1 = min(B, 1000)
-        Y_j = jnp.asarray(res.astype(np.float32 if on_tpu else np.float64))
-        m_j = jnp.asarray(maskf.astype(np.float32 if on_tpu else np.float64))
-        cov_j = jnp.asarray(cov.astype(np.float32 if on_tpu else np.float64))
-        Neff_j = jnp.asarray(Neff.astype(np.float32 if on_tpu else np.float64))
+        dt = np.float32 if on_tpu else np.float64
+        # big per-sample operands are ARGUMENTS (device handles), not
+        # closures: closed-over constants inflate the remote-compile
+        # payload (HTTP 413 class) — same rule as the fused QT legs
+        Y_j = jax.device_put(res.astype(dt))
+        m_j = jax.device_put(maskf.astype(dt))
+        cov_j = jax.device_put(cov.astype(dt))
+        Neff_j = jnp.asarray(Neff.astype(dt))
         ind_j = jnp.asarray(ind)
 
         from regenie_tpu.ops.geno_ops import decode_bed_packed
 
-        @jax.jit
-        def l0_block(raw):
+        def l0_block(raw, covm, Ym, maskm):
             Gi = decode_bed_packed(raw, N)
             G = prepare_block_step1(Gi, ind_j)
-            G, _sc = m1.residualize_geno_block(G, cov_j, float(N - K))
-            return m1.level0_loocv_block(G, Y_j, m_j, lam, Neff_j)
+            G, _sc = m1.residualize_geno_block(G, covm, float(N - K))
+            return m1.level0_loocv_block(G, Ym, maskm, lam, Neff_j)
 
-        raw1 = jnp.asarray(raw_blocks[0][:B1])
-        _sync(l0_block(raw1))
+        # ONE dispatch per block stack (lax.map) + `inner` dispatches
+        # per sync: the same two-layer WAN-RTT amortization as the QT
+        # legs — the r4 profiler showed the r3 number was ~60% tunnel
+        # round-trips, not level-0 compute
+        _stack = jax.jit(lambda st, covm, Ym, maskm: jax.lax.map(
+            lambda r: l0_block(r, covm, Ym, maskm), st))
+        # 2 stacked blocks: each W output is [N,J,P] (~400MB at UKB
+        # shape); inner in-flight dispatches hold inner*nb1 of them
+        nb1 = min(n_blocks, 2)
+        stacked = jnp.asarray(np.stack([rb[:B1] for rb in raw_blocks[:nb1]]))
+
+        def run():
+            return _stack(stacked, cov_j, Y_j, m_j)
+
+        _sync(run())
         best = 0.0
         for _ in range(max(1, n_rounds - 1)):
             t0 = time.perf_counter()
-            _sync(l0_block(raw1))
-            best = max(best, B1 / (time.perf_counter() - t0))
+            outs = [run() for _ in range(inner)]
+            _sync(outs)
+            best = max(best, inner * nb1 * B1 / (time.perf_counter() - t0))
         return best
 
     s1 = _timed(budget, bench_step1_l0)
-    record("step1_level0", s1, dev_backend)
+    record("step1_level0", s1, dev_backend, sync="device-scalar-fetch",
+           inner=inner, stacked_blocks=min(n_blocks, 2))
 
     # =================== gene-based: sets/s ===================
     def bench_genebased():

@@ -876,6 +876,14 @@ def make_bt_block_fn(Wp, usum, xwt, C_used, icol, n_ind, ncat, Pn, Kp1,
     def run(raw):
         return _run(raw, Wp_dev)
 
+    if mesh is None:
+        # multi-block runner: ONE dispatch maps a [nb, B, nbp] stack
+        # (same RTT-amortization rationale as the QT run.stack; the
+        # operand stays an argument so the compile payload stays small)
+        _run_stack = jax.jit(
+            lambda st, Wp_a: jax.lax.map(lambda r: _body(r, Wp_a), st))
+        run.stack = lambda st: _run_stack(st, Wp_dev)
+
     return run
 
 

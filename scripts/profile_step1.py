@@ -9,12 +9,19 @@ Stages (models/step1.py level0_loocv_block + feeders):
   eigh      jnp.linalg.eigh(GGt)          [B,B]
   vtg       V^T G                         [B,B]x[B,N]
   z2t       VtG x (DL_inv*Wmat)           [N,B]x[B,J*P]
-  gvec+epi  gvec matmul + LOOCV epilogue  elementwise [N,J,P]
+  epilogue  gvec matmul + LOOCV epilogue  elementwise [N,J,P]
 
-Every stage is timed with the device-scalar-fetch sync (bench.py _sync
-rationale: block_until_ready is a no-op on this rig's tunnel).
+Measurement model: on the tunneled rig every dispatch AND every fetch
+costs one WAN round trip (block_until_ready is a no-op), so a naive
+per-stage (dispatch, fetch-scalar) pair measures ~2 RTTs, not the
+kernel (first capture: sum-of-stages 765 ms vs 195 ms for the whole
+fused chain).  Each stage therefore runs INNER times inside one jitted
+lax.scan whose carry perturbs the input by a dynamic zero (c*eps with
+c a runtime value the compiler cannot fold), so XLA can neither hoist
+the loop-invariant body nor DCE it; one scalar fetch closes the timing.
+Per-iteration cost = (t_scan - t_overhead) / INNER.
 
-Usage: python scripts/profile_step1.py [B] [N] [P]
+Usage: python scripts/profile_step1.py [B] [N] [P] [INNER]
 """
 
 import os
@@ -43,20 +50,45 @@ def _sync(outs):
     return float(acc)
 
 
-def timeit(fn, *args, rounds=3):
-    _sync(fn(*args))
+def make_scan_timer(stage_fn, perturb_arg, inner):
+    """Jit a scan running stage_fn inner times; the carry scalar (a
+    runtime 0.0) perturbs `perturb_arg` each iteration so the body is
+    loop-variant.  Returns fn(args, c0) -> scalar."""
+
+    def scanned(args, c0):
+        def body(c, _):
+            new_args = list(args)
+            a = new_args[perturb_arg]
+            new_args[perturb_arg] = a + c.astype(a.dtype)
+            out = stage_fn(*new_args)
+            leaves = jax.tree_util.tree_leaves(out)
+            s = jnp.zeros((), jnp.float32)
+            for x in leaves:
+                s = s + x.ravel()[:1].astype(jnp.float32).sum()
+            return s * jnp.float32(1e-30), None
+
+        c, _ = jax.lax.scan(body, c0, None, length=inner)
+        return c
+
+    return jax.jit(scanned, static_argnums=())
+
+
+def timeit_scan(fn, args, inner, rounds=3):
+    c0 = jnp.zeros((), jnp.float32)
+    _sync(fn(args, c0))  # compile
     best = 1e30
     for _ in range(rounds):
         t0 = time.perf_counter()
-        _sync(fn(*args))
+        _sync(fn(args, c0))
         best = min(best, time.perf_counter() - t0)
-    return best * 1e3
+    return best * 1e3 / inner
 
 
 def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     N = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
     P = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+    inner = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     K, J = 20, 5
     rng = np.random.default_rng(0)
     nb = (N + 3) // 4
@@ -69,79 +101,89 @@ def main():
     lam = jnp.asarray(np.full(J, float(N)) * np.linspace(0.5, 4.0, J))
 
     backend = jax.default_backend()
-    print(f"backend={backend} B={B} N={N} P={P} K={K} J={J}")
+    print(f"backend={backend} B={B} N={N} P={P} K={K} J={J} inner={inner}")
 
-    @jax.jit
-    def f_decode(raw):
-        return prepare_block_step1(decode_bed_packed(raw, N), ind)
+    # materialize stage inputs once (device-resident, passed by handle)
+    def st_decode(rawf):
+        return prepare_block_step1(decode_bed_packed(rawf.astype(jnp.uint8), N), ind)
 
-    G0 = f_decode(raw)
+    G0 = jax.jit(lambda r: st_decode(r))(raw)
     _sync(G0)
 
-    @jax.jit
-    def f_resid(G):
-        return m1.residualize_geno_block(G, cov, float(N - K))
+    def st_resid(G, covm):
+        return m1.residualize_geno_block(G, covm, float(N - K))
 
-    G, _sc = f_resid(G0)
+    G, _sc = jax.jit(st_resid)(G0, cov)
     _sync(G)
 
-    f_gram = jax.jit(lambda G: jnp.matmul(G, G.T, precision=_PREC))
-    GGt = f_gram(G); _sync(GGt)
-    f_gty = jax.jit(lambda G: jnp.matmul(G, Y, precision=_PREC))
-    GTY = f_gty(G); _sync(GTY)
-    f_eigh = jax.jit(lambda A: jnp.linalg.eigh(A))
-    d, V = f_eigh(GGt); _sync((d, V))
-    f_vtg = jax.jit(lambda V, G: jnp.matmul(V.T, G, precision=_PREC))
-    VtG = f_vtg(V, G); _sync(VtG)
+    def st_gram(G):
+        return jnp.matmul(G, G.T, precision=_PREC)
 
-    @jax.jit
-    def f_z2t(VtG, d, GTY):
+    def st_gty(G, Ym):
+        return jnp.matmul(G, Ym, precision=_PREC)
+
+    def st_eigh(A):
+        return jnp.linalg.eigh(A)
+
+    def st_vtg(V, G):
+        return jnp.matmul(V.T, G, precision=_PREC)
+
+    GGt = jax.jit(st_gram)(G)
+    GTY = jax.jit(st_gty)(G, Y)
+    d, V = jax.jit(st_eigh)(GGt)
+    VtG = jax.jit(st_vtg)(V, G)
+    _sync((GGt, GTY, d, V, VtG))
+
+    def st_z2t(VtG, V, d, GTY):
         Wmat = jnp.matmul(V.T, GTY, precision=_PREC)
         DL_inv = 1.0 / (d[:, None] + lam[None, :])
-        z2t = jnp.einsum("bn,bj,bp->njp", VtG, DL_inv, Wmat, precision=_PREC)
-        return z2t
+        return jnp.einsum("bn,bj,bp->njp", VtG, DL_inv, Wmat, precision=_PREC)
 
-    z2t = f_z2t(VtG, d, GTY); _sync(z2t)
+    z2t = jax.jit(st_z2t)(VtG, V, d, GTY)
+    _sync(z2t)
 
-    @jax.jit
-    def f_epi(VtG, d, z2t):
+    def st_epi(VtG, d, z2t, Ym, maskm):
         DL_inv = 1.0 / (d[:, None] + lam[None, :])
         gvec = jnp.matmul((VtG**2).T, DL_inv, precision=_PREC)
-        pred = (z2t - gvec[:, :, None] * Y[:, None, :]) / (1.0 - gvec)[:, :, None]
-        pred = pred * mask[:, None, :]
+        pred = (z2t - gvec[:, :, None] * Ym[:, None, :]) / (1.0 - gvec)[:, :, None]
+        pred = pred * maskm[:, None, :]
         p_mean = pred.sum(axis=0) / Neff[None, :]
-        pred = (pred - p_mean[None]) * mask[:, None, :]
+        pred = (pred - p_mean[None]) * maskm[:, None, :]
         p_sd = jnp.sqrt((pred**2).sum(axis=0) / (Neff[None, :] - 1.0))
         return pred / p_sd[None]
 
-    _sync(f_epi(VtG, d, z2t))
+    def st_full(rawf, covm, Ym, maskm):
+        Gf = prepare_block_step1(decode_bed_packed(rawf.astype(jnp.uint8), N), ind)
+        Gf, _ = m1.residualize_geno_block(Gf, covm, float(N - K))
+        return m1.level0_loocv_block(Gf, Ym, maskm, lam, Neff)
 
-    @jax.jit
-    def f_full(raw):
-        G = prepare_block_step1(decode_bed_packed(raw, N), ind)
-        G, _sc = m1.residualize_geno_block(G, cov, float(N - K))
-        return m1.level0_loocv_block(G, Y, mask, lam, Neff)
+    # decode/full perturb a float view of raw (uint8 + f32 carry would
+    # dtype-clash inside the scan body)
+    raw_f = raw.astype(jnp.float32)
 
     stages = [
-        ("decode", lambda: timeit(f_decode, raw)),
-        ("resid", lambda: timeit(f_resid, G0)),
-        ("gram", lambda: timeit(f_gram, G)),
-        ("gty", lambda: timeit(f_gty, G)),
-        ("eigh", lambda: timeit(f_eigh, GGt)),
-        ("vtg", lambda: timeit(f_vtg, V, G)),
-        ("z2t", lambda: timeit(f_z2t, VtG, d, GTY)),
-        ("epilogue", lambda: timeit(f_epi, VtG, d, z2t)),
-        ("FULL", lambda: timeit(f_full, raw)),
+        ("decode", st_decode, [raw_f], 0),
+        ("resid", st_resid, [G0, cov], 0),
+        ("gram", st_gram, [G], 0),
+        ("gty", st_gty, [G, Y], 0),
+        ("eigh", st_eigh, [GGt], 0),
+        ("vtg", st_vtg, [V, G], 0),
+        ("z2t", st_z2t, [VtG, V, d, GTY], 0),
+        ("epilogue", st_epi, [VtG, d, z2t, Y, mask], 0),
+        ("FULL", st_full, [raw_f, cov, Y, mask], 0),
     ]
     total = 0.0
-    for name, fn in stages:
-        ms = fn()
+    for name, fn, args, parg in stages:
+        timer = make_scan_timer(fn, parg, inner)
+        ms = timeit_scan(timer, args, inner)
         if name != "FULL":
             total += ms
         print(f"  {name:9s} {ms:8.1f} ms")
     print(f"  sum-of-stages {total:8.1f} ms")
-    full_ms = timeit(f_full, raw)
-    print(f"  end-to-end    {full_ms:8.1f} ms -> {B / full_ms * 1e3:.0f} SNPs/s")
+    full_timer = make_scan_timer(st_full, 0, inner)
+    full_ms = timeit_scan(full_timer, [raw_f, cov, Y, mask], inner)
+    print(f"  fused chain   {full_ms:8.1f} ms -> {B / full_ms * 1e3:.0f} SNPs/s"
+          f"  (per-iter, RTT amortized over inner={inner})")
 
 
 if __name__ == "__main__":
