@@ -219,6 +219,11 @@ def main():
         jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
+    from regenie_tpu.utils.dtypes import enable_compile_cache
+
+    enable_compile_cache()  # persistent XLA cache (deployment posture);
+    # legs still compile cold on first-ever run of a shape — stamped below
+
     on_tpu = jax.default_backend() not in ("cpu",)
     dev_backend = "tpu" if on_tpu else "cpu"
 
@@ -793,6 +798,7 @@ def main():
         "vs_baseline": round(headline / cpu16_sps, 2),
         "backend": dev_backend,
         "schema": "bench-v4",  # frozen leg set + per-leg provenance
+        "compile_cache": os.environ.get("REGENIE_TPU_COMPILE_CACHE", "1") != "0",
         "extra": extra,
         "backends": backends,
         "legs": legs,

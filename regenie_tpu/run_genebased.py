@@ -520,19 +520,40 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
 
 
 def _test_masks(eng: Step2Engine, built: List[BuiltMask]) -> BlockResult:
-    """Run the association engine on built masks as pseudo-variants."""
+    """Run the association engine on built masks as pseudo-variants.
+
+    The mask-row axis pads up to a power-of-two bucket (floor 16) so the
+    group-batched calls — whose row counts vary per group — reuse ONE
+    compiled score executable instead of recompiling per shape.  Padded
+    rows are zero-G, ignored, all-trait-masked pseudo-variants; they are
+    sliced off before any consumer sees them and rolled back out of the
+    engine's n_ignored tally."""
     P = eng.params.n_pheno
     B = len(built)
-    G = np.stack([bm.G for bm in built])
-    af_t = np.stack([bm.af_t for bm in built])
-    ns_t = np.stack([bm.ns_t for bm in built])
-    mac_t = np.stack([bm.mac_t for bm in built])
-    ignored = np.zeros(B, dtype=bool)
-    ignored_trait = np.stack([bm.ignored_trait for bm in built])
-    flipped = np.array([bm.flipped for bm in built])
+    Bp = 1 << max(4, (B - 1).bit_length())
+    npad = Bp - B
+    G = np.stack([bm.G for bm in built] + [
+        np.zeros_like(built[0].G) for _ in range(npad)])
+    af_t = np.stack([bm.af_t for bm in built] + [
+        np.zeros_like(built[0].af_t) for _ in range(npad)])
+    ns_t = np.stack([bm.ns_t for bm in built] + [
+        np.zeros_like(built[0].ns_t) for _ in range(npad)])
+    mac_t = np.stack([bm.mac_t for bm in built] + [
+        np.zeros_like(built[0].mac_t) for _ in range(npad)])
+    ignored = np.arange(Bp) >= B
+    ignored_trait = np.stack([bm.ignored_trait for bm in built] + [
+        np.ones_like(built[0].ignored_trait) for _ in range(npad)])
+    flipped = np.array([bm.flipped for bm in built] + [False] * npad)
     r = eng.test_prepared_block(
         G, af_t, ns_t, mac_t, ignored, ignored_trait, flipped, is_mask=True
     )
+    if npad:
+        eng.n_ignored -= npad  # padding rows are not real tests
+        r = r.slice_rows(0, B)
+        if eng.last_G_res is not None:
+            eng.last_G_res = eng.last_G_res[:B]
+        if getattr(eng, "last_scale_fac", None) is not None:
+            eng.last_scale_fac = eng.last_scale_fac[:B]
     if eng.params.htp_out:
         # genotype class counts from the pre-imputation mask vectors
         # (update_genocounts on the collapsed mask, Masks.cpp path)

@@ -472,7 +472,19 @@ class Step2Engine:
         ])
 
     def block_stats(self, G_raw, bsnps=None) -> dict:
-        """Per-variant stats for a raw block (hardcalls or dosages)."""
+        """Per-variant stats for a raw block (hardcalls or dosages).
+
+        Host-side blocks get two upload/compile optimizations (both
+        exact, so CPU-f64 parity is unchanged):
+        - the variant axis pads up to a power-of-two bucket so repeated
+          calls with ragged group sizes (the gene-based set loop, the
+          trailing block of each chromosome) share ONE compiled
+          executable instead of recompiling per shape — padded rows are
+          all-MISSING and sliced off after the packed fetch;
+        - integral hardcall blocks ship as int8 (8x less H2D traffic
+          than the f64 dense block; the kernel casts to the compute
+          dtype on device, exactly).
+        """
         kw = {}
         if bsnps is not None and self.gd.sex is not None and self.params.test_mode:
             non_par = self.non_par_flags(bsnps)
@@ -482,10 +494,30 @@ class Step2Engine:
                     sex=jnp.asarray(self.gd.sex),
                     skip_comp=bool(self.params.skip_dosage_comp),
                 )
+        B0 = int(G_raw.shape[0])
+        arr = G_raw
+        if isinstance(arr, np.ndarray) and B0:
+            if arr.dtype != np.int8:
+                with np.errstate(invalid="ignore"):
+                    if (np.abs(arr) <= 127).all() and (arr == np.rint(arr)).all():
+                        arr = arr.astype(np.int8)
+            Bp = 1 << max(6, (B0 - 1).bit_length())
+            if Bp != B0:
+                arr = np.concatenate([
+                    arr,
+                    np.full((Bp - B0, arr.shape[1]), MISSING, arr.dtype),
+                ])
+                if "non_par" in kw:
+                    kw["non_par"] = jnp.asarray(np.concatenate(
+                        [np.asarray(kw["non_par"]),
+                         np.zeros(Bp - B0, bool)]))
         blk = snp_stats_block(
-            jnp.asarray(G_raw), self.ind_j, jnp.asarray(self.pd.masked_indivs), **kw
+            jnp.asarray(arr), self.ind_j, jnp.asarray(self.pd.masked_indivs), **kw
         )
-        return _fetch_dict_packed(blk)
+        out = _fetch_dict_packed(blk)
+        if out and next(iter(out.values())).shape[0] != B0:
+            out = {k: v[:B0] for k, v in out.items()}
+        return out
 
     def model_type(self) -> str:
         """HTP Model string (Data.cpp:2093-2102)."""

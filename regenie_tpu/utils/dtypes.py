@@ -34,6 +34,33 @@ def _on_cpu() -> bool:
 
 
 _X64_ENABLED = False
+_CACHE_SET = False
+
+
+def enable_compile_cache() -> None:
+    """Enable the JAX persistent compilation cache (on by default;
+    REGENIE_TPU_COMPILE_CACHE=0 disables, _DIR overrides the path).
+
+    The reference pays zero compile cost (ahead-of-time C++); under
+    XLA a cold CLI run otherwise pays 10-40 s of jit compiles per
+    distinct block shape — on remote-compile backends that dominates
+    short runs (the gene-based set loop measured 78% stats-stage time,
+    mostly two group-shape compiles).  The cache persists executables
+    across processes (verified on the axon tunnel: 1.1 s -> 17 ms in a
+    fresh interpreter), which is the deployment posture anyway."""
+    global _CACHE_SET
+    if _CACHE_SET or os.environ.get("REGENIE_TPU_COMPILE_CACHE", "1") == "0":
+        return
+    d = os.environ.get(
+        "REGENIE_TPU_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "regenie_tpu", "xla"))
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _CACHE_SET = True
+    except Exception:
+        pass  # cache is an optimization; never fail a run over it
 
 
 def enable_x64_if_cpu() -> bool:
@@ -47,6 +74,7 @@ def enable_x64_if_cpu() -> bool:
     plat = os.environ.get("REGENIE_TPU_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
+    enable_compile_cache()
     if os.environ.get("REGENIE_TPU_FORCE_F32"):
         return False
     if _on_cpu():
