@@ -595,23 +595,40 @@ def main():
         n_sets = int(os.environ.get("BENCH_GB_SETS", 60))
         build_exome(d, n_sets, 40, min(N, 20_000), np.random.default_rng(4))
         env = dict(os.environ)
-        t0 = time.perf_counter()
-        r = subprocess.run(
-            [sys.executable, "-m", "regenie_tpu"] + args_for(d, f"{d}/o"),
-            capture_output=True, text=True, env=env, timeout=budget)
-        if r.returncode != 0:
-            print("[bench] gene-based CLI failed:",
-                  (r.stdout + r.stderr)[-500:], file=sys.stderr)
-            return None
-        # the set-loop elapsed (burden + SKATO/ACATV per gene)
+        # two runs: the first populates the persistent XLA compile cache
+        # (a production exome has ~20K genes, so per-shape compiles are a
+        # one-off, not a per-set cost; this 60-set fixture would otherwise
+        # measure ~70% compile time); the SECOND run is the steady-state
+        # number.  Cold-start is recorded alongside for honesty.
+        cold = None
         loop = None
-        for line in r.stdout.splitlines():
-            if "* done (" in line:
-                loop = float(line.split("(")[1].split("s")[0])
-        return n_sets / (loop or (time.perf_counter() - t0))
+        for ri in range(2):
+            t0 = time.perf_counter()
+            r = subprocess.run(
+                [sys.executable, "-m", "regenie_tpu"]
+                + args_for(d, f"{d}/o{ri}"),
+                capture_output=True, text=True, env=env, timeout=budget)
+            if r.returncode != 0:
+                print("[bench] gene-based CLI failed:",
+                      (r.stdout + r.stderr)[-500:], file=sys.stderr)
+                return None
+            # the set-loop elapsed (burden + SKATO/ACATV per gene)
+            loop = None
+            for line in r.stdout.splitlines():
+                if "* done (" in line:
+                    loop = float(line.split("(")[1].split("s")[0])
+            loop = loop or (time.perf_counter() - t0)
+            if ri == 0:
+                cold = loop
+        print(f"[bench] genebased: cold {n_sets / cold:.2f} -> warm "
+              f"{n_sets / loop:.2f} sets/s", file=sys.stderr)
+        return n_sets / loop, n_sets / cold
 
-    gb = _timed(budget, bench_genebased)
-    record("genebased_sets_per_s", gb, dev_backend, nd=2)
+    gb_out = _timed(budget, bench_genebased)
+    gb, gb_cold = gb_out if gb_out else (None, None)
+    record("genebased_sets_per_s", gb, dev_backend, nd=2,
+           timed="steady-state (2nd run, compile cache warm)",
+           cold_start_sets_per_s=round(gb_cold, 2) if gb_cold else None)
 
     # =================== host-side pipeline legs ===================
     # prove the host can feed the chip: the fused path ships PACKED

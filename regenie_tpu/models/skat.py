@@ -427,36 +427,20 @@ def vc_products_batched(params: Params, eng, preps) -> None:
             p.Kmat = np.asarray(_mm(GW_j.T, GW_j)) - p.WGtX @ p.WGtX.T
 
 
-def vc_finish(params: Params, eng, vset, prep: VCPrep, writers, log) -> None:
-    """Host tail of the VC tests for one set: remeta LD write, ACAT-V
-    single-variant p-values, per-mask SKAT/SKATO family, row rendering
-    (compute_vc_masks_qt SKAT.cpp:500+, print_vc_sumstats :1940)."""
-    eng._last_vc_results = {}
-    if prep.is_bt:
-        return _run_vc_bt(
-            params, eng, vset, prep.vc_masks, prep.GW_full, prep.col_of,
-            prep.n_main, prep.ur_cols, prep.weights_full, prep.w_acat_full,
-            writers, log,
-        )
+def vc_compute_qt(params: Params, prep: VCPrep):
+    """PURE host tails for one set's QT VC masks: ACAT-V single-variant
+    p-values + per-mask SKAT/SKATO family (compute_vc_masks_qt,
+    SKAT.cpp:500+).  No engine/writer state is touched, so the
+    gene-based loop can run many sets' tails concurrently in a thread
+    pool (the numpy Davies/arctan sweeps release the GIL) — the TPU-era
+    analog of the reference's OpenMP-threaded set chunks.  Returns
+    [(bm, results)] in mask order for the sequential render stage."""
     P = params.n_pheno
-    snps, vc_masks = prep.snps, prep.vc_masks
-    cols_all, col_of, n_main = prep.cols_all, prep.col_of, prep.n_main
+    vc_masks = prep.vc_masks
+    col_of, n_main = prep.col_of, prep.n_main
     ur_cols = prep.ur_cols
-    weights_full, w_acat_full = prep.weights_full, prep.w_acat_full
-    WGtX, Svals, Kmat = prep.WGtX, prep.Svals, prep.Kmat
-
-    # remeta: write the unweighted kernel per gene (SKAT.cpp:338-362)
-    if params.remeta_save_ld and getattr(eng, "remeta_writers", None) and n_main > 0:
-        winv = 1.0 / weights_full[:n_main]
-        K_unw = Kmat[:n_main, :n_main] * winv[:, None] * winv[None, :]
-        ids = [snps[int(c)].ID for c in cols_all]
-        for wr in eng.remeta_writers:
-            if wr is None:
-                continue
-            if params.remeta_ld_spr > 0:
-                wr.write_matrix_sparse(K_unw, vset.ID, ids, params.remeta_ld_spr)
-            else:
-                wr.write_matrix_dense(K_unw, vset.ID, ids)
+    w_acat_full = prep.w_acat_full
+    Svals, Kmat = prep.Svals, prep.Kmat
 
     # single-variant p-values for ACAT-V
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -471,6 +455,7 @@ def vc_finish(params: Params, eng, vset, prep: VCPrep, writers, log) -> None:
     with_acato = "acato" in params.vc_tests or "acato-full" in params.vc_tests
     with_omnibus = with_skato or with_skato_acat or with_acato or with_skat
 
+    computed = []
     for bm in vc_masks:
         results: Dict[str, np.ndarray] = {}  # test -> [P, 2] (chisq, logp)
         m_idx = [col_of[int(i)] for i in bm.sel_idx if int(i) in col_of]
@@ -497,7 +482,45 @@ def vc_finish(params: Params, eng, vset, prep: VCPrep, writers, log) -> None:
                 with_skat, with_skato, with_skato_acat, with_acato,
                 results.get("ACATV"),
             )
+        computed.append((bm, results))
+    return computed
 
+
+def vc_finish(params: Params, eng, vset, prep: VCPrep, writers, log,
+              computed=None) -> None:
+    """Host tail of the VC tests for one set: remeta LD write, ACAT-V
+    single-variant p-values, per-mask SKAT/SKATO family, row rendering
+    (compute_vc_masks_qt SKAT.cpp:500+, print_vc_sumstats :1940).
+    `computed` (from vc_compute_qt, possibly evaluated on a worker
+    thread) skips the in-line QT computation."""
+    eng._last_vc_results = {}
+    if prep.is_bt:
+        return _run_vc_bt(
+            params, eng, vset, prep.vc_masks, prep.GW_full, prep.col_of,
+            prep.n_main, prep.ur_cols, prep.weights_full, prep.w_acat_full,
+            writers, log,
+        )
+    snps = prep.snps
+    cols_all, n_main = prep.cols_all, prep.n_main
+    weights_full = prep.weights_full
+    Kmat = prep.Kmat
+
+    # remeta: write the unweighted kernel per gene (SKAT.cpp:338-362)
+    if params.remeta_save_ld and getattr(eng, "remeta_writers", None) and n_main > 0:
+        winv = 1.0 / weights_full[:n_main]
+        K_unw = Kmat[:n_main, :n_main] * winv[:, None] * winv[None, :]
+        ids = [snps[int(c)].ID for c in cols_all]
+        for wr in eng.remeta_writers:
+            if wr is None:
+                continue
+            if params.remeta_ld_spr > 0:
+                wr.write_matrix_sparse(K_unw, vset.ID, ids, params.remeta_ld_spr)
+            else:
+                wr.write_matrix_dense(K_unw, vset.ID, ids)
+
+    if computed is None:
+        computed = vc_compute_qt(params, prep)
+    for bm, results in computed:
         _write_vc_rows(params, eng, writers, bm, results)
 
 

@@ -89,7 +89,9 @@ def _vc_kernel(codes_c, ur_c, flip, imp, w, ind_c, X_c, Y_c):
         jnp.zeros((S, Mt, P), dt),
     )
     (gtg, gtx, gty), _ = lax.scan(body, init, (codes_c, ur_c, ind_c, X_c, Y_c))
-    return gtg, gtx, gty
+    # ONE packed output [S, Mt, Mt+K+P]: the three products fetch in a
+    # single device->host transfer (3 np.asarray = 3 WAN RTTs otherwise)
+    return jnp.concatenate([gtg, gtx, gty], axis=2)
 
 
 class VCDeviceCache:
@@ -174,14 +176,16 @@ def bucket_products(
         urv.reshape(S, U, cache.nch, CHUNK_SAMPLES).transpose(2, 0, 1, 3)
     ).astype(dt)
 
-    gtg, gtx, gty = _vc_kernel(
+    blk = np.asarray(_vc_kernel(
         jnp.asarray(codes_c), jnp.asarray(ur_c), jnp.asarray(flp),
         jnp.asarray(imp.astype(dt)), jnp.asarray(wgt.astype(dt)),
         cache.ind_c, cache.X_c, cache.Y_c,
-    )
-    gtg = np.asarray(gtg, dtype=np.float64)
-    gtx = np.asarray(gtx, dtype=np.float64)
-    gty = np.asarray(gty, dtype=np.float64)
+    ), dtype=np.float64)
+    Mt = Mm + U
+    K = cache.X_c.shape[2]
+    gtg = blk[:, :, :Mt]
+    gtx = blk[:, :, Mt : Mt + K]
+    gty = blk[:, :, Mt + K :]
 
     out = []
     for s in range(S):

@@ -446,8 +446,37 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
                     params, eng, [t[5] for t in staged if t[5] is not None]
                 )
 
-        # stage 3: per-set host tails + row rendering, in set order
-        for set_idx, vset, built, r, bufs, prep in staged:
+        # stage 3: per-set host tails + row rendering, in set order.
+        # The QT VC tails (Davies/Kuonen/SKATO sweeps) are PURE per set
+        # (vc_compute_qt), so they fan out over a host thread pool —
+        # numpy's transcendental kernels release the GIL — while row
+        # rendering stays sequential in set order (the reference threads
+        # its set chunks with OpenMP the same way, SKAT.cpp loops).
+        vc_futs = {}
+        pool = None
+        if params.vc_tests and staged:
+            from .models import skat as skat_mod
+
+            # opt-in: on the 4-core dev box the pool LOSES (the SKATO
+            # glue is GIL-bound python between the GIL-releasing numpy
+            # sweeps; measured 13.3s vs 11.3s sequential on the 60-set
+            # fixture) — hosts with many cores and many phenotypes can
+            # enable it, where the per-call numpy work is long enough
+            # to overlap
+            nthr = int(_os.environ.get("REGENIE_TPU_GENE_THREADS", "1"))
+            qt_preps = [
+                (si, t[5]) for si, t in enumerate(staged)
+                if t[5] is not None and not t[5].is_bt
+            ]
+            if nthr > 1 and len(qt_preps) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                pool = ThreadPoolExecutor(max_workers=nthr)
+                vc_futs = {
+                    si: pool.submit(skat_mod.vc_compute_qt, params, p)
+                    for si, p in qt_preps
+                }
+        for si, (set_idx, vset, built, r, bufs, prep) in enumerate(staged):
             writers_set = [None if w is None else bufs[id(w)] for w in writers]
             eng.prep_chrom(vset.chrom)
             eng._last_mask_result = r
@@ -457,8 +486,10 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
                 eng._last_vc_results = {}
                 if prep is not None:
                     with _stage("vctails:host"):
-                        skat_mod.vc_finish(params, eng, vset, prep,
-                                           writers_set, log)
+                        skat_mod.vc_finish(
+                            params, eng, vset, prep, writers_set, log,
+                            computed=(vc_futs[si].result()
+                                      if si in vc_futs else None))
 
             # joint tests on burden p-values
             if params.apply_gene_pval_strategy:
@@ -479,6 +510,8 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
                     payload = bufs[id(w)].value()
                     if payload:
                         w.write(payload)
+        if pool is not None:
+            pool.shutdown(wait=False)
 
     if shard_sets:
         # ordered multi-host merge: all processes exchange their rows,

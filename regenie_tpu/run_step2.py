@@ -496,6 +496,7 @@ class Step2Engine:
                 )
         B0 = int(G_raw.shape[0])
         arr = G_raw
+        packed = False
         if isinstance(arr, np.ndarray) and B0:
             if arr.dtype != np.int8:
                 with np.errstate(invalid="ignore"):
@@ -511,9 +512,20 @@ class Step2Engine:
                     kw["non_par"] = jnp.asarray(np.concatenate(
                         [np.asarray(kw["non_par"]),
                          np.zeros(Bp - B0, bool)]))
-        blk = snp_stats_block(
-            jnp.asarray(arr), self.ind_j, jnp.asarray(self.pd.masked_indivs), **kw
-        )
+            if arr.dtype == np.int8 and (
+                    (arr >= 0) | (arr == MISSING)).all() and (arr <= 2).all():
+                from .ops.geno_ops import pack_hardcalls, snp_stats_block_packed
+
+                n_smp = arr.shape[1]
+                blk = snp_stats_block_packed(
+                    jnp.asarray(pack_hardcalls(arr)), n_smp, self.ind_j,
+                    jnp.asarray(self.pd.masked_indivs), **kw)
+                packed = True
+        if not packed:
+            blk = snp_stats_block(
+                jnp.asarray(arr), self.ind_j, jnp.asarray(self.pd.masked_indivs),
+                **kw
+            )
         out = _fetch_dict_packed(blk)
         if out and next(iter(out.values())).shape[0] != B0:
             out = {k: v[:B0] for k, v in out.items()}
@@ -643,10 +655,6 @@ class Step2Engine:
                     self.maskf_j, self._op_cm, self._op_M, self._op_ctr,
                     self.scale_denom,
                 )
-                stats = np.asarray(stats)
-                denum = np.asarray(denum)
-                scale_fac = np.asarray(scale_fac)
-                low_var = np.asarray(low_var)
                 G_res = None
             else:
                 G_res, scale_fac, low_var = m2.residualize_scale_block(
@@ -656,9 +664,27 @@ class Step2Engine:
                     G_res, jnp.asarray(self.res), self.maskf_j, self.scale_denom,
                     self.strict,
                 )
+            need_host = is_mask or self.interaction is not None
+            if self.mesh is None:
+                # ONE packed device->host transfer for the four score
+                # outputs (4 np.asarray round trips otherwise — the
+                # remote-tunnel RTT multiplies by the fetch count);
+                # host consumers' G_res rides the same transfer
+                fd = dict(s=stats, d=denum, g=scale_fac, l=low_var)
+                if G_res is None and (params.mcc_test or need_host):
+                    G_res, _, _ = m2.residualize_scale_block(
+                        jnp.asarray(G), self.cov_j, self.scale_denom
+                    )
+                if ((params.mcc_test or need_host)
+                        and not isinstance(G_res, np.ndarray)):
+                    fd["G"] = G_res
+                f = _fetch_dict_packed(fd)
+                stats, denum, scale_fac = f["s"], f["d"], f["g"]
+                low_var = f["l"].astype(bool)
+                if "G" in f:
+                    G_res = f["G"]
             bhat, se, chisq, logp = self._qt_post(stats, denum, scale_fac, flipped)
             test_fail = np.zeros((B, P), dtype=bool)
-            need_host = is_mask or self.interaction is not None
             if G_res is None and (params.mcc_test or need_host):
                 # mesh path skipped the replicated residualization; redo
                 # it locally for host consumers (MCC / joint / interaction)

@@ -145,16 +145,18 @@ def chisq_mix_sf_grid(qs: np.ndarray, lambdas: np.ndarray) -> np.ndarray:
     normalized spectrum (the SKATO mixture-SF grid, SKAT.cpp:1841-1935's
     repeated qf calls — the gene-based host hot spot at scale).
 
-    Two monotonicity-based work cuts vs the per-point loop:
+    Three monotonicity-based work cuts vs the per-point loop:
       * the q <= sum(lam) prefix shares panel nodes, so its Davies
         sweeps hoist the arctan/log1p transcendentals across points
         (bitwise-identical values, `_davies_shared_h`);
       * the SF is decreasing in q, so once Davies drops <= 1e-5 every
         later point takes the saddlepoint branch directly — the chain
-        would discard its Davies value anyway. (Within ~1 grid point of
-        the 1e-5 crossover this can pick the saddlepoint where the
+        would discard its Davies value anyway.  (Within ~1 grid point
+        of the 1e-5 crossover this can pick the saddlepoint where the
         scalar chain kept a Davies value just above threshold; both are
         accurate there and the choice is deterministic.)
+      * the saddlepoint tail evaluates as ONE kuonen_pv_batch call
+        (bitwise-identical per element) instead of per-point Newton.
     """
     qs = np.asarray(qs, dtype=np.float64)
     lam = np.asarray(lambdas, dtype=np.float64)
@@ -165,6 +167,7 @@ def chisq_mix_sf_grid(qs: np.ndarray, lambdas: np.ndarray) -> np.ndarray:
     n_pre = int(np.searchsorted(qs, lsum, side="right"))
     out[:n_pre] = _davies_shared_h(qs[:n_pre], lam)
     tail = False
+    kuo, koff = None, 0
     for i in range(len(qs)):
         pv = out[i] if i < n_pre else None
         point_fallback = False
@@ -173,11 +176,13 @@ def chisq_mix_sf_grid(qs: np.ndarray, lambdas: np.ndarray) -> np.ndarray:
                 pv = davies_pv(float(qs[i]), lam)
             if 0 < pv <= 1e-5:
                 tail = True  # true deep tail: SF monotone from here on
+                kuo = kuonen_pv_batch(qs[i:], lam)
+                koff = i
             elif pv <= 0:
                 point_fallback = True  # Davies failure, not a tail signal
         if tail or point_fallback:
             q = float(qs[i])
-            pv = kuonen_pv(q, lam)
+            pv = kuo[i - koff] if tail else kuonen_pv(q, lam)
             if pv <= 0:
                 pv = davies_pv(q, lam, strict=True)
                 if pv <= 0:
