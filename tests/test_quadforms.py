@@ -135,3 +135,39 @@ def test_deep_tail_mpmath_regression():
         prev = lp
         assert abs(lp - ex) < 0.015 * ex + 0.05, (q, lp, ex)
     assert prev > 290.0, prev  # the sweep really reaches p < 1e-290
+
+
+def test_grid_matches_scalar_chain_bitwise():
+    """chisq_mix_sf_grid (shared-h prefix + batched kuonen tail) must be
+    bitwise-identical to the per-point davies->kuonen->strict->liu chain
+    (the r4 optimization contract)."""
+    from regenie_tpu.utils.quadforms import (
+        chisq_mix_sf_grid, davies_pv, kuonen_pv, liu_logp)
+
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        L = int(rng.integers(2, 50))
+        lam = np.sort(rng.random(L))[::-1] + 1e-3
+        lam = lam / lam.max()
+        qs = np.sort(rng.random(46) * lam.sum() * (10 ** rng.uniform(0, 3)))
+        ref = np.empty(len(qs))
+        tail = False
+        for i, q in enumerate(qs):
+            pv = None
+            fb = False
+            if not tail:
+                pv = davies_pv(float(q), lam)
+                if 0 < pv <= 1e-5:
+                    tail = True
+                elif pv <= 0:
+                    fb = True
+            if tail or fb:
+                pv = kuonen_pv(float(q), lam)
+                if pv <= 0:
+                    pv = davies_pv(float(q), lam, strict=True)
+                    if pv <= 0:
+                        lp, _ = liu_logp(float(q), lam)
+                        pv = 10 ** (-lp) if lp >= 0 else -1.0
+            ref[i] = pv if np.isfinite(pv) else -1.0
+        got = chisq_mix_sf_grid(qs, lam)
+        assert (got == ref).all(), trial
