@@ -1442,18 +1442,33 @@ class Step2Engine:
         B, P, K = len(bsnps), consts.P, consts.K
         raw_j = self._fused_upload(rawp)
         flipped = np.zeros(B, dtype=bool)  # QT never flips (with_flip=False)
-        ILh = None
+        IL = None
         if getattr(self, "_fused_is_bgen", False):
             (stats, denum, scale_fac, low_var,
              S1, SQ, SM, IL) = self._fused_fn(raw_j)
-            ILh = _th(IL)[:B]
         else:
             stats, denum, scale_fac, low_var, S1, SQ, SM = self._fused_fn(raw_j)
-        S1h, SQh, SMh = _th(S1)[:B], _th(SQ)[:B], _th(SM)[:B]
-        stats = _th(stats)[:B]
-        denum = _th(denum)[:B]
-        scale_fac = _th(scale_fac)[:B]
-        low_var = _th(low_var)[:B]
+        if self._fused_mesh is None:
+            # single-device: ALL per-block outputs ride ONE packed
+            # device->host transfer (7-8 separate fetches = 7-8 WAN RTTs
+            # per block on a tunneled backend)
+            fd = dict(s1=S1, sq=SQ, sm=SM, st=stats, d=denum,
+                      g=scale_fac, l=low_var)
+            if IL is not None:
+                fd["il"] = IL
+            f = _fetch_dict_packed(fd)
+            S1h, SQh, SMh = f["s1"][:B], f["sq"][:B], f["sm"][:B]
+            stats, denum = f["st"][:B], f["d"][:B]
+            scale_fac = f["g"][:B]
+            low_var = f["l"].astype(bool)[:B]
+            ILh = f["il"][:B] if IL is not None else None
+        else:  # sharded outputs: to_host gathers per array
+            ILh = _th(IL)[:B] if IL is not None else None
+            S1h, SQh, SMh = _th(S1)[:B], _th(SQ)[:B], _th(SM)[:B]
+            stats = _th(stats)[:B]
+            denum = _th(denum)[:B]
+            scale_fac = _th(scale_fac)[:B]
+            low_var = _th(low_var)[:B]
 
         # per-variant stats from the raw (pre-imputation) products
         C_used = consts.layout_C()
@@ -1545,11 +1560,10 @@ class Step2Engine:
         fc = fb.fc
         B, P = len(bsnps), params.n_pheno
         raw_j = self._fused_upload(rawp)
-        ILh = None
+        ILh = IL = None
         if getattr(self, "_fused_is_bgen", False):
             (S1, SQ, SM, IL, flip_j,
              num, denum, S1_all) = self._fused_fn(raw_j)
-            ILh = _th(IL)[:B]
         else:
             S1, SQ, SM, flip_j, num, denum, S1_all = self._fused_fn(raw_j)
         if not getattr(raw_j, "is_fully_addressable", True):
@@ -1562,7 +1576,18 @@ class Step2Engine:
         elif num.shape[0] != B:  # mesh pad rows: drop before scoring
             flip_j = flip_j[:B]
             num, denum, S1_all = num[:B], denum[:B], S1_all[:B]
-        S1h, SQh, SMh = _th(S1)[:B], _th(SQ)[:B], _th(SM)[:B]
+        if self._fused_mesh is None:
+            # one packed transfer for the host-side product slices
+            # (num/denum/S1_all stay DEVICE for the correction rows)
+            fd = dict(s1=S1, sq=SQ, sm=SM)
+            if IL is not None:
+                fd["il"] = IL
+            f = _fetch_dict_packed(fd)
+            S1h, SQh, SMh = f["s1"][:B], f["sq"][:B], f["sm"][:B]
+            ILh = f["il"][:B] if IL is not None else None
+        else:
+            ILh = _th(IL)[:B] if IL is not None else None
+            S1h, SQh, SMh = _th(S1)[:B], _th(SQ)[:B], _th(SM)[:B]
 
         icol, msl, csl = fb.icol, fb.sl_mask, fb.sl_case
         total1 = S1h[:, icol]
@@ -1697,7 +1722,11 @@ class Step2Engine:
         elif Tnum.shape[0] != B:  # mesh pad rows
             flip_j = flip_j[:B]
             Tnum, denum = Tnum[:B], denum[:B]
-        S1h, SQh, SMh = _th(S1)[:B], _th(SQ)[:B], _th(SM)[:B]
+        if self._fused_mesh is None:
+            f = _fetch_dict_packed(dict(s1=S1, sq=SQ, sm=SM))
+            S1h, SQh, SMh = f["s1"][:B], f["sq"][:B], f["sm"][:B]
+        else:
+            S1h, SQh, SMh = _th(S1)[:B], _th(SQ)[:B], _th(SM)[:B]
 
         icol, msl, csl = ft.icol, ft.sl_mask, ft.sl_case
         total1 = S1h[:, icol]
