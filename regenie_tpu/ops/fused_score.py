@@ -1045,7 +1045,7 @@ def sample_pack(Wext, split, dtype=np.float32, tile=None):
     return jnp.asarray(W.astype(dtype)), usum
 
 
-def _bgen_kernel_split(pl_ref, wp_ref, wq_ref, d0_ref, d1_ref, q0_ref,
+def _bgen_kernel_split(k0_ref, k1_ref, wp_ref, wq_ref, d0_ref, d1_ref, q0_ref,
                        q1_ref, q2_ref, m_ref):
     from jax.experimental import pallas as pl
 
@@ -1054,8 +1054,14 @@ def _bgen_kernel_split(pl_ref, wp_ref, wq_ref, d0_ref, d1_ref, q0_ref,
         for ref in (d0_ref, d1_ref, q0_ref, q1_ref, q2_ref, m_ref):
             ref[:] = jnp.zeros_like(ref)
 
-    k0 = pl_ref[:, 0, :].astype(jnp.int32)
-    k1 = pl_ref[:, 1, :].astype(jnp.int32)
+    # k0/k1 arrive as two clean [tb, tc] byte tiles (two index-mapped
+    # views of the reshaped [B, 2*Np] plane buffer).  The previous
+    # [tb, 2, tc] block put the size-2 plane axis in the SUBLANE
+    # position of the VMEM tile: every pl_ref[:, i, :] slice was a
+    # relayout, and the whole kernel ran 2.4x slower (60.8 -> 25.4 ms
+    # per 1024x400K block, measured in scripts/profile_bgen.py).
+    k0 = k0_ref[:].astype(jnp.int32)
+    k1 = k1_ref[:].astype(jnp.int32)
     miss = (k0 + k1) > 255  # sentinel (extractor rejects clipped data)
     k0 = jnp.where(miss, 0, k0)
     k1 = jnp.where(miss, 0, k1)
@@ -1078,13 +1084,15 @@ def _bgen_kernel_split(pl_ref, wp_ref, wq_ref, d0_ref, d1_ref, q0_ref,
     m_ref[:] += jax.lax.dot_general(miss.astype(dt), w, dn, preferred_element_type=pe)
 
 
-def _bgen_kernel_i8(pl_ref, wp_ref, wq_ref, d0_ref, d1_ref, q0_ref,
+def _bgen_kernel_i8(k0_ref, k1_ref, wp_ref, wq_ref, d0_ref, d1_ref, q0_ref,
                     q1_ref, q2_ref, m_ref):
     """int8-limb BGEN variant: byte planes shifted by -128 into int8
     (the caller adds back 128 * operand column sums), s8xs8->s32 MXU
     dots EXACT per tile, f32 cross-tile accumulation (per-tile dots
     stay below 2^24, so the f32 adds are exact until the running sum
-    outgrows 24 bits — same accumulation class as the bf16 path)."""
+    outgrows 24 bits — same accumulation class as the bf16 path).
+    k0/k1 arrive as two [tb, tc] byte tiles (see _bgen_kernel_split on
+    why the packed [tb, 2, tc] block was a relayout trap)."""
     from jax.experimental import pallas as pl
 
     @pl.when(pl.program_id(1) == 0)
@@ -1092,8 +1100,8 @@ def _bgen_kernel_i8(pl_ref, wp_ref, wq_ref, d0_ref, d1_ref, q0_ref,
         for ref in (d0_ref, d1_ref, q0_ref, q1_ref, q2_ref, m_ref):
             ref[:] = jnp.zeros_like(ref)
 
-    k0 = pl_ref[:, 0, :].astype(jnp.int32)
-    k1 = pl_ref[:, 1, :].astype(jnp.int32)
+    k0 = k0_ref[:].astype(jnp.int32)
+    k1 = k1_ref[:].astype(jnp.int32)
     miss = (k0 + k1) > 255
     k0 = jnp.where(miss, 0, k0)
     k1 = jnp.where(miss, 0, k1)
@@ -1124,12 +1132,21 @@ def _bgen_products_i8(planes, Wp: I8Operand, Wq, qs, C_used, interpret,
     from jax.experimental.pallas import tpu as pltpu
 
     B = planes.shape[0]
+    Np = planes.shape[2]
     Cw4 = Wp.limbs.shape[1]
     if Wq is None:
         Wq = Wp
         qs = 0
     Cwq4 = Wq.limbs.shape[1]
-    grid = (pl.cdiv(B, tb), pl.cdiv(planes.shape[2], tc))
+    if Np % tc:
+        tc = _TC  # sample_pack pads Np to _TC multiples
+    npb = Np // tc  # block offset of the k1 half in the flat view
+    # free view: [B, 2, Np] row-major == [B, 2*Np] with k0 in columns
+    # [0:Np] and k1 in [Np:2*Np] — two index-mapped specs on the same
+    # buffer give the kernel clean [tb, tc] byte tiles (the packed
+    # 3-D block had the size-2 axis in the sublane slot: 2.4x slower)
+    flat = planes.reshape(B, 2 * Np)
+    grid = (pl.cdiv(B, tb), npb)
     outs = pl.pallas_call(
         _bgen_kernel_i8,
         out_shape=[jax.ShapeDtypeStruct((B, Cw4), jnp.float32)] * 2
@@ -1137,7 +1154,9 @@ def _bgen_products_i8(planes, Wp: I8Operand, Wq, qs, C_used, interpret,
         + [jax.ShapeDtypeStruct((B, Cw4), jnp.float32)],
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tb, 2, tc), lambda i, j: (i, 0, j),
+            pl.BlockSpec((tb, tc), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, tc), lambda i, j, _npb=npb: (i, j + _npb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, Cw4), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -1156,7 +1175,7 @@ def _bgen_products_i8(planes, Wp: I8Operand, Wq, qs, C_used, interpret,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(planes, Wp.limbs, Wq.limbs)
+    )(flat, flat, Wp.limbs, Wq.limbs)
     D0p, D1p, Q0p, Q1p, Q2p, Mp = outs
     # undo the -128 shift: S_true = fold(dots) + 128 * fold(colsums)
     # (dtype-int32 reductions — no int32 copy of the operand in HBM)
@@ -1196,13 +1215,18 @@ def bgen_fused_products(planes, Wp, Wq=None, qs=0, C_used=None,
         return _bgen_products_i8(planes, Wp, Wq, qs, C_used, interpret,
                                  tb, tc)
     B = planes.shape[0]
+    Np = planes.shape[2]
     Cw = Wp.shape[1]
     if Wq is None:
         Wq = Wp
         qs = 0
     Cwq = Wq.shape[1]
     split = Wp.dtype == jnp.bfloat16
-    grid = (pl.cdiv(B, tb), pl.cdiv(planes.shape[2], tc))
+    if Np % tc:
+        tc = _TC  # sample_pack pads Np to _TC multiples
+    npb = Np // tc
+    flat = planes.reshape(B, 2 * Np)  # see _bgen_products_i8 layout note
+    grid = (pl.cdiv(B, tb), npb)
     outs = pl.pallas_call(
         _bgen_kernel_split,
         out_shape=[jax.ShapeDtypeStruct((B, Cw), jnp.float32)] * 2
@@ -1210,7 +1234,9 @@ def bgen_fused_products(planes, Wp, Wq=None, qs=0, C_used=None,
         + [jax.ShapeDtypeStruct((B, Cw), jnp.float32)],
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tb, 2, tc), lambda i, j: (i, 0, j),
+            pl.BlockSpec((tb, tc), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, tc), lambda i, j, _npb=npb: (i, j + _npb),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, Cw), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, Cwq), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
@@ -1226,7 +1252,7 @@ def bgen_fused_products(planes, Wp, Wq=None, qs=0, C_used=None,
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(planes, Wp, Wq)
+    )(flat, flat, Wp, Wq)
     D0, D1, Q0, Q1, Q2, M = outs
     S1, SQn, SM, IL = _bgen_combine((D0, D1, Q0, Q1, Q2, M), Cw, split, Cwq)
     if qs:
