@@ -1100,12 +1100,11 @@ def _bgen_kernel_i8(k0_ref, k1_ref, wp_ref, wq_ref, d0_ref, d1_ref, q0_ref,
         for ref in (d0_ref, d1_ref, q0_ref, q1_ref, q2_ref, m_ref):
             ref[:] = jnp.zeros_like(ref)
 
-    k0 = k0_ref[:].astype(jnp.int32)
-    k1 = k1_ref[:].astype(jnp.int32)
-    miss = (k0 + k1) > 255
-    k0 = jnp.where(miss, 0, k0)
-    k1 = jnp.where(miss, 0, k1)
-    d2 = (2 * k0 + k1) ** 2
+    k0u = k0_ref[:]
+    k1u = k1_ref[:]
+    missu = (k0u.astype(jnp.int32) + k1u.astype(jnp.int32)) > 255
+    k0u = jnp.where(missu, jnp.uint8(0), k0u)
+    k1u = jnp.where(missu, jnp.uint8(0), k1u)
     dn = (((1,), (0,)), ((), ()))
     w = wp_ref[:]
     wq = wq_ref[:]
@@ -1116,13 +1115,24 @@ def _bgen_kernel_i8(k0_ref, k1_ref, wp_ref, wq_ref, d0_ref, d1_ref, q0_ref,
             xs, wref, dn, preferred_element_type=jnp.int32
         ).astype(jnp.float32)
 
-    d0_ref[:] += dot8(k0, w)
-    d1_ref[:] += dot8(k1, w)
+    def dot_u8(xu, wref):
+        # (x - 128) as int8 == bitcast(x ^ 0x80) — same MXU operand with
+        # no int32->int8 narrowing relayout on the way in
+        xs = jax.lax.bitcast_convert_type(xu ^ jnp.uint8(0x80), jnp.int8)
+        return jax.lax.dot_general(
+            xs, wref, dn, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+
+    d0_ref[:] += dot_u8(k0u, w)
+    d1_ref[:] += dot_u8(k1u, w)
+    k0 = k0u.astype(jnp.int32)
+    k1 = k1u.astype(jnp.int32)
+    d2 = (2 * k0 + k1) ** 2
     q0_ref[:] += dot8(d2 & 255, wq)
     q1_ref[:] += dot8((d2 >> 8) & 255, wq)
     q2_ref[:] += dot8(d2 >> 16, wq)
     m_ref[:] += jax.lax.dot_general(
-        miss.astype(jnp.int8), w, dn, preferred_element_type=jnp.int32
+        missu.astype(jnp.int8), w, dn, preferred_element_type=jnp.int32
     ).astype(jnp.float32)
 
 
