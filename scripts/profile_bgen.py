@@ -339,6 +339,43 @@ def variants2_main():
         d1[:] += dot8(k1, w)
         m[:] += dot8(miss.astype(jnp.int32), w)
 
+
+    def kern_sep_merge(k0_ref, k1_ref, wp_ref, wq_ref, d0, d1, m, q0, q1, q2):
+        """2 row-stacked dots instead of 6: [3*tb, tc] x operand."""
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            for ref in (d0, d1, m, q0, q1, q2):
+                ref[:] = jnp.zeros_like(ref)
+        k0u = k0_ref[:]
+        k1u = k1_ref[:]
+        missu = (k0u.astype(jnp.int32) + k1u.astype(jnp.int32)) > 255
+        k0u = jnp.where(missu, jnp.uint8(0), k0u)
+        k1u = jnp.where(missu, jnp.uint8(0), k1u)
+        def bc(xu):
+            return jax.lax.bitcast_convert_type(xu ^ jnp.uint8(0x80), jnp.int8)
+        lhs_w = jnp.concatenate(
+            [bc(k0u), bc(k1u), missu.astype(jnp.int8)], axis=0)
+        rw = jax.lax.dot_general(lhs_w, wp_ref[:], dn,
+                                 preferred_element_type=jnp.int32
+                                 ).astype(jnp.float32)
+        n = k0u.shape[0]
+        d0[:] += rw[:n]
+        d1[:] += rw[n:2 * n]
+        m[:] += rw[2 * n:]
+        k0 = k0u.astype(jnp.int32)
+        k1 = k1u.astype(jnp.int32)
+        d2 = (2 * k0 + k1) ** 2
+        lhs_q = jnp.concatenate([
+            ((d2 & 255) - 128).astype(jnp.int8),
+            (((d2 >> 8) & 255) - 128).astype(jnp.int8),
+            ((d2 >> 16) - 128).astype(jnp.int8)], axis=0)
+        rq = jax.lax.dot_general(lhs_q, wq_ref[:], dn,
+                                 preferred_element_type=jnp.int32
+                                 ).astype(jnp.float32)
+        q0[:] += rq[:n]
+        q1[:] += rq[n:2 * n]
+        q2[:] += rq[2 * n:]
+
     def make_call2(kernel):
         grid = (pl.cdiv(B, tb), pl.cdiv(Np, tc))
 
@@ -369,7 +406,7 @@ def variants2_main():
         return jax.jit(f)
 
     wl, ql = consts.Wp.limbs, Wq.limbs
-    for name, kern in (("sep-planes", kern_sep), ("sep-noq", kern_sep_noq)):
+    for name, kern in (("sep-planes", kern_sep), ("sep-noq", kern_sep_noq), ("sep-merge2dot", kern_sep_merge)):
         try:
             fn = make_call2(kern)
             ms = timeit(fn, k0d, k1d, wl, ql)
