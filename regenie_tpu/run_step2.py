@@ -1576,18 +1576,27 @@ class Step2Engine:
         elif num.shape[0] != B:  # mesh pad rows: drop before scoring
             flip_j = flip_j[:B]
             num, denum, S1_all = num[:B], denum[:B], S1_all[:B]
+        fetched_nd = None
         if self._fused_mesh is None:
-            # one packed transfer for the host-side product slices
-            # (num/denum/S1_all stay DEVICE for the correction rows)
+            # one packed transfer for ALL host-side per-block outputs:
+            # product slices + the flip/num/denum that score_block and
+            # the output path would otherwise fetch one RTT at a time
+            # (S1_all stays DEVICE for the correction-row rebuilds)
             fd = dict(s1=S1, sq=SQ, sm=SM)
+            if int(num.shape[0]) == int(S1.shape[0]):
+                fd.update(fl=flip_j, num=num, den=denum)
             if IL is not None:
                 fd["il"] = IL
             f = _fetch_dict_packed(fd)
             S1h, SQh, SMh = f["s1"][:B], f["sq"][:B], f["sm"][:B]
             ILh = f["il"][:B] if IL is not None else None
+            flip_h = f["fl"].astype(bool)[:B] if "fl" in f else None
+            if "num" in f:
+                fetched_nd = (f["num"][:B], f["den"][:B])
         else:
             ILh = _th(IL)[:B] if IL is not None else None
             S1h, SQh, SMh = _th(S1)[:B], _th(SQ)[:B], _th(SM)[:B]
+            flip_h = None
 
         icol, msl, csl = fb.icol, fb.sl_mask, fb.sl_case
         total1 = S1h[:, icol]
@@ -1624,7 +1633,9 @@ class Step2Engine:
 
         # minor-allele flip (with_flip: BT + additive) was decided on
         # device inside the fused block fn
-        flipped = np.asarray(flip_j)
+        flipped = flip_h if flip_h is not None else np.asarray(flip_j)
+        if fetched_nd is not None:
+            num, denum = fetched_nd  # numpy — score_block's fetch is free
         source = _FusedBTSource(self, raw_j, flip_j, num, denum, S1_all)
 
         mac_ignored, ignored_trait = self._mac_filters(params, bsnps, mac1, mac_t, B)
@@ -1722,11 +1733,19 @@ class Step2Engine:
         elif Tnum.shape[0] != B:  # mesh pad rows
             flip_j = flip_j[:B]
             Tnum, denum = Tnum[:B], denum[:B]
+        fetched_nd = None
         if self._fused_mesh is None:
-            f = _fetch_dict_packed(dict(s1=S1, sq=SQ, sm=SM))
+            fd = dict(s1=S1, sq=SQ, sm=SM)
+            if int(Tnum.shape[0]) == int(S1.shape[0]):
+                fd.update(fl=flip_j, num=Tnum, den=denum)
+            f = _fetch_dict_packed(fd)
             S1h, SQh, SMh = f["s1"][:B], f["sq"][:B], f["sm"][:B]
+            flip_h = f["fl"].astype(bool)[:B] if "fl" in f else None
+            if "num" in f:
+                fetched_nd = (f["num"][:B], f["den"][:B])
         else:
             S1h, SQh, SMh = _th(S1)[:B], _th(SQ)[:B], _th(SM)[:B]
+            flip_h = None
 
         icol, msl, csl = ft.icol, ft.sl_mask, ft.sl_case
         total1 = S1h[:, icol]
@@ -1759,7 +1778,9 @@ class Step2Engine:
                     non_par[:, None],
                     2.0 * S1h[:, cm_sl] - SQh[:, cm_sl], 0.0)
 
-        flipped = np.asarray(flip_j)
+        flipped = flip_h if flip_h is not None else np.asarray(flip_j)
+        if fetched_nd is not None:
+            Tnum, denum = fetched_nd  # numpy — the score fetch is free
         source = _FusedBTSource(self, raw_j, flip_j, Tnum, denum, None)
 
         mac_ignored, ignored_trait = self._mac_filters(
