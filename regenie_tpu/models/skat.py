@@ -700,27 +700,68 @@ def _skato_integral(minp, qmin, nrho, tau, rho_vec, muQ, fdavies, grid_sf):
 
     state = {"failed": False}
 
+    # scipy.quad calls the integrand 500+ times with a scalar x; numpy
+    # scalar temporaries cost ~20us/call, which made this the vctails
+    # stage's second-largest host cost.  Pure-python floats + math.* are
+    # ~10x cheaper; every formula below reproduces the numpy expression
+    # bit-for-bit (np.interp's slope*(x-x0)+y0 form, nan propagation of
+    # the 0/0 rho=1 edge via inf/nan floats).
+    import math as _math
+    from bisect import bisect_right as _bisect
+
+    _nrho = len(rho_vec)
+    _qmin = [float(v) for v in np.atleast_1d(qmin)]
+    _tau = [float(v) for v in np.atleast_1d(tau)]
+    _flip = [float(v) for v in np.atleast_1d(flip)]
+    _gx = [float(v) for v in gx]
+    _lsf = [float(v) for v in log_sf]
+    _gx0, _gxn = _gx[0], _gx[-1]
+    _sf_last = _math.exp(_lsf[-1])
+    _muQ, _fd = float(muQ), float(fdavies)
+    _hi = _muQ * 1e4
+    _inf = float("inf")
+
     def mix_sf(dlt):
-        if dlt <= gx[0]:
+        if dlt != dlt:  # nan in == nan out (np.interp semantics)
+            return dlt
+        if dlt <= _gx0:
             return 1.0
-        if dlt >= gx[-1]:
-            return float(np.exp(log_sf[-1]))
-        return float(np.exp(np.interp(dlt, gx, log_sf)))
+        if dlt >= _gxn:
+            return _sf_last
+        j = _bisect(_gx, dlt) - 1
+        slope = (_lsf[j + 1] - _lsf[j]) / (_gx[j + 1] - _gx[j])
+        return _math.exp(slope * (dlt - _gx[j]) + _lsf[j])
 
     def integrand(x):
         if state["failed"] or x == 0:
             return 0.0
-        with np.errstate(divide="ignore"):
-            val = np.min((qmin - tau * x) / flip)
-        if val > muQ * 1e4:
+        val = _inf
+        for k in range(_nrho):
+            num = _qmin[k] - _tau[k] * x
+            f = _flip[k]
+            if f != 0.0:
+                v = num / f
+            elif num > 0.0:
+                v = _inf
+            elif num < 0.0:
+                v = -_inf
+            else:
+                v = float("nan")
+            if v != v:  # np.min: any nan -> nan
+                val = v
+                break
+            if v < val:
+                val = v
+        if val > _hi:
             S = 0.0
         else:
-            dlt = (val - muQ) * fdavies + muQ
+            dlt = (val - _muQ) * _fd + _muQ
             if dlt <= 0:
                 S = 1.0
             else:
                 S = min(mix_sf(dlt), 1.0)
-        return S * _chi2_pdf_1df(x)
+        # keep the original S * pdf(x) rounding order
+        return S * (_INV_SQRT_2PI * _math.exp(-0.5 * x) / _math.sqrt(x))
 
     import warnings
 

@@ -43,9 +43,14 @@ def _K2(t, Gmod, phat, gamma2, maskf, val_c):
     arg = -t[:, None] / val_c[:, None] * Gmod
     over = ((arg > MAX_EXP_LIM) & (maskf > 0)).any(axis=1)
     arg = np.minimum(arg, MAX_EXP_LIM)
-    e = np.exp(arg)
-    denom = (phat[None, :] + (1 - phat[None, :]) * e) ** 2
-    val = ((Gmod**2 * gamma2[None, :] / val_c[:, None] ** 2 * e) / denom * maskf).sum(axis=1)
+    # arg just below MAX_EXP_LIM still overflows when squared: an inf
+    # denom yields a 0 contribution (e/denom -> 0), same limit as the
+    # reference's overflow->0 branch — silence the benign warning
+    with np.errstate(over="ignore"):
+        e = np.exp(arg)
+        denom = (phat[None, :] + (1 - phat[None, :]) * e) ** 2
+        val = ((Gmod**2 * gamma2[None, :] / val_c[:, None] ** 2 * e)
+               / denom * maskf).sum(axis=1)
     return np.where(over, 0.0, val)
 
 

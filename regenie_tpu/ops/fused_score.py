@@ -1150,6 +1150,11 @@ def _bgen_products_i8(planes, Wp: I8Operand, Wq, qs, C_used, interpret,
     Cwq4 = Wq.limbs.shape[1]
     if Np % tc:
         tc = _TC  # sample_pack pads Np to _TC multiples
+    if Np % tc:
+        raise ValueError(
+            f"plane operand Np={Np} must be a multiple of {_TC} "
+            "(pad via sample_pack) — a partial trailing tile would be "
+            "silently dropped")
     npb = Np // tc  # block offset of the k1 half in the flat view
     # free view: [B, 2, Np] row-major == [B, 2*Np] with k0 in columns
     # [0:Np] and k1 in [Np:2*Np] — two index-mapped specs on the same
@@ -1234,6 +1239,11 @@ def bgen_fused_products(planes, Wp, Wq=None, qs=0, C_used=None,
     split = Wp.dtype == jnp.bfloat16
     if Np % tc:
         tc = _TC  # sample_pack pads Np to _TC multiples
+    if Np % tc:
+        raise ValueError(
+            f"plane operand Np={Np} must be a multiple of {_TC} "
+            "(pad via sample_pack) — a partial trailing tile would be "
+            "silently dropped")
     npb = Np // tc
     flat = planes.reshape(B, 2 * Np)  # see _bgen_products_i8 layout note
     grid = (pl.cdiv(B, tb), npb)

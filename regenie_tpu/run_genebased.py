@@ -476,42 +476,46 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
                     si: pool.submit(skat_mod.vc_compute_qt, params, p)
                     for si, p in qt_preps
                 }
-        for si, (set_idx, vset, built, r, bufs, prep) in enumerate(staged):
-            writers_set = [None if w is None else bufs[id(w)] for w in writers]
-            eng.prep_chrom(vset.chrom)
-            eng._last_mask_result = r
-            if params.vc_tests:
-                from .models import skat as skat_mod
+        try:
+            for si, (set_idx, vset, built, r, bufs, prep) in enumerate(staged):
+              writers_set = [None if w is None else bufs[id(w)] for w in writers]
+              eng.prep_chrom(vset.chrom)
+              eng._last_mask_result = r
+              if params.vc_tests:
+                  from .models import skat as skat_mod
 
-                eng._last_vc_results = {}
-                if prep is not None:
-                    with _stage("vctails:host"):
-                        skat_mod.vc_finish(
-                            params, eng, vset, prep, writers_set, log,
-                            computed=(vc_futs[si].result()
-                                      if si in vc_futs else None))
+                  eng._last_vc_results = {}
+                  if prep is not None:
+                      with _stage("vctails:host"):
+                          skat_mod.vc_finish(
+                              params, eng, vset, prep, writers_set, log,
+                              computed=(vc_futs[si].result()
+                                        if si in vc_futs else None))
 
-            # joint tests on burden p-values
-            if params.apply_gene_pval_strategy:
-                from .models import joint as joint_mod
+              # joint tests on burden p-values
+              if params.apply_gene_pval_strategy:
+                  from .models import joint as joint_mod
 
-                joint_mod.run_gene_p(params, eng, vset, built, writers_set, log)
-            elif params.joint_tests:
-                from .models import joint as joint_mod
+                  joint_mod.run_gene_p(params, eng, vset, built, writers_set, log)
+              elif params.joint_tests:
+                  from .models import joint as joint_mod
 
-                joint_mod.run_joint_tests(params, eng, vset, built, writers_set, log)
+                  joint_mod.run_joint_tests(params, eng, vset, built, writers_set, log)
 
-            if shard_sets:
-                buffered.append(
-                    (set_idx, [bufs[id(w)].value() for w in uniq_writers])
-                )
-            else:
-                for w in uniq_writers:
-                    payload = bufs[id(w)].value()
-                    if payload:
-                        w.write(payload)
-        if pool is not None:
-            pool.shutdown(wait=False)
+              if shard_sets:
+                  buffered.append(
+                      (set_idx, [bufs[id(w)].value() for w in uniq_writers])
+                  )
+              else:
+                  for w in uniq_writers:
+                      payload = bufs[id(w)].value()
+                      if payload:
+                          w.write(payload)
+        finally:
+            # reap worker threads even when the render loop raises so an
+            # error can't leave unconsumed vc futures running behind us
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
 
     if shard_sets:
         # ordered multi-host merge: all processes exchange their rows,

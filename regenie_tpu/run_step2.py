@@ -502,18 +502,25 @@ class Step2Engine:
                 with np.errstate(invalid="ignore"):
                     if (np.abs(arr) <= 127).all() and (arr == np.rint(arr)).all():
                         arr = arr.astype(np.int8)
+            from .ops.geno_ops import MISSING as HC_MISSING
+
+            # pad fill + eligibility use the HARDCALL missing code (-3,
+            # geno_ops.MISSING) — config.MISSING (-999) is the pheno
+            # code and wraps to 25 in int8, which both corrupted pad
+            # rows and made the packed 2-bit H2D path unreachable for
+            # real blocks with missing genotypes
             Bp = 1 << max(6, (B0 - 1).bit_length())
             if Bp != B0:
                 arr = np.concatenate([
                     arr,
-                    np.full((Bp - B0, arr.shape[1]), MISSING, arr.dtype),
+                    np.full((Bp - B0, arr.shape[1]), HC_MISSING, arr.dtype),
                 ])
                 if "non_par" in kw:
                     kw["non_par"] = jnp.asarray(np.concatenate(
                         [np.asarray(kw["non_par"]),
                          np.zeros(Bp - B0, bool)]))
             if arr.dtype == np.int8 and (
-                    (arr >= 0) | (arr == MISSING)).all() and (arr <= 2).all():
+                    (arr >= 0) | (arr == HC_MISSING)).all() and (arr <= 2).all():
                 from .ops.geno_ops import pack_hardcalls, snp_stats_block_packed
 
                 n_smp = arr.shape[1]

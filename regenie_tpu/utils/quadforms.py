@@ -27,7 +27,8 @@ _GL_X01 = 0.5 * (_GL_X + 1.0)  # nodes on [0, 1]
 _GL_W01 = 0.5 * _GL_W
 
 
-def davies_pv(q: float, lambdas: np.ndarray, strict: bool = False) -> float:
+def davies_pv(q: float, lambdas: np.ndarray, strict: bool = False,
+              qeff: float = None) -> float:
     """P(Q > q) by numerical inversion of the characteristic function
     (Imhof 1961), replacing Davies' qf (vendored qf/qfc.cpp, used at
     SKAT.cpp:1541).
@@ -44,7 +45,12 @@ def davies_pv(q: float, lambdas: np.ndarray, strict: bool = False) -> float:
     if len(lam) == 1:  # exact: scaled chi2_1
         return float(chi2.sf(q / lam[0], df=1))
 
-    qeff = max(q, float(lam.sum()), 1e-30)
+    # qeff override: any qeff >= max(q, sum(lam)) is a valid (finer)
+    # panel width — each panel still spans <= pi of phase since
+    # |theta'| <= max(q, sum lam)/2 <= qeff/2.  The SKATO grid's
+    # banded shared-h sweep uses this to share nodes across points.
+    if qeff is None:
+        qeff = max(q, float(lam.sum()), 1e-30)
     h = 2.0 * np.pi / qeff
     n_direct = 1024 if strict else 256
     n_accel = 64
@@ -91,18 +97,94 @@ def davies_pv(q: float, lambdas: np.ndarray, strict: bool = False) -> float:
     return pv
 
 
-def _davies_shared_h(qs: np.ndarray, lam: np.ndarray) -> np.ndarray:
-    """davies_pv for a batch of q that all satisfy q <= sum(lam), so
-    every one uses the SAME panel width h = 2*pi/sum(lam). The
-    q-independent arctan/log1p sweeps (the transcendental cost, L x
-    panels x nodes) are computed once and shared; only sin(theta) is
-    per-q. Bitwise-identical to the scalar davies_pv per element: the
-    hoisted arrays are the exact values the scalar computes, and every
+def davies_pv_batch(qs: np.ndarray, lam: np.ndarray) -> np.ndarray:
+    """davies_pv for a batch of q sharing ONE spectrum, each q with its
+    own panel width h = 2*pi/max(q, sum(lam)) (the scalar routine's
+    qeff).  Bitwise-identical per element to davies_pv: same nodes, the
+    same reduction axes in the same order (lambda axis first, then the
+    12-node axis, then per-chunk panel sums added chunk-by-chunk), the
+    same per-q early exit on the magnitude envelope, and the same
+    van Wijngaarden tail acceleration (only for q that ran all direct
+    panels, exactly like the scalar loop).  This removes the per-point
+    scalar Davies sweep from the SKATO mixture-SF grid's above-sum(lam)
+    suffix — the gene-based vctails host hot spot (reference analog:
+    the per-set qf loop, SKAT.cpp:1541)."""
+    lam = np.asarray(lam, dtype=np.float64)
+    qs = np.asarray(qs, dtype=np.float64)
+    nq = len(qs)
+    if nq == 0:
+        return np.empty(0)
+    if len(lam) == 1:  # exact: scaled chi2_1
+        return np.asarray(chi2.sf(qs / lam[0], df=1))
+    L = len(lam)
+    n_direct, n_accel, chunk = 256, 64, 64
+    # memory-bound q-chunking (per-q independence makes this exact):
+    # working set is [L, qc, chunk, 12] twice over
+    qc_max = max(1, 8_000_000 // (L * chunk * 12))
+    if nq > qc_max:
+        return np.concatenate([
+            davies_pv_batch(qs[i:i + qc_max], lam)
+            for i in range(0, nq, qc_max)])
+
+    qeff = np.maximum(np.maximum(qs, float(lam.sum())), 1e-30)
+    h = 2.0 * np.pi / qeff  # [nq]
+
+    def panels_for(k0, kc, qv, hv):
+        pts = (np.arange(k0, k0 + kc, dtype=np.float64)[None, :, None]
+               + _GL_X01[None, None, :]) * hv[:, None, None]  # [m,kc,12]
+        lu = lam[:, None, None, None] * pts[None]
+        theta = (0.5 * np.arctan(lu).sum(axis=0)
+                 - 0.5 * qv[:, None, None] * pts)
+        log_rho = 0.25 * np.log1p(lu * lu).sum(axis=0)
+        f = np.sin(theta) * np.exp(-log_rho) / pts
+        env = np.exp(-log_rho[:, -1, -1]) / pts[:, -1, -1]  # [m]
+        return (f * _GL_W01[None, None, :]).sum(axis=2) * hv[:, None], env
+
+    val = np.zeros(nq)
+    env = np.full(nq, np.inf)
+    alive = np.ones(nq, bool)
+    k0 = 0
+    while k0 < n_direct and alive.any():
+        kc = min(chunk, n_direct - k0)
+        # evaluate only the q still alive at chunk entry (per-q
+        # independence: identical values to the full sweep); the scalar
+        # loop adds the chunk in which the envelope drops, THEN breaks
+        idx = np.flatnonzero(alive)
+        panels_c, env_c = panels_for(k0, kc, qs[idx], h[idx])
+        val[idx] += panels_c.sum(axis=1)
+        env[idx] = env_c
+        k0 += kc
+        alive &= ~(env < 1e-15)
+    if alive.any():
+        # every surviving q ran all n_direct panels, so the accelerated
+        # tail starts at the same k0 = n_direct for all of them
+        idx = np.flatnonzero(alive)
+        panels_t, _env = panels_for(n_direct, n_accel, qs[idx], h[idx])
+        ps = np.cumsum(panels_t, axis=1)
+        while ps.shape[1] > 1:
+            ps = 0.5 * (ps[:, :-1] + ps[:, 1:])
+        val[idx] += ps[:, 0]
+
+    pv = 0.5 + val / np.pi
+    bad = ~np.isfinite(pv) | (pv <= 0) | (pv > 1)
+    return np.where(bad, -1.0, pv)
+
+
+def _davies_shared_h(qs: np.ndarray, lam: np.ndarray,
+                     qeff: float = None) -> np.ndarray:
+    """davies_pv for a batch of q sharing ONE panel width
+    h = 2*pi/qeff, qeff >= max(max(qs), sum(lam)) (default: sum(lam),
+    valid when all q <= sum(lam)).  The q-independent arctan/log1p
+    sweeps (the transcendental cost, L x panels x nodes) are computed
+    once and shared; only sin(theta) is per-q.  Bitwise-identical to
+    the scalar davies_pv(q, lam, qeff=qeff) per element: the hoisted
+    arrays are the exact values the scalar computes, and every
     reduction keeps its axis length (numpy pairwise-summation order
-    unchanged). The envelope is q-independent here, so all points share
+    unchanged).  The envelope is q-independent, so all points share
     the scalar's early-exit chunk."""
     nq = len(qs)
-    qeff = max(float(lam.sum()), 1e-30)
+    if qeff is None:
+        qeff = max(float(lam.sum()), 1e-30)
     h = 2.0 * np.pi / qeff
     n_direct, n_accel, chunk = 256, 64, 64
 
@@ -145,16 +227,25 @@ def chisq_mix_sf_grid(qs: np.ndarray, lambdas: np.ndarray) -> np.ndarray:
     normalized spectrum (the SKATO mixture-SF grid, SKAT.cpp:1841-1935's
     repeated qf calls — the gene-based host hot spot at scale).
 
-    Three monotonicity-based work cuts vs the per-point loop:
-      * the q <= sum(lam) prefix shares panel nodes, so its Davies
-        sweeps hoist the arctan/log1p transcendentals across points
-        (bitwise-identical values, `_davies_shared_h`);
-      * the SF is decreasing in q, so once Davies drops <= 1e-5 every
-        later point takes the saddlepoint branch directly — the chain
-        would discard its Davies value anyway.  (Within ~1 grid point
-        of the 1e-5 crossover this can pick the saddlepoint where the
-        scalar chain kept a Davies value just above threshold; both are
-        accurate there and the choice is deterministic.)
+    Work cuts vs the per-point loop (r5 design):
+      * Davies panel nodes are SHARED across points in geometric
+        h-bands: the q <= sum(lam) prefix uses h = 2*pi/sum(lam) (the
+        scalar width — bitwise-identical there), and the suffix is cut
+        into bands of ratio 2 sharing h = 2*pi/band_qmax.  Any
+        qeff >= max(q, sum lam) is a valid (finer) panel width — each
+        panel still spans <= pi of phase — so band members get the
+        scalar algorithm at a slightly finer width, and the
+        q-independent arctan/log1p transcendentals (the dominant host
+        cost of the gene-based vctails stage) are paid once per band
+        instead of once per point.  Per element this equals
+        davies_pv(q, lam, qeff=band_qeff) bit-for-bit.
+      * Bands are evaluated LAZILY in ascending order: the SF is
+        decreasing in q, so once Davies drops <= 1e-5 every later point
+        takes the saddlepoint branch directly and its band is never
+        evaluated.  (Within ~1 grid point of the 1e-5 crossover this
+        can pick the saddlepoint where the scalar chain kept a Davies
+        value just above threshold; both are accurate there and the
+        choice is deterministic.)
       * the saddlepoint tail evaluates as ONE kuonen_pv_batch call
         (bitwise-identical per element) instead of per-point Newton.
     """
@@ -166,6 +257,30 @@ def chisq_mix_sf_grid(qs: np.ndarray, lambdas: np.ndarray) -> np.ndarray:
     lsum = float(lam.sum())
     n_pre = int(np.searchsorted(qs, lsum, side="right"))
     out[:n_pre] = _davies_shared_h(qs[:n_pre], lam)
+    # suffix bands: [lsum*2^k, lsum*2^(k+1)) point index ranges
+    n_suf = len(qs) - n_pre
+    dav_suf = np.empty(n_suf)
+    band_hi = []  # end index (suffix-relative) of each band
+    b0 = n_pre
+    while b0 < len(qs):
+        edge = lsum * (2.0 ** (len(band_hi) + 1))
+        b1 = int(np.searchsorted(qs, edge, side="right"))
+        b1 = max(b1, b0 + 1)
+        band_hi.append(b1 - n_pre)
+        b0 = b1
+    band_done = [0]  # bands evaluated so far
+
+    def _dav(i):
+        j = i - n_pre
+        while j >= (band_hi[band_done[0] - 1] if band_done[0] else 0):
+            lo = band_hi[band_done[0] - 1] if band_done[0] else 0
+            hi = band_hi[band_done[0]]
+            qband = qs[n_pre + lo:n_pre + hi]
+            dav_suf[lo:hi] = _davies_shared_h(
+                qband, lam, qeff=max(float(qband[-1]), lsum, 1e-30))
+            band_done[0] += 1
+        return float(dav_suf[j])
+
     tail = False
     kuo, koff = None, 0
     for i in range(len(qs)):
@@ -173,7 +288,7 @@ def chisq_mix_sf_grid(qs: np.ndarray, lambdas: np.ndarray) -> np.ndarray:
         point_fallback = False
         if not tail:
             if pv is None:
-                pv = davies_pv(float(qs[i]), lam)
+                pv = _dav(i)
             if 0 < pv <= 1e-5:
                 tail = True  # true deep tail: SF monotone from here on
                 kuo = kuonen_pv_batch(qs[i:], lam)

@@ -73,7 +73,24 @@ def test_block_stats_bucket_padding_and_packed_path():
 
         from regenie_tpu.run_step2 import Step2Engine
 
-        out = Step2Engine.block_stats(_Eng(), G.astype(np.float64))
+        # prove the packed 2-bit ship branch actually runs for eligible
+        # hardcall blocks (incl. -3 missing — regression for the
+        # config.MISSING/-3 eligibility bug): spy on the packed kernel
+        calls = []
+        orig = geno_ops.snp_stats_block_packed
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return orig(*a, **kw)
+
+        import regenie_tpu.ops.geno_ops as gmod
+
+        gmod.snp_stats_block_packed, saved = spy, orig
+        try:
+            out = Step2Engine.block_stats(_Eng(), G.astype(np.float64))
+        finally:
+            gmod.snp_stats_block_packed = saved
+        assert calls, "packed 2-bit branch was not exercised"
         for k in ref:
             assert out[k].shape[0] == B
             assert np.allclose(out[k], ref[k], rtol=0, atol=0), (B, k)

@@ -137,10 +137,30 @@ def test_deep_tail_mpmath_regression():
     assert prev > 290.0, prev  # the sweep really reaches p < 1e-290
 
 
+def _band_qeffs(qs, lsum):
+    """The grid's geometric h-bands: per-point qeff (prefix points use
+    lsum, suffix band k uses max(band qmax, lsum))."""
+    qeffs = np.empty(len(qs))
+    n_pre = int(np.searchsorted(qs, lsum, side="right"))
+    qeffs[:n_pre] = lsum
+    b0 = n_pre
+    k = 0
+    while b0 < len(qs):
+        edge = lsum * (2.0 ** (k + 1))
+        b1 = int(np.searchsorted(qs, edge, side="right"))
+        b1 = max(b1, b0 + 1)
+        qeffs[b0:b1] = max(float(qs[b1 - 1]), lsum)
+        b0 = b1
+        k += 1
+    return qeffs
+
+
 def test_grid_matches_scalar_chain_bitwise():
-    """chisq_mix_sf_grid (shared-h prefix + batched kuonen tail) must be
-    bitwise-identical to the per-point davies->kuonen->strict->liu chain
-    (the r4 optimization contract)."""
+    """chisq_mix_sf_grid (banded shared-h Davies + batched kuonen tail)
+    must be bitwise-identical to the per-point chain evaluated at the
+    SAME band panel widths (the r5 optimization contract), and the
+    banded Davies values must agree with the per-point-width scalar to
+    quadrature accuracy wherever the chain keeps them (pv > 1e-5)."""
     from regenie_tpu.utils.quadforms import (
         chisq_mix_sf_grid, davies_pv, kuonen_pv, liu_logp)
 
@@ -150,13 +170,14 @@ def test_grid_matches_scalar_chain_bitwise():
         lam = np.sort(rng.random(L))[::-1] + 1e-3
         lam = lam / lam.max()
         qs = np.sort(rng.random(46) * lam.sum() * (10 ** rng.uniform(0, 3)))
+        qeffs = _band_qeffs(qs, float(lam.sum()))
         ref = np.empty(len(qs))
         tail = False
         for i, q in enumerate(qs):
             pv = None
             fb = False
             if not tail:
-                pv = davies_pv(float(q), lam)
+                pv = davies_pv(float(q), lam, qeff=float(qeffs[i]))
                 if 0 < pv <= 1e-5:
                     tail = True
                 elif pv <= 0:
@@ -171,3 +192,37 @@ def test_grid_matches_scalar_chain_bitwise():
             ref[i] = pv if np.isfinite(pv) else -1.0
         got = chisq_mix_sf_grid(qs, lam)
         assert (got == ref).all(), trial
+        # accuracy: banded width == per-point width to quadrature noise
+        for i, q in enumerate(qs):
+            if got[i] > 1e-5:
+                own = davies_pv(float(q), lam)
+                if own > 0:
+                    assert abs(got[i] - own) < 1e-9 + 1e-8 * own, \
+                        (trial, i, got[i], own)
+
+
+def test_davies_batch_matches_scalar_bitwise():
+    """davies_pv_batch (per-q panel widths, masked early exit, shared
+    tail acceleration) must equal davies_pv element-for-element at the
+    bit level — it replaces the scalar calls in the SKATO grid suffix."""
+    from regenie_tpu.utils.quadforms import davies_pv, davies_pv_batch
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        L = int(rng.integers(2, 80))
+        lam = np.sort(rng.random(L))[::-1] + 1e-3
+        lam = lam / lam.max()
+        # span prefix (q < sum lam), crossover and deep suffix
+        qs = np.concatenate([
+            rng.random(8) * lam.sum(),
+            lam.sum() * (1.0 + rng.random(12) * 99.0),
+        ])
+        got = davies_pv_batch(qs, lam)
+        ref = np.array([davies_pv(float(q), lam) for q in qs])
+        assert (got == ref).all(), trial
+    # single-lambda exact branch + empty batch
+    lam1 = np.array([1.0])
+    qs = np.array([0.5, 3.0, 40.0])
+    assert (davies_pv_batch(qs, lam1)
+            == np.array([davies_pv(float(q), lam1) for q in qs])).all()
+    assert davies_pv_batch(np.empty(0), lam1).shape == (0,)
