@@ -500,18 +500,26 @@ def main():
     def bench_cpu_baseline():
         from regenie_tpu.io.bed import decode_bed_bytes
 
+        # cap the baseline sample count: a [512, 400K] f64 dense block
+        # (1.6 GB + BLAS temporaries) thrashes small hosts and burns the
+        # leg budget.  Per-SNP cost is linear in N, so the measured rate
+        # rescales exactly to the headline shape's N.
+        Nb = min(N, 50_000)
         Bc = min(B, 512)
+        nbb = (Nb + 3) // 4
         t0 = time.perf_counter()
-        Gb = decode_bed_bytes(raw_blocks[0][:Bc], N).astype(np.float64)
+        Gb = decode_bed_bytes(raw_blocks[0][:Bc, :nbb], Nb).astype(np.float64)
         np.copyto(Gb, 0.0, where=Gb == -3)
-        beta = Gb @ cov
-        Gr = Gb - beta @ cov.T
-        sf = np.linalg.norm(Gr, axis=1) / np.sqrt(N - K)
+        covb, resb, maskb = cov[:Nb], res[:Nb], maskf[:Nb]
+        beta = Gb @ covb
+        Gr = Gb - beta @ covb.T
+        sf = np.linalg.norm(Gr, axis=1) / np.sqrt(Nb - K)
         Gr /= sf[:, None]
-        num = Gr @ res
-        denum = (Gr**2) @ maskf
+        num = Gr @ resb
+        denum = (Gr**2) @ maskb
         _stats = num / np.sqrt(denum)
-        return Bc / (time.perf_counter() - t0)
+        rate = Bc / (time.perf_counter() - t0)
+        return rate * (Nb / N)  # rescale to the headline N
 
     def leg_cpu_baseline(budget):
         cpu_sps = _timed(budget, bench_cpu_baseline)
@@ -519,9 +527,10 @@ def main():
             host_cores = os.cpu_count() or 1
             # normalize this host's multithreaded baseline to the
             # 16-vCPU reference class (docs/docs/performance.md:81)
-            record("cpu_baseline_host", cpu_sps, "host-cpu")
+            record("cpu_baseline_host", cpu_sps, "host-cpu", nd=2,
+                   n_capped=min(N, 50_000), rescaled_to_N=N)
             record("cpu_baseline_16core_est",
-                   cpu_sps * (16.0 / host_cores), "host-cpu")
+                   cpu_sps * (16.0 / host_cores), "host-cpu", nd=2)
 
     # --- step2 QT: fused scorer (both kernel variants stamped) ---
     def bench_qt_resident(split, label):
@@ -726,12 +735,12 @@ def main():
             G, _sc = m1.residualize_geno_block(G, covm, float(N - K))
             return m1.level0_loocv_block(G, Ym, maskm, lam, Neff_j)
 
-        # ONE dispatch per block stack (lax.map) + `inner` dispatches
-        # per sync: the same two-layer WAN-RTT amortization as the QT
-        # legs — the r4 profiler showed the r3 number was ~60% tunnel
-        # round-trips, not level-0 compute
-        _stack = jax.jit(lambda st, covm, Ym, maskm: jax.lax.map(
-            lambda r: l0_block(r, covm, Ym, maskm), st))
+        # ONE dispatch per block stack (vmap: decode/resid/solve all
+        # batched — the r5 production path; the serialized per-block
+        # eigh was 37% of block time) + `inner` dispatches per sync
+        # (the same two-layer WAN-RTT amortization as the QT legs)
+        _stack = jax.jit(lambda st, covm, Ym, maskm: jax.vmap(
+            lambda r: l0_block(r, covm, Ym, maskm))(st))
         # 2 stacked blocks: each W output is [N,J,P] (~400MB at UKB
         # shape); inner in-flight dispatches hold inner*nb1 of them
         nb1 = min(n_blocks, 2)

@@ -186,6 +186,21 @@ def level0_loocv_block(G, Y, mask, lambdas, Neff):
 
 
 @jax.jit
+def level0_loocv_blocks(G3, Y, mask, lambdas, Neff):
+    """level0_loocv_block over a stacked [nblk, B, N] group of blocks:
+    ONE batched [nblk, B, B] eigh + batched matmuls per dispatch
+    instead of nblk serialized solves.  The serialized eigh was 37% of
+    per-block time (reference hot spot: per-block eigendecomposition,
+    Step1_Models.cpp:494); batching keeps the MXU busy across blocks.
+    Per-slice results carry no cross-block data dependence, so each
+    block's W is the same computation regardless of group size
+    (byte-identity with the per-block path is pinned by
+    test_step1_kernels/test_split_l0)."""
+    return jax.vmap(
+        lambda g: level0_loocv_block(g, Y, mask, lambdas, Neff))(G3)
+
+
+@jax.jit
 def level0_loocv_block_betas(G, Y, mask, lambdas, Neff):
     """level0_loocv_block + per-SNP level-0 betas for --print (first
     trait only; beta_snp_step1 capture, Step1_Models.cpp:644 and W-scale

@@ -267,3 +267,20 @@ def fmt(x: float) -> str:
     if isinstance(x, (float, np.floating)) and np.isnan(x):
         return "nan"
     return f"{x:g}"
+
+
+def write_debug_inputs(params: Params, pd, offsets=None) -> None:
+    """--debug analog of write_inputs (Data.cpp:911): dump the model
+    inputs after prep — Y ({out}_y.txt: residualized+scaled for QT,
+    raw otherwise), the orthonormal covariate basis ({out}_x.txt), and
+    the null-model offsets ({out}_offset.txt) when a non-QT null fit
+    provides them.  Full precision, space-separated (the reference's
+    Eigen FullPrecision format)."""
+    fmt = "%.17g"
+    y = pd.phenotypes if params.trait_mode == QT else pd.phenotypes_raw
+    if y is not None:
+        np.savetxt(params.out_prefix + "_y.txt", np.asarray(y), fmt=fmt)
+    np.savetxt(params.out_prefix + "_x.txt", np.asarray(pd.new_cov), fmt=fmt)
+    if offsets is not None:
+        np.savetxt(params.out_prefix + "_offset.txt", np.asarray(offsets),
+                   fmt=fmt)

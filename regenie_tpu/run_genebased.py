@@ -480,6 +480,12 @@ def run_genebased(params: Params, eng: Step2Engine, log=print) -> None:
             for si, (set_idx, vset, built, r, bufs, prep) in enumerate(staged):
               writers_set = [None if w is None else bufs[id(w)] for w in writers]
               eng.prep_chrom(vset.chrom)
+              if params.verbose or params.debug:
+                  # per-set debug trail (getMask print_mem, Data.cpp:3007)
+                  from .utils.stats import rss_line
+
+                  log(f"   -set {vset.ID} [chr {vset.chrom}]"
+                      + (f" {rss_line()}" if params.debug else ""))
               eng._last_mask_result = r
               if params.vc_tests:
                   from .models import skat as skat_mod

@@ -126,6 +126,11 @@ def run_step1(params: Params, log=print) -> None:
     offsets = None
     if params.trait_mode != QT:
         offsets = glm.fit_null_offsets(params, pd)
+    if params.debug:
+        # dump model inputs (write_inputs, Data.cpp:114/911)
+        from .prep import write_debug_inputs
+
+        write_debug_inputs(params, pd, offsets)
 
     J, P, N = params.n_ridge_l0, params.n_pheno, params.n_samples
     ind = pd.ind_in_analysis
@@ -365,9 +370,34 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
     # int8 and no host-side LUT decode in the prefetch thread
     read_fn = _read_local_window if per_host is not None else gd.read_block_device
     fut = pool.submit(read_fn, blocks[0][1]) if blocks else None
+
+    # single-device LOOCV block grouping (batched eigh across blocks)
+    stack1 = max(1, int(os.environ.get("REGENIE_TPU_STEP1_STACK", "4")))
+    grp1: list = []
+    maskf_j = None
+
+    def _flush_grp1():
+        if not grp1:
+            return
+        Wg = m1.level0_loocv_blocks(
+            jnp.stack([g for _, g in grp1]), Y_j, maskf_j, lambdas_j,
+            Neff_j)
+        Wg = np.asarray(Wg)
+        for i, (bi, _g) in enumerate(grp1):
+            W_all[:, bi * J : (bi + 1) * J, :] = Wg[i]
+        grp1.clear()
+
     for bidx, (chrom, bsnps) in enumerate(blocks):
         chr_nblocks[chrom] = chr_nblocks.get(chrom, 0) + 1
         G_raw = fut.result()
+        if params.verbose or params.debug:
+            # per-block progress + debug RSS trail (the reference's
+            # level_0_calculations chrono prints, Data.cpp:594+)
+            from .utils.stats import rss_line
+
+            log(f"   -level 0 block {bidx + 1}/{len(blocks)} "
+                f"chr {chrom} [{len(bsnps)} snps]"
+                + (f" {rss_line()}" if params.debug else ""))
         if bidx + 1 < len(blocks):
             fut = pool.submit(read_fn, blocks[bidx + 1][1])
         if per_host is not None:
@@ -475,7 +505,21 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
                 )
                 Wb = pm.to_host(Wb)[:N0]
             else:
-                Wb = m1.level0_loocv_block(G, Y_j, jnp.asarray(maskf), lambdas_j, Neff_j)
+                # single-device: group consecutive same-shape blocks and
+                # solve them in ONE batched dispatch (batched [n,B,B]
+                # eigh — the serialized eigh was the per-block bound;
+                # Step1_Models.cpp:494).  Each slice's W carries no
+                # cross-block dependence, so grouping never changes bits
+                # (test_split_l0 pins split-vs-monolithic byte identity
+                # across different group compositions).
+                if maskf_j is None:
+                    maskf_j = jnp.asarray(maskf)
+                if grp1 and grp1[-1][1].shape != G.shape:
+                    _flush_grp1()
+                grp1.append((bidx, G))
+                if len(grp1) >= stack1 or bidx == len(blocks) - 1:
+                    _flush_grp1()
+                continue
             W_all[:, bidx * J : (bidx + 1) * J, :] = np.asarray(Wb)
         else:
             Gf_j = jnp.transpose(jnp.take(G, fold_idx_j, axis=1), (1, 0, 2))
@@ -493,6 +537,7 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
                     Gf_j, Y_folds_j, mask_folds_j, valid_j, lambdas_j, Neff_j
                 )
             W_all[:, :, bidx * J : (bidx + 1) * J, :] = np.asarray(Wb)
+    _flush_grp1()  # safety net; the loop flushes on its last block
     pool.shutdown(wait=False)
     log(f" * level 0 done ({time.time()-t0:.1f}s, {len(blocks)} blocks)")
     return W_all, chr_nblocks

@@ -1583,6 +1583,13 @@ class Step2Engine:
         elif num.shape[0] != B:  # mesh pad rows: drop before scoring
             flip_j = flip_j[:B]
             num, denum, S1_all = num[:B], denum[:B], S1_all[:B]
+            # drop the pad rows of the product slices ON DEVICE too so
+            # every output shares the one packed fetch below (the
+            # leading-dim guard otherwise pushed flip/num/denum onto 3
+            # separate fetch RTTs for padded blocks)
+            S1, SQ, SM = S1[:B], SQ[:B], SM[:B]
+            if IL is not None:
+                IL = IL[:B]
         fetched_nd = None
         if self._fused_mesh is None:
             # one packed transfer for ALL host-side per-block outputs:
@@ -1740,6 +1747,9 @@ class Step2Engine:
         elif Tnum.shape[0] != B:  # mesh pad rows
             flip_j = flip_j[:B]
             Tnum, denum = Tnum[:B], denum[:B]
+            # device-slice the product rows as well: one packed fetch
+            # for all outputs (see _fused_block_bt)
+            S1, SQ, SM = S1[:B], SQ[:B], SM[:B]
         fetched_nd = None
         if self._fused_mesh is None:
             fd = dict(s1=S1, sq=SQ, sm=SM)
@@ -2165,6 +2175,12 @@ def run_step2(params: Params, log=print) -> None:
         mask_samples_missing_loco(params, pd, blup_files, eng.id_to_ind)
         pd.Neff = pd.masked_indivs.sum(axis=0).astype(np.float64)
         eng.refresh_masks()
+    if params.debug:
+        # dump model inputs (write_inputs, Data.cpp:2294/911); non-QT
+        # offsets are per-chromosome LOCO refits here, so only Y/X dump
+        from .prep import write_debug_inputs
+
+        write_debug_inputs(params, pd)
 
     if params.write_samples:
         # per-trait analyzed-sample lists (write_ids, Pheno.cpp:1539)
@@ -2286,12 +2302,24 @@ def run_step2(params: Params, log=print) -> None:
     wpending: list = []
     try:
         fut = pool.submit(_fetch, todo[0][1]) if todo else None
+        tblk = time.time()
         for i, (chrom, bsnps) in enumerate(todo):
             (kind, data), info_num = fut.result()
             if i + 1 < len(todo):
                 fut = pool.submit(_fetch, todo[i + 1][1])
             eng._info_num_override = info_num
             eng.prep_chrom(chrom)
+            if params.verbose or params.debug:
+                # per-block progress + live RSS (the reference's
+                # " block N : M snps" + print_mem debug trail,
+                # Data.cpp:2311/3007)
+                from .utils.stats import rss_line
+
+                now = time.time()
+                log(f"   -block {i + 1}/{len(todo)} chr{chrom} "
+                    f"[{len(bsnps)} snps, {now - tblk:.2f}s]"
+                    + (f" {rss_line()}" if params.debug else ""))
+                tblk = now
             if kind == "raw":
                 result, _ = eng.test_raw_block_fused(data, bsnps)
             else:

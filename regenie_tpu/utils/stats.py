@@ -91,6 +91,20 @@ def convert_logp_raw(logp) -> str:
     return "%.1fe-%d" % (10.0**res, base)
 
 
+def rss_line() -> str:
+    """Current resident-set size (print_mem/get_mem, Regenie.cpp:1942:
+    'memory usage=NMB' debug trail in block loops)."""
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    kb = float(line.split()[1])
+                    return f"memory usage={kb / 1024:.0f}MB"
+    except OSError:
+        pass
+    return "memory usage=?"
+
+
 def peak_rss_line() -> str:
     """Peak resident-set size from /proc/self/status (get_mem,
     Regenie.cpp:1942-1959; printed in debug mode at end of run)."""

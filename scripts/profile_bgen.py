@@ -415,10 +415,151 @@ def variants2_main():
             print(f"  {name:14s} FAILED: {str(e)[:140]}")
 
 
+
+def variants3_main():
+    """r5 VPU-reduction candidates for the i8 BGEN kernel, all on the
+    separate-plane layout (the production layout since the r4 relayout
+    fix):
+      base      — the production kernel body (u8-xor d0/d1, 3 q-limbs)
+      e2        — (2k0+k1-255)^2 decomposition: e^2 <= 65025 needs TWO
+                  i8 limbs instead of three; the linear 510*e and
+                  constant 65025 terms recombine in the epilogue from
+                  the d0/d1 dots and operand column sums (exact)
+      u8miss    — miss test as k0u > ~k1u in u8 (255-k1 == bitwise NOT)
+                  instead of widening both planes to i32
+      e2+u8miss — both
+    """
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    N = int(sys.argv[3]) if len(sys.argv) > 3 else 400_000
+    P, K = 50, 20
+    tb = int(sys.argv[4]) if len(sys.argv) > 4 else 512
+    tc = int(sys.argv[5]) if len(sys.argv) > 5 else 512
+    rng = np.random.default_rng(0)
+    print(f"backend={jax.default_backend()} B={B} N={N} variants3 tb={tb} tc={tc}")
+
+    cov = np.linalg.qr(rng.normal(size=(N, K)))[0]
+    res = rng.normal(size=(N, P))
+    maskf = np.ones((N, P))
+    ind = np.ones(N, bool)
+    consts = fsc.build_consts(cov, res, maskf, ind, float(N - K),
+                              split="i8", pack="sample", dtype=np.float32)
+    tailz = np.concatenate(
+        [maskf * ind.astype(np.float64)[:, None],
+         ind.astype(np.float64)[:, None]], axis=1)
+    Wq, _ = fsc.sample_pack(tailz, split="i8", dtype=np.float32)
+    Np = fsc.op_nbp(consts.Wp)
+    Cw4 = consts.Wp.limbs.shape[1]
+    Cwq4 = Wq.limbs.shape[1]
+
+    k0h = rng.integers(0, 200, size=(B, N)).astype(np.uint8)
+    k1h = np.minimum(rng.integers(0, 200, size=(B, N)),
+                     255 - k0h.astype(np.int64)).astype(np.uint8)
+    k0p = np.zeros((B, Np), np.uint8); k0p[:, :N] = k0h
+    k1p = np.zeros((B, Np), np.uint8); k1p[:, :N] = k1h
+    k0d = jax.device_put(k0p); k1d = jax.device_put(k1p)
+    _sync((k0d, k1d))
+    dn = (((1,), (0,)), ((), ()))
+
+    def bc(xu):
+        return jax.lax.bitcast_convert_type(xu ^ jnp.uint8(0x80), jnp.int8)
+
+    def miss_i32(k0u, k1u):
+        return (k0u.astype(jnp.int32) + k1u.astype(jnp.int32)) > 255
+
+    def miss_u8(k0u, k1u):
+        return k0u > ~k1u  # 255 - k1 == bitwise NOT in u8
+
+    def make_base(missf, n_q):
+        def kern(k0_ref, k1_ref, wp_ref, wq_ref, d0, d1, m, q0, q1, q2):
+            @pl.when(pl.program_id(1) == 0)
+            def _init():
+                for ref in (d0, d1, m, q0, q1, q2):
+                    ref[:] = jnp.zeros_like(ref)
+            k0u = k0_ref[:]
+            k1u = k1_ref[:]
+            missu = missf(k0u, k1u)
+            k0u = jnp.where(missu, jnp.uint8(0), k0u)
+            k1u = jnp.where(missu, jnp.uint8(0), k1u)
+            w, wq = wp_ref[:], wq_ref[:]
+
+            def dotw(xs, wref):
+                return jax.lax.dot_general(
+                    xs, wref, dn,
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+
+            d0[:] += dotw(bc(k0u), w)
+            d1[:] += dotw(bc(k1u), w)
+            m[:] += jax.lax.dot_general(
+                missu.astype(jnp.int8), w, dn,
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+            k0 = k0u.astype(jnp.int32)
+            k1 = k1u.astype(jnp.int32)
+            if n_q == 3:
+                d2 = (2 * k0 + k1) ** 2
+                q0[:] += dotw(((d2 & 255) - 128).astype(jnp.int8), wq)
+                q1[:] += dotw((((d2 >> 8) & 255) - 128).astype(jnp.int8), wq)
+                q2[:] += dotw(((d2 >> 16) - 128).astype(jnp.int8), wq)
+            else:  # e2: (d - 255)^2 fits 16 bits -> two limbs
+                e = 2 * k0 + k1 - 255
+                e2 = e * e
+                q0[:] += dotw(((e2 & 255) - 128).astype(jnp.int8), wq)
+                q1[:] += dotw(((e2 >> 8) - 128).astype(jnp.int8), wq)
+        return kern
+
+    def make_call3(kernel):
+        grid = (pl.cdiv(B, tb), pl.cdiv(Np, tc))
+
+        def f(a, b, wl, ql):
+            return pl.pallas_call(
+                kernel,
+                out_shape=[jax.ShapeDtypeStruct((B, Cw4), jnp.float32)] * 3
+                + [jax.ShapeDtypeStruct((B, Cwq4), jnp.float32)] * 3,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((tb, tc), lambda i, j: (i, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tb, tc), lambda i, j: (i, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tc, Cw4), lambda i, j: (j, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tc, Cwq4), lambda i, j: (j, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[pl.BlockSpec((tb, Cw4), lambda i, j: (i, 0),
+                                        memory_space=pltpu.VMEM)] * 3
+                + [pl.BlockSpec((tb, Cwq4), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)] * 3,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+            )(a, b, wl, ql)
+
+        return jax.jit(f)
+
+    wl, ql = consts.Wp.limbs, Wq.limbs
+    for name, missf, n_q in (
+        ("base-i32miss-3q", miss_i32, 3),
+        ("e2-2q", miss_i32, 2),
+        ("u8miss-3q", miss_u8, 3),
+        ("e2+u8miss", miss_u8, 2),
+    ):
+        try:
+            fn = make_call3(make_base(missf, n_q))
+            ms = timeit(fn, k0d, k1d, wl, ql)
+            print(f"  {name:16s} {ms:8.1f} ms -> {B / ms * 1e3:8.0f} SNPs/s")
+        except Exception as e:
+            print(f"  {name:16s} FAILED: {str(e)[:140]}")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "variants":
         variants_main()
     elif len(sys.argv) > 1 and sys.argv[1] == "variants2":
         variants2_main()
+    elif len(sys.argv) > 1 and sys.argv[1] == "variants3":
+        variants3_main()
     else:
         main()
