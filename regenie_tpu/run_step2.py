@@ -1340,6 +1340,21 @@ class Step2Engine:
         H1 = (SQh[:, icol] - total1) / 2.0
         return (H1 + v * SMh[:, icol]) < self.params.min_homs
 
+    def _fused_dispatched(self, rawp):
+        """(raw_j, outs) for a fused block: consume a prefetch-thread
+        predispatch when its fn stamp matches the engine's CURRENT
+        per-chrom fused fn, else upload+dispatch here.  The stamp is the
+        fn object itself — prep_chrom rebuilds `_fused_fn` on a
+        chromosome switch, so a predispatch made under the previous
+        chromosome's LOCO consts can never be consumed."""
+        if isinstance(rawp, tuple) and rawp and rawp[0] == "predispatched":
+            _tag, raw_j, fn, outs = rawp
+            if fn is self._fused_fn:
+                return raw_j, outs
+            rawp = raw_j  # stale (chrom switched): dispatch fresh
+        raw_j = self._fused_upload(rawp)
+        return raw_j, self._fused_fn(raw_j)
+
     def _fused_upload(self, rawp):
         """Device placement of a packed block for the fused block fn:
         plain upload single-chip; variant-sharded over the mesh (rows
@@ -1447,14 +1462,14 @@ class Step2Engine:
             return self._fused_block_t2e(rawp, bsnps)
         consts = self._fused_consts
         B, P, K = len(bsnps), consts.P, consts.K
-        raw_j = self._fused_upload(rawp)
+        raw_j, _outs = self._fused_dispatched(rawp)
         flipped = np.zeros(B, dtype=bool)  # QT never flips (with_flip=False)
         IL = None
         if getattr(self, "_fused_is_bgen", False):
             (stats, denum, scale_fac, low_var,
-             S1, SQ, SM, IL) = self._fused_fn(raw_j)
+             S1, SQ, SM, IL) = _outs
         else:
-            stats, denum, scale_fac, low_var, S1, SQ, SM = self._fused_fn(raw_j)
+            stats, denum, scale_fac, low_var, S1, SQ, SM = _outs
         if self._fused_mesh is None:
             # single-device: ALL per-block outputs ride ONE packed
             # device->host transfer (7-8 separate fetches = 7-8 WAN RTTs
@@ -1566,13 +1581,13 @@ class Step2Engine:
         fb = self._fused_bt
         fc = fb.fc
         B, P = len(bsnps), params.n_pheno
-        raw_j = self._fused_upload(rawp)
+        raw_j, _outs = self._fused_dispatched(rawp)
         ILh = IL = None
         if getattr(self, "_fused_is_bgen", False):
             (S1, SQ, SM, IL, flip_j,
-             num, denum, S1_all) = self._fused_fn(raw_j)
+             num, denum, S1_all) = _outs
         else:
-            S1, SQ, SM, flip_j, num, denum, S1_all = self._fused_fn(raw_j)
+            S1, SQ, SM, flip_j, num, denum, S1_all = _outs
         if not getattr(raw_j, "is_fully_addressable", True):
             # multi-host: gather the per-variant outputs once; keep a
             # process-local raw copy for the correction-row rebuilds
@@ -1738,8 +1753,8 @@ class Step2Engine:
         params, pd = self.params, self.pd
         ft = self._fused_t2e
         B, P = len(bsnps), params.n_pheno
-        raw_j = self._fused_upload(rawp)
-        S1, SQ, SM, flip_j, Tnum, denum = self._fused_fn(raw_j)
+        raw_j, _outs = self._fused_dispatched(rawp)
+        S1, SQ, SM, flip_j, Tnum, denum = _outs
         if not getattr(raw_j, "is_fully_addressable", True):
             flip_j = jnp.asarray(_th(flip_j)[:B])
             Tnum, denum = (jnp.asarray(_th(x)[:B]) for x in (Tnum, denum))
@@ -2288,6 +2303,26 @@ def run_step2(params: Params, log=print) -> None:
                 # the byte-pad width is known
                 if getattr(eng, "_fused_chrom", None) is not None:
                     raw = eng._fused_upload(raw)
+                    # pre-DISPATCH block k+1's fused score from the
+                    # prefetch thread (async device execution): the
+                    # device then computes k+1 WHILE the main thread
+                    # does block k's host stats/render — without this
+                    # the device idles between fetch k and dispatch k+1
+                    # (measured ~0.55 pipeline efficiency on the cpu
+                    # backend; the reference's decode/compute overlap
+                    # has no analog for this gap).  Stamped with the fn
+                    # object; a chromosome switch rebuilds the fn and
+                    # invalidates the predispatch.
+                    fn = getattr(eng, "_fused_fn", None)
+                    if (fn is not None and isinstance(raw, jax.Array)
+                            and getattr(eng, "_fused_mesh", None) is None
+                            and eng._fused_chrom == bsnps[0].chrom):
+                        try:
+                            outs = fn(raw)
+                            return ("raw",
+                                    ("predispatched", raw, fn, outs)), None
+                        except Exception:  # noqa: BLE001 — fall back
+                            pass
                 return ("raw", raw), None
         G = eng.read_block_device(bsnps)
         return ("g", G), eng.gd.last_info_num
