@@ -244,11 +244,169 @@ def firth_snp_batch(
     return beta, se, lrt, converged
 
 
+def firth_snp_batch_pseudo(
+    y: np.ndarray,
+    G: np.ndarray,
+    offset: np.ndarray,
+    mask: np.ndarray,
+    maxstep: int = 5,
+    niter: int = 250,
+    tol: float = 2.5e-4,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Pseudo-data Firth IRLS, vectorized over S SNPs — the batched
+    twin of the reference's DEFAULT per-SNP Firth algorithm
+    (fit_firth_pseudo, Step2_Models.cpp:1386 and the single-SNP fast
+    path :1527): each outer iteration builds the pseudo-response
+    ystar = y + h*(0.5 - pi) and fits an UNPENALIZED logistic IRLS on
+    it, instead of Newton on the penalized deviance.  Shares the fixed
+    point with firth_snp_batch (both solve the modified score = 0);
+    differs in trajectory and failure modes, so per-row failures fall
+    back to the exact-Newton batch exactly like the reference's
+    pseudo -> NR chain (run_firth_correction_snp, :1215-1223).
+
+    Per-row failure conditions mirror the reference: inner IRLS step
+    size increasing (bdiff check), fitted p = 0 in the IRLS weights,
+    inner iteration cap (25), outer iteration cap, runaway beta /
+    stalled modified score (apply_early_checks), and lrt < 0.
+
+    Returns (beta [S], se [S], lrt [S], converged [S])."""
+    S, N = G.shape
+    maskf = mask.astype(np.float64)
+    Gm = G * maskf[None, :]
+    G2 = Gm**2
+    niter_inner = 25
+
+    # null deviance at beta=0 (shared pi; SNP-specific penalty logdet)
+    pi0 = get_pvec(offset)
+    w0 = np.where(mask, pi0 * (1 - pi0), 1.0)
+    dev_base = get_logist_dev(y, pi0, mask)
+    xtwx0 = G2 @ w0
+    with np.errstate(divide="ignore"):
+        dev0 = dev_base - np.log(xtwx0)
+
+    beta = np.zeros(S)
+    active = xtwx0 > 0
+    failed = ~active.copy()
+    converged = np.zeros(S, bool)
+    score_max_old = np.full(S, 1e16)
+    n_unchanged = np.zeros(S, int)
+    dev_cur = dev0.copy()
+    xtwx_last = xtwx0.copy()
+
+    def pi_at(b):
+        return get_pvec(offset[None, :] + Gm * b[:, None])
+
+    pi = np.broadcast_to(pi0, (S, N)).copy()
+    niter_cur = 0
+    while niter_cur < niter and active.any():
+        niter_cur += 1
+        w = np.where(mask[None, :], pi * (1 - pi), 1.0)
+        xtwx = (G2 * w).sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nll = np.where(y[None, :] == 0, -np.log1p(-pi), -np.log(pi))
+            dev_new = 2.0 * (nll * maskf[None, :]).sum(axis=1) - np.log(xtwx)
+        dev_cur = np.where(active, dev_new, dev_cur)
+        xtwx_last = np.where(active, xtwx, xtwx_last)
+        h = (G2 * w) / np.where(xtwx > 0, xtwx, 1.0)[:, None]
+        ystar = y[None, :] + h * (0.5 - pi)
+        mod_score = (Gm * (ystar - pi)).sum(axis=1)
+        sc = np.abs(mod_score)
+
+        done = (sc < tol) & (niter_cur >= 2) & active
+        converged |= done
+        active &= ~done
+        # early checks (fit_firth_pseudo apply_early_checks)
+        bad = active & (
+            ((niter_cur > 2) & (np.abs(beta) > 1e13))
+            | (n_unchanged > 3)
+            | ((niter_cur > 50) & ((sc > 1000) | (np.abs(beta) > 1e12)))
+        )
+        failed |= bad
+        active &= ~bad
+        if not active.any():
+            break
+        n_unchanged = np.where(sc < score_max_old, 0, n_unchanged + 1)
+        score_max_old = np.minimum(score_max_old, sc)
+
+        # inner unpenalized IRLS on the pseudo-response (niter_max=25)
+        bdiff = np.full(S, 1e16)
+        inner_active = active.copy()
+        betanew = beta.copy()
+        for _ in range(niter_inner):
+            w = np.where(mask[None, :], pi * (1 - pi), 1.0)
+            p0 = inner_active & (
+                (np.where(mask[None, :], w, 1.0) < _EPS10).any(axis=1))
+            failed |= p0
+            active &= ~p0
+            inner_active &= ~p0
+            if not inner_active.any():
+                break
+            # working response z = g*beta + (ystar - pi)/w; the IRLS
+            # update for the single free column is sum(w g z)/sum(w g^2)
+            num = (Gm * w * (Gm * beta[:, None]
+                             + (ystar - pi) / w)).sum(axis=1)
+            den = (G2 * w).sum(axis=1)
+            cand = num / np.where(den > 0, den, 1.0)
+            step = cand - beta
+            bdiff_new = np.abs(step)
+            inc = inner_active & (bdiff_new > bdiff)
+            failed |= inc
+            active &= ~inc
+            inner_active &= ~inc
+            mx = bdiff_new / maxstep
+            cand = np.where(mx > 1, beta + step / np.where(mx > 1, mx, 1.0),
+                            cand)
+            betanew = np.where(inner_active, cand, betanew)
+            pi_new = pi_at(betanew)
+            pi = np.where(inner_active[:, None], pi_new, pi)
+            score = (Gm * (ystar - pi)).sum(axis=1)
+            inner_done = inner_active & (np.abs(score) < tol)
+            inner_active &= ~inner_done
+            beta = np.where(inner_done | inner_active, betanew, beta)
+            bdiff = np.where(inner_active, bdiff_new, bdiff)
+            if not inner_active.any():
+                break
+        # rows whose inner loop hit the cap fail the pseudo algorithm
+        failed |= inner_active
+        active &= ~inner_active
+        beta = np.where(active | converged, betanew, beta)
+
+    failed |= active  # outer cap
+    with np.errstate(invalid="ignore"):
+        # failed rows can carry -inf/-inf deviances (xtwx0 == 0 for a
+        # monomorphic row): the nan lrt is masked out by `converged`
+        lrt = dev0 - dev_cur
+        se = np.sqrt(1.0 / np.maximum(xtwx_last, 1e-300))
+        converged &= ~failed & (lrt >= 0)
+    return beta, se, lrt, converged
+
+
 def firth_snp_batch_auto(y, G, offset, mask, **kw):
     """Dispatch: TPU-resident batched solver off-CPU
-    (corrections_device.firth_snp_batch_dev), host-f64 twin on CPU."""
+    (corrections_device.firth_snp_batch_dev), host-f64 twin on CPU.
+
+    REGENIE_TPU_FIRTH_PSEUDO=1 selects the reference's DEFAULT
+    algorithm chain instead: batched pseudo-data IRLS first, exact
+    Newton only for the rows pseudo fails on (the reference's
+    pseudo -> NR fallback, Step2_Models.cpp:1215-1223).  Host-only —
+    the device solver keeps the exact-Newton twin, so this env forces
+    the host path for the corrected rows."""
+    import os as _os
+
     from . import corrections_device as cdev
 
+    if _os.environ.get("REGENIE_TPU_FIRTH_PSEUDO") == "1":
+        y_h, G_h, off_h, mask_h = (np.asarray(a, np.float64)
+                                   for a in (y, G, offset, mask))
+        mask_b = mask_h.astype(bool)
+        beta, se, lrt, ok = firth_snp_batch_pseudo(
+            y_h, G_h, off_h, mask_b, **kw)
+        bad = ~ok
+        if bad.any():
+            b2, s2, l2, ok2 = firth_snp_batch(
+                y_h, G_h[bad], off_h, mask_b, **kw)
+            beta[bad], se[bad], lrt[bad], ok[bad] = b2, s2, l2, ok2
+        return beta, se, lrt, ok
     if cdev.enabled():
         return cdev.firth_snp_batch_dev(y, G, offset, mask, **kw)
     return firth_snp_batch(y, G, offset, mask, **kw)
