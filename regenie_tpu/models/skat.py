@@ -572,10 +572,23 @@ def _skato_tests(params, results, Sm, Km, rho_vec, nnz, P, with_skat, with_skato
             a = 1 / (s1 - np.sqrt(s1**2 - s2))
             dlt = (s1 * a - 1) * a * a
             cvals[j, 4] = a * a - 2 * dlt
-        for ph in range(P):
-            q = (1 - rho) * Qs[ph] + rho * Qb[ph]
-            lp, cv = fixed_skato_p(q, rho, lam)
-            pvs[ph, j], chis[ph, j] = lp, cv
+        # per-rho sweep batched across phenotypes (the P q-values share
+        # this rho's kernel spectrum): one davies_pv_batch/kuonen chain
+        # instead of P scalar chains — bitwise-identical per element
+        # (chisq_mix_logp_batch).  Reference: per-trait loop around
+        # get_chisq_mix_pv, SKAT.cpp:560.
+        qv = (1 - rho) * Qs + rho * Qb
+        if P == 1:
+            lp, cv = fixed_skato_p(float(qv[0]), rho, lam)
+            pvs[0, j], chis[0, j] = lp, cv
+        elif rho == 1 or len(lam) == 1:
+            cvv = qv / lam[-1]
+            pvs[:, j] = chisq_neglog10(cvv)
+            chis[:, j] = cvv
+        else:
+            from ..utils.quadforms import chisq_mix_logp_batch
+
+            pvs[:, j], chis[:, j] = chisq_mix_logp_batch(qv, lam)
         if rho == 0 and with_skat:
             ss = np.stack([chis[:, j], pvs[:, j]], axis=1)
             if (ss[:, 1] >= 0).any():

@@ -541,3 +541,49 @@ def chisq_mix_logp(q: float, lambdas: np.ndarray) -> Tuple[float, float]:
     logp = -np.log10(pv)
     chival = float(neglog10_to_chisq(np.array([logp]))[0])
     return float(logp), chival
+
+
+def chisq_mix_logp_batch(qs: np.ndarray,
+                         lambdas: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """chisq_mix_logp for a batch of statistics sharing ONE spectrum
+    (the per-rho SKATO sweep across phenotypes, compute_vc_masks_qt
+    SKAT.cpp:560: P q-values against the same rho-kernel eigenvalues).
+    Per element bitwise-identical to the scalar chain: davies_pv_batch
+    == davies_pv, kuonen_pv_batch == kuonen_pv, and the strict-davies /
+    liu fallbacks run the scalar routines on the (rare) failing
+    elements.  Returns (logp [B], chival [B]); -1 on failure."""
+    from .stats import neglog10_to_chisq
+
+    qs = np.asarray(qs, dtype=np.float64)
+    lam = np.sort(np.asarray(lambdas, dtype=np.float64))
+    newQ = qs / lam[-1]
+    newL = lam / lam[-1]
+    pv = davies_pv_batch(newQ, newL)
+    logp = np.full(len(qs), -1.0)
+    chival = np.full(len(qs), -1.0)
+    need_kuo = pv <= 1e-5
+    liu_rows = []
+    if need_kuo.any():
+        kuo = kuonen_pv_batch(newQ[need_kuo], newL)
+        kidx = np.flatnonzero(need_kuo)
+        pv[kidx] = kuo
+        for j, i in enumerate(kidx):
+            if kuo[j] <= 0:
+                p_str = davies_pv(float(newQ[i]), newL, strict=True)
+                if p_str > 0:
+                    pv[i] = p_str
+                else:
+                    liu_rows.append(i)
+                    lp, _cv = liu_logp(float(newQ[i]), newL)
+                    if lp >= 0:
+                        logp[i] = lp
+                        chival[i] = float(
+                            neglog10_to_chisq(np.array([lp]))[0])
+                    pv[i] = -1.0  # handled via logp directly
+    ok = (pv > 0) & (pv <= 1)
+    if ok.any():
+        pvo = np.maximum(pv[ok], _DBL_DMIN)
+        lpo = -np.log10(pvo)
+        logp[ok] = lpo
+        chival[ok] = neglog10_to_chisq(lpo)
+    return logp, chival

@@ -226,3 +226,60 @@ def test_davies_batch_matches_scalar_bitwise():
     assert (davies_pv_batch(qs, lam1)
             == np.array([davies_pv(float(q), lam1) for q in qs])).all()
     assert davies_pv_batch(np.empty(0), lam1).shape == (0,)
+
+
+def test_chisq_mix_logp_batch_matches_scalar_bitwise():
+    """chisq_mix_logp_batch (the per-rho phenotype sweep) must equal the
+    scalar chain element-for-element, incl. kuonen/strict/liu
+    fallbacks."""
+    from regenie_tpu.utils.quadforms import (
+        chisq_mix_logp, chisq_mix_logp_batch)
+
+    rng = np.random.default_rng(21)
+    for trial in range(5):
+        L = int(rng.integers(2, 40))
+        lam = rng.random(L) + 1e-3
+        # span moderate and deep-tail statistics
+        qs = np.concatenate([
+            rng.random(6) * lam.sum(),
+            lam.sum() * (1.0 + rng.random(6) * 50.0),
+        ])
+        lp_b, cv_b = chisq_mix_logp_batch(qs, lam)
+        for i, q in enumerate(qs):
+            lp_s, cv_s = chisq_mix_logp(float(q), lam)
+            assert lp_b[i] == lp_s, (trial, i, lp_b[i], lp_s)
+            assert cv_b[i] == cv_s, (trial, i)
+
+
+def test_skato_rho_sweep_batch_matches_per_pheno_scalar():
+    """_skato_tests' batched per-rho phenotype sweep must reproduce the
+    scalar fixed_skato_p loop bitwise for P > 1."""
+    from regenie_tpu.models.skat import (
+        DEFAULT_RHO, fixed_skato_p, get_lambdas, rskrs)
+
+    rng = np.random.default_rng(5)
+    Mt, P = 12, 4
+    A = rng.normal(size=(Mt, Mt))
+    Km = A @ A.T / Mt
+    Sm = rng.normal(size=(P, Mt)) * 2.0
+    Qs = (Sm**2).sum(axis=1)
+    Qb = Sm.sum(axis=1) ** 2
+    for j, rho in enumerate(DEFAULT_RHO):
+        lam = get_lambdas(rskrs(Km, rho))
+        if len(lam) == 0:
+            continue
+        qv = (1 - rho) * Qs + rho * Qb
+        # scalar reference
+        ref = np.array([fixed_skato_p(float(q), rho, lam) for q in qv])
+        # the batched paths used by _skato_tests for P > 1
+        if rho == 1 or len(lam) == 1:
+            from regenie_tpu.utils.stats import chisq_neglog10
+
+            got_lp = chisq_neglog10(qv / lam[-1])
+            got_cv = qv / lam[-1]
+        else:
+            from regenie_tpu.utils.quadforms import chisq_mix_logp_batch
+
+            got_lp, got_cv = chisq_mix_logp_batch(qv, lam)
+        assert (got_lp == ref[:, 0]).all(), (j, rho)
+        assert (got_cv == ref[:, 1]).all(), (j, rho)
