@@ -929,8 +929,10 @@ def main():
     def leg_pipeline(budget):
         doc = bench_pipeline_efficiency(budget)
         if doc:
+            # backend "host-cpu": this leg is DEFINED on the cpu backend
+            # (same-backend ratio), so a TPU rejoin must not re-run it
             record("pipeline_efficiency_cpu",
-                   doc["e2e"] / doc["resident"], "cpu", nd=3,
+                   doc["e2e"] / doc["resident"], "host-cpu", nd=3,
                    resident_cpu_snps_per_s=doc["resident"],
                    e2e_cpu_snps_per_s=doc["e2e"],
                    note=("same-backend ratio; H2D local, tunnel-free. "

@@ -503,11 +503,25 @@ def variants3_main():
                 q0[:] += dotw(((d2 & 255) - 128).astype(jnp.int8), wq)
                 q1[:] += dotw((((d2 >> 8) & 255) - 128).astype(jnp.int8), wq)
                 q2[:] += dotw(((d2 >> 16) - 128).astype(jnp.int8), wq)
-            else:  # e2: (d - 255)^2 fits 16 bits -> two limbs
+            elif n_q == 2:  # e2: (d - 255)^2 fits 16 bits -> two limbs
                 e = 2 * k0 + k1 - 255
                 e2 = e * e
                 q0[:] += dotw(((e2 & 255) - 128).astype(jnp.int8), wq)
                 q1[:] += dotw(((e2 >> 8) - 128).astype(jnp.int8), wq)
+            else:  # dhl: d = dlo + 256*dhi (dhi in {0,1});
+                # d^2 = dlo^2 + dhi*(512*dlo + 65536) — nonneg terms,
+                # no cancellation in the epilogue recombination
+                d = 2 * k0 + k1
+                dlo = d & 255
+                dhi = d >> 8
+                dl2 = dlo * dlo
+                q0[:] += dotw(((dl2 & 255) - 128).astype(jnp.int8), wq)
+                q1[:] += dotw(((dl2 >> 8) - 128).astype(jnp.int8), wq)
+                # the two extra 1-byte dots both land in q2's slot —
+                # timing-faithful (real dots, not DCE-able); the
+                # production wrapper keeps them separate
+                q2[:] += dotw(((dhi * dlo) - 128).astype(jnp.int8), wq)
+                q2[:] += dotw((dhi - 128).astype(jnp.int8), wq)
         return kern
 
     def make_call3(kernel):
@@ -543,8 +557,7 @@ def variants3_main():
     for name, missf, n_q in (
         ("base-i32miss-3q", miss_i32, 3),
         ("e2-2q", miss_i32, 2),
-        ("u8miss-3q", miss_u8, 3),
-        ("e2+u8miss", miss_u8, 2),
+        ("dhl-2q+2tiny", miss_i32, 4),
     ):
         try:
             fn = make_call3(make_base(missf, n_q))

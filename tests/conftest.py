@@ -8,6 +8,14 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# ALSO export the cpu pin into the environment: several suites spawn the
+# CLI (or 2-process multihost runs) via subprocess, and a child that
+# inherits JAX_PLATFORMS=axon runs against the remote-TPU tunnel — slow
+# when the tunnel is up and HUNG when it is down (observed: a gene-based
+# CLI child stuck >7 min mid-suite during a tunnel outage).  The
+# jax.config override below only covers THIS process.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("REGENIE_TPU_PLATFORM", "cpu")
 
 import jax
 
