@@ -606,7 +606,11 @@ def main():
             qs=consts.layout_C() - (P + 1))
         Np = fsc.op_nbp(consts.Wp)
         Bg = min(B, 1024)
-        nbg = 2
+        # 4 stacked blocks per dispatch (same amortization as the qt
+        # legs; ~3.2GB of resident planes at UKB shape, well within
+        # HBM) — at nbg=2 the leg measured ~75% of the kernel rate,
+        # the rest being per-dispatch/sync RTT shares
+        nbg = 4 if on_tpu else 2
         blocks_g = []
         for bi in range(nbg):
             k0 = rng.integers(0, 200, size=(Bg, N)).astype(np.uint8)
@@ -968,11 +972,14 @@ def main():
         loop = None
         for ri in range(2):
             t0 = time.perf_counter()
+            # the cold run (per-shape compiles + tunnel uploads) gets
+            # the bigger share; a warm run is much faster
+            run_to = max(60, budget * (0.62 if ri == 0 else 0.38))
             r = subprocess.run(
                 [sys.executable, "-m", "regenie_tpu"]
                 + args_for(d, f"{d}/o{ri}"),
                 capture_output=True, text=True, env=env,
-                timeout=max(60, budget / 2))
+                timeout=run_to)
             if r.returncode != 0:
                 print("[bench] gene-based CLI failed:",
                       (r.stdout + r.stderr)[-500:], file=sys.stderr)
