@@ -606,11 +606,12 @@ def main():
             qs=consts.layout_C() - (P + 1))
         Np = fsc.op_nbp(consts.Wp)
         Bg = min(B, 1024)
-        # 4 stacked blocks per dispatch (same amortization as the qt
-        # legs; ~3.2GB of resident planes at UKB shape, well within
-        # HBM) — at nbg=2 the leg measured ~75% of the kernel rate,
-        # the rest being per-dispatch/sync RTT shares
-        nbg = 4 if on_tpu else 2
+        # 2 stacked blocks per dispatch: nbg=4 was tried (same
+        # amortization as the qt legs) but its 3.2GB one-shot plane
+        # upload hangs past the leg's SIGALRM when the tunnel degrades
+        # mid-transfer — the reliable 2-block capture (29-30K, ~75% of
+        # the 39-40K kernel rate) beats a lost leg
+        nbg = 2
         blocks_g = []
         for bi in range(nbg):
             k0 = rng.integers(0, 200, size=(Bg, N)).astype(np.uint8)
