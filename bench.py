@@ -762,19 +762,26 @@ def main():
         def run():
             return _stack(stacked, cov_j, Y_j, m_j)
 
+        # deeper in-flight pipeline than the QT legs: at 7.0K SNPs/s
+        # the round was ~25% sync/execute RTT share (5 RTTs per 1.1 s).
+        # In-flight W memory is inner_s1 * nb1 * [N,J,P] f32; 8
+        # dispatches OOMed this chip (RESOURCE_EXHAUSTED at ~6.4GB of
+        # live W), 6 fits
+        inner_s1 = max(inner, 6) if on_tpu else inner
         _sync(run())
         best = 0.0
         for _ in range(max(1, n_rounds - 1)):
             t0 = time.perf_counter()
-            outs = [run() for _ in range(inner)]
+            outs = [run() for _ in range(inner_s1)]
             _sync(outs)
-            best = max(best, inner * nb1 * B1 / (time.perf_counter() - t0))
+            best = max(best, inner_s1 * nb1 * B1 / (time.perf_counter() - t0))
         return best
 
     def leg_step1(budget):
         s1 = _timed(budget, bench_step1_l0)
         record("step1_level0", s1, dev_backend,
-               sync="device-scalar-fetch", inner=inner,
+               sync="device-scalar-fetch",
+               inner=(max(inner, 6) if on_tpu else inner),
                stacked_blocks=min(n_blocks, 2))
 
     # --- host-side pipeline legs ---
