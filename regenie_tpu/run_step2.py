@@ -671,7 +671,14 @@ class Step2Engine:
                     G_res, jnp.asarray(self.res), self.maskf_j, self.scale_denom,
                     self.strict,
                 )
-            need_host = is_mask or self.interaction is not None
+            # mask blocks only need the host G_res when a joint test /
+            # GENE_P will consume it (joint.py reads eng.last_G_res);
+            # plain burden+VC runs skip the [rows, N] fetch — on a
+            # tunneled backend that transfer was a visible share of the
+            # gene loop's burden:dev stage
+            need_host = (is_mask and (params.joint_tests
+                                      or params.apply_gene_pval_strategy)
+                         ) or self.interaction is not None
             if self.mesh is None:
                 # ONE packed device->host transfer for the four score
                 # outputs (4 np.asarray round trips otherwise — the
