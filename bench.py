@@ -387,6 +387,9 @@ def _pipe_child():
             print("[pipe-child] CLI failed:", (r.stdout + r.stderr)[-800:],
                   file=sys.stderr)
             return
+        # reset per run: a warm run missing the marker must NOT
+        # silently inherit the cold run's loop time
+        loop = None
         for line in r.stdout.splitlines():
             if "* done (" in line:
                 loop = float(line.split("(")[1].split("s")[0])

@@ -45,13 +45,16 @@ def _K2(t, Gmod, phat, gamma2, maskf, val_c):
     arg = np.minimum(arg, MAX_EXP_LIM)
     # arg just below MAX_EXP_LIM still overflows when squared: an inf
     # denom yields a 0 contribution (e/denom -> 0), same limit as the
-    # reference's overflow->0 branch — silence the benign warning
-    with np.errstate(over="ignore"):
+    # reference's overflow->0 branch — silence the benign warning.
+    # When the NUMERATOR overflows too (huge Gmod^2*gamma2 scale) the
+    # row is inf/inf = nan; sanitize it to the same 0 the over-branch
+    # returns instead of feeding nan into the Newton step.
+    with np.errstate(over="ignore", invalid="ignore"):
         e = np.exp(arg)
         denom = (phat[None, :] + (1 - phat[None, :]) * e) ** 2
         val = ((Gmod**2 * gamma2[None, :] / val_c[:, None] ** 2 * e)
                / denom * maskf).sum(axis=1)
-    return np.where(over, 0.0, val)
+    return np.where(over | ~np.isfinite(val), 0.0, val)
 
 
 def _solve_K1(tval, lam, Gmod, phat, gamma2, maskf, val_a, val_c, tol, niter_max):

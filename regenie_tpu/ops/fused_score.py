@@ -1021,20 +1021,18 @@ def score_block_fused(raw, flip, consts: FusedConsts, interpret=False, use_palla
 # ---------------------------------------------------------------------------
 
 
-def sample_pack(Wext, split, dtype=np.float32, tile=None, cpad=None):
+def sample_pack(Wext, split, dtype=np.float32, tile=None):
     """[N, C] per-sample operand -> sample-ordered padded kernel operand
     [Np, Cp] (or the bf16 [Np, 3*Cp] hi|mid|lo split) + padded usum.
 
-    cpad: column padding quantum (default 128).  A 64-pad variant for
-    the narrow SQ-consumer operand was measured SLOWER on v5e (q-dots
-    26.3 -> 32.8 ms at B=1024/N=400K: Mosaic handles 128-wide int8
-    output tiles better than 64), so 128 stays the default — the zero
-    pad columns are dead MXU work but the layout wins."""
+    Columns pad to 128.  A 64-pad variant for the narrow SQ-consumer
+    operand was measured SLOWER on v5e (q-dots 26.3 -> 32.8 ms at
+    B=1024/N=400K: Mosaic handles 128-wide int8 output tiles better
+    than 64), so the zero pad columns stay — dead MXU work, but the
+    layout wins (BENCH_NOTES round 5)."""
     tile = tile or _TC
     N, C = Wext.shape
-    if cpad is None:
-        cpad = 128
-    Cp = -(-C // cpad) * cpad
+    Cp = -(-C // 128) * 128
     Np = -(-N // tile) * tile
     W = np.zeros((Np, Cp), dtype=np.float64)
     W[:N, :C] = Wext

@@ -379,12 +379,24 @@ def _level0(params, gd, pd, blocks, lambdas, fold_sizes, maskf, log):
     def _flush_grp1():
         if not grp1:
             return
-        Wg = m1.level0_loocv_blocks(
-            jnp.stack([g for _, g in grp1]), Y_j, maskf_j, lambdas_j,
-            Neff_j)
-        Wg = np.asarray(Wg)
-        for i, (bi, _g) in enumerate(grp1):
-            W_all[:, bi * J : (bi + 1) * J, :] = Wg[i]
+        try:
+            Wg = np.asarray(m1.level0_loocv_blocks(
+                jnp.stack([g for _, g in grp1]), Y_j, maskf_j, lambdas_j,
+                Neff_j))
+            for i, (bi, _g) in enumerate(grp1):
+                W_all[:, bi * J : (bi + 1) * J, :] = Wg[i]
+        except Exception as e:  # noqa: BLE001 — HBM-pressure fallback
+            # the batched group holds stack1 residualized [B,N] blocks
+            # + a [stack1,B,B] eigh workspace live at once; on a
+            # smaller-HBM part that can RESOURCE_EXHAUSTED where the
+            # per-block path fits — fall back rather than fail the run
+            log(f"   -batched level-0 group failed ({type(e).__name__});"
+                " falling back to per-block solves"
+                " (REGENIE_TPU_STEP1_STACK=1 to silence)")
+            for bi, g in grp1:
+                Wb = m1.level0_loocv_block(g, Y_j, maskf_j, lambdas_j,
+                                           Neff_j)
+                W_all[:, bi * J : (bi + 1) * J, :] = np.asarray(Wb)
         grp1.clear()
 
     for bidx, (chrom, bsnps) in enumerate(blocks):

@@ -562,7 +562,6 @@ def chisq_mix_logp_batch(qs: np.ndarray,
     logp = np.full(len(qs), -1.0)
     chival = np.full(len(qs), -1.0)
     need_kuo = pv <= 1e-5
-    liu_rows = []
     if need_kuo.any():
         kuo = kuonen_pv_batch(newQ[need_kuo], newL)
         kidx = np.flatnonzero(need_kuo)
@@ -573,7 +572,6 @@ def chisq_mix_logp_batch(qs: np.ndarray,
                 if p_str > 0:
                     pv[i] = p_str
                 else:
-                    liu_rows.append(i)
                     lp, _cv = liu_logp(float(newQ[i]), newL)
                     if lp >= 0:
                         logp[i] = lp

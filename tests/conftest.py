@@ -14,12 +14,15 @@ os.environ["XLA_FLAGS"] = (
 # when the tunnel is up and HUNG when it is down (observed: a gene-based
 # CLI child stuck >7 min mid-suite during a tunnel outage).  The
 # jax.config override below only covers THIS process.
-os.environ["JAX_PLATFORMS"] = "cpu"
+if os.environ.get("JAX_PLATFORMS") in (None, "axon"):
+    # override only the rig's remote-tunnel default — an explicitly
+    # exported platform (e.g. a local chip) is honored
+    os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("REGENIE_TPU_PLATFORM", "cpu")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", True)
 
 EXAMPLE_DIR = "/root/reference/example"
