@@ -65,3 +65,35 @@ def test_pseudo_failure_flags_are_per_row():
                                          tol=2.5e-4)
     assert not ok[5]
     assert ok[6] and ok[7]
+
+
+def test_pseudo_matches_scipy_penalized_likelihood_oracle():
+    """Independent oracle: the Firth estimate maximizes the penalized
+    log-likelihood l(b) + 0.5*log I(b) (I = sum w g^2 for the single
+    free coefficient). Maximize it with scipy and compare."""
+    from scipy.optimize import minimize_scalar
+
+    y, G, offset, mask = _data(S=10)
+    b, s, l, ok = firth_snp_batch_pseudo(y, G, offset, mask,
+                                         maxstep=5, niter=250,
+                                         tol=2.5e-4)
+    maskf = mask.astype(float)
+    checked = 0
+    for i in range(G.shape[0]):
+        if not ok[i]:
+            continue
+
+        def negpen(beta, g=G[i] * maskf):
+            eta = offset + g * beta
+            pi = 1.0 / (1.0 + np.exp(-eta))
+            pi = np.clip(pi, 1e-12, 1 - 1e-12)
+            ll = (maskf * (y * np.log(pi) + (1 - y) * np.log1p(-pi))).sum()
+            info = (g**2 * pi * (1 - pi) * maskf).sum()
+            return -(ll + 0.5 * np.log(info))
+
+        r = minimize_scalar(negpen, bounds=(b[i] - 2.0, b[i] + 2.0),
+                            method="bounded",
+                            options={"xatol": 1e-10})
+        assert abs(r.x - b[i]) < 5e-4, (i, r.x, b[i])
+        checked += 1
+    assert checked >= 7
