@@ -372,6 +372,22 @@ def _pipe_child():
         jax.block_until_ready(jax.tree_util.tree_leaves(out))
         best = max(best, Me / (time.perf_counter() - t0))
 
+    # per-block dispatch+fetch — the CLI's exact compute pattern with
+    # ZERO host glue.  e2e/this isolates the OVERLAP quality of the
+    # pipeline; resident(stacked)/this isolates the dispatch-granularity
+    # cost, which is not an overlap property at all
+    blocks_j = [jnp.asarray(b) for b in blocks]
+    for b in blocks_j:
+        jax.block_until_ready(b)
+    run_qt(blocks_j[0])
+    best_pb = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for b in blocks_j:
+            outs = run_qt(b)
+            jax.block_until_ready(jax.tree_util.tree_leaves(outs))
+        best_pb = max(best_pb, Me / (time.perf_counter() - t0))
+
     # --- e2e: the real CLI; 2nd run rides the warm compile cache ---
     env = dict(os.environ)
     env["REGENIE_TPU_FUSED"] = "1"
@@ -395,6 +411,7 @@ def _pipe_child():
                 loop = float(line.split("(")[1].split("s")[0])
     e2e = Me / loop if loop else None
     print(json.dumps({"resident": round(best, 1),
+                      "resident_perblock": round(best_pb, 1),
                       "e2e": round(e2e, 1) if e2e else None}), flush=True)
 
 
@@ -951,16 +968,22 @@ def main():
         if doc:
             # backend "host-cpu": this leg is DEFINED on the cpu backend
             # (same-backend ratio), so a TPU rejoin must not re-run it
+            pb = doc.get("resident_perblock") or doc["resident"]
             record("pipeline_efficiency_cpu",
                    doc["e2e"] / doc["resident"], "host-cpu", nd=3,
                    resident_cpu_snps_per_s=doc["resident"],
+                   resident_perblock_snps_per_s=pb,
                    e2e_cpu_snps_per_s=doc["e2e"],
+                   overlap_efficiency=round(doc["e2e"] / pb, 3),
                    note=("same-backend ratio; H2D local, tunnel-free. "
-                         "On the cpu backend device compute and host "
-                         "glue SHARE the cores, so perfect overlap "
-                         "caps the ratio at resident/(resident+host) "
-                         "rather than 1.0 — the TPU e2e leg is the "
-                         "separate-chip measurement"))
+                         "overlap_efficiency = e2e / per-block-dispatch "
+                         "resident (the CLI's compute pattern, zero "
+                         "host glue) isolates pipeline overlap from "
+                         "the batched-vs-per-block dispatch cost; the "
+                         "headline ratio divides by the fully-stacked "
+                         "resident.  On the cpu backend device compute "
+                         "and host glue SHARE the cores, capping both "
+                         "below 1.0"))
 
     # --- gene-based: sets/s (real CLI) ---
     def bench_genebased(budget):
